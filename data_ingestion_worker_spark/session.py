@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs one process / one thread / one row at a time
+(reference README.md:223-227).  Here the execution model is Spark's: the
+same logical work is declared once and the planner parallelizes it.  The
+defaults below are the ones that matter when the same plans run on a
+1000-executor cluster over ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+- Arrow for any pandas interchange (vectorized, never row-at-a-time).
+- Session timezone pinned to UTC so timestamp semantics are deployment
+  independent.
+- Shuffle partitions default to a small local-friendly number; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant as
+  long as it is high enough, so production configs should raise
+  ``spark.sql.shuffle.partitions`` (or set
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) to
+  ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied to every session this package creates. Each is safe on
+#: both local[N] and a large cluster.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # vectorized reader rejects; read them as raw nanos longs and convert
+    # explicitly (tables.load_events) so the value semantics (truncate to
+    # micros, like DuckDB) are pinned down in one place.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Broadcast threshold: dims like region/nation/supplier are tiny even
+    # at large SF; 64 MiB keeps dimension joins shuffle-free.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "data-ingestion-worker-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults applied."""
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    spark = builder.getOrCreate()
+    configure(spark)
+    return spark
+
+
+def configure(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable defaults to an existing session.
+
+    Used when the session is created by someone else (the correctness
+    driver builds its own); every config in ENGINE_CONF is runtime-safe.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static confs on a started session: keep whatever is set.
+            pass
