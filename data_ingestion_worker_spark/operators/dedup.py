@@ -1,0 +1,275 @@
+"""Document deduplication operators (BASELINE.json north star).
+
+Four levels, in increasing fuzziness — the standard large-corpus dedup
+ladder (exact -> near-dup):
+
+- **exact**: canonicalize text -> md5 fingerprint -> window-min canonical id.
+- **n-gram Jaccard**: word-3-gram shingles, inverted-index self-join,
+  Jaccard over distinct shingle sets.
+- **MinHash + LSH**: 8 permutations (via the cross-engine hash64), 4 bands
+  of 2 rows; candidate pairs share a band signature.  This is the 100 TB
+  scale path: cost is O(docs x shingles), never O(docs^2) — the banding
+  join only groups documents with colliding signatures.
+- **SimHash**: 16-bit signature from token-hash bit votes; Hamming-near
+  docs get equal/similar signatures.
+
+Every step is reproduced bit-identically in the DuckDB oracles because the
+underlying hash is md5-based (functions/hashing.py), not engine murmur.
+
+Scale notes: at real corpus sizes add a shingle document-frequency cutoff
+before the inverted-index join (drop shingles in >0.1% of docs — they only
+connect boilerplate) and salt the band keys; both are one-line filters on
+these plans.  The 31-word synthetic vocabulary here would make a DF cutoff
+degenerate, so the verified spec keeps all shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import fingerprint
+from ..spec import QuerySpec
+from ..tables import load_table
+
+N_PERM = 8          # minhash permutations
+BAND_ROWS = 2       # rows per LSH band -> 4 bands
+SIMHASH_BITS = 16
+
+_TOKENS_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+               "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))")
+
+# (doc_id, shingle) pairs, distinct — DuckDB side (1-based list indexing).
+_SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+       unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs — Spark side.
+
+    Built with array higher-order functions (no UDF); the explode is the
+    only row-multiplying step and it precedes the shuffle, so partial
+    aggregation sees the expanded rows locally.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    sh = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc = min doc_id per normalized-text
+    fingerprint (reference identity-hash skip J5, applied to documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id", "canonical_doc_id", "is_dup")
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS is_dup
+FROM documents
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.2.
+
+    Inverted-index self-join on the shingle (never all-pairs): pairs are
+    generated only for documents sharing at least one shingle, then scored
+    inter / (|A| + |B| - inter).
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.2
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm, minhash) — min over shingles of hash64(perm:shingle)."""
+    sh = _shingles(spark, sf_dir)
+    perms = sh.select(
+        "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1)))
+        .alias("perm")
+    )
+    h = hash64(F.concat(F.col("perm").cast("string"), F.lit(":"),
+                        F.col("shingle")))
+    return (
+        perms.withColumn("h", h)
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+
+    Bands of BAND_ROWS rows; with r=2 the band signature is simply the
+    (min, max) of its two minhash values — no string assembly needed.
+    At 100 TB this is the only pairing operator that survives: its join
+    key is the band signature, so work scales with collisions, not docs^2.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", F.col("perm") - (F.col("perm") % BAND_ROWS))
+        .groupBy("doc_id", "band")
+        .agg(F.min("minhash").alias("m1"), F.max("minhash").alias("m2"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.m1") == F.col("b.m1"))
+               & (F.col("a.m2") == F.col("b.m2"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+_MINHASH_SQL = f"""
+sig AS (
+  SELECT doc_id, perm,
+         min({hash64_sql("CAST(perm AS VARCHAR) || ':' || shingle")}) AS minhash
+  FROM shingles, unnest(range(0, {N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm - (perm % {BAND_ROWS}) AS band,
+         min(minhash) AS m1, max(minhash) AS m2
+  FROM sig GROUP BY 1, 2
+)
+"""
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL.strip()}
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2
+ AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (token-hash bit votes).
+
+    Tokens vote +-1 per bit position according to their hash64 bit; the
+    signature sets each bit whose vote total is positive.  Near-duplicate
+    documents land at small Hamming distance; equality buckets give the
+    cheap first-pass grouping.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    tok = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .withColumn("h", hash64(F.col("token")))
+        .select("doc_id", "h",
+                F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
+                .alias("bit"))
+    )
+    vote = F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    return (
+        tok.withColumn("vote", vote)
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN votes > 0 "
+                       "THEN shiftleft(cast(1 as bigint), bit) ELSE 0 END")
+            ).alias("simhash")
+        )
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {hash64_sql('token')} AS h
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM tok, unnest(range(0, {SIMHASH_BITS})) AS b(bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN votes > 0 THEN 1::BIGINT << bit ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+}

@@ -1,0 +1,187 @@
+"""Event-time windowing operators over the ``events`` table.
+
+The reference's stream is a control stream (one SQS message per job —
+SURVEY.md §2.7) with no event-time semantics; these operators add the
+standard event-time surface a data pipeline needs: tumbling / sliding /
+session windows and keyed deduplication.  The same column logic is reused
+by the Structured Streaming path (``streaming/``) — in batch mode it is
+fully oracle-verifiable, in stream mode it gains watermarks.
+
+Determinism: value sums go through DECIMAL(14,2); timestamps are compared
+at microsecond grain (tables.load_table truncates the nanos source
+exactly as DuckDB does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..spec import QuerySpec
+from ..tables import load_table
+
+def _val() -> F.Column:
+    return F.col("value").cast("decimal(14,2)")
+
+
+def _epoch_s(c: F.Column) -> F.Column:
+    """Epoch seconds (truncated) of a TIMESTAMP_NTZ column.
+
+    NTZ won't cast to BIGINT directly; with the session pinned to UTC the
+    NTZ->LTZ cast is value-preserving, and LTZ->BIGINT truncates to whole
+    seconds — the same floor DuckDB's date_diff('second', ...) boundary
+    count produces for positive epochs.
+    """
+    return c.cast("timestamp").cast("long")
+
+
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (F.window — the native
+    Spark operator; in streaming mode add a watermark and it runs
+    incrementally with partial state)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_val()).cast("double").alias("total_value"),
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in 2
+    overlapping windows — Spark's F.window handles replication natively."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start")
+            .alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_val()).cast("double").alias("total_value"),
+        )
+    )
+
+
+SLIDING_ORACLE = """
+SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+         AS window_start,
+         value
+  FROM events
+) GROUP BY 1
+"""
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands.
+
+    A new session starts when the gap to the previous event of the same
+    user is > 30 min; the cumulative start-marker sum labels each island.
+    This is the batch mirror of ``session_window`` in streaming mode; at
+    scale it is one shuffle on user_id plus two window passes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    gap_s = _epoch_s(F.col("ts")) - _epoch_s(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap_s > 30 * 60), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.withColumn("session_seq", F.sum(is_new).over(running))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_val()).cast("double").alias("total_value"),
+        )
+    )
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM labeled GROUP BY 1, 2
+"""
+
+
+def ev_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, keep-earliest (streaming ``dropDuplicates`` analogue,
+    re-specified with an explicit deterministic order)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+DEDUP_FIRST_ORACLE = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def ev_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap per user (lag on the time axis) — the building
+    block for latency/SLA monitoring on the job stream (reference
+    progress-heartbeat T4 analogue)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))
+    return e.select("event_id", "user_id", gap.alias("gap_seconds"))
+
+
+GAP_ORACLE = """
+SELECT event_id, user_id,
+       date_diff('second', lag(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), ts) AS gap_seconds
+FROM events
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "ev_tumbling_hourly": QuerySpec(ev_tumbling_hourly, TUMBLING_ORACLE),
+    "ev_sliding_windows": QuerySpec(ev_sliding_windows, SLIDING_ORACLE),
+    "ev_sessionize": QuerySpec(ev_sessionize, SESSION_ORACLE),
+    "ev_dedup_keep_first": QuerySpec(ev_dedup_keep_first, DEDUP_FIRST_ORACLE),
+    "ev_gap_seconds": QuerySpec(ev_gap_seconds, GAP_ORACLE),
+}

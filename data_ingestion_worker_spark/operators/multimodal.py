@@ -1,0 +1,126 @@
+"""Multimodal-column plumbing: opaque binary payloads + Pandas-UDF decode.
+
+The pattern a 100 TB multimodal pipeline needs: media as an opaque
+``binary`` column with typed metadata beside it, and decode / feature
+extraction as Arrow-batched ``mapInPandas`` stages (the only sanctioned
+Python-in-the-loop shape — vectorized batch in, vectorized batch out,
+never row-at-a-time).
+
+The real decoders (Pillow / libav / etc.) are not in this container, so
+``fake_decode_image`` is a clearly-marked deterministic stub: it derives
+"image dimensions" from the cross-engine md5 hash of the payload.  The
+*plumbing* — schema declaration, binary handling, Arrow batch iteration,
+partition-preserving shape — is real and is exactly what a true decoder
+drops into.  Because the stub is deterministic, the whole path is
+oracle-verified against DuckDB, which is rare for UDF code and pins the
+Arrow round-trip (bytes in == bytes out).
+
+``decode_image_real`` shows the production signature and raises
+NotImplementedError pending a real codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import QuerySpec
+from ..tables import load_table
+
+DECODE_SCHEMA = ("doc_id bigint, byte_len int, fake_width int, "
+                 "fake_height int, payload_sha string")
+
+
+def with_payload(documents: DataFrame) -> DataFrame:
+    """Attach an opaque binary column (here: the utf-8 bytes of the text —
+    a stand-in for image/audio bytes read via ``format('binaryFile')``)."""
+    return documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+
+def _hash64_py(payload: bytes) -> int:
+    """Python twin of functions.hashing.hash64 (same md5-prefix integer)."""
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def fake_decode_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: deterministic pseudo-metadata instead of real pixels.
+
+    Real implementation would do ``PIL.Image.open(io.BytesIO(b))`` per
+    payload inside the same loop; batch shape, Arrow transfer and output
+    schema are identical.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        h = payloads.map(_hash64_py)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "byte_len": payloads.map(len).astype("int32"),
+            "fake_width": (h % 640).astype("int32"),
+            "fake_height": (h % 480).astype("int32"),
+            "payload_sha": payloads.map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            ),
+        })
+
+
+def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Production decode signature — requires an image codec at runtime."""
+    raise NotImplementedError(
+        "real image decode needs Pillow/libav; use fake_decode_image for "
+        "plumbing tests"
+    )
+
+
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas decode -> typed metadata columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_decode_image, DECODE_SCHEMA)
+
+
+MM_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 640 AS INT) AS fake_width,
+       CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 480 AS INT) AS fake_height,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled "frame" index.
+
+    For video you'd emit decoded frames; here each payload yields
+    ``byte_len mod 5 + 1`` deterministic frame offsets — the explode
+    pattern (1 media row -> N frame rows) is the real thing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_payload(docs)
+    n_frames = (F.length(F.col("payload")) % 5 + 1).alias("n_frames")
+    return (
+        payload.select("doc_id", n_frames)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+            .alias("frame_idx"),
+        )
+    )
+
+
+MM_FRAME_ORACLE = """
+SELECT doc_id, CAST(unnest(range(0, octet_length(encode(text)) % 5 + 1)) AS INT)
+       AS frame_idx
+FROM documents
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
+    "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
+}

@@ -1,0 +1,228 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- **brute-force cosine top-k**: the correctness baseline.  Query vectors
+  broadcast against the corpus; per-pair cosine via array higher-order
+  functions (zip_with + aggregate — JVM-side, no Python).
+- **hyperplane LSH buckets**: the scale path — 8 deterministic random
+  hyperplanes give a 256-bucket partitioning; ANN = brute force within a
+  bucket (plus neighbor probes).  At 100 TB the bucket id becomes the
+  shuffle/partition key, turning an O(N) scan per query into an O(N/256)
+  bucket lookup.
+
+Determinism across engines: float32 sums are order-sensitive, so vectors
+are first quantized to integers (round(x * 10000)) — dot products and
+norms are then exact integers on both engines, and the final cosine is a
+single double division with identical operands.  The quantization is part
+of the operator spec, not an approximation of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64_sql
+from ..spec import QuerySpec
+from ..tables import load_table
+
+N_QUERIES = 5       # vec_id < N_QUERIES act as query vectors
+TOP_K = 5
+N_PLANES = 8
+QUANT = 10000
+
+#: Spark-side: array<float> -> array<bigint> quantized.
+_QVEC = ("transform(embedding, x -> cast(round(cast(x as double) * "
+         f"{QUANT}) as bigint))")
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors.
+
+    Plan shape: tiny query side broadcast; corpus scanned once; per-row
+    zip_with/aggregate dot product inside codegen; per-query top-k via
+    rank window (partition count = N_QUERIES, trivially parallel).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES) \
+        .withColumnRenamed("vec_id", "query_id").withColumnRenamed("qv", "qq")
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(
+        "aggregate(zip_with(qq, qv, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    n1 = F.expr("aggregate(transform(qq, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    n2 = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+         round(CAST(dot AS DOUBLE) /
+               (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))), 6)
+         AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = dots.query_id
+  JOIN norms nv ON nv.vec_id = dots.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment (the ANN scale path).
+
+    Plane p's weight for dimension d is +-1 from the cross-engine hash64
+    of "p:d" — a deterministic signed random projection.  Bucket id packs
+    the 8 sign bits.  Integer arithmetic end-to-end.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(F.expr(_QVEC)).alias("d", "v"),
+    )
+    planes = dims.select(
+        "vec_id", "d", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"),
+    )
+    w = F.expr(
+        "CASE WHEN cast(conv(substring(md5(concat(cast(p as string), ':', "
+        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    return (
+        planes.withColumn("w", w)
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("proj"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN proj > 0 "
+                       "THEN shiftleft(cast(1 as bigint), p) ELSE 0 END")
+            ).alias("bucket")
+        )
+    )
+
+
+ANN_LSH_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, p,
+         sum((CASE WHEN {hash64_sql("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE -1 END) * v) AS proj
+  FROM qv, unnest(range(0, {N_PLANES})) AS pl(p)
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT)
+       AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy histogram — the skew diagnostic for the LSH path."""
+    return (
+        ann_lsh_buckets(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+ANN_BUCKET_STATS_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, p,
+         sum((CASE WHEN {hash64_sql("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE -1 END) * v) AS proj
+  FROM qv, unnest(range(0, {N_PLANES})) AS pl(p)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT)
+         AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM buckets GROUP BY 1
+"""
+
+
+def emb_label_centroid_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quantized centroid magnitude — the IVF building block
+    (coarse quantizer = per-label mean vector).  Integer sums keep it
+    engine-exact; the final scale division is one double op."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode(F.expr(_QVEC)).alias("d", "v"))
+    return (
+        dims.groupBy("label", "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("sum_sq"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
+EMB_CENTROID_ORACLE = f"""
+WITH qv AS (
+  SELECT label, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, d, sum(v) AS s, count(*) AS n FROM qv GROUP BY 1, 2
+)
+SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(max(n) AS BIGINT) AS n_vectors
+FROM per_dim GROUP BY label
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
+    "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_ORACLE),
+    "ann_bucket_stats": QuerySpec(ann_bucket_stats, ANN_BUCKET_STATS_ORACLE),
+    "emb_label_centroid_dot": QuerySpec(emb_label_centroid_dot,
+                                        EMB_CENTROID_ORACLE),
+}

@@ -1,0 +1,181 @@
+"""Text-analysis operators over ``documents`` (BASELINE.json north star).
+
+Language-ID, quality scoring, token counting and fingerprinting as pure
+column expressions — the four primitives a 100 TB training-data pipeline
+filters with.  All stay inside whole-stage codegen; the only shuffle in
+this file is none at all (every operator is embarrassingly parallel per
+document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    marker_count,
+    tokens,
+    ws_token_count,
+)
+from ..spec import QuerySpec
+from ..tables import load_table
+
+# DuckDB mirrors of functions/text.py helpers (same names, same semantics).
+_TOKENS_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+               "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+_WS_COUNT_SQL = f"CAST(len({_TOKENS_SQL}) AS INT)"
+_BPE_COUNT_SQL = (f"CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INT)")
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))")
+
+
+def _marker_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (f"CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({lst}))) AS INT)")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+    )
+
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       {_WS_COUNT_SQL} AS ws_tokens,
+       {_BPE_COUNT_SQL} AS bpe_tokens,
+       (length(text) = n_chars) AS chars_ok
+FROM documents
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword density + alpha ratio + length.
+
+    The weighted-sum formula is arbitrary but *pinned* — both engines
+    evaluate the identical expression tree, so the score is a spec, not an
+    approximation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    stop_ratio = stop.cast("double") / n_tok
+    alpha_ratio = alpha.cast("double") / F.length("text")
+    len_score = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
+    score = F.round(
+        stop_ratio * 0.4 + alpha_ratio * 0.3 + len_score * 0.3, 4
+    )
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_WS_COUNT_SQL} AS n_tokens,
+         {_marker_sql(STOPWORDS)} AS stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_tokens,
+       round(CAST(stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       round(CAST(alpha AS DOUBLE) / n, 4) AS alpha_ratio,
+       round((CAST(stop AS DOUBLE) / n_tokens) * 0.4
+             + (CAST(alpha AS DOUBLE) / n) * 0.3
+             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3, 4) AS quality
+FROM t
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with fixed tie-break precedence
+    (en > de > es > fr > und)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = {code: marker_count(F.col("text"), m)
+         for code, m in LANG_MARKERS.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+               & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0),
+              F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"),
+                    pred.alias("lang_pred"))
+
+
+_S = {code: _marker_sql(m) for code, m in LANG_MARKERS.items()}
+LANG_ID_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_S['en']} AS s_en, {_S['de']} AS s_de,
+         {_S['es']} AS s_es, {_S['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang AS lang_label,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+    WHEN s_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred
+FROM s
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text md5 fingerprint (basis of exact dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+"""
+
+
+def doc_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequencies (explode + hash agg) — the classic
+    vocabulary pass; partial aggregation keeps the shuffle tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+TOPWORDS_ORACLE = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "doc_token_stats": QuerySpec(doc_token_stats, TOKEN_STATS_ORACLE),
+    "doc_quality_score": QuerySpec(doc_quality_score, QUALITY_ORACLE),
+    "doc_lang_id": QuerySpec(doc_lang_id, LANG_ID_ORACLE),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_ORACLE),
+    "doc_topwords": QuerySpec(doc_topwords, TOPWORDS_ORACLE),
+}

@@ -21,6 +21,8 @@ defaults below are the ones that matter when the same plans run on a
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -28,6 +30,8 @@ from pyspark.sql import SparkSession
 #: both local[N] and a large cluster.
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -76,3 +80,34 @@ def configure(spark: SparkSession) -> None:
         except Exception:
             # Static confs on a started session: keep whatever is set.
             pass
+    ship_package(spark)
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF stages (mapInPandas etc.) pickle their functions *by
+    reference*; workers must be able to ``import data_ingestion_worker_spark``
+    even when the driver process was launched from an unrelated cwd.
+    Zipping the package once per session and ``addPyFile``-ing it covers
+    local and cluster mode alike.
+    """
+    sc = spark.sparkContext
+    marker = "_diw_spark_pkg_shipped"
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
