@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced through the noop sink (full execution, no
+driver-side collect overhead).  The mix covers every engine subsystem:
+scan-agg (q1/q6), multiway joins (q3/q5/q10), the flagship validation
+pipeline, window/sessionization, dedup (minhash), similarity (cosine
+top-k), and text scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_worker_spark.registry import all_specs  # noqa: E402
+from data_ingestion_worker_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "contacts_validation",
+    "win_topn_per_group",
+    "ev_sessionize",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "doc_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark("bench")
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen on the smallest query once (not timed).
+    specs["q6_forecast_revenue"].fn(spark, sf_dir).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

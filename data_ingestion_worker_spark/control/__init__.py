@@ -1,0 +1,2 @@
+from .processor import JobProcessor  # noqa: F401
+from .store import ControlStore  # noqa: F401

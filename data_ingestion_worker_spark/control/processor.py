@@ -1,0 +1,451 @@
+"""The reference's job lifecycle as set-based Spark flows.
+
+Reference: ``src/processor.py`` — a sequential per-row loop over three
+entry points (initial §3.2, reprocessing §3.3, consolidation §3.4 of
+SURVEY.md).  Here each lifecycle step is a handful of DataFrame plans and
+one MERGE per table per batch; there is no per-row Python anywhere.
+
+Semantics preserved (and pinned by tests/test_flow.py):
+
+- **T3 routing** (processor.py:43-122): COMPLETED -> skip;
+  NEEDS_REVIEW + staging -> reprocess; otherwise initial (resume-safe).
+- **ADR-001 idempotency**: row identity = sha256 canonical hash (F5);
+  replaying a batch changes nothing (J5 anti-join + insert-only MERGEs).
+- **ADR-002**: only *unresolved* issues block consolidation and are
+  counted in job_issue_count.
+- **ADR-003**: reprocessing validates the (possibly user-edited) staging
+  rows, never the CSV; DISCARDed rows are excluded from both duplicate
+  detection and validation, so discarding one of two duplicates makes the
+  survivor valid.
+- **T6 get_or_create**: existing (job, type, key) issues keep their state.
+- **T8 auto-resolve / un-resolve**: an issue whose linked rows all left
+  ISSUE status resolves as 'system'; a resolved issue that regains a
+  failing row has its resolution cleared (processor.py:499-559,
+  issue_repository.py:226-272).
+- **T9 consolidation**: READY rows -> contacts (insert-only on the unique
+  staging_id FK), staging -> SUCCESS, job -> COMPLETED; zero READY rows
+  still completes (processor.py:750-756).  Cross-table atomicity is
+  replaced by idempotent write ordering (contacts first — a replay after
+  any crash point converges), mirroring the reference's restart story.
+
+Deterministic ids replace DB sequences (replay-safe by construction):
+staging_id = job_id * 10^9 + row_number; issue_id / issue_item_id from
+the 60-bit md5 hash of their natural keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, row_hash
+from ..functions.validation import (
+    issue_key,
+    issue_message,
+    normalize_email,
+    validation_verdict,
+)
+from ..ingest.csv_reader import read_contacts_csv
+from .store import ControlStore
+
+REQUIRED = ["email", "first_name", "last_name", "company"]
+
+
+class JobProcessor:
+    """Set-based twin of the reference Processor (src/processor.py)."""
+
+    def __init__(self, spark: SparkSession, store: ControlStore,
+                 user_id: str = "user-1") -> None:
+        self.spark = spark
+        self.store = store
+        self.user_id = user_id
+
+    # ------------------------------------------------------------------ T3
+
+    def process_job(self, job_id: int, csv_path: str) -> str:
+        """Routing state machine; returns the action taken."""
+        jobs = self.store.read("jobs")
+        job = jobs.filter(F.col("job_id") == job_id).collect()
+        status = job[0]["job_status"] if job else None
+        if status == "COMPLETED":
+            return "skipped_completed"            # P8 guard
+        if not job:
+            self._ensure_job(job_id, csv_path)
+        has_staging = (
+            self.store.read("staging")
+            .filter(F.col("staging_job_id") == job_id)
+            .limit(1).count() > 0
+        )
+        if status == "NEEDS_REVIEW" and has_staging:
+            self.reprocess(job_id)
+            return "reprocessed"
+        self.initial(job_id, csv_path)
+        return "initial"
+
+    def _ensure_job(self, job_id: int, csv_path: str) -> None:
+        new = self.spark.createDataFrame(
+            [(job_id, self.user_id, csv_path, "PENDING")],
+            "job_id long, job_user_id string, job_s3_object_key string, "
+            "job_status string",
+        ).withColumn("job_created_at", F.current_timestamp())
+        self.store.upsert("jobs", _pad(new, self.store, "jobs"),
+                          insert_only=True)
+
+    def _set_job(self, job_id: int, **cols: F.Column) -> None:
+        jobs = self.store.read("jobs")
+        updated = jobs.withColumns({
+            name: F.when(F.col("job_id") == job_id, value)
+                   .otherwise(F.col(name))
+            for name, value in cols.items()
+        })
+        self.store.overwrite("jobs", updated)
+
+    # --------------------------------------------------------------- §3.2
+
+    def initial(self, job_id: int, csv_path: str) -> None:
+        """Initial processing: CSV -> validated staging -> issues -> route."""
+        self._set_job(job_id, job_status=F.lit("PROCESSING"),
+                      job_process_start=F.current_timestamp())
+
+        raw = read_contacts_csv(self.spark, csv_path)
+        batch = _project_contacts(raw)                       # P1
+        batch = batch.withColumn(
+            "row_hash",
+            row_hash(F.lit(job_id), F.col("row_number"), F.col("email"),
+                     F.col("first_name"), F.col("last_name"),
+                     F.col("company")),
+        )
+        total_rows = batch.count()
+
+        # J5: skip rows already staged (crash-resume / replay).
+        staged_hashes = (
+            self.store.read("staging")
+            .filter(F.col("staging_job_id") == job_id)
+            .select(F.col("staging_row_hash").alias("row_hash"))
+        )
+        fresh = batch.join(staged_hashes, "row_hash", "left_anti")
+
+        annot = self._annotate(batch, fresh)
+
+        # Staging MERGE (insert-only on (job_id, row_hash) — ADR-001).
+        staging_new = annot.select(
+            (F.lit(job_id).cast("long") * F.lit(1_000_000_000).cast("long")
+             + F.col("row_number")).alias("staging_id"),
+            F.lit(job_id).alias("staging_job_id"),
+            F.col("email").alias("staging_email"),
+            F.col("first_name").alias("staging_first_name"),
+            F.col("last_name").alias("staging_last_name"),
+            F.col("company").alias("staging_company"),
+            F.current_timestamp().alias("staging_created_at"),
+            F.when(F.col("issue_type").isNull(), "READY")
+             .otherwise("ISSUE").alias("staging_status"),
+            F.col("row_hash").alias("staging_row_hash"),
+            F.col("row_number").alias("staging_row_number"),
+        )
+        self.store.upsert("staging", _pad(staging_new, self.store, "staging"),
+                          insert_only=True)
+
+        self._merge_issues_and_links(job_id, annot.filter(
+            F.col("issue_type").isNotNull()
+        ))
+        self._recount_and_route(job_id, total_rows=total_rows)
+
+    # --------------------------------------------------------------- §3.3
+
+    def reprocess(self, job_id: int) -> None:
+        """Re-validate the (user-edited) staging rows — never the CSV."""
+        self._set_job(job_id, job_status=F.lit("PROCESSING"))
+        staging = self.store.read("staging").filter(
+            F.col("staging_job_id") == job_id
+        )
+        batch = staging.select(
+            F.col("staging_id"),
+            F.col("staging_email").alias("email"),
+            F.col("staging_first_name").alias("first_name"),
+            F.col("staging_last_name").alias("last_name"),
+            F.col("staging_company").alias("company"),
+            F.col("staging_row_number").alias("row_number"),
+            F.col("staging_status"),
+        )
+        live = batch.filter(F.col("staging_status") != "DISCARD")   # P4
+        annot = self._annotate(live, live)
+
+        # Flip staging statuses set-wise (READY vs ISSUE; DISCARD kept).
+        status_updates = annot.select(
+            "staging_id",
+            F.when(F.col("issue_type").isNull(), "READY")
+             .otherwise("ISSUE").alias("new_status"),
+        )
+        updated = (
+            staging.join(status_updates, "staging_id", "left")
+            .withColumn(
+                "staging_status",
+                F.coalesce("new_status", "staging_status"),
+            )
+            .drop("new_status")
+        )
+        others = self.store.read("staging").filter(
+            F.col("staging_job_id") != job_id
+        )
+        self.store.overwrite("staging", others.unionByName(
+            _pad(updated, self.store, "staging")
+        ))
+
+        failing = annot.filter(F.col("issue_type").isNotNull())
+        self._merge_issues_and_links(job_id, failing, reprocess=True)
+        self._auto_resolve(job_id)
+        self._recount_and_route(job_id)
+
+    # --------------------------------------------------------------- §3.4
+
+    def consolidate(self, job_id: int) -> None:
+        """READY staging -> contacts; staging -> SUCCESS; job -> COMPLETED."""
+        staging = self.store.read("staging").filter(
+            (F.col("staging_job_id") == job_id)
+        )
+        ready = staging.filter(F.col("staging_status") == "READY")
+        # contact_repository.py:58-60: rows that lost required fields are
+        # skipped at consolidation time.
+        complete = ready
+        for c in ["staging_email", "staging_first_name",
+                  "staging_last_name", "staging_company"]:
+            complete = complete.filter(
+                F.length(F.trim(F.coalesce(F.col(c), F.lit("")))) > 0
+            )
+        contacts_new = complete.select(
+            F.col("staging_id").alias("contact_id"),
+            F.col("staging_id"),
+            F.lit(self.user_id).alias("contacts_user_id"),
+            normalize_email(F.col("staging_email")).alias("contact_email"),
+            F.col("staging_first_name").alias("contact_first_name"),
+            F.col("staging_last_name").alias("contact_last_name"),
+            F.col("staging_company").alias("contact_company"),
+            F.current_timestamp().alias("contact_created_at"),
+        )
+        # Idempotent order: contacts first (insert-only on staging_id FK),
+        # then statuses — any crash point replays to the same end state.
+        self.store.upsert("contacts", contacts_new, insert_only=True)
+
+        all_staging = self.store.read("staging")
+        self.store.overwrite(
+            "staging",
+            all_staging.withColumn(
+                "staging_status",
+                F.when(
+                    (F.col("staging_job_id") == job_id)
+                    & (F.col("staging_status") == "READY"),
+                    "SUCCESS",
+                ).otherwise(F.col("staging_status")),
+            ),
+        )
+        self._set_job(job_id, job_status=F.lit("COMPLETED"),
+                      job_process_end=F.current_timestamp())
+
+    # ------------------------------------------------------------ helpers
+
+    def _annotate(self, dup_scope: DataFrame, rows: DataFrame) -> DataFrame:
+        """A1 + J2/J3 + F4 over ``rows``; duplicates detected over
+        ``dup_scope`` (the full batch — processor.py:674-726)."""
+        norm = normalize_email(F.col("email"))
+        dups = (
+            dup_scope.select(norm.alias("email_norm"))
+            .filter(F.col("email_norm") != "")
+            .groupBy("email_norm")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .select("email_norm")
+            .withColumn("is_duplicate", F.lit(True))
+        )
+        existing = (
+            self.store.read("contacts")
+            .filter(F.col("contacts_user_id") == self.user_id)   # tenant J2
+            .select(F.col("contact_email").alias("email_norm"))
+            .distinct()
+            .withColumn("email_exists", F.lit(True))
+        )
+        out = (
+            rows.withColumn("email_norm", norm)
+            .join(F.broadcast(dups), "email_norm", "left")
+            .join(F.broadcast(existing), "email_norm", "left")
+        )
+        verdict = validation_verdict(
+            F.col("email"), F.col("first_name"), F.col("last_name"),
+            F.col("company"),
+            F.coalesce("is_duplicate", F.lit(False)),
+            F.coalesce("email_exists", F.lit(False)),
+        )
+        out = out.withColumn("issue_type", verdict)
+        out = out.withColumn(
+            "issue_msg",
+            issue_message(F.col("email"), F.col("first_name"),
+                          F.col("last_name"), F.col("company"),
+                          F.col("issue_type")),
+        )
+        return out.withColumn(
+            "issue_key", issue_key(F.col("email"), F.col("row_number"))
+        )
+
+    def _merge_issues_and_links(self, job_id: int, failing: DataFrame,
+                                reprocess: bool = False) -> None:
+        """T6 get_or_create + T7 link dedup + T8 un-resolve."""
+        issues_new = (
+            failing.groupBy("issue_type", "issue_key")
+            .agg(F.first("issue_msg").alias("issue_description"))
+            .select(
+                hash64(F.concat_ws(":", F.lit(job_id), "issue_type",
+                                   "issue_key")).alias("issue_id"),
+                F.lit(job_id).alias("issues_job_id"),
+                "issue_type", "issue_key",
+                F.lit(False).alias("issue_resolved"),
+                "issue_description",
+                F.current_timestamp().alias("issue_created_at"),
+            )
+        )
+        self.store.upsert("issues", _pad(issues_new, self.store, "issues"),
+                          insert_only=True)
+
+        if reprocess:
+            # T8 un-resolve: resolved issues that regained a failing row.
+            regained = issues_new.select("issues_job_id", "issue_type",
+                                         "issue_key")
+            issues = self.store.read("issues")
+            cleared = (
+                issues.join(
+                    regained,
+                    ["issues_job_id", "issue_type", "issue_key"],
+                    "left_semi",
+                )
+                .filter(F.col("issue_resolved"))
+                .withColumn("issue_resolved", F.lit(False))
+                .withColumn("issue_resolved_at", F.lit(None).cast("timestamp"))
+                .withColumn("issue_resolved_by", F.lit(None).cast("string"))
+                .withColumn("issue_resolution_comment",
+                            F.lit(None).cast("string"))
+            )
+            self.store.upsert("issues", cleared)
+
+        # Links: failing staging row <-> its issue (pair-unique, T7).
+        staging = self.store.read("staging").filter(
+            F.col("staging_job_id") == job_id
+        ).select("staging_row_number", "staging_id")
+        with_sid = (
+            failing.select("issue_type", "issue_key", "row_number")
+            .join(staging,
+                  F.col("row_number") == F.col("staging_row_number"))
+            if "staging_id" not in failing.columns
+            else failing.select("issue_type", "issue_key", "staging_id")
+        )
+        links = with_sid.select(
+            hash64(F.concat_ws(":", F.lit(job_id), "issue_type",
+                               "issue_key")).alias("item_issue_id"),
+            F.col("staging_id").alias("item_staging_id"),
+        ).withColumn(
+            "issue_item_id",
+            hash64(F.concat_ws(":", "item_issue_id", "item_staging_id")),
+        )
+        self.store.upsert("issue_items", links, insert_only=True)
+
+    def _auto_resolve(self, job_id: int) -> None:
+        """A7/T8: resolve issues whose linked rows all left ISSUE status."""
+        issues = self.store.read("issues").filter(
+            (F.col("issues_job_id") == job_id) & (~F.col("issue_resolved"))
+        )
+        links = self.store.read("issue_items")
+        staging = self.store.read("staging").filter(
+            F.col("staging_job_id") == job_id
+        )
+        open_counts = (
+            links.join(staging,
+                       links.item_staging_id == staging.staging_id)
+            .groupBy("item_issue_id")
+            .agg(F.sum(F.when(F.col("staging_status") == "ISSUE", 1)
+                       .otherwise(0)).alias("open_rows"))
+        )
+        resolvable = (
+            issues.join(open_counts,
+                        issues.issue_id == open_counts.item_issue_id)
+            .filter(F.col("open_rows") == 0)
+            .select(issues["*"])
+            .withColumn("issue_resolved", F.lit(True))
+            .withColumn("issue_resolved_at", F.current_timestamp())
+            .withColumn("issue_resolved_by", F.lit("system"))
+            .withColumn("issue_resolution_comment",
+                        F.lit("All related staging records were resolved"))
+        )
+        self.store.upsert("issues", resolvable)
+
+    def _recount_and_route(self, job_id: int,
+                           total_rows: int | None = None) -> None:
+        """A5 recount from authoritative tables, then route (T3 tail)."""
+        staged = (
+            self.store.read("staging")
+            .filter(F.col("staging_job_id") == job_id).count()
+        )
+        unresolved = (
+            self.store.read("issues")
+            .filter((F.col("issues_job_id") == job_id)
+                    & (~F.col("issue_resolved"))).count()
+        )
+        self._set_job(
+            job_id,
+            job_total_rows=F.lit(total_rows if total_rows is not None
+                                 else staged).cast("long"),
+            job_processed_rows=F.lit(staged).cast("long"),
+            job_issue_count=F.lit(unresolved).cast("long"),   # ADR-002
+        )
+        if unresolved > 0:
+            self._set_job(job_id, job_status=F.lit("NEEDS_REVIEW"))
+        else:
+            self.consolidate(job_id)
+
+    # ------------------------------------------- human-in-the-loop surface
+
+    def resolve_issue(self, issue_id: int, resolved_by: str,
+                      comment: str | None = None) -> None:
+        """Manual issue resolution (issue_repository.py:164-207)."""
+        issues = self.store.read("issues")
+        updated = (
+            issues.filter(F.col("issue_id") == issue_id)
+            .withColumn("issue_resolved", F.lit(True))
+            .withColumn("issue_resolved_at", F.current_timestamp())
+            .withColumn("issue_resolved_by", F.lit(resolved_by))
+            .withColumn("issue_resolution_comment", F.lit(comment))
+        )
+        self.store.upsert("issues", updated)
+
+    def update_staging_row(self, staging_id: int, **fields: str) -> None:
+        """User edit of a staging row ahead of reprocessing (ADR-003)."""
+        staging = self.store.read("staging")
+        updated = staging.filter(F.col("staging_id") == staging_id)
+        for name, value in fields.items():
+            updated = updated.withColumn(f"staging_{name}", F.lit(value))
+        self.store.upsert("staging", updated)
+
+    def discard_staging_row(self, staging_id: int) -> None:
+        """Mark a staging row DISCARD (excluded from reprocess + dups)."""
+        self.update_staging_row(staging_id, status="DISCARD")
+
+
+def _project_contacts(df: DataFrame) -> DataFrame:
+    """P1: the canonical 4-column projection + row_number passthrough."""
+    cols = {c.lower(): c for c in df.columns}
+    out = []
+    for name in REQUIRED:
+        src = cols.get(name)
+        out.append(
+            F.col(f"`{src}`").alias(name) if src
+            else F.lit(None).cast("string").alias(name)
+        )
+    return df.select(*out, "row_number")
+
+
+def _pad(df: DataFrame, store: ControlStore, table: str) -> DataFrame:
+    """Add any missing schema columns as typed NULLs."""
+    from .store import SCHEMAS
+
+    have = set(df.columns)
+    for field in SCHEMAS[table].fields:
+        if field.name not in have:
+            df = df.withColumn(field.name,
+                               F.lit(None).cast(field.dataType))
+    return df

@@ -1,0 +1,147 @@
+"""Versioned-parquet control tables (jobs/staging/issues/issue_items/contacts).
+
+The reference keeps its control state in Postgres via SQLAlchemy (models
+at src/models/*.py); the Spark-native shape is table-format storage with
+MERGE upserts.  Delta/Iceberg aren't in this container, so this module is
+a minimal versioned-directory table format with the two properties the
+flows actually need:
+
+- **snapshot isolation per table**: readers see the version current when
+  they started; a writer publishes a new immutable version directory and
+  flips a pointer file atomically (os.replace).
+- **set-based MERGE**: ``upsert(keys)`` = anti-join out the matched rows,
+  union the updates, publish — one write per table per batch, never the
+  reference's per-row commit+refresh (staging_repository.py:105-107,
+  SURVEY.md §4 anti-patterns).
+
+On a real deployment this class is swapped for Delta `MERGE INTO` /
+Iceberg row-level ops; every caller goes through read/overwrite/upsert so
+the swap is one file.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TS = T.TimestampType()
+_S = T.StringType()
+_L = T.LongType()
+_B = T.BooleanType()
+
+
+def _schema(fields: list[tuple[str, T.DataType]]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+#: Control-table schemas (reference src/models/*.py; FIXTURES.md §3).
+SCHEMAS: dict[str, T.StructType] = {
+    "jobs": _schema([
+        ("job_id", _L), ("job_created_at", _TS), ("job_user_id", _S),
+        ("job_original_filename", _S), ("job_s3_object_key", _S),
+        ("job_status", _S), ("job_total_rows", _L),
+        ("job_processed_rows", _L), ("job_issue_count", _L),
+        ("job_process_start", _TS), ("job_process_end", _TS),
+    ]),
+    "staging": _schema([
+        ("staging_id", _L), ("staging_job_id", _L), ("staging_email", _S),
+        ("staging_first_name", _S), ("staging_last_name", _S),
+        ("staging_company", _S), ("staging_created_at", _TS),
+        ("staging_status", _S), ("staging_row_hash", _S),
+        ("staging_row_number", _L),
+    ]),
+    "issues": _schema([
+        ("issue_id", _L), ("issues_job_id", _L), ("issue_type", _S),
+        ("issue_key", _S), ("issue_resolved", _B),
+        ("issue_description", _S), ("issue_resolved_at", _TS),
+        ("issue_resolved_by", _S), ("issue_resolution_comment", _S),
+        ("issue_created_at", _TS),
+    ]),
+    "issue_items": _schema([
+        ("issue_item_id", _L), ("item_issue_id", _L),
+        ("item_staging_id", _L),
+    ]),
+    "contacts": _schema([
+        ("contact_id", _L), ("staging_id", _L), ("contacts_user_id", _S),
+        ("contact_email", _S), ("contact_first_name", _S),
+        ("contact_last_name", _S), ("contact_company", _S),
+        ("contact_created_at", _TS),
+    ]),
+}
+
+#: Primary keys used by MERGE upserts.
+KEYS: dict[str, list[str]] = {
+    "jobs": ["job_id"],
+    "staging": ["staging_job_id", "staging_row_hash"],
+    "issues": ["issues_job_id", "issue_type", "issue_key"],
+    "issue_items": ["item_issue_id", "item_staging_id"],
+    "contacts": ["staging_id"],
+}
+
+
+class ControlStore:
+    """Five control tables under one root directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- version plumbing ---------------------------------------------------
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.root, table, "_CURRENT")
+
+    def _current_version(self, table: str) -> str | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read(self, table: str) -> DataFrame:
+        version = self._current_version(table)
+        if version is None:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        return self.spark.read.schema(SCHEMAS[table]).parquet(
+            os.path.join(self.root, table, version)
+        )
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Publish a new immutable version of the table (atomic pointer flip)."""
+        cols = [f.name for f in SCHEMAS[table].fields]
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, table, version)
+        df.select(cols).write.mode("overwrite").parquet(path)
+        tmp = self._pointer(table) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer(table))
+
+    # -- MERGE --------------------------------------------------------------
+
+    def upsert(self, table: str, updates: DataFrame,
+               insert_only: bool = False) -> None:
+        """MERGE semantics on the table's primary key.
+
+        ``insert_only=True`` = ``WHEN NOT MATCHED THEN INSERT`` (existing
+        rows win — the reference's get_or_create, issue_repository.py:19-74);
+        otherwise matched rows are replaced by the update
+        (``WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT``).
+        """
+        keys = KEYS[table]
+        target = self.read(table)
+        cols = [f.name for f in SCHEMAS[table].fields]
+        if insert_only:
+            fresh = updates.select(cols).join(
+                target.select(keys), keys, "left_anti"
+            )
+            merged = target.unionByName(fresh)
+        else:
+            kept = target.join(updates.select(keys), keys, "left_anti")
+            merged = kept.unionByName(updates.select(cols))
+        self.overwrite(table, merged)

@@ -1,0 +1,171 @@
+"""Golden end-to-end flow tests (SURVEY.md §5 item 2).
+
+Pin the reference's lifecycle semantics: initial -> NEEDS_REVIEW ->
+human review (edit / discard / resolve) -> reprocess -> consolidate,
+plus ADR-001 replay idempotency and T8 auto-resolve/un-resolve.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.control import ControlStore, JobProcessor
+
+CSV = (
+    b"email,first_name,last_name,company\n"
+    b"ann@x.com,Ann,Ada,Acme\n"            # row 1: valid
+    b"dup@x.com,Bob,Bee,Bmart\n"           # row 2: duplicate of row 3
+    b"DUP@x.com ,Cyd,Cox,Cmart\n"          # row 3: duplicate (case/space)
+    b"not-an-email,Dee,Dow,Dmart\n"        # row 4: invalid email
+    b",Eve,Eck,Emart\n"                    # row 5: missing email
+)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    store = ControlStore(spark, str(tmp_path / "control"))
+    proc = JobProcessor(spark, store, user_id="user-1")
+    csv_path = str(tmp_path / "job1.csv")
+    with open(csv_path, "wb") as f:
+        f.write(CSV)
+    return store, proc, csv_path
+
+
+def _statuses(store, job_id):
+    return {
+        r["staging_row_number"]: r["staging_status"]
+        for r in store.read("staging")
+        .filter(F.col("staging_job_id") == job_id).collect()
+    }
+
+
+def _job(store, job_id):
+    return store.read("jobs").filter(F.col("job_id") == job_id).collect()[0]
+
+
+def test_initial_flags_issues_and_needs_review(env):
+    store, proc, csv_path = env
+    assert proc.process_job(1, csv_path) == "initial"
+    job = _job(store, 1)
+    assert job["job_status"] == "NEEDS_REVIEW"
+    assert job["job_total_rows"] == 5
+    assert job["job_issue_count"] == 3     # dup + invalid + missing (ADR-002)
+    assert _statuses(store, 1) == {1: "READY", 2: "ISSUE", 3: "ISSUE",
+                                   4: "ISSUE", 5: "ISSUE"}
+    types = {(r["issue_type"], r["issue_key"])
+             for r in store.read("issues").collect()}
+    assert ("DUPLICATE_EMAIL", "dup@x.com") in types
+    assert ("INVALID_EMAIL", "not-an-email") in types
+    assert ("MISSING_REQUIRED_FIELD", "row_5") in types
+
+
+def test_replay_is_idempotent(env):
+    """ADR-001: reprocessing the same message changes no state."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    staging_1 = store.read("staging").count()
+    issues_1 = store.read("issues").count()
+    links_1 = store.read("issue_items").count()
+    # Crash-redelivery: same message again (status now NEEDS_REVIEW, so
+    # this routes to reprocess; force the initial path too via a new
+    # processor to simulate resume-from-PROCESSING).
+    proc.initial(1, csv_path)
+    assert store.read("staging").count() == staging_1
+    assert store.read("issues").count() == issues_1
+    assert store.read("issue_items").count() == links_1
+
+
+def test_discard_one_duplicate_then_reprocess_consolidates(env):
+    """ADR-003: DISCARDed rows leave duplicate detection, so the
+    surviving duplicate becomes valid; fixing the other rows completes
+    the job and consolidation copies READY rows to contacts."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    sid = {r["staging_row_number"]: r["staging_id"]
+           for r in store.read("staging").collect()}
+    proc.discard_staging_row(sid[3])                       # drop one dup
+    proc.update_staging_row(sid[4], email="dee@x.com")     # fix invalid
+    proc.update_staging_row(sid[5], email="eve@x.com")     # fix missing
+    assert proc.process_job(1, csv_path) == "reprocessed"
+
+    job = _job(store, 1)
+    assert job["job_status"] == "COMPLETED"
+    st = _statuses(store, 1)
+    assert st[2] == "SUCCESS"       # surviving dup became valid
+    assert st[3] == "DISCARD"       # stays discarded
+    emails = {r["contact_email"]
+              for r in store.read("contacts").collect()}
+    assert emails == {"ann@x.com", "dup@x.com", "dee@x.com", "eve@x.com"}
+    # T8 auto-resolve: every issue resolved by 'system'.
+    unresolved = store.read("issues").filter(~F.col("issue_resolved"))
+    assert unresolved.count() == 0
+    assert {r["issue_resolved_by"]
+            for r in store.read("issues").collect()} == {"system"}
+
+
+def test_unresolve_when_row_fails_again(env):
+    """T8 un-resolve: a resolved issue regaining a failing row is
+    re-opened (processor.py:529-559)."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    sid = {r["staging_row_number"]: r["staging_id"]
+           for r in store.read("staging").collect()}
+    # Fix everything; job completes; then a second job re-fails... here:
+    # instead resolve the invalid-email issue manually, but leave the row
+    # broken — reprocess must keep/re-open it.
+    issue = store.read("issues").filter(
+        F.col("issue_type") == "INVALID_EMAIL").collect()[0]
+    proc.resolve_issue(issue["issue_id"], "reviewer", "looks fine")
+    proc.discard_staging_row(sid[3])
+    proc.update_staging_row(sid[5], email="eve@x.com")
+    proc.process_job(1, csv_path)   # reprocess: row 4 still invalid
+    job = _job(store, 1)
+    assert job["job_status"] == "NEEDS_REVIEW"
+    reopened = store.read("issues").filter(
+        F.col("issue_type") == "INVALID_EMAIL").collect()[0]
+    assert reopened["issue_resolved"] is False          # un-resolved
+    assert reopened["issue_resolved_by"] is None
+
+
+def test_completed_job_is_skipped(env):
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    sid = {r["staging_row_number"]: r["staging_id"]
+           for r in store.read("staging").collect()}
+    proc.discard_staging_row(sid[3])
+    proc.update_staging_row(sid[4], email="dee@x.com")
+    proc.update_staging_row(sid[5], email="eve@x.com")
+    proc.process_job(1, csv_path)
+    assert _job(store, 1)["job_status"] == "COMPLETED"
+    assert proc.process_job(1, csv_path) == "skipped_completed"  # P8
+
+
+def test_existing_email_blocked_per_tenant(env, spark, tmp_path):
+    """J2/ADR-005 tenant isolation: an email already in contacts blocks
+    re-import for the same user but not for another user."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    sid = {r["staging_row_number"]: r["staging_id"]
+           for r in store.read("staging").collect()}
+    proc.discard_staging_row(sid[3])
+    proc.update_staging_row(sid[4], email="dee@x.com")
+    proc.update_staging_row(sid[5], email="eve@x.com")
+    proc.process_job(1, csv_path)           # completes; ann@x.com exists
+
+    csv2 = str(tmp_path / "job2.csv")
+    with open(csv2, "wb") as f:
+        f.write(b"email,first_name,last_name,company\n"
+                b"ann@x.com,Ann2,Ada2,Acme2\n")
+    proc.process_job(2, csv2)
+    issues2 = store.read("issues").filter(
+        (F.col("issues_job_id") == 2)).collect()
+    assert [i["issue_type"] for i in issues2] == ["EXISTING_EMAIL"]
+
+    other = JobProcessor(spark, store, user_id="user-2")
+    csv3 = str(tmp_path / "job3.csv")
+    with open(csv3, "wb") as f:
+        f.write(b"email,first_name,last_name,company\n"
+                b"ann@x.com,Ann3,Ada3,Acme3\n")
+    other.process_job(3, csv3)
+    assert _job(store, 3)["job_status"] == "COMPLETED"   # different tenant

@@ -1,0 +1,51 @@
+"""Streaming consumer tests: the SQS-analogue inbox end-to-end (T1-T3).
+
+A job message dropped in the inbox drives the full lifecycle through
+``foreachBatch``; poison messages are discarded (S3); the checkpoint
+makes a second drain a no-op (S2 ack semantics).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.control import ControlStore
+from data_ingestion_worker_spark.streaming import JobStreamConsumer
+
+CSV = (b"email,first_name,last_name,company\n"
+       b"ann@x.com,Ann,Ada,Acme\n"
+       b"bob@x.com,Bob,Bee,Bmart\n")
+
+
+def test_stream_drives_job_lifecycle(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    csv_path = str(tmp_path / "job7.csv")
+    with open(csv_path, "wb") as f:
+        f.write(CSV)
+    # One valid message, one poison (bad JSON), one incomplete (S4).
+    (inbox / "m1.json").write_text(
+        json.dumps({"job_id": 7, "s3_key": csv_path}) + "\n"
+        + "{not json]\n"
+        + json.dumps({"job_id": None, "s3_key": csv_path}) + "\n"
+    )
+    store = ControlStore(spark, str(tmp_path / "control"))
+    consumer = JobStreamConsumer(
+        spark, store, str(inbox), str(tmp_path / "ckpt")
+    )
+    consumer.start(available_now=True).awaitTermination(120)
+
+    assert consumer.results == [(7, "initial")]
+    job = store.read("jobs").filter(F.col("job_id") == 7).collect()[0]
+    assert job["job_status"] == "COMPLETED"     # clean CSV -> consolidated
+    assert store.read("contacts").count() == 2
+
+    # S2: the checkpoint acks the batch — a second drain reprocesses
+    # nothing (no new files).
+    consumer2 = JobStreamConsumer(
+        spark, store, str(inbox), str(tmp_path / "ckpt")
+    )
+    consumer2.start(available_now=True).awaitTermination(120)
+    assert consumer2.results == []
