@@ -267,8 +267,125 @@ FROM votes GROUP BY doc_id
 """
 
 
+EMB_PLANES = 8      # hyperplanes for the banded embedding LSH
+EMB_BAND_ROWS = 2   # planes per band -> 4 bands
+EMB_COS_MIN = 0.35  # near-dup cosine threshold (synthetic corpus max ~0.51)
+_EMB_QUANT = 10000
+_EMB_QVEC = ("transform(embedding, x -> cast(round(cast(x as double) * "
+             f"{_EMB_QUANT}) as bigint))")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: banded hyperplane-LSH candidates, then
+    exact quantized cosine >= EMB_COS_MIN.
+
+    The scale path of semantic dedup: each vector gets 4 band keys (sign
+    bits of 2 random hyperplane projections per band); candidate pairs
+    share at least one (band, key) — so the self-join key is the band
+    signature and cost follows collisions, never vectors^2.  Candidates
+    are then verified with the exact integer dot product.  Recall at the
+    threshold is 1-(1-p^2)^4 with p = 1 - theta/pi (~0.84 at cos 0.35);
+    more planes/bands tighten it without changing the plan shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", F.posexplode(F.expr(_EMB_QVEC)).alias("d", "v"))
+    planes = dims.select(
+        "vec_id", "d", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(EMB_PLANES - 1))).alias("p"),
+    )
+    w = F.expr(
+        "CASE WHEN cast(conv(substring(md5(concat(cast(p as string), ':', "
+        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    bands = (
+        planes.withColumn("w", w)
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("proj"))
+        .withColumn("band", F.col("p") - (F.col("p") % EMB_BAND_ROWS))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.expr(f"CASE WHEN proj > 0 THEN shiftleft(cast(1 as "
+                       f"bigint), p % {EMB_BAND_ROWS}) ELSE 0 END")
+            ).alias("key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    vecs = e.select("vec_id", F.expr(_EMB_QVEC).alias("qv"))
+    e1 = vecs.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
+    e2 = vecs.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
+    pairs = cand.join(F.broadcast(e1), "v1").join(F.broadcast(e2), "v2")
+    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(qa, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(qb, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
+    return (
+        pairs.select("v1", "v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMB_COS_MIN)
+    )
+
+
+DEDUP_EMB_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_EMB_QUANT})
+              AS BIGINT) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, p,
+         sum((CASE WHEN {hash64_sql("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE -1 END) * v) AS proj
+  FROM qv, unnest(range(0, {EMB_PLANES})) AS pl(p)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, p - (p % {EMB_BAND_ROWS}) AS band,
+         CAST(sum(CASE WHEN proj > 0
+                  THEN 1::BIGINT << (p % {EMB_BAND_ROWS}) ELSE 0 END)
+              AS BIGINT) AS key
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1),
+scored AS (
+  SELECT c.v1, c.v2,
+         round(CAST(sum(a.v * b.v) AS DOUBLE)
+               / (sqrt(CAST(max(na.n) AS DOUBLE))
+                  * sqrt(CAST(max(nb.n) AS DOUBLE))), 6) AS cosine
+  FROM cand c
+  JOIN qv a ON a.vec_id = c.v1
+  JOIN qv b ON b.vec_id = c.v2 AND b.d = a.d
+  JOIN norms na ON na.vec_id = c.v1
+  JOIN norms nb ON nb.vec_id = c.v2
+  GROUP BY 1, 2
+)
+SELECT v1, v2, cosine FROM scored WHERE cosine >= {EMB_COS_MIN}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
+                                        DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),

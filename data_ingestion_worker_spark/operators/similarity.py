@@ -219,8 +219,137 @@ FROM per_dim GROUP BY label
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroid; each query
+    probes only its best cell (nprobe=1), then exact top-k inside it.
+
+    The centroid of label L is mean(vectors of L); since cosine is
+    scale-invariant, cos(q, mean) == cos(q, sum) and the *sum* vector
+    keeps everything integer-exact until one final double division.  At
+    100 TB the cell id becomes the partition key: a query touches
+    1/n_cells of the corpus instead of all of it, and the centroid table
+    (n_cells x dim) broadcasts everywhere.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode(F.expr(_QVEC)).alias("d", "v")
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.sum("v").alias("s")
+    )
+    cent_norm = cent.groupBy("c_label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ns")
+    )
+    qdims = dims.filter(F.col("vec_id") < N_QUERIES)
+    qnorm = qdims.groupBy(F.col("vec_id").alias("qn_id")).agg(
+        F.sum(F.col("v") * F.col("v")).alias("nq")
+    )
+    assign = (
+        qdims.join(F.broadcast(cent), "d")
+        .groupBy(F.col("vec_id").alias("query_id"), "c_label")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+        .join(F.broadcast(cent_norm), "c_label")
+        .join(F.broadcast(qnorm), F.col("query_id") == F.col("qn_id"))
+        .withColumn(
+            "cell_cos",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nq").cast("double"))
+               * F.sqrt(F.col("ns").cast("double"))),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("cell_cos").desc(), F.col("c_label")
+    )
+    cells = (
+        assign.withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select("query_id", F.col("c_label").alias("cell"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.expr(_QVEC).alias("qq"))
+        .join(F.broadcast(cells), "query_id")
+    )
+    pairs = (
+        e.select("vec_id", "label", F.expr(_QVEC).alias("qv"))
+        .join(F.broadcast(q),
+              (F.col("label") == F.col("cell"))
+              & (F.col("vec_id") != F.col("query_id")))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qq, qv, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    n1 = F.expr("aggregate(transform(qq, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    n2 = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+ANN_IVF_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+cent AS (SELECT label AS c_label, d, sum(v) AS s FROM qv GROUP BY 1, 2),
+cent_norm AS (SELECT c_label, sum(s * s) AS ns FROM cent GROUP BY 1),
+qnorm AS (SELECT vec_id, sum(v * v) AS nq FROM qv
+          WHERE vec_id < {N_QUERIES} GROUP BY 1),
+assign AS (
+  SELECT qv.vec_id AS query_id, cent.c_label,
+         CAST(sum(qv.v * cent.s) AS DOUBLE)
+         / (sqrt(CAST(max(qnorm.nq) AS DOUBLE))
+            * sqrt(CAST(max(cent_norm.ns) AS DOUBLE))) AS cell_cos
+  FROM qv
+  JOIN cent ON qv.d = cent.d
+  JOIN cent_norm ON cent_norm.c_label = cent.c_label
+  JOIN qnorm ON qnorm.vec_id = qv.vec_id
+  WHERE qv.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT query_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_cos DESC, c_label) AS cr FROM assign
+  ) WHERE cr = 1
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1),
+scored AS (
+  SELECT c.query_id, b.vec_id,
+         round(CAST(sum(a.v * b.v) AS DOUBLE)
+               / (sqrt(CAST(max(na.n) AS DOUBLE))
+                  * sqrt(CAST(max(nb.n) AS DOUBLE))), 6) AS cosine
+  FROM cells c
+  JOIN qv a ON a.vec_id = c.query_id
+  JOIN qv b ON b.d = a.d AND b.label = c.cell AND b.vec_id <> c.query_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_ORACLE),
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, ANN_BUCKET_STATS_ORACLE),
     "emb_label_centroid_dot": QuerySpec(emb_label_centroid_dot,
