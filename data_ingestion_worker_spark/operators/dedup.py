@@ -149,19 +149,19 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.2
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm, minhash) — min over shingles of hash64(perm:shingle)."""
+    """(doc_id, mh0..mh{N_PERM-1}) — min over shingles of hash64(p:shingle).
+
+    The N_PERM permutations are parallel aggregate expressions over ONE
+    pass of the shingle set — not an exploded (shingle x perm) row blowup.
+    At 100 TB that is the difference between shuffling |shingles| rows and
+    shuffling |shingles| x N_PERM rows for the same result.
+    """
     sh = _shingles(spark, sf_dir)
-    perms = sh.select(
-        "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1)))
-        .alias("perm")
-    )
-    h = hash64(F.concat(F.col("perm").cast("string"), F.lit(":"),
-                        F.col("shingle")))
-    return (
-        perms.withColumn("h", h)
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    return sh.groupBy("doc_id").agg(*[
+        F.min(hash64(F.concat(F.lit(f"{p}:"), F.col("shingle"))))
+        .alias(f"mh{p}")
+        for p in range(N_PERM)
+    ])
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,10 +173,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is the band signature, so work scales with collisions, not docs^2.
     """
     sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b * BAND_ROWS).alias("band"),
+            F.least(*[F.col(f"mh{b * BAND_ROWS + r}")
+                      for r in range(BAND_ROWS)]).alias("m1"),
+            F.greatest(*[F.col(f"mh{b * BAND_ROWS + r}")
+                         for r in range(BAND_ROWS)]).alias("m2"),
+        )
+        for b in range(N_PERM // BAND_ROWS)
+    ])
     bands = (
-        sig.withColumn("band", F.col("perm") - (F.col("perm") % BAND_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(F.min("minhash").alias("m1"), F.max("minhash").alias("m2"))
+        sig.select("doc_id", F.explode(band_structs).alias("bs"))
+        .select("doc_id", "bs.band", "bs.m1", "bs.m2")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -230,23 +239,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         d.select("doc_id", F.explode(toks).alias("token"))
         .withColumn("h", hash64(F.col("token")))
-        .select("doc_id", "h",
-                F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)))
-                .alias("bit"))
     )
-    vote = F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
-    return (
-        tok.withColumn("vote", vote)
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN votes > 0 "
-                       "THEN shiftleft(cast(1 as bigint), bit) ELSE 0 END")
-            ).alias("simhash")
-        )
+    # One aggregation pass: the SIMHASH_BITS bit-votes are parallel
+    # conditional-sum expressions over the token hashes (no token x bit
+    # row explosion — 16x less shuffle input at corpus scale).
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+                     "THEN 1 ELSE -1 END")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sig = sum(
+        (F.when(F.col(f"v{b}") > 0,
+                F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+         for b in range(SIMHASH_BITS)),
+        F.lit(0).cast("bigint"),
     )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 DEDUP_SIMHASH_ORACLE = f"""
@@ -289,27 +297,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select("vec_id", F.posexplode(F.expr(_EMB_QVEC)).alias("d", "v"))
-    planes = dims.select(
-        "vec_id", "d", "v",
-        F.explode(F.sequence(F.lit(0), F.lit(EMB_PLANES - 1))).alias("p"),
-    )
-    w = F.expr(
-        "CASE WHEN cast(conv(substring(md5(concat(cast(p as string), ':', "
-        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
-        "THEN 1 ELSE -1 END"
-    )
-    bands = (
-        planes.withColumn("w", w)
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("proj"))
-        .withColumn("band", F.col("p") - (F.col("p") % EMB_BAND_ROWS))
-        .groupBy("vec_id", "band")
-        .agg(
-            F.sum(
-                F.expr(f"CASE WHEN proj > 0 THEN shiftleft(cast(1 as "
-                       f"bigint), p % {EMB_BAND_ROWS}) ELSE 0 END")
-            ).alias("key")
+    # Signed projections as parallel aggregate expressions (one pass over
+    # the dims, no dims x planes explosion — see ann_lsh_buckets).
+    proj = dims.groupBy("vec_id").agg(*[
+        F.sum(F.expr(
+            f"CASE WHEN cast(conv(substring(md5(concat('{p}:', "
+            "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+            "THEN v ELSE -v END"
+        )).alias(f"proj{p}")
+        for p in range(EMB_PLANES)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b * EMB_BAND_ROWS).alias("band"),
+            sum((F.when(F.col(f"proj{b * EMB_BAND_ROWS + r}") > 0,
+                        F.lit(1 << r).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint"))
+                 for r in range(EMB_BAND_ROWS)),
+                F.lit(0).cast("bigint")).alias("key"),
         )
+        for b in range(EMB_PLANES // EMB_BAND_ROWS)
+    ])
+    bands = (
+        proj.select("vec_id", F.explode(band_structs).alias("bs"))
+        .select("vec_id", "bs.band", "bs.key")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -112,27 +112,24 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.expr(_QVEC)).alias("d", "v"),
     )
-    planes = dims.select(
-        "vec_id", "d", "v",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("p"),
+    # The N_PLANES signed projections are parallel aggregate expressions
+    # over one pass of the dims — no dims x planes row explosion (8x less
+    # shuffle input; the hash arithmetic stays in codegen either way).
+    proj = dims.groupBy("vec_id").agg(*[
+        F.sum(F.expr(
+            f"CASE WHEN cast(conv(substring(md5(concat('{p}:', "
+            "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+            "THEN v ELSE -v END"
+        )).alias(f"proj{p}")
+        for p in range(N_PLANES)
+    ])
+    bucket = sum(
+        (F.when(F.col(f"proj{p}") > 0,
+                F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+         for p in range(N_PLANES)),
+        F.lit(0).cast("bigint"),
     )
-    w = F.expr(
-        "CASE WHEN cast(conv(substring(md5(concat(cast(p as string), ':', "
-        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
-        "THEN 1 ELSE -1 END"
-    )
-    return (
-        planes.withColumn("w", w)
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("proj"))
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN proj > 0 "
-                       "THEN shiftleft(cast(1 as bigint), p) ELSE 0 END")
-            ).alias("bucket")
-        )
-    )
+    return proj.select("vec_id", bucket.alias("bucket"))
 
 
 ANN_LSH_ORACLE = f"""
