@@ -1,0 +1,112 @@
+"""Multimodal binary ingestion: opaque payloads + typed metadata.
+
+The reference ingests exactly one format (CSV of contacts,
+src/services/s3_service.py:37-319).  A training-data pipeline also has to
+carry image/audio/video payloads; the Spark-native shape is the
+``binaryFile`` source — each file becomes one row of
+``(path, modificationTime, length, content: binary)`` — with all
+*decoding* deferred to Arrow-batched pandas stages downstream
+(operators/multimodal.py), so the scan itself stays JVM-side and
+column-prunable (reading only ``path``/``length`` never loads payloads).
+
+Scale notes (100 TB of media):
+
+- One row per file is the right grain for media objects (a 100 KB image
+  is one cell); for millions of tiny files, pack them into parquet with a
+  ``binary`` column first (``pack_binary`` below) so scans read a few
+  large columnar files instead of hammering the object store with
+  per-file GETs.
+- ``pathGlobFilter`` / ``modifiedAfter`` push file pruning into the file
+  index — incremental ingest without listing the world.
+- ``spark.sql.files.maxPartitionBytes`` governs how many files land in
+  one task; binary rows are large, so the default 128 MB keeps tasks
+  balanced without tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Extension -> modality tag (opaque payloads; decode happens downstream).
+MODALITIES: dict[str, str] = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "webp": "image", "bmp": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "mp4": "video", "mkv": "video", "webm": "video", "avi": "video",
+    "txt": "text", "md": "text", "json": "text",
+}
+
+
+def read_binary_dir(spark: SparkSession, path: str,
+                    glob: str | None = None,
+                    modified_after: str | None = None) -> DataFrame:
+    """S5-analog for media: directory of files -> one row per file.
+
+    Columns: path, modificationTime, length, content (binary), plus the
+    derived ``file_name``, ``ext`` and ``modality`` metadata columns.
+    """
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if modified_after:
+        reader = reader.option("modifiedAfter", modified_after)
+    df = reader.load(path)
+    return attach_metadata(df)
+
+
+def attach_metadata(df: DataFrame) -> DataFrame:
+    """Derive typed metadata (file_name, ext, modality) from the path.
+
+    Pure column expressions — stays inside codegen; selecting only the
+    metadata columns prunes ``content`` out of the scan entirely.
+    """
+    file_name = F.element_at(F.split(F.col("path"), "/"), -1)
+    ext = F.lower(F.element_at(F.split(file_name, r"\."), -1))
+    modality_map = F.create_map(
+        *[F.lit(x) for kv in MODALITIES.items() for x in kv]
+    )
+    return (
+        df.withColumn("file_name", file_name)
+        .withColumn("ext", ext)
+        .withColumn("modality",
+                    F.coalesce(modality_map[ext], F.lit("unknown")))
+    )
+
+
+def pack_binary(df: DataFrame, out_path: str,
+                partition_cols: list[str] | None = None) -> None:
+    """Re-materialize a binaryFile scan as parquet with a binary column.
+
+    The small-files fix: downstream jobs scan a handful of columnar files
+    (with min/max stats on the metadata columns) instead of listing and
+    GET-ing millions of objects.  Partition by ``modality`` (or a date
+    column) so modality-filtered pipelines prune whole directories.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out_path)
+
+
+def manifest(df: DataFrame) -> DataFrame:
+    """Payload-free manifest view (path/size/modality) of a binary scan.
+
+    Column pruning means this never reads file contents — listing 100 TB
+    of media costs only the file index.
+    """
+    return df.select("path", "file_name", "ext", "modality", "length",
+                     "modificationTime")
+
+
+def write_text_files(rows: list[tuple[str, bytes]], root: str) -> str:
+    """Test helper: materialize (relative_path, payload) pairs under root."""
+    for rel, payload in rows:
+        full = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(payload)
+    return root

@@ -1,0 +1,76 @@
+"""Sinks: partitioned, bucketed and idempotent parquet writers.
+
+The reference's only sink is row-at-a-time SQLAlchemy inserts
+(src/repositories/contact_repository.py:42-131 — one commit per contact).
+The Spark-native sinks below are set-based and layout-aware; layout *is*
+the optimizer hook at 100 TB:
+
+- **partitionBy(date/tenant)** -> partition pruning: a filtered read
+  touches only matching directories (the Spark upgrade of the reference's
+  ``contacts_user_id`` index, SURVEY.md §4).
+- **bucketBy(key)** -> co-located joins: two tables bucketed on the same
+  key join with ZERO shuffle (SortMergeJoin without Exchange) — the
+  standing fix for the staging⋈issue_items⋈contacts join family.
+- **dynamic partition overwrite** -> idempotent backfills: re-running a
+  day replaces exactly that day's directories, never the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Partition-pruned parquet layout (one directory tree per key)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: list[str]) -> None:
+    """Idempotent partition-level replace (dynamic partition overwrite).
+
+    Only the partitions present in ``df`` are replaced; everything else
+    is untouched — safe replay for backfills and late data.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int,
+                   sort_col: str | None = None) -> None:
+    """Hash-bucketed managed table (requires a metastore-backed session).
+
+    Joining two tables bucketed on the same column with the same bucket
+    count produces a SortMergeJoin with no Exchange on either side — the
+    shuffle happens once at write time, then every future join is free.
+    Size ``n_buckets`` so one bucket ~ 100-200 MB at the target scale.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table, format="parquet")
+
+
+def repartition_for_output(df: DataFrame, target_file_mb: int = 256,
+                           approx_row_bytes: int = 100,
+                           row_count: int | None = None) -> DataFrame:
+    """Coalesce to sensible output file counts (the small-files guard).
+
+    A 1000-task job writing 1000 files per partition directory creates
+    the metadata problem the scan side then pays for; aim for
+    ``target_file_mb``-sized files instead.
+    """
+    import math
+    n = row_count if row_count is not None else df.count()
+    files = max(1, math.ceil(n * approx_row_bytes /
+                             (target_file_mb * 1024 * 1024)))
+    return df.repartition(files)

@@ -1,0 +1,116 @@
+"""Event-time streaming operators: watermarked windows + custom state.
+
+The reference's stream is a *control* stream (one SQS message per job,
+src/consumer.py:55-111) with no event-time semantics at all (SURVEY.md
+§2.7).  A training-data pipeline also needs the *data*-plane streaming
+repertoire; this module provides it over the ``events`` shape
+(event_id, ts, user_id, event_type, value):
+
+- ``windowed_counts``   — tumbling event-time window + watermark: the
+  canonical late-data-tolerant aggregation.  Append mode emits a window
+  only once the watermark passes its end — exactly-once window results
+  downstream.
+- ``session_aggregates`` — native session windows (``F.session_window``):
+  gap-based sessionization as a first-class streaming aggregation (state
+  store managed by Spark, mergeable across microbatches).
+- ``running_user_totals`` — ``applyInPandasWithState``: the escape hatch
+  for stateful logic Spark has no built-in for.  State is per-key,
+  Arrow-batched, checkpointed with the query — a crash replays the
+  microbatch and lands in the same state (T2/T5 semantics, but for data
+  streams).
+
+Scale notes: all three shuffle once on their grouping key; state-store
+size is bounded by (keys x state row), not by stream length; watermarks
+bound how long window state is retained.  At 1000 executors the state
+store partitions with the shuffle — nothing here is driver-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double")
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time counts/sums per (window, event_type).
+
+    Works identically on batch and streaming inputs; on a stream the
+    watermark bounds state retention and late-data acceptance.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+             .cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions per user (native session_window aggregation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+             .cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+_RUNNING_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _running_totals_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals as an arbitrary-stateful operator.
+
+    Demonstrates the ``applyInPandasWithState`` pattern for operators the
+    built-in library lacks: per-key state rows survive across
+    microbatches via the checkpoint, and each batch emits the refreshed
+    totals for the keys it touched (update semantics).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,160 @@
+"""Event-time streaming: watermarked windows, sessions, custom state.
+
+Each test drives a real streaming query (file JSON source ->
+foreachBatch parquet sink) with availableNow drains; the multi-drain
+tests prove that state and watermarks survive a query restart via the
+checkpoint — the T2/T5 exactly-once story on the data plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+from data_ingestion_worker_spark.streaming.windows import (
+    EVENT_SCHEMA,
+    running_user_totals,
+    session_aggregates,
+    windowed_counts,
+)
+
+
+def _write_events(inbox: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(inbox, exist_ok=True)
+    tmp = os.path.join(inbox, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(inbox, name))
+
+
+def _drain(spark, inbox: str, checkpoint: str, transform, out_dir: str,
+           output_mode: str) -> None:
+    """Run one availableNow drain; emitted rows append to ``out_dir``.
+
+    foreachBatch (not the memory sink) so the checkpoint supports
+    restart-and-resume across drains.
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).json(inbox)
+    )
+    q = (
+        transform(stream).writeStream
+        .foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(out_dir)
+        )
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _rows(spark, out_dir: str) -> list:
+    if not os.path.isdir(out_dir):
+        return []
+    try:
+        return spark.read.parquet(out_dir).collect()
+    except Exception:
+        return []
+
+
+def _ev(eid, ts, uid, etype, value):
+    return {"event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        _ev(1, "2026-01-01 10:05:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:45:00", 1, "click", 2.0),
+        _ev(3, "2026-01-01 11:10:00", 2, "view", 4.0),
+    ])
+    _drain(spark, inbox, ckpt, windowed_counts, out, "append")
+    # Watermark = max(ts) - 2h = 09:10 -> no window is closed yet; append
+    # mode emits nothing.
+    assert len(_rows(spark, out)) == 0
+
+    # Second drain: an event at 14:00 advances the watermark to 12:00
+    # (watermarks move BETWEEN batches), closing the 10:00 and 11:00
+    # windows.
+    _write_events(inbox, "b2.json", [
+        _ev(4, "2026-01-01 14:00:00", 1, "click", 8.0),
+    ])
+    _drain(spark, inbox, ckpt, windowed_counts, out, "append")
+    # Third drain: a late event behind the 12:00 watermark must be
+    # dropped, not resurrect the already-emitted 10:00 window.
+    _write_events(inbox, "b3.json", [
+        _ev(5, "2026-01-01 10:20:00", 1, "click", 100.0),  # too late
+    ])
+    _drain(spark, inbox, ckpt, windowed_counts, out, "append")
+    all_rows = _rows(spark, out)
+    rows = {(r["window_start"].hour, r["event_type"]): r for r in all_rows}
+    assert len(all_rows) == 2                            # each window once
+    assert rows[(10, "click")]["n_events"] == 2          # late row dropped
+    assert rows[(10, "click")]["total_value"] == 3.0
+    assert rows[(11, "view")]["n_events"] == 1
+    assert (14, "click") not in rows                     # still open
+
+
+def test_session_aggregates(spark, tmp_path):
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:10:00", 1, "click", 2.0),   # same session
+        _ev(3, "2026-01-01 12:00:00", 1, "click", 4.0),   # new session
+    ])
+    _drain(spark, inbox, ckpt, session_aggregates, out, "append")
+    # Close sessions by advancing the watermark far past them.
+    _write_events(inbox, "b2.json", [
+        _ev(4, "2026-01-02 09:00:00", 2, "view", 0.0),
+    ])
+    _drain(spark, inbox, ckpt, session_aggregates, out, "append")
+    sessions = sorted(
+        [(r["user_id"], r["n_events"], r["total_value"])
+         for r in _rows(spark, out)]
+    )
+    assert (1, 2, 3.0) in sessions      # merged 10:00+10:10
+    assert (1, 1, 4.0) in sessions      # separate 12:00 session
+
+
+def test_running_user_totals_state_survives_restart(spark, tmp_path):
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:01:00", 1, "click", 2.0),
+        _ev(3, "2026-01-01 10:02:00", 2, "view", 5.0),
+    ])
+    _drain(spark, inbox, ckpt, running_user_totals, out, "update")
+    first = {r["user_id"]: r for r in _rows(spark, out)}
+    assert first[1]["n_events"] == 2 and first[1]["total_value"] == 3.0
+    assert first[2]["n_events"] == 1
+
+    # New query instance, same checkpoint: per-key state must resume.
+    out2 = str(tmp_path / "out2")
+    _write_events(inbox, "b2.json", [
+        _ev(4, "2026-01-01 10:05:00", 1, "click", 10.0),
+    ])
+    _drain(spark, inbox, ckpt, running_user_totals, out2, "update")
+    second = {r["user_id"]: r for r in _rows(spark, out2)}
+    assert second[1]["n_events"] == 3           # 2 (restored) + 1
+    assert second[1]["total_value"] == 13.0
+    assert 2 not in second                      # untouched key not re-emitted
+
+
+def test_windowed_counts_batch_parity(spark, sf_dir):
+    """The same plan runs in batch mode over the events table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "timestamp_micros(cast(ts / 1000 as long)) AS ts",
+        "user_id", "event_type", "value",
+    )
+    out = windowed_counts(events)
+    total = out.agg({"n_events": "sum"}).collect()[0][0]
+    assert total == events.count()
