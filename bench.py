@@ -31,10 +31,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_volume_customer",
     "contacts_validation",
     "win_topn_per_group",
     "ev_sessionize",
+    "asof_join_purchase",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "doc_quality_score",

@@ -1,0 +1,146 @@
+"""Temporal joins Spark has no single-operator form for: as-of and range.
+
+The reference has no temporal joins at all (SURVEY.md §2.3 lists the
+absence); these are the standard time-series repertoire a pipeline engine
+needs, built as *compositions of existing DataFrame ops* (the preferred
+implementation ladder — no UDF, no mapPartitions):
+
+- **as-of join** — "latest right row at or before each left row" —
+  re-expressed as a tagged UNION + one ordered window with
+  ``last(..., ignorenulls=True)``.  One shuffle on (key, time); no
+  equality-join fan-out, no per-row search.  This is the classic
+  union-sort formulation (cf. pandas merge_asof / QuestDB ASOF JOIN
+  semantics); DuckDB's native ``ASOF LEFT JOIN`` is the oracle.
+- **range (interval) join** — "pairs within a time band" — re-expressed
+  as a bucketed equi-join: each left row explodes to its bucket ± 1
+  (bucket width = the band), the join key is (user, bucket), and the
+  exact band predicate filters after the hash join.  Work scales with
+  true pair density, never |left| x |right| per user.  DuckDB's
+  range-predicate join is the oracle.
+
+Scale notes: both operators shuffle once on the user/time key; AQE's
+skew-join splitting handles hot users.  The bucketed range join is the
+same trick Spark itself uses for watermarked stream-stream interval
+joins — here made explicit for batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..spec import QuerySpec
+from ..tables import load_table
+
+from .events import _epoch_s
+
+RANGE_BAND_S = 300     # range-join band (seconds)
+
+
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at or before it.
+
+    UNION both sides tagged (purchases sort before clicks at equal ts so
+    'at or before' is inclusive), then one window per user carrying the
+    last-seen purchase forward.  Output: click identity + matched
+    purchase event_id/value (NULL when no purchase precedes).
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tagged = purchases.select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id", "value"
+    ).unionByName(clicks.select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("double").alias("value"),
+    ))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_purchase = F.col("side") == 0
+    carried_id = F.last(F.when(is_purchase, F.col("event_id")),
+                        ignorenulls=True).over(w)
+    carried_val = F.last(F.when(is_purchase, F.col("value")),
+                         ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("purchase_event_id", carried_id)
+        .withColumn("purchase_value", carried_val)
+        .filter(~is_purchase)
+        .select("event_id", "user_id", "ts",
+                "purchase_event_id", "purchase_value")
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS purchase_event_id, p.value AS purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events of the same user within RANGE_BAND_S seconds.
+
+    Bucketed interval join: bucket width = the band, the left side
+    explodes to bucket-1/bucket/bucket+1, the join is a plain hash
+    equi-join on (user_id, bucket), and the exact |Δt| <= band predicate
+    filters the survivors.  A band pair has bucket distance <= 1, so
+    coverage is exact and each pair matches exactly one exploded bucket.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _epoch_s(F.col("ts")).alias("sec")
+    )
+    a = e.select(
+        F.col("event_id").alias("a_id"), "user_id",
+        F.col("sec").alias("a_sec"),
+        F.explode(F.array(
+            (F.col("sec") / RANGE_BAND_S).cast("long") - 1,
+            (F.col("sec") / RANGE_BAND_S).cast("long"),
+            (F.col("sec") / RANGE_BAND_S).cast("long") + 1,
+        )).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"), "user_id",
+        F.col("sec").alias("b_sec"),
+        (F.col("sec") / RANGE_BAND_S).cast("long").alias("bucket"),
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_sec") - F.col("b_sec")) <= RANGE_BAND_S)
+        )
+        .select("user_id", "a_id", "b_id",
+                F.abs(F.col("a_sec") - F.col("b_sec")).alias("gap_s"))
+    )
+
+
+RANGE_ORACLE = f"""
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+           - CAST(floor(epoch(b.ts)) AS BIGINT)) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+         - CAST(floor(epoch(b.ts)) AS BIGINT)) <= {RANGE_BAND_S}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "asof_join_purchase": QuerySpec(asof_join_purchase, ASOF_ORACLE),
+    "range_join_pairs": QuerySpec(range_join_pairs, RANGE_ORACLE),
+}

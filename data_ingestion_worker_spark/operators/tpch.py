@@ -253,8 +253,54 @@ FROM orders GROUP BY 1
 """
 
 
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status.
+
+    Explicit pivot values keep the plan a single pass (no extra distinct
+    scan to discover columns) — required practice at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "priority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
+    "agg_pivot": QuerySpec(agg_pivot, PIVOT_ORACLE),
+    "agg_cube": QuerySpec(agg_cube, CUBE_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_ORACLE),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
