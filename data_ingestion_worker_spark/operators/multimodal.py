@@ -120,7 +120,107 @@ FROM documents
 """
 
 
+RESIZE_BOX = 256
+RESIZE_SCHEMA = ("doc_id bigint, src_width int, src_height int, "
+                 "out_width int, out_height int")
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: fit the fake dimensions into a RESIZE_BOX square,
+    preserving aspect ratio with integer (truncating) arithmetic.
+
+    A real implementation resizes pixel buffers in the same loop
+    (``img.thumbnail((256, 256))``); the scaling arithmetic, batch shape
+    and output schema are what the stub pins down.
+    """
+    for pdf in batches:
+        h64 = pdf["payload"].map(_hash64_py)
+        w = (h64 % 640 + 1).astype("int64")     # avoid degenerate 0-dim
+        h = (h64 % 480 + 1).astype("int64")
+        long_side = w.combine(h, max)
+        scale_num = long_side.map(lambda s: min(s, RESIZE_BOX))
+        out_w = (w * scale_num // long_side).astype("int32")
+        out_h = (h * scale_num // long_side).astype("int32")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "src_width": w.astype("int32"),
+            "src_height": h.astype("int32"),
+            "out_width": out_w,
+            "out_height": out_h,
+        })
+
+
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-resize plumbing as a chained mapInPandas stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_resize, RESIZE_SCHEMA)
+
+
+_H64 = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
+MM_RESIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, {_H64} % 640 + 1 AS w, {_H64} % 480 + 1 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, w, h, greatest(w, h) AS long_side,
+         least(greatest(w, h), {RESIZE_BOX}) AS scale_num
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+       CAST(w * scale_num // long_side AS INT) AS out_width,
+       CAST(h * scale_num // long_side AS INT) AS out_height
+FROM scaled
+"""
+
+
+N_FEATURES = 8
+FEATURE_SCHEMA = "doc_id bigint, feature array<bigint>"
+
+
+def fake_feature_extract(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """STUB feature extractor: deterministic pseudo-embedding per payload.
+
+    Feature d = hash64(sha256-hex(payload) + ':' + d) mod 1000 — stands in
+    for a real vision/audio encoder producing an embedding column.  The
+    output shape (one fixed-length array per media row, Arrow list
+    transfer) is the contract ANN operators consume downstream.
+    """
+    for pdf in batches:
+        shas = pdf["payload"].map(
+            lambda b: hashlib.sha256(b).hexdigest()
+        )
+        feats = shas.map(
+            lambda s: [
+                int(hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:15], 16)
+                % 1000
+                for d in range(N_FEATURES)
+            ]
+        )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas -> embedding column (array<bigint>)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_feature_extract,
+                                          FEATURE_SCHEMA)
+
+
+MM_FEATURE_ORACLE = f"""
+SELECT doc_id, [
+  {', '.join(f"(('0x' || substr(md5(sha256(text) || ':{d}'), 1, 15))::BIGINT) % 1000"
+             for d in range(N_FEATURES))}
+] AS feature
+FROM documents
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
+    "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
+    "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),
 }
