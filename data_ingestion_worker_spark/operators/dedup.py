@@ -393,8 +393,93 @@ SELECT v1, v2, cosine FROM scored WHERE cosine >= {EMB_COS_MIN}
 """
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str,
+                               max_iter: int = 25) -> DataFrame:
+    """Cluster near-dup candidate pairs into components; canonical doc =
+    min doc_id of the component (isolated docs are their own cluster).
+
+    The dedup endgame: pairwise candidates (here the MinHash-LSH pairs)
+    only become a dedup *decision* once grouped into clusters.  Connected
+    components run as iterative min-label propagation — each round every
+    node takes min(own label, neighbors' labels) via one join + one
+    aggregate, converging in graph-diameter rounds (near-dup clusters
+    are shallow, so single digits).  This is the Pregel shape on plain
+    DataFrames: driver-side loop, executor-side set operations, nothing
+    per-row on the driver.  At corpus scale: cache + checkpoint the label
+    frame every few rounds to cut lineage, and note iterations are
+    *batch-wide* barriers, exactly like large-graph CC in production.
+
+    The DuckDB oracle computes the same fixpoint as a recursive
+    reachability CTE — feasible because test clusters are tiny, while the
+    Spark path scales to graphs that would explode an all-pairs closure.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels.cache()
+    edges.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+DEDUP_CC_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_connected_components": QuerySpec(dedup_connected_components,
+                                            DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
                                         DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
