@@ -122,6 +122,34 @@ class ControlStore:
             f.write(version)
         os.replace(tmp, self._pointer(table))
 
+    def vacuum(self, table: str | None = None, keep_last: int = 3) -> int:
+        """Delete unreferenced version directories, keeping the current
+        version plus the ``keep_last`` most recent others.
+
+        The snapshot-isolation contract means a reader started before a
+        publish may still be scanning an old version; ``keep_last`` is the
+        retention window (Delta's VACUUM retention, scaled down).  Returns
+        the number of versions removed.
+        """
+        import shutil
+
+        removed = 0
+        for t in ([table] if table else list(SCHEMAS)):
+            tdir = os.path.join(self.root, t)
+            if not os.path.isdir(tdir):
+                continue
+            current = self._current_version(t)
+            versions = sorted(
+                (v for v in os.listdir(tdir)
+                 if v.startswith("v-") and v != current),
+                key=lambda v: os.path.getmtime(os.path.join(tdir, v)),
+                reverse=True,
+            )
+            for v in versions[keep_last:]:
+                shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+                removed += 1
+        return removed
+
     # -- MERGE --------------------------------------------------------------
 
     def upsert(self, table: str, updates: DataFrame,

@@ -70,11 +70,13 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(toks) - 3), "
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
     )
+    # array_distinct dedups within the doc BEFORE the explode, and doc_id
+    # disambiguates across docs — (doc_id, shingle) pairs are already
+    # distinct, so no post-explode .distinct() shuffle is needed.
     return (
         d.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
     )
 
 

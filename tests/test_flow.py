@@ -169,3 +169,13 @@ def test_existing_email_blocked_per_tenant(env, spark, tmp_path):
                 b"ann@x.com,Ann3,Ada3,Acme3\n")
     other.process_job(3, csv3)
     assert _job(store, 3)["job_status"] == "COMPLETED"   # different tenant
+
+
+def test_store_vacuum_keeps_current_readable(env):
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)          # many publishes per table
+    before = store.read("staging").count()
+    removed = store.vacuum(keep_last=1)
+    assert removed > 0
+    assert store.read("staging").count() == before     # current intact
+    assert store.read("jobs").count() == 1
