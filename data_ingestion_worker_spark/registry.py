@@ -20,8 +20,8 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational]
-    for mod_name in ("tpch", "tpch_ext", "events", "temporal", "text",
-                     "dedup", "similarity", "multimodal"):
+    for mod_name in ("tpch", "tpch_ext", "events", "temporal", "stats",
+                     "text", "dedup", "similarity", "multimodal"):
         try:
             mod = __import__(
                 f"{__package__}.operators.{mod_name}", fromlist=["SPECS"]
