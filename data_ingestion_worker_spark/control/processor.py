@@ -38,14 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64, row_hash
-from ..functions.validation import (
-    issue_key,
-    issue_message,
-    normalize_email,
-    validation_verdict,
-)
+from ..functions.hashing import hash64
+from ..functions.validation import normalize_email
 from ..ingest.csv_reader import read_contacts_csv
+from ..plans.validation_pipeline import annotate_contacts
 from .store import ControlStore
 
 REQUIRED = ["email", "first_name", "last_name", "company"]
@@ -109,23 +105,16 @@ class JobProcessor:
 
         raw = read_contacts_csv(self.spark, csv_path)
         batch = _project_contacts(raw)                       # P1
-        batch = batch.withColumn(
-            "row_hash",
-            row_hash(F.lit(job_id), F.col("row_number"), F.col("email"),
-                     F.col("first_name"), F.col("last_name"),
-                     F.col("company")),
-        )
         total_rows = batch.count()
 
-        # J5: skip rows already staged (crash-resume / replay).
-        staged_hashes = (
-            self.store.read("staging")
-            .filter(F.col("staging_job_id") == job_id)
-            .select(F.col("staging_row_hash").alias("row_hash"))
-        )
-        fresh = batch.join(staged_hashes, "row_hash", "left_anti")
-
-        annot = self._annotate(batch, fresh)
+        # Annotate the FULL batch every run (crash-resume safety): issues
+        # are re-derived from the same inputs on replay, so a crash
+        # between the staging merge and the issues merge cannot leave
+        # ISSUE rows with no issue records and let consolidation slip
+        # through.  Idempotency comes from the insert-only MERGEs below
+        # (the J5 anti-join on (job_id, row_hash) lives inside
+        # store.upsert), not from pre-shrinking the batch.
+        annot = self._annotate(batch, job_id=job_id)
 
         # Staging MERGE (insert-only on (job_id, row_hash) — ADR-001).
         staging_new = annot.select(
@@ -168,7 +157,7 @@ class JobProcessor:
             F.col("staging_status"),
         )
         live = batch.filter(F.col("staging_status") != "DISCARD")   # P4
-        annot = self._annotate(live, live)
+        annot = self._annotate(live, job_id=job_id)
 
         # Flip staging statuses set-wise (READY vs ISSUE; DISCARD kept).
         status_updates = annot.select(
@@ -243,47 +232,22 @@ class JobProcessor:
 
     # ------------------------------------------------------------ helpers
 
-    def _annotate(self, dup_scope: DataFrame, rows: DataFrame) -> DataFrame:
-        """A1 + J2/J3 + F4 over ``rows``; duplicates detected over
-        ``dup_scope`` (the full batch — processor.py:674-726)."""
-        norm = normalize_email(F.col("email"))
-        dups = (
-            dup_scope.select(norm.alias("email_norm"))
-            .filter(F.col("email_norm") != "")
-            .groupBy("email_norm")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .filter(F.col("cnt") > 1)
-            .select("email_norm")
-            .withColumn("is_duplicate", F.lit(True))
-        )
+    def _annotate(self, rows: DataFrame, job_id: int) -> DataFrame:
+        """A1 + J2/J3 + F4 over ``rows`` — delegates to the flagship
+        plan's ``annotate_contacts`` so the validation semantics have
+        exactly one codification (pinned by the flagship DuckDB oracle).
+
+        The J2 build side is the tenant's existing contact emails
+        (contact_repository.py:18-39), broadcast inside the shared plan.
+        """
         existing = (
             self.store.read("contacts")
             .filter(F.col("contacts_user_id") == self.user_id)   # tenant J2
-            .select(F.col("contact_email").alias("email_norm"))
+            .select("contact_email")
             .distinct()
-            .withColumn("email_exists", F.lit(True))
         )
-        out = (
-            rows.withColumn("email_norm", norm)
-            .join(F.broadcast(dups), "email_norm", "left")
-            .join(F.broadcast(existing), "email_norm", "left")
-        )
-        verdict = validation_verdict(
-            F.col("email"), F.col("first_name"), F.col("last_name"),
-            F.col("company"),
-            F.coalesce("is_duplicate", F.lit(False)),
-            F.coalesce("email_exists", F.lit(False)),
-        )
-        out = out.withColumn("issue_type", verdict)
-        out = out.withColumn(
-            "issue_msg",
-            issue_message(F.col("email"), F.col("first_name"),
-                          F.col("last_name"), F.col("company"),
-                          F.col("issue_type")),
-        )
-        return out.withColumn(
-            "issue_key", issue_key(F.col("email"), F.col("row_number"))
-        )
+        return annotate_contacts(rows, existing, job_id=job_id,
+                                 row_col="row_number")
 
     def _merge_issues_and_links(self, job_id: int, failing: DataFrame,
                                 reprocess: bool = False) -> None:
@@ -386,16 +350,18 @@ class JobProcessor:
             .filter((F.col("issues_job_id") == job_id)
                     & (~F.col("issue_resolved"))).count()
         )
-        self._set_job(
-            job_id,
+        counts = dict(
             job_total_rows=F.lit(total_rows if total_rows is not None
                                  else staged).cast("long"),
             job_processed_rows=F.lit(staged).cast("long"),
             job_issue_count=F.lit(unresolved).cast("long"),   # ADR-002
         )
         if unresolved > 0:
-            self._set_job(job_id, job_status=F.lit("NEEDS_REVIEW"))
+            # One combined write (counts + status) per route, not two —
+            # every _set_job publishes a full jobs-table version.
+            self._set_job(job_id, job_status=F.lit("NEEDS_REVIEW"), **counts)
         else:
+            self._set_job(job_id, **counts)
             self.consolidate(job_id)
 
     # ------------------------------------------- human-in-the-loop surface

@@ -23,6 +23,7 @@ at 100 TB the sniff cost stays O(1) while the scan parallelizes.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,7 +79,8 @@ def _decode_prefix(prefix: bytes) -> tuple[str, str]:
 
 
 def _delimiter_ok(header: str, first_data: str | None, delim: str) -> bool:
-    """ADR-004 acceptance rules on the header (s3_service.py:114-239)."""
+    """ADR-004 acceptance rules on header + first data line
+    (s3_service.py:114-239)."""
     fields = [f.strip() for f in header.split(delim)]
     if len(fields) <= 1:
         return False
@@ -89,6 +91,15 @@ def _delimiter_ok(header: str, first_data: str | None, delim: str) -> bool:
     # one (e.g. "email,first_name" as a single ;-field).
     if any(any(r in f for r in rivals) for f in fields if f):
         return False
+    # The first data line must also split (>1 field, >=1 non-empty value)
+    # — the reference's wrong-delimiter production bug was a header that
+    # happened to split while every data row collapsed into one column.
+    if first_data is not None:
+        data_fields = first_data.split(delim)
+        if len(data_fields) <= 1:
+            return False
+        if not any(f.strip() for f in data_fields):
+            return False
     return True
 
 
@@ -137,7 +148,10 @@ def read_contacts_csv(spark: SparkSession, path: str,
     renames = {}
     for c in df.columns:
         name = c.strip()
-        if not name or name.startswith("_c"):
+        # Drop only truly unnamed columns: empty after trim, or Spark's
+        # auto-generated _c<N> placeholders (a real header like
+        # "_company" must survive).
+        if not name or re.fullmatch(r"_c\d+", name):
             continue
         keep.append(c)
         renames[c] = name

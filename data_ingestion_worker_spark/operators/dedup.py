@@ -426,6 +426,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels.cache()
     edges.cache()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -452,7 +453,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds the iteration budget; raise "
+            "max_iter)"
+        )
     return labels
 
 

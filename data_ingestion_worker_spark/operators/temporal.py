@@ -49,8 +49,16 @@ def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
+    # One purchase per (user, ts) — max event_id wins.  Equal-ts ties are
+    # otherwise engine-ambiguous (DuckDB's ASOF picks an unspecified row
+    # among tied timestamps), so the dedup is part of the operator spec.
+    wp = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     tagged = purchases.select(
         "user_id", "ts", F.lit(0).alias("side"), "event_id", "value"
@@ -82,8 +90,11 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 purch AS (
-  SELECT event_id, user_id, ts, value FROM events
-  WHERE event_type = 'purchase'
+  SELECT event_id, user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
 )
 SELECT c.event_id, c.user_id, c.ts,
        p.event_id AS purchase_event_id, p.value AS purchase_value

@@ -91,12 +91,18 @@ def derive_existing_contacts(customer: DataFrame) -> DataFrame:
 
 
 def annotate_contacts(batch: DataFrame, existing: DataFrame,
-                      job_id: int = 1) -> DataFrame:
+                      job_id: int = 1,
+                      row_col: str = "row_num") -> DataFrame:
     """Annotate a contacts batch with the full validation verdict.
 
-    Input columns: row_num, email, first_name, last_name, company (plus
-    any passenger columns, preserved).  Output adds email_norm, issue_type,
-    issue_msg, issue_key, row_hash, is_importable.
+    Input columns: ``row_col``, email, first_name, last_name, company
+    (plus any passenger columns, preserved).  Output adds email_norm,
+    issue_type, issue_msg, issue_key, row_hash, is_importable.
+
+    This is the single codification of the validation semantics — the
+    flagship query AND the control-flow processor (control/processor.py)
+    both run through it, so a rule change lands everywhere at once and
+    stays pinned by the flagship's DuckDB oracle.
     """
     norm = normalize_email(F.col("email"))
     df = batch.withColumn("email_norm", norm)
@@ -129,10 +135,10 @@ def annotate_contacts(batch: DataFrame, existing: DataFrame,
                       F.col("last_name"), F.col("company"),
                       F.col("issue_type")),
     )
-    df = df.withColumn("issue_key", issue_key(F.col("email"), F.col("row_num")))
+    df = df.withColumn("issue_key", issue_key(F.col("email"), F.col(row_col)))
     df = df.withColumn(
         "row_hash",
-        row_hash(F.lit(job_id), F.col("row_num"), F.col("email"),
+        row_hash(F.lit(job_id), F.col(row_col), F.col("email"),
                  F.col("first_name"), F.col("last_name"), F.col("company")),
     )
     return df.withColumn("is_importable", F.col("issue_type").isNull())

@@ -16,19 +16,25 @@ from .spec import QuerySpec
 
 
 def _collect() -> dict[str, QuerySpec]:
-    from .operators import relational
+    # Imports are strict on purpose: a module failing to import must fail
+    # the whole registry loudly, not silently shrink the declared coverage
+    # (the correctness gate would "pass" while verifying fewer operators).
+    from .operators import (  # noqa: F401
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        stats,
+        temporal,
+        text,
+        tpch,
+        tpch_ext,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    modules = [relational]
-    for mod_name in ("tpch", "tpch_ext", "events", "temporal", "stats",
-                     "text", "dedup", "similarity", "multimodal"):
-        try:
-            mod = __import__(
-                f"{__package__}.operators.{mod_name}", fromlist=["SPECS"]
-            )
-            modules.append(mod)
-        except ImportError:
-            continue
+    modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
+               dedup, similarity, multimodal]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:

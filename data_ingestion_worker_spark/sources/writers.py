@@ -35,13 +35,16 @@ def overwrite_partitions(df: DataFrame, path: str,
     is untouched — safe replay for backfills and late data.
     """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)   # None = was unset (static default)
+    spark.conf.set(key, "dynamic")
     try:
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,

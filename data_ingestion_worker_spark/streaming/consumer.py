@@ -68,9 +68,18 @@ class JobStreamConsumer:
         # message count, never by data size (the CSVs are processed as
         # distributed scans inside process_job).
         for row in msgs.collect():
-            action = self.processor.process_job(int(row["job_id"]),
-                                                row["s3_key"])
-            self.results.append((int(row["job_id"]), action))
+            job_id = int(row["job_id"])
+            try:
+                action = self.processor.process_job(job_id, row["s3_key"])
+            except Exception as e:  # noqa: BLE001
+                # Per-message error isolation (reference S3/T10): a job
+                # whose CSV is missing/unreadable must not wedge the
+                # stream — raising here would fail the microbatch and the
+                # checkpoint would replay it forever (head-of-line
+                # blocking for every later job).  The job is recorded as
+                # errored; the message is consumed.
+                action = f"error:{type(e).__name__}"
+            self.results.append((job_id, action))
 
     def start(self, available_now: bool = True,
               processing_interval: str = "20 seconds") -> StreamingQuery:

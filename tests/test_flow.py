@@ -179,3 +179,22 @@ def test_store_vacuum_keeps_current_readable(env):
     assert removed > 0
     assert store.read("staging").count() == before     # current intact
     assert store.read("jobs").count() == 1
+
+
+def test_resume_after_partial_crash_recreates_issues(env, spark):
+    """Crash window between the staging merge and the issues merge: a
+    resume must re-derive issues from the same inputs, never consolidate
+    a job whose rows are sitting in ISSUE status (ADR-001 resume safety).
+    """
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    # Simulate the crash aftermath: staging is written, issues are not,
+    # job never reached a terminal status.
+    store.overwrite("issues", store.read("issues").limit(0))
+    store.overwrite("issue_items", store.read("issue_items").limit(0))
+    proc._set_job(1, job_status=F.lit("PROCESSING"))
+    proc.initial(1, csv_path)                    # SQS redelivery resume
+    job = _job(store, 1)
+    assert job["job_status"] == "NEEDS_REVIEW"   # NOT silently COMPLETED
+    assert job["job_issue_count"] == 3
+    assert store.read("issues").count() == 3

@@ -49,3 +49,32 @@ def test_stream_drives_job_lifecycle(spark, tmp_path):
     )
     consumer2.start(available_now=True).awaitTermination(120)
     assert consumer2.results == []
+
+
+def test_unreadable_csv_does_not_wedge_stream(spark, tmp_path):
+    """A parsable message with a missing CSV must be consumed as an
+    error, not fail the microbatch (which the checkpoint would replay
+    forever, blocking every later job)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    good_csv = str(tmp_path / "ok.csv")
+    with open(good_csv, "wb") as f:
+        f.write(CSV)
+    (inbox / "m1.json").write_text(
+        json.dumps({"job_id": 8, "s3_key": str(tmp_path / "missing.csv")})
+        + "\n" + json.dumps({"job_id": 9, "s3_key": good_csv}) + "\n"
+    )
+    store = ControlStore(spark, str(tmp_path / "control"))
+    consumer = JobStreamConsumer(
+        spark, store, str(inbox), str(tmp_path / "ckpt")
+    )
+    consumer.start(available_now=True).awaitTermination(120)
+    results = dict(consumer.results)
+    assert results[9] == "initial"                 # good job processed
+    assert results[8].startswith("error:")         # bad one isolated
+    # Checkpoint advanced past the failing message: next drain is empty.
+    consumer2 = JobStreamConsumer(
+        spark, store, str(inbox), str(tmp_path / "ckpt")
+    )
+    consumer2.start(available_now=True).awaitTermination(120)
+    assert consumer2.results == []
