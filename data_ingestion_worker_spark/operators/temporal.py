@@ -151,7 +151,89 @@ FROM events a JOIN events b
 """
 
 
+N_RESAMPLE_USERS = 5
+
+
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill for the first N users.
+
+    Gap-filling: build each user's hourly spine (sequence between the
+    hour-truncated min/max event times), then carry the last observed
+    value forward onto every spine point — the same tagged-UNION window
+    as the as-of join, so spine generation is the only new machinery.
+    Hours before the first observation stay NULL.
+
+    Scale shape: the spine explode is per-user and bounded by the time
+    range; the fill is one window over (user, time) — no self-join, no
+    per-row lookups.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < N_RESAMPLE_USERS
+    )
+    # One observation per (user, ts): max event_id wins (tie spec as in
+    # the as-of join).
+    wo = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    obs = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)"))
+            .alias("hour_ts"),
+        )
+    )
+    tagged = obs.select(
+        "user_id", F.col("ts").alias("t"), F.lit(0).alias("side"), "value"
+    ).unionByName(spine.select(
+        "user_id", F.col("hour_ts").alias("t"), F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("value"),
+    ))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(F.when(F.col("side") == 0, F.col("value")),
+                    ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("ffill_value", filled)
+        .filter(F.col("side") == 1)
+        .select("user_id", F.col("t").alias("hour_ts"), "ffill_value")
+    )
+
+
+RESAMPLE_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) AS rn
+    FROM events WHERE user_id < {N_RESAMPLE_USERS}
+  ) WHERE rn = 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(
+           date_trunc('hour', tmin), date_trunc('hour', tmax),
+           INTERVAL 1 HOUR)) AS hour_ts
+  FROM (SELECT user_id, min(ts) AS tmin, max(ts) AS tmax
+        FROM events WHERE user_id < {N_RESAMPLE_USERS} GROUP BY user_id)
+)
+SELECT s.user_id, s.hour_ts, o.value AS ffill_value
+FROM spine s ASOF LEFT JOIN obs o
+  ON s.user_id = o.user_id AND s.hour_ts >= o.ts
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "asof_join_purchase": QuerySpec(asof_join_purchase, ASOF_ORACLE),
     "range_join_pairs": QuerySpec(range_join_pairs, RANGE_ORACLE),
+    "ev_resample_ffill": QuerySpec(ev_resample_ffill, RESAMPLE_ORACLE),
 }

@@ -297,10 +297,32 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted collect_list per group (nested-array aggregation).
+
+    array_sort makes the collected list deterministic regardless of
+    shuffle arrival order — the only safe way to hash-compare a
+    collect_list across engines (or across two Spark runs under AQE).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_sort(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+COLLECT_ORACLE = """
+SELECT s_nationkey, list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
+       CAST(count(*) AS BIGINT) AS n
+FROM supplier GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "agg_pivot": QuerySpec(agg_pivot, PIVOT_ORACLE),
     "agg_cube": QuerySpec(agg_cube, CUBE_ORACLE),
+    "agg_collect_sorted": QuerySpec(agg_collect_sorted, COLLECT_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_ORACLE),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE),
