@@ -140,6 +140,10 @@ def read_contacts_csv(spark: SparkSession, path: str,
         .option("sep", d.delimiter)
         .option("encoding", SPARK_CHARSET.get(d.encoding, "iso-8859-1"))
         .option("mode", "PERMISSIVE")
+        # RFC 4180 doubled-quote escaping ("" -> ") — what the
+        # reference's csv.DictReader does; Spark's default escape is
+        # backslash, which would leave `"a ""b"""` unparsed.
+        .option("escape", '"')
         .csv(path)
     )
     # S8: trim header names; drop empty-name columns (trailing ';;' makes

@@ -91,3 +91,15 @@ def test_semicolon_not_fooled_by_comma_in_names(spark, tmp_path):
                   b"a@x.com,Ann,Ada,Acme\n")
     d = sniff_csv_dialect(spark, path)
     assert d.delimiter == ","
+
+
+def test_rfc4180_quotes(spark, tmp_path):
+    """Quoted fields: embedded delimiter kept, doubled quotes unescaped —
+    byte-for-byte what the reference's csv.DictReader produces."""
+    path = _write(tmp_path, "quoted.csv",
+                  b'email,first_name,last_name,company\n'
+                  b'"a@x.com","Ann ""The Boss""","O\'Hara","Acme, Inc."\n')
+    row = read_contacts_csv(spark, path).collect()[0]
+    assert row["first_name"] == 'Ann "The Boss"'
+    assert row["company"] == "Acme, Inc."
+    assert row["last_name"] == "O'Hara"

@@ -53,3 +53,18 @@ def test_salted_count_matches_groupby(spark, sf_dir):
         for r in salted_count(orders, ["o_orderstatus"], n_salts=4).collect()
     }
     assert salted == plain
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The 100 TB path for A2-style distinct counts is HLL
+    (approx_count_distinct) — engine-specific sketches can't be
+    oracle-hashed, so the engine pins a relative-error contract instead.
+    """
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05
