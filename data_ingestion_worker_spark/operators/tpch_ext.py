@@ -281,6 +281,42 @@ GROUP BY ship_bucket
 """
 
 
+def q13_order_count_distribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by order count (including zero).
+
+    Left outer join so order-less customers count in the c_count=0
+    bucket; two cascaded aggregations, the second over at most
+    max-orders-per-customer rows.  The urgent-priority exclusion stands
+    in for Q13's comment-pattern filter.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))   # count skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promo revenue share for one ship month (scalar ratio)."""
     p = load_table(spark, sf_dir, "part")
@@ -536,6 +572,8 @@ SPECS: dict[str, QuerySpec] = {
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),
     "q9_product_profit": QuerySpec(q9_product_profit, Q9_ORACLE),
     "q12_shipping_delay": QuerySpec(q12_shipping_delay, Q12_ORACLE),
+    "q13_order_count_distribution": QuerySpec(q13_order_count_distribution,
+                                              Q13_ORACLE),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, Q14_ORACLE),
     "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_ORACLE),
     "q17_small_quantity": QuerySpec(q17_small_quantity, Q17_ORACLE),
