@@ -80,6 +80,41 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
+                     horizon: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: clicks within ``horizon`` after a
+    purchase by the same user (purchase-to-click attribution).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can size the join state and evict rows once
+    the watermark passes — the canonical bounded-state stream-stream
+    join.  Works identically on batch inputs (watermarks are no-ops).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts"))
+        & (F.col("click_ts") <= F.col("purchase_ts")
+           + F.expr(f"interval {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id", "purchase_ts", "click_id", "click_ts",
+        "purchase_value",
+    )
+
+
 _RUNNING_STATE_SCHEMA = "n bigint, total double"
 _RUNNING_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 

@@ -158,3 +158,37 @@ def test_windowed_counts_batch_parity(spark, sf_dir):
     out = windowed_counts(events)
     total = out.agg({"n_events": "sum"}).collect()[0][0]
     assert total == events.count()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchase->click attribution as a watermarked stream-stream join:
+    only clicks within 30 min after a same-user purchase match."""
+    from data_ingestion_worker_spark.streaming.windows import (
+        attribute_clicks,
+    )
+
+    in_c, in_p = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _write_events(in_p, "p1.json", [
+        _ev(100, "2026-01-01 10:00:00", 1, "purchase", 9.99),
+        _ev(101, "2026-01-01 12:00:00", 2, "purchase", 5.00),
+    ])
+    _write_events(in_c, "c1.json", [
+        _ev(200, "2026-01-01 10:10:00", 1, "click", 0.0),   # attributed
+        _ev(201, "2026-01-01 10:45:00", 1, "click", 0.0),   # too late
+        _ev(202, "2026-01-01 12:05:00", 3, "click", 0.0),   # wrong user
+    ])
+    clicks = spark.readStream.schema(EVENT_SCHEMA).json(in_c)
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(in_p)
+    q = (
+        attribute_clicks(clicks, purchases).writeStream
+        .foreachBatch(lambda b, _e: b.write.mode("append").parquet(out))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = _rows(spark, out)
+    assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 200)]
+    assert rows[0]["purchase_value"] == 9.99
