@@ -124,10 +124,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("inter")
     )
+    # floor (not round) to 4 decimals: round() diverges across engines on
+    # terminating-decimal ties (see operators/text.py::_floor4).
     return (
         pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
         .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select("d1", "d2",
+                (F.floor(jac * 10000.0) / 10000.0).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -142,11 +145,13 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT d1, d2,
-       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
+       / 10000.0 AS jaccard
 FROM pairs
 JOIN sizes sa ON d1 = sa.doc_id
 JOIN sizes sb ON d2 = sb.doc_id
-WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.2
+WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
+      / 10000.0 >= 0.2
 """
 
 

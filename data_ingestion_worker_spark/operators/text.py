@@ -59,12 +59,25 @@ FROM documents
 """
 
 
+def _floor4(c: F.Column) -> F.Column:
+    """Truncate a non-negative double to 4 decimals, engine-stably.
+
+    round() is NOT engine-stable on doubles whose shortest decimal string
+    is an exact half (e.g. 0.31375): Spark rounds the *string* form up
+    (BigDecimal.valueOf) while DuckDB rounds the *binary* value, which
+    sits below the true half, down.  floor(x * 1e4) has no tie: both
+    engines scale the identical double with the identical multiply and
+    floor the identical result.  (Found by the sf0.1 parity sweep.)
+    """
+    return F.floor(c * 10000.0) / 10000.0
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: stopword density + alpha ratio + length.
 
     The weighted-sum formula is arbitrary but *pinned* — both engines
-    evaluate the identical expression tree, so the score is a spec, not an
-    approximation.
+    evaluate the identical expression tree, and outputs are truncated
+    (not rounded) to 4 decimals so no decimal-tie can diverge.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = ws_token_count(F.col("text"))
@@ -73,14 +86,14 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stop.cast("double") / n_tok
     alpha_ratio = alpha.cast("double") / F.length("text")
     len_score = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
-    score = F.round(
-        stop_ratio * 0.4 + alpha_ratio * 0.3 + len_score * 0.3, 4
+    score = _floor4(
+        stop_ratio * 0.4 + alpha_ratio * 0.3 + len_score * 0.3
     )
     return d.filter(F.length("text") > 0).select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        _floor4(stop_ratio).alias("stop_ratio"),
+        _floor4(alpha_ratio).alias("alpha_ratio"),
         score.alias("quality"),
     )
 
@@ -95,11 +108,12 @@ WITH t AS (
   FROM documents WHERE length(text) > 0
 )
 SELECT doc_id, n_tokens,
-       round(CAST(stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       round(CAST(alpha AS DOUBLE) / n, 4) AS alpha_ratio,
-       round((CAST(stop AS DOUBLE) / n_tokens) * 0.4
-             + (CAST(alpha AS DOUBLE) / n) * 0.3
-             + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3, 4) AS quality
+       floor((CAST(stop AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 AS stop_ratio,
+       floor((CAST(alpha AS DOUBLE) / n) * 10000.0) / 10000.0 AS alpha_ratio,
+       floor(((CAST(stop AS DOUBLE) / n_tokens) * 0.4
+              + (CAST(alpha AS DOUBLE) / n) * 0.3
+              + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3)
+             * 10000.0) / 10000.0 AS quality
 FROM t
 """
 
