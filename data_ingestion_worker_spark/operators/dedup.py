@@ -6,10 +6,11 @@ ladder (exact -> near-dup):
 - **exact**: canonicalize text -> md5 fingerprint -> window-min canonical id.
 - **n-gram Jaccard**: word-3-gram shingles, inverted-index self-join,
   Jaccard over distinct shingle sets.
-- **MinHash + LSH**: 8 permutations (via the cross-engine hash64), 4 bands
-  of 2 rows; candidate pairs share a band signature.  This is the 100 TB
-  scale path: cost is O(docs x shingles), never O(docs^2) — the banding
-  join only groups documents with colliding signatures.
+- **MinHash + LSH**: 8 universal-hash permutations ((a*h+b) mod 2^31-1
+  over one md5-derived base hash per shingle), 4 bands of 2 rows;
+  candidate pairs share a band signature.  This is the 100 TB scale
+  path: cost is O(docs x shingles), never O(docs^2) — the banding join
+  only groups documents with colliding signatures.
 - **SimHash**: 16-bit signature from token-hash bit votes; Hamming-near
   docs get equal/similar signatures.
 
@@ -155,8 +156,20 @@ WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
 """
 
 
+#: Universal-hash permutation constants: mh_p = (A[p]*h + B[p]) mod MERSENNE
+#: over ONE 32-bit base hash per shingle — the textbook minhash family.
+#: 8 md5s/shingle collapse to 1 md5 + 8 multiply-mods (the hash is the
+#: minhash bottleneck at corpus scale).  A[p]*h fits int64: h < 2^32,
+#: A[p] < 2^27.
+PERM_A = [1299721, 15485863, 32452843, 49979687,
+          67867967, 86028121, 104395301, 122949823]
+PERM_B = [7, 101, 1009, 10007, 100003, 1000003, 4999999, 9999991]
+MERSENNE = 2147483647
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh{N_PERM-1}) — min over shingles of hash64(p:shingle).
+    """(doc_id, mh0..mh{N_PERM-1}) — min over shingles of the p-th
+    universal-hash permutation of the shingle's base hash.
 
     The N_PERM permutations are parallel aggregate expressions over ONE
     pass of the shingle set — not an exploded (shingle x perm) row blowup.
@@ -164,9 +177,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling |shingles| x N_PERM rows for the same result.
     """
     sh = _shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(*[
-        F.min(hash64(F.concat(F.lit(f"{p}:"), F.col("shingle"))))
-        .alias(f"mh{p}")
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10) \
+        .cast("bigint")
+    withh = sh.select("doc_id", base.alias("h"))
+    return withh.groupBy("doc_id").agg(*[
+        F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
+              % F.lit(MERSENNE)).alias(f"mh{p}")
         for p in range(N_PERM)
     ])
 
@@ -206,18 +222,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SQL = f"""
-sig AS (
-  SELECT doc_id, perm,
-         min({hash64_sql("CAST(perm AS VARCHAR) || ':' || shingle")}) AS minhash
-  FROM shingles, unnest(range(0, {N_PERM})) AS p(perm)
-  GROUP BY doc_id, perm
-),
-bands AS (
-  SELECT doc_id, perm - (perm % {BAND_ROWS}) AS band,
-         min(minhash) AS m1, max(minhash) AS m2
-  FROM sig GROUP BY 1, 2
+_SIG_COLS = ", ".join(
+    f"min(({PERM_A[p]} * h + {PERM_B[p]}) % {MERSENNE}) AS mh{p}"
+    for p in range(N_PERM)
 )
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b * BAND_ROWS} AS band, "
+    f"least(mh{b * BAND_ROWS}, mh{b * BAND_ROWS + 1}) AS m1, "
+    f"greatest(mh{b * BAND_ROWS}, mh{b * BAND_ROWS + 1}) AS m2 FROM sig"
+    for b in range(N_PERM // BAND_ROWS)
+)
+_MINHASH_SQL = f"""
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  FROM shingles
+),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
 """
 
 DEDUP_MINHASH_ORACLE = f"""

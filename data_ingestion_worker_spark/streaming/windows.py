@@ -80,6 +80,23 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_dedup_exact(events: DataFrame, keys: list[str] | None = None,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark horizon — duplicates arriving within the lateness window
+    are dropped, state older than it is evicted.  This is the streaming
+    face of the batch dedup ladder (dedup_exact): same identity-key
+    semantics, bounded memory at any stream length.
+    """
+    key_cols = keys or ["event_id"]
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "30 minutes",
                      watermark: str = "2 hours") -> DataFrame:

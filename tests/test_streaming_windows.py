@@ -192,3 +192,27 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = _rows(spark, out)
     assert [(r["purchase_id"], r["click_id"]) for r in rows] == [(100, 200)]
     assert rows[0]["purchase_value"] == 9.99
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Duplicate event_ids across microbatches (a redelivery) are
+    dropped while state stays within the watermark horizon."""
+    from data_ingestion_worker_spark.streaming.windows import (
+        stream_dedup_exact,
+    )
+
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:01:00", 1, "click", 2.0),
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),   # in-batch dup
+    ])
+    _drain(spark, inbox, ckpt, stream_dedup_exact, out, "append")
+    _write_events(inbox, "b2.json", [
+        _ev(2, "2026-01-01 10:01:00", 1, "click", 2.0),   # replayed dup
+        _ev(3, "2026-01-01 10:05:00", 2, "view", 5.0),    # new
+    ])
+    _drain(spark, inbox, ckpt, stream_dedup_exact, out, "append")
+    ids = sorted(r["event_id"] for r in _rows(spark, out))
+    assert ids == [1, 2, 3]
