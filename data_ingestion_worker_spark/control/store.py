@@ -81,6 +81,16 @@ KEYS: dict[str, list[str]] = {
     "contacts": ["staging_id"],
 }
 
+#: Physical layout (SURVEY.md §1.3): per-job reads of staging/issues and
+#: per-tenant reads of contacts become partition pruning — the Spark
+#: upgrade of the reference's B-tree indexes on those columns.  jobs and
+#: issue_items are tiny and stay flat.
+PARTITIONING: dict[str, list[str]] = {
+    "staging": ["staging_job_id"],
+    "issues": ["issues_job_id"],
+    "contacts": ["contacts_user_id"],
+}
+
 
 class ControlStore:
     """Five control tables under one root directory."""
@@ -115,7 +125,11 @@ class ControlStore:
         cols = [f.name for f in SCHEMAS[table].fields]
         version = f"v-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, table, version)
-        df.select(cols).write.mode("overwrite").parquet(path)
+        writer = df.select(cols).write.mode("overwrite")
+        parts = PARTITIONING.get(table)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
         tmp = self._pointer(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as f:

@@ -198,3 +198,14 @@ def test_resume_after_partial_crash_recreates_issues(env, spark):
     assert job["job_status"] == "NEEDS_REVIEW"   # NOT silently COMPLETED
     assert job["job_issue_count"] == 3
     assert store.read("issues").count() == 3
+
+
+def test_staging_reads_prune_by_job_partition(env):
+    """SURVEY §1.3 layout: staging partitioned by job -> per-job reads
+    show PartitionFilters in the scan (the index-upgrade story)."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    scan = store.read("staging").filter(F.col("staging_job_id") == 1)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    part_section = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "staging_job_id" in part_section, plan
