@@ -70,6 +70,16 @@ SCHEMAS: dict[str, T.StructType] = {
         ("contact_last_name", _S), ("contact_company", _S),
         ("contact_created_at", _TS),
     ]),
+    # Dead-letter ledger for the streaming consumer: the SQS
+    # redrive-policy analogue (maxReceiveCount -> DLQ).  The reference
+    # has no DLQ — a failing job message redelivers forever after its
+    # visibility timeout (README.md:196-203); this table bounds retries
+    # and preserves the failure for operators instead.
+    "dead_letters": _schema([
+        ("dlq_job_id", _L), ("dlq_s3_key", _S), ("dlq_error", _S),
+        ("dlq_attempts", _L), ("dlq_status", _S),
+        ("dlq_first_seen_at", _TS), ("dlq_last_attempt_at", _TS),
+    ]),
 }
 
 #: Primary keys used by MERGE upserts.
@@ -79,6 +89,7 @@ KEYS: dict[str, list[str]] = {
     "issues": ["issues_job_id", "issue_type", "issue_key"],
     "issue_items": ["item_issue_id", "item_staging_id"],
     "contacts": ["staging_id"],
+    "dead_letters": ["dlq_job_id"],
 }
 
 #: Physical layout (SURVEY.md §1.3): per-job reads of staging/issues and
@@ -187,3 +198,11 @@ class ControlStore:
             kept = target.join(updates.select(keys), keys, "left_anti")
             merged = kept.unionByName(updates.select(cols))
         self.overwrite(table, merged)
+
+    def delete(self, table: str, keys_df: DataFrame) -> None:
+        """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
+        appears in ``keys_df`` (anti-join + republish)."""
+        keys = KEYS[table]
+        target = self.read(table)
+        self.overwrite(table, target.join(keys_df.select(keys), keys,
+                                          "left_anti"))

@@ -21,6 +21,13 @@ Spark mapping:
                   reference's delivery contract.
 - poison msg   -> ``from_json`` null-out + filter (bad records never
                   reach the processor and never block the stream).
+- redrive/DLQ  -> the ``dead_letters`` control table: a job that raises
+                  is retried on subsequent batches until
+                  ``max_receive_count`` attempts, then parked with
+                  status=DEAD (SQS redrive policy; the reference instead
+                  redelivers failing messages forever after the
+                  visibility timeout, README.md:196-203).  A successful
+                  retry clears the entry.
 
 The *data* plane stays fully distributed (each job's CSV is a cluster
 scan); only the per-message routing (T3) is driver-side, exactly like the
@@ -30,12 +37,14 @@ driver-scale by construction.
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..control.processor import JobProcessor
-from ..control.store import ControlStore
+from ..control.store import SCHEMAS, ControlStore
 
 JOB_MESSAGE_SCHEMA = "job_id bigint, s3_key string"
 
@@ -55,29 +64,79 @@ class JobStreamConsumer:
 
     def __init__(self, spark: SparkSession, store: ControlStore,
                  inbox_dir: str, checkpoint_dir: str,
-                 user_id: str = "user-1") -> None:
+                 user_id: str = "user-1", max_receive_count: int = 3) -> None:
         self.spark = spark
+        self.store = store
         self.processor = JobProcessor(spark, store, user_id=user_id)
         self.inbox_dir = inbox_dir
         self.checkpoint_dir = checkpoint_dir
+        self.max_receive_count = max_receive_count
         self.results: list[tuple[int, str]] = []
+
+    # -- dead-letter ledger (SQS redrive-policy analogue) -------------------
+
+    def _pending_retries(self) -> list[tuple[int, str]]:
+        """Jobs that failed earlier but still have retry budget."""
+        rows = (
+            self.store.read("dead_letters")
+            .filter(F.col("dlq_status") == "RETRYING")
+            .select("dlq_job_id", "dlq_s3_key")
+            .collect()
+        )
+        return [(int(r["dlq_job_id"]), r["dlq_s3_key"]) for r in rows]
+
+    def _record_failure(self, job_id: int, s3_key: str, error: str) -> None:
+        """Bump the receive count; at max_receive_count the message is
+        dead-lettered (status=DEAD) and never retried again."""
+        now = datetime.now(timezone.utc)
+        prev = (
+            self.store.read("dead_letters")
+            .filter(F.col("dlq_job_id") == job_id)
+            .collect()
+        )
+        attempts = (int(prev[0]["dlq_attempts"]) if prev else 0) + 1
+        first_seen = prev[0]["dlq_first_seen_at"] if prev else now
+        status = "DEAD" if attempts >= self.max_receive_count else "RETRYING"
+        entry = self.spark.createDataFrame(
+            [(job_id, s3_key, error, attempts, status, first_seen, now)],
+            SCHEMAS["dead_letters"],
+        )
+        self.store.upsert("dead_letters", entry)
+
+    def _clear_failure(self, job_id: int) -> None:
+        """A retried job succeeded: drop its dead-letter entry."""
+        self.store.delete(
+            "dead_letters",
+            self.spark.createDataFrame([(job_id,)], "dlq_job_id bigint"),
+        )
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         msgs = parse_job_messages(batch_df)
         # Control stream: one tiny row per job — the collect is bounded by
         # message count, never by data size (the CSVs are processed as
         # distributed scans inside process_job).
-        for row in msgs.collect():
-            job_id = int(row["job_id"])
+        retries = self._pending_retries()
+        fresh = [(int(r["job_id"]), r["s3_key"]) for r in msgs.collect()]
+        retry_ids = {j for j, _ in retries}
+        fresh_keys = dict(fresh)
+        # Retries run first; a fresh message for a retrying job supplies
+        # the (possibly corrected) s3_key but is not processed twice.
+        todo = [(j, fresh_keys.get(j, k)) for j, k in retries]
+        todo += [(j, k) for j, k in fresh if j not in retry_ids]
+        for job_id, s3_key in todo:
+            is_retry = job_id in retry_ids
             try:
-                action = self.processor.process_job(job_id, row["s3_key"])
+                action = self.processor.process_job(job_id, s3_key)
+                if is_retry:
+                    self._clear_failure(job_id)
             except Exception as e:  # noqa: BLE001
                 # Per-message error isolation (reference S3/T10): a job
                 # whose CSV is missing/unreadable must not wedge the
                 # stream — raising here would fail the microbatch and the
                 # checkpoint would replay it forever (head-of-line
-                # blocking for every later job).  The job is recorded as
-                # errored; the message is consumed.
+                # blocking for every later job).  The failure lands in
+                # the dead_letters ledger with a bounded retry budget.
+                self._record_failure(job_id, s3_key, f"{type(e).__name__}: {e}")
                 action = f"error:{type(e).__name__}"
             self.results.append((job_id, action))
 

@@ -78,3 +78,63 @@ def test_unreadable_csv_does_not_wedge_stream(spark, tmp_path):
     )
     consumer2.start(available_now=True).awaitTermination(120)
     assert consumer2.results == []
+
+
+def _drain(spark, store, inbox, ckpt, n, **kw):
+    c = JobStreamConsumer(spark, store, str(inbox), str(ckpt), **kw)
+    c.start(available_now=True).awaitTermination(120)
+    return c.results
+
+
+def test_dead_letter_retry_budget(spark, tmp_path):
+    """A failing job is retried on later batches until max_receive_count,
+    then dead-lettered (status=DEAD) and never retried again."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    store = ControlStore(spark, str(tmp_path / "control"))
+    missing = str(tmp_path / "never-created.csv")
+    (inbox / "m1.json").write_text(
+        json.dumps({"job_id": 20, "s3_key": missing}) + "\n"
+    )
+    kw = {"max_receive_count": 2}
+    r1 = _drain(spark, store, inbox, tmp_path / "ckpt", 1, **kw)
+    assert r1[0][0] == 20 and r1[0][1].startswith("error:")
+    dl = store.read("dead_letters").collect()[0]
+    assert (dl["dlq_attempts"], dl["dlq_status"]) == (1, "RETRYING")
+
+    # Any later batch retries it; second failure exhausts the budget.
+    (inbox / "m2.json").write_text("{poison}\n")   # fires a batch, no jobs
+    r2 = _drain(spark, store, inbox, tmp_path / "ckpt", 2, **kw)
+    assert r2[0][0] == 20 and r2[0][1].startswith("error:")
+    dl = store.read("dead_letters").collect()[0]
+    assert (dl["dlq_attempts"], dl["dlq_status"]) == (2, "DEAD")
+    assert "never-created" in dl["dlq_error"]
+
+    # DEAD entries are parked: a third batch does not retry job 20.
+    (inbox / "m3.json").write_text("{poison}\n")
+    r3 = _drain(spark, store, inbox, tmp_path / "ckpt", 3, **kw)
+    assert r3 == []
+
+
+def test_dead_letter_cleared_on_successful_retry(spark, tmp_path):
+    """A retry that succeeds completes the job and drops the DLQ entry."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    store = ControlStore(spark, str(tmp_path / "control"))
+    late_csv = str(tmp_path / "late.csv")
+    (inbox / "m1.json").write_text(
+        json.dumps({"job_id": 21, "s3_key": late_csv}) + "\n"
+    )
+    r1 = _drain(spark, store, inbox, tmp_path / "ckpt", 1)
+    assert r1[0][1].startswith("error:")
+    assert store.read("dead_letters").count() == 1
+
+    # The file appears before the next batch -> retry succeeds.
+    with open(late_csv, "wb") as f:
+        f.write(CSV)
+    (inbox / "m2.json").write_text("{poison}\n")
+    r2 = _drain(spark, store, inbox, tmp_path / "ckpt", 2)
+    assert r2 == [(21, "initial")]
+    assert store.read("dead_letters").count() == 0
+    job = store.read("jobs").filter(F.col("job_id") == 21).collect()[0]
+    assert job["job_status"] == "COMPLETED"
