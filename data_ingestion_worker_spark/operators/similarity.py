@@ -216,16 +216,18 @@ FROM per_dim GROUP BY label
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label centroid; each query
-    probes only its best cell (nprobe=1), then exact top-k inside it.
+    probes its ``nprobe`` best cells, then exact top-k inside them.
 
     The centroid of label L is mean(vectors of L); since cosine is
     scale-invariant, cos(q, mean) == cos(q, sum) and the *sum* vector
     keeps everything integer-exact until one final double division.  At
     100 TB the cell id becomes the partition key: a query touches
-    1/n_cells of the corpus instead of all of it, and the centroid table
-    (n_cells x dim) broadcasts everywhere.
+    nprobe/n_cells of the corpus instead of all of it, and the centroid
+    table (n_cells x dim) broadcasts everywhere.  nprobe is the standard
+    IVF recall/latency dial (FAISS semantics): more probed cells, higher
+    recall, linearly more candidates scanned.
     """
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
@@ -259,7 +261,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = (
         assign.withColumn("cr", F.row_number().over(wa))
-        .filter(F.col("cr") == 1)
+        .filter(F.col("cr") <= nprobe)
         .select("query_id", F.col("c_label").alias("cell"))
     )
     q = (
@@ -295,7 +297,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_ORACLE = f"""
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=1 (fastest, lowest recall)."""
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def ann_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=2 — the recall/latency dial one notch up."""
+    return _ivf_topk(spark, sf_dir, nprobe=2)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index vs the brute-force ground truth, per
+    query and per nprobe in {1, 2} — the measurement harness that turns
+    'approximate' into a number.  recall = |ivf_topk ∩ exact_topk| / k.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    per_probe = []
+    for nprobe in (1, 2):
+        ivf = _ivf_topk(spark, sf_dir, nprobe).select(
+            "query_id", F.col("vec_id").alias("ivf_vec_id")
+        )
+        hits = exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (exact["vec_id"] == ivf["ivf_vec_id"]),
+            "left",
+        ).groupBy(exact["query_id"].alias("query_id")).agg(
+            F.count("ivf_vec_id").alias("n_hits")
+        )
+        per_probe.append(hits.select(
+            "query_id",
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+        ))
+    return per_probe[0].unionByName(per_probe[1])
+
+
+#: Shared IVF CTE chain, parameterized by nprobe; ends with a CTE named
+#: ``ivf{nprobe}`` holding that setting's top-k (query_id, vec_id, cosine,
+#: rank).  Kept composable so the recall oracle can stack two settings.
+def _ivf_ctes(nprobe: int) -> str:
+    return f"""
+cells{nprobe} AS (
+  SELECT query_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_cos DESC, c_label) AS cr FROM assign
+  ) WHERE cr <= {nprobe}
+),
+scored{nprobe} AS (
+  SELECT c.query_id, b.vec_id,
+         round(CAST(sum(a.v * b.v) AS DOUBLE)
+               / (sqrt(CAST(max(na.n) AS DOUBLE))
+                  * sqrt(CAST(max(nb.n) AS DOUBLE))), 6) AS cosine
+  FROM cells{nprobe} c
+  JOIN qv a ON a.vec_id = c.query_id
+  JOIN qv b ON b.d = a.d AND b.label = c.cell AND b.vec_id <> c.query_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+ivf{nprobe} AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored{nprobe}
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+_IVF_BASE = f"""
 WITH qv AS (
   SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
@@ -317,36 +389,63 @@ assign AS (
   WHERE qv.vec_id < {N_QUERIES}
   GROUP BY 1, 2
 ),
-cells AS (
-  SELECT query_id, c_label AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cell_cos DESC, c_label) AS cr FROM assign
-  ) WHERE cr = 1
-),
-norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1),
-scored AS (
-  SELECT c.query_id, b.vec_id,
-         round(CAST(sum(a.v * b.v) AS DOUBLE)
-               / (sqrt(CAST(max(na.n) AS DOUBLE))
-                  * sqrt(CAST(max(nb.n) AS DOUBLE))), 6) AS cosine
-  FROM cells c
-  JOIN qv a ON a.vec_id = c.query_id
-  JOIN qv b ON b.d = a.d AND b.label = c.cell AND b.vec_id <> c.query_id
-  JOIN norms na ON na.vec_id = a.vec_id
-  JOIN norms nb ON nb.vec_id = b.vec_id
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1)"""
+
+
+def _ivf_oracle(nprobe: int) -> str:
+    return (_IVF_BASE + "," + _ivf_ctes(nprobe)
+            + f"\nSELECT query_id, vec_id, cosine, rank FROM ivf{nprobe}\n")
+
+
+ANN_IVF_ORACLE = _ivf_oracle(1)
+ANN_IVF_PROBE2_ORACLE = _ivf_oracle(2)
+
+#: Exact top-k as a CTE (same pipeline as ANN_TOPK_ORACLE, on the shared
+#: qv/norms CTEs) for the recall measurement.
+_EXACT_TOPK_CTE = f"""
+exact_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
   GROUP BY 1, 2
-)
-SELECT query_id, vec_id, cosine, rank FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, vec_id) AS INT) AS rank
-  FROM scored
-) WHERE rank <= {TOP_K}
-"""
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT exact_dots.query_id AS query_id, exact_dots.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY exact_dots.query_id
+             ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))), 6)
+               DESC, exact_dots.vec_id) AS rank
+    FROM exact_dots
+    JOIN norms nq ON nq.vec_id = exact_dots.query_id
+    JOIN norms nv ON nv.vec_id = exact_dots.vec_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+ANN_IVF_RECALL_ORACLE = (
+    _IVF_BASE + "," + _ivf_ctes(1) + "," + _ivf_ctes(2) + ","
+    + _EXACT_TOPK_CTE + f"""
+SELECT e.query_id, np.nprobe,
+       CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(i.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM exact_topk e
+CROSS JOIN (SELECT CAST(unnest([1, 2]) AS INT) AS nprobe) np
+LEFT JOIN (
+  SELECT 1 AS nprobe, query_id, vec_id FROM ivf1
+  UNION ALL
+  SELECT 2 AS nprobe, query_id, vec_id FROM ivf2
+) i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+   AND i.nprobe = np.nprobe
+GROUP BY 1, 2
+""")
 
 
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
+    "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,
+                                     ANN_IVF_PROBE2_ORACLE),
+    "ann_ivf_recall": QuerySpec(ann_ivf_recall, ANN_IVF_RECALL_ORACLE),
     "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_ORACLE),
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, ANN_BUCKET_STATS_ORACLE),
     "emb_label_centroid_dot": QuerySpec(emb_label_centroid_dot,
