@@ -17,11 +17,15 @@ ladder (exact -> near-dup):
 Every step is reproduced bit-identically in the DuckDB oracles because the
 underlying hash is md5-based (functions/hashing.py), not engine murmur.
 
-Scale notes: at real corpus sizes add a shingle document-frequency cutoff
-before the inverted-index join (drop shingles in >0.1% of docs — they only
-connect boilerplate) and salt the band keys; both are one-line filters on
-these plans.  The 31-word synthetic vocabulary here would make a DF cutoff
-degenerate, so the verified spec keeps all shingles.
+Scale notes: high-document-frequency shingles are boilerplate — they
+connect unrelated documents and quadratically inflate the inverted-index
+join (a shingle in k docs emits k^2/2 candidate pairs).  The DF cutoff
+(``dedup_jaccard_df_cutoff``) drops them *before* the self-join; the DF
+count reuses the same shuffle key as the join itself, so the filter is
+one extra window over an exchange the plan already pays for.  At real
+corpus sizes the cutoff is relative (>0.1% of docs); the verified query
+pins an absolute df<=3 that is non-degenerate on the synthetic corpus.
+Band-key salting for the LSH path is the remaining one-line knob.
 """
 
 from __future__ import annotations
@@ -55,12 +59,18 @@ shingles AS (
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(spark: SparkSession, sf_dir: str,
+              max_df: int | None = None) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram pairs — Spark side.
 
     Built with array higher-order functions (no UDF); the explode is the
     only row-multiplying step and it precedes the shuffle, so partial
     aggregation sees the expanded rows locally.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    (boilerplate cutoff).  The DF window partitions by the same key the
+    downstream inverted-index join shuffles on, so it rides the exchange
+    that join already needs instead of adding one.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.expr(
@@ -74,11 +84,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_distinct dedups within the doc BEFORE the explode, and doc_id
     # disambiguates across docs — (doc_id, shingle) pairs are already
     # distinct, so no post-explode .distinct() shuffle is needed.
-    return (
+    out = (
         d.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        out = (
+            out.withColumn("df", F.count(F.lit(1)).over(w))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
+        )
+    return out
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +128,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated only for documents sharing at least one shingle, then scored
     inter / (|A| + |B| - inter).
     """
-    sh = _shingles(spark, sf_dir)
+    return _jaccard_pairs(_shingles(spark, sf_dir))
+
+
+DF_CUTOFF = 3       # absolute shingle document-frequency cutoff
+
+
+def dedup_jaccard_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with boilerplate shingles removed first.
+
+    Shingles in more than DF_CUTOFF documents are excluded *before* the
+    inverted-index join — both from candidate generation and from the
+    set sizes, i.e. Jaccard is computed over the filtered shingle sets.
+    This is the operator that keeps the join sub-quadratic on real
+    corpora, where header/footer boilerplate appears in a large fraction
+    of documents.
+    """
+    return _jaccard_pairs(_shingles(spark, sf_dir, max_df=DF_CUTOFF))
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -136,12 +173,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_JACCARD_ORACLE = f"""
-WITH {_SHINGLES_SQL.strip()},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+def _jaccard_oracle_body(src: str) -> str:
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n FROM {src} GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-  FROM shingles a JOIN shingles b
+  FROM {src} a JOIN {src} b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -154,6 +191,20 @@ JOIN sizes sb ON d2 = sb.doc_id
 WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
       / 10000.0 >= 0.2
 """
+
+
+DEDUP_JACCARD_ORACLE = (
+    f"WITH {_SHINGLES_SQL.strip()},{_jaccard_oracle_body('shingles')}"
+)
+
+DEDUP_JACCARD_DF_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+shingles_df AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM shingles
+  ) WHERE df <= {DF_CUTOFF}
+),{_jaccard_oracle_body('shingles_df')}"""
 
 
 #: Universal-hash permutation constants: mh_p = (A[p]*h + B[p]) mod MERSENNE
@@ -521,6 +572,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
                                         DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "dedup_jaccard_df_cutoff": QuerySpec(dedup_jaccard_df_cutoff,
+                                         DEDUP_JACCARD_DF_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
 }
