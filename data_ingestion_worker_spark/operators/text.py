@@ -186,7 +186,102 @@ GROUP BY token
 """
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals (the Gopher-rule family):
+
+    - ``ttr``: type-token ratio (distinct/total tokens) — low = repetitive.
+    - ``top_bigram_frac``: share of bigram occurrences taken by the most
+      frequent bigram — high = boilerplate loops.
+    - ``dup_trigram_frac``: fraction of trigram occurrences that are
+      repeats of an earlier trigram in the same document.
+
+    ttr and the trigram signal are pure array expressions (no shuffle);
+    the bigram mode needs a per-(doc, bigram) count, so the plan explodes
+    bigrams locally and aggregates — partial aggregation collapses the
+    exploded rows before the doc_id shuffle, which at 100 TB is the
+    difference between shuffling |tokens| and |documents| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    tri = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )
+    base = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tok"),
+            F.size(F.array_distinct("toks")).alias("d_tok"),
+            F.size(tri).alias("n_tri"),
+            F.size(F.array_distinct(tri)).alias("d_tri"),
+            F.explode(F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )).alias("bigram"),
+        )
+    )
+    per_bigram = base.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("n_tok").alias("n_tok"), F.max("d_tok").alias("d_tok"),
+        F.max("n_tri").alias("n_tri"), F.max("d_tri").alias("d_tri"),
+    )
+    agg = per_bigram.groupBy("doc_id").agg(
+        F.max("c").alias("top_big"), F.sum("c").alias("n_big"),
+        F.max("n_tok").alias("n_tok"), F.max("d_tok").alias("d_tok"),
+        F.max("n_tri").alias("n_tri"), F.max("d_tri").alias("d_tri"),
+    )
+    return agg.select(
+        "doc_id",
+        _floor4(F.col("d_tok").cast("double") / F.col("n_tok")).alias("ttr"),
+        _floor4(F.col("top_big").cast("double") / F.col("n_big"))
+        .alias("top_bigram_frac"),
+        _floor4(1.0 - F.col("d_tri").cast("double") / F.col("n_tri"))
+        .alias("dup_trigram_frac"),
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) >= 3
+),
+tok AS (
+  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS d_tok
+  FROM base
+),
+tri AS (
+  SELECT doc_id, count(*) AS n_tri,
+         count(DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         AS d_tri
+  FROM base, unnest(range(1, len(toks) - 1)) AS t(i)
+  GROUP BY 1
+),
+bigc AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, count(*) AS c
+  FROM base, unnest(range(1, len(toks))) AS t(i)
+  GROUP BY 1, 2
+),
+bigs AS (SELECT doc_id, max(c) AS top_big, sum(c) AS n_big FROM bigc GROUP BY 1)
+SELECT tok.doc_id AS doc_id,
+       floor(CAST(d_tok AS DOUBLE) / n_tok * 10000.0) / 10000.0 AS ttr,
+       floor(CAST(top_big AS DOUBLE) / n_big * 10000.0) / 10000.0
+       AS top_bigram_frac,
+       floor((1.0 - CAST(d_tri AS DOUBLE) / n_tri) * 10000.0) / 10000.0
+       AS dup_trigram_frac
+FROM tok
+JOIN tri ON tri.doc_id = tok.doc_id
+JOIN bigs ON bigs.doc_id = tok.doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_repetition_signals": QuerySpec(doc_repetition_signals,
+                                        REPETITION_ORACLE),
     "doc_token_stats": QuerySpec(doc_token_stats, TOKEN_STATS_ORACLE),
     "doc_quality_score": QuerySpec(doc_quality_score, QUALITY_ORACLE),
     "doc_lang_id": QuerySpec(doc_lang_id, LANG_ID_ORACLE),
