@@ -1,0 +1,321 @@
+"""Mergeable sketch operators — the 100 TB path for distinct counts,
+heavy hitters, membership and reproducible sampling.
+
+At warehouse scale the exact forms of these queries all funnel through a
+giant shuffle on the full key domain; the sketch forms are *algebraic
+aggregates* (each partition builds a partial sketch, partials merge
+associatively), so the shuffle carries kilobytes instead of the key
+domain:
+
+- **KMV (k minimum values)** distinct estimator: the k smallest 60-bit
+  hashes of a key set; union of sketches = k smallest of the union;
+  estimate = (k-1) * 2^60 / h_k.
+- **Count-Min**: d x w counter grid; counters add pointwise; point query
+  = min over d rows — always an overestimate, never under.
+- **Bloom filter**: m-bit membership; bits OR pointwise; the classic
+  pre-join filter (Spark's own runtime bloom pruning is the built-in
+  twin; this operator makes the false-positive contract *visible* and
+  verifiable).
+- **Bottom-k hash sample**: the k smallest keyed hashes — a deterministic,
+  merge-friendly sample (union = k smallest of union), which is how a
+  pipeline pins a reproducible eval subset of a 100 TB corpus.
+
+Everything is built on the md5-derived :func:`hash64` so the DuckDB
+oracles reproduce each sketch bit-for-bit (engine-native murmur hashes
+would be faster but unverifiable across engines; swapping
+``xxhash64`` in is a one-line change per operator at deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import tokens
+from ..spec import QuerySpec
+from ..tables import load_table
+
+KMV_K = 64          # KMV sketch size
+CMS_D, CMS_W = 4, 256   # Count-Min depth x width
+BLOOM_M, BLOOM_K = 4096, 3  # Bloom bits / hash functions
+SAMPLE_K = 100      # bottom-k sample size
+TOP_N = 20          # heavy hitters reported
+
+_TWO60 = float(1 << 60)   # 63 * 2^60 is exactly representable in a double
+
+_TOKENS_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+               "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+
+#: (source, shingle) distinct word-3-grams — the KMV key domain.
+_SRC_SHINGLES_SQL = f"""
+sh AS (
+  SELECT DISTINCT source,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+       unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+)
+"""
+
+
+def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    sh = F.expr(
+        "transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )
+    return (
+        d.select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("source", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle estimate from a KMV sketch, with the
+    exact count and relative error alongside.
+
+    The rank window partitions by source — at scale the k smallest
+    hashes per partition survive partial aggregation, so the exchange
+    carries k values per (source, partition), not the key domain.
+    """
+    sh = _src_shingles(spark, sf_dir).select(
+        "source", "shingle", hash64(F.col("shingle")).alias("h")
+    )
+    exact = sh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        sh.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == KMV_K)
+        .select("source", F.col("h").alias("hk"))
+    )
+    est = F.floor(
+        F.lit(float(KMV_K - 1) * _TWO60) / F.col("hk").cast("double")
+    ).cast("bigint")
+    return (
+        exact.join(kth, "source")
+        .select(
+            "source", "exact_distinct", est.alias("kmv_est"),
+            (F.floor(
+                F.abs(est.cast("double") - F.col("exact_distinct"))
+                / F.col("exact_distinct") * 10000.0
+            ) / 10000.0).alias("rel_err"),
+        )
+    )
+
+
+KMV_ORACLE = f"""
+WITH {_SRC_SHINGLES_SQL.strip()},
+hashed AS (
+  SELECT source, {hash64_sql('shingle')} AS h FROM sh
+),
+exact AS (SELECT source, count(*) AS exact_distinct FROM sh GROUP BY 1),
+kth AS (
+  SELECT source, h AS hk FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r = {KMV_K}
+),
+scored AS (
+  SELECT exact.source AS source,
+         CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         CAST(floor({float(KMV_K - 1)} * {_TWO60} / CAST(hk AS DOUBLE))
+              AS BIGINT) AS kmv_est
+  FROM exact JOIN kth ON kth.source = exact.source
+)
+SELECT source, exact_distinct, kmv_est,
+       floor(abs(CAST(kmv_est AS DOUBLE) - exact_distinct)
+             / exact_distinct * 10000.0) / 10000.0 AS rel_err
+FROM scored
+"""
+
+
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the corpus's top heavy-hitter tokens.
+
+    The d x w grid is a groupBy over (row, bucket) — w*d counters total,
+    so the aggregate output is constant-size no matter the corpus.  The
+    probe side is TOP_N rows and broadcasts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    jcol = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    bucket = (
+        hash64(F.concat(F.col("j").cast("string"), F.lit(":"),
+                        F.col("token"))) % CMS_W
+    )
+    cms = (
+        tok.select("token", jcol)
+        .select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = (
+        exact.withColumn(
+            "r", F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("token"))
+            )
+        ).filter(F.col("r") <= TOP_N).drop("r")
+    )
+    probe = top.select("token", "freq", jcol).select(
+        "token", "freq", "j", bucket.alias("bucket")
+    )
+    return (
+        F.broadcast(probe).join(cms, ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.max("freq").alias("exact_freq"), F.min("cnt").alias("cms_est"))
+        .select(
+            "token", "exact_freq", "cms_est",
+            (F.col("cms_est") - F.col("exact_freq")).alias("overestimate"),
+        )
+    )
+
+
+_CMS_HASH = hash64_sql("CAST(j AS VARCHAR) || ':' || token")
+_CMS_BUCKET_SQL = f"{_CMS_HASH} % {CMS_W}"
+
+CMS_ORACLE = f"""
+WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+cms AS (
+  SELECT j, {_CMS_BUCKET_SQL} AS bucket, count(*) AS cnt
+  FROM tok, unnest(range(0, {CMS_D})) AS jj(j)
+  GROUP BY 1, 2
+),
+exact AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+top AS (
+  SELECT token, freq FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, token) AS r FROM exact
+  ) WHERE r <= {TOP_N}
+),
+probe AS (
+  SELECT token, freq, j, {_CMS_BUCKET_SQL} AS bucket
+  FROM top, unnest(range(0, {CMS_D})) AS jj(j)
+)
+SELECT probe.token AS token,
+       CAST(max(freq) AS BIGINT) AS exact_freq,
+       CAST(min(cnt) AS BIGINT) AS cms_est,
+       CAST(min(cnt) - max(freq) AS BIGINT) AS overestimate
+FROM probe JOIN cms USING (j, bucket)
+GROUP BY 1
+"""
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe with its error contract visible.
+
+    Build side: BUILDING-segment customers (the small dimension slice);
+    probe side: every customer that placed an order.  Output per probe
+    key: what the bloom says, the truth, and whether it's one of the
+    bounded false positives (false negatives are impossible — the
+    operator's defining guarantee, asserted by the oracle match).
+
+    The built bit set is tiny (<= m bits) and broadcasts; at scale this
+    is the manual twin of Spark's runtime-filter join pruning.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k")).distinct()
+    )
+    icol = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+    bit = (
+        hash64(F.concat(F.col("i").cast("string"), F.lit(":"),
+                        F.col("k").cast("string"))) % BLOOM_M
+    )
+    bits = build.select(icol, "k").select(bit.alias("bit")).distinct()
+    probe = o.select(F.col("o_custkey").alias("k")).distinct()
+    probe_bits = probe.select("k", icol).select("k", bit.alias("bit"))
+    hits = (
+        probe_bits.join(F.broadcast(bits.withColumn("set_", F.lit(1))),
+                        "bit", "left")
+        .groupBy("k")
+        .agg(F.count("set_").alias("nb"))
+    )
+    return (
+        hits.join(F.broadcast(build.withColumn("member_", F.lit(1))),
+                  "k", "left")
+        .select(
+            F.col("k").alias("custkey"),
+            (F.col("nb") == BLOOM_K).alias("bloom_maybe"),
+            F.col("member_").isNotNull().alias("is_member"),
+            ((F.col("nb") == BLOOM_K) & F.col("member_").isNull())
+            .alias("false_positive"),
+        )
+    )
+
+
+_BLOOM_HASH = hash64_sql("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+_BLOOM_BIT_SQL = f"{_BLOOM_HASH} % {BLOOM_M}"
+
+BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT DISTINCT {_BLOOM_BIT_SQL} AS bit
+  FROM build, unnest(range(0, {BLOOM_K})) AS ii(i)
+),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probe_bits AS (
+  SELECT k, {_BLOOM_BIT_SQL} AS bit
+  FROM probe, unnest(range(0, {BLOOM_K})) AS ii(i)
+),
+hits AS (
+  SELECT pb.k, count(b.bit) AS nb
+  FROM probe_bits pb LEFT JOIN bits b USING (bit)
+  GROUP BY 1
+)
+SELECT h.k AS custkey,
+       (nb = {BLOOM_K}) AS bloom_maybe,
+       (bu.k IS NOT NULL) AS is_member,
+       (nb = {BLOOM_K} AND bu.k IS NULL) AS false_positive
+FROM hits h LEFT JOIN build bu ON bu.k = h.k
+"""
+
+
+def sample_hash_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k hash sample of the document corpus.
+
+    The k smallest keyed hashes form a uniform sample that is stable
+    across runs, engines and partitionings — and mergeable: the bottom-k
+    of a union is the bottom-k of the partial bottom-k's, so at scale
+    each partition contributes at most k candidates to a tiny final
+    reduction (the global sort never materializes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(h.asc(), F.col("doc_id"))
+    return (
+        d.select("doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, CAST(r AS INT) AS sample_rank FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {hash64_sql("'sample:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS r
+  FROM documents
+) WHERE r <= {SAMPLE_K}
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "sketch_kmv_distinct": QuerySpec(sketch_kmv_distinct, KMV_ORACLE),
+    "sketch_countmin_tokens": QuerySpec(sketch_countmin_tokens, CMS_ORACLE),
+    "sketch_bloom_membership": QuerySpec(sketch_bloom_membership,
+                                         BLOOM_ORACLE),
+    "sample_hash_bottomk": QuerySpec(sample_hash_bottomk, SAMPLE_ORACLE),
+}

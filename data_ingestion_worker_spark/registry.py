@@ -25,6 +25,7 @@ def _collect() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        sketches,
         stats,
         temporal,
         text,
@@ -34,7 +35,7 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
-               dedup, similarity, multimodal]
+               dedup, similarity, sketches, multimodal]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:
