@@ -178,7 +178,112 @@ FROM events
 """
 
 
+def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase per user.
+
+    Each stage's entry time is the first event of that type *after* the
+    previous stage's entry time (strict event-time ordering, not mere
+    co-occurrence).  Three aggregate-then-join steps, all shuffling on
+    user_id — co-partitioned end-to-end, so at scale the funnel costs one
+    exchange of the events table plus two cheap re-uses of it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase",
+                stage.alias("funnel_stage"))
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+  GROUP BY 1
+)
+SELECT v.user_id AS user_id, t_view, t_click, t_purchase,
+       CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT
+            AS INT) AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-activity day, counted
+    on each later active day by day offset.
+
+    Distinct (user, day) first — the classic cardinality reducer: the
+    retention aggregate then runs on |users| x |active days| rows, not
+    |events| rows.  Both shuffles key on user_id/cohort and are partial-
+    aggregated map-side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        days.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_funnel_stages": QuerySpec(ev_funnel_stages, FUNNEL_ORACLE),
+    "ev_retention_cohorts": QuerySpec(ev_retention_cohorts, RETENTION_ORACLE),
     "ev_tumbling_hourly": QuerySpec(ev_tumbling_hourly, TUMBLING_ORACLE),
     "ev_sliding_windows": QuerySpec(ev_sliding_windows, SLIDING_ORACLE),
     "ev_sessionize": QuerySpec(ev_sessionize, SESSION_ORACLE),
