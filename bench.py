@@ -9,7 +9,7 @@ Each query is forced through the noop sink (full execution, no
 driver-side collect overhead).  The mix covers every engine subsystem:
 scan-agg (q1/q6), multiway joins (q3/q5/q10), the flagship validation
 pipeline, window/sessionization, dedup (minhash), similarity (cosine
-top-k), and text scoring.
+top-k), text scoring, sketches (KMV), and funnel analytics.
 """
 
 from __future__ import annotations
@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "doc_quality_score",
+    "sketch_kmv_distinct",
+    "ev_funnel_stages",
 ]
 
 

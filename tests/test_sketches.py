@@ -1,0 +1,72 @@
+"""Sketch-operator guarantees beyond oracle parity.
+
+Parity (test_oracle_parity) proves both engines compute the same sketch;
+these tests pin the *algorithmic* contracts — the properties a user
+relies on when the sketch replaces an exact computation at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.operators.sketches import (
+    sample_hash_bottomk,
+    sketch_bloom_membership,
+    sketch_countmin_tokens,
+    sketch_kmv_distinct,
+)
+
+
+def test_bloom_no_false_negatives_and_broadcast_plan(spark, sf_dir):
+    """A Bloom filter may say 'maybe' wrongly, never 'no' wrongly — and
+    both its joins must broadcast (the bit set and build keys are tiny
+    by construction; shuffling the probe side for them would be wrong
+    at any scale)."""
+    df = sketch_bloom_membership(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    rows = df.collect()
+    assert rows, "probe side empty"
+    false_negatives = [r for r in rows if r.is_member and not r.bloom_maybe]
+    assert false_negatives == []
+    # fp flag column is consistent with the other two.
+    for r in rows:
+        assert r.false_positive == (r.bloom_maybe and not r.is_member)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min point queries are one-sided: estimate >= true count."""
+    rows = sketch_countmin_tokens(spark, sf_dir).collect()
+    assert rows
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_freq for r in rows)
+
+
+def test_kmv_estimate_tolerance(spark, sf_dir):
+    """KMV with k=64 has relative stddev ~1/sqrt(k-2) (~13%); assert a
+    generous 3-sigma envelope so the test pins sanity, not luck."""
+    rows = sketch_kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_distinct >= 64, "fixture too small for the sketch"
+        assert r.rel_err < 0.40, (r.source, r.rel_err)
+
+
+def test_bottomk_sample_stable_under_repartition(spark, sf_dir):
+    """The sample must be a pure function of the data, not of the
+    physical layout (that is the reproducibility contract)."""
+    base = {(r.doc_id, r.sample_rank)
+            for r in sample_hash_bottomk(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ), 1, 15), 16, 10).cast("bigint")
+    from pyspark.sql import Window
+    w = Window.orderBy(h.asc(), F.col("doc_id"))
+    shuffled = (
+        docs.repartition(7, "source").select("doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 100)
+    )
+    assert {(r.doc_id, r.sample_rank) for r in shuffled.collect()} == base
