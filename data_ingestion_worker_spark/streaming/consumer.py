@@ -64,13 +64,18 @@ class JobStreamConsumer:
 
     def __init__(self, spark: SparkSession, store: ControlStore,
                  inbox_dir: str, checkpoint_dir: str,
-                 user_id: str = "user-1", max_receive_count: int = 3) -> None:
+                 user_id: str = "user-1", max_receive_count: int = 3,
+                 max_files_per_trigger: int | None = None) -> None:
         self.spark = spark
         self.store = store
         self.processor = JobProcessor(spark, store, user_id=user_id)
         self.inbox_dir = inbox_dir
         self.checkpoint_dir = checkpoint_dir
         self.max_receive_count = max_receive_count
+        # Source rate control — the reference's SQS_MAX_NUMBER_OF_MESSAGES=1
+        # (settings.py:20): bound how many manifest files a microbatch
+        # ingests so one trigger can't bite off the whole backlog.
+        self.max_files_per_trigger = max_files_per_trigger
         self.results: list[tuple[int, str]] = []
 
     # -- dead-letter ledger (SQS redrive-policy analogue) -------------------
@@ -144,10 +149,11 @@ class JobStreamConsumer:
               processing_interval: str = "20 seconds") -> StreamingQuery:
         """availableNow=True drains the inbox and stops (test/batch mode);
         otherwise polls like the reference's 20 s long-poll loop (T1)."""
-        raw = (
-            self.spark.readStream.format("text")
-            .load(self.inbox_dir)
-        )
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   self.max_files_per_trigger)
+        raw = reader.load(self.inbox_dir)
         writer = raw.writeStream.foreachBatch(self._process_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

@@ -86,6 +86,35 @@ def _drain(spark, store, inbox, ckpt, n, **kw):
     return c.results
 
 
+def test_rate_limited_drain_processes_everything(spark, tmp_path):
+    """maxFilesPerTrigger=1 (the reference's one-message-at-a-time SQS
+    setting) splits the drain into one microbatch per manifest file but
+    must still process every job exactly once."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    store = ControlStore(spark, str(tmp_path / "control"))
+    for i, job in enumerate((31, 32, 33)):
+        csv_path = str(tmp_path / f"j{job}.csv")
+        # Distinct emails per job — reusing one address would (correctly)
+        # trip EXISTING_EMAIL for the later jobs once the first
+        # consolidates into the shared tenant's contacts.
+        with open(csv_path, "wb") as f:
+            f.write(b"email,first_name,last_name,company\n"
+                    b"u%d@x.com,Ann,Ada,Acme\n" % job)
+        (inbox / f"m{i}.json").write_text(
+            json.dumps({"job_id": job, "s3_key": csv_path}) + "\n"
+        )
+    consumer = JobStreamConsumer(
+        spark, store, str(inbox), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    consumer.start(available_now=True).awaitTermination(180)
+    assert sorted(consumer.results) == [(31, "initial"), (32, "initial"),
+                                        (33, "initial")]
+    done = store.read("jobs").filter(F.col("job_status") == "COMPLETED")
+    assert done.count() == 3
+
+
 def test_dead_letter_retry_budget(spark, tmp_path):
     """A failing job is retried on later batches until max_receive_count,
     then dead-lettered (status=DEAD) and never retried again."""
