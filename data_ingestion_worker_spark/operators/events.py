@@ -183,26 +183,34 @@ def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage's entry time is the first event of that type *after* the
     previous stage's entry time (strict event-time ordering, not mere
-    co-occurrence).  Three aggregate-then-join steps, all shuffling on
-    user_id — co-partitioned end-to-end, so at scale the funnel costs one
-    exchange of the events table plus two cheap re-uses of it.
+    co-occurrence).  Expressed as three chained whole-partition windows
+    over ONE partitioning of events by user_id: the naive
+    aggregate-then-join formulation re-reads the events table once per
+    stage (Catalyst does not dedupe common subplans), which at 100 TB
+    means six scans; this shape is one scan, one exchange, and a final
+    aggregate that reuses the window's partitioning.
     """
-    e = load_table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(F.when((F.col("event_type") == "click")
+                         & (F.col("ts") > F.col("t_view")),
+                         F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("t_click")),
+                         F.col("ts"))).over(w),
+        )
     )
     stage = (
         F.lit(1)
@@ -210,7 +218,13 @@ def ev_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
     ).cast("int")
     return (
-        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        staged.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
         .select("user_id", "t_view", "t_click", "t_purchase",
                 stage.alias("funnel_stage"))
     )
