@@ -81,34 +81,34 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle estimate from a KMV sketch, with the
     exact count and relative error alongside.
 
-    The rank window partitions by source — at scale the k smallest
-    hashes per partition survive partial aggregation, so the exchange
-    carries k values per (source, partition), not the key domain.
+    The exact count and the k-th smallest hash come from two windows
+    over the SAME source partitioning — one scan, one shingle explosion,
+    one exchange (an aggregate-plus-rank formulation would recompute the
+    whole shingle subplan per branch; Catalyst does not dedupe common
+    subplans).  At scale the k smallest hashes per partition survive
+    partial aggregation, so the exchange carries k values per (source,
+    partition), not the key domain.
     """
     sh = _src_shingles(spark, sf_dir).select(
-        "source", "shingle", hash64(F.col("shingle")).alias("h")
+        "source", hash64(F.col("shingle")).alias("h")
     )
-    exact = sh.groupBy("source").agg(
-        F.count(F.lit(1)).alias("exact_distinct")
-    )
-    w = Window.partitionBy("source").orderBy("h")
+    wr = Window.partitionBy("source").orderBy("h")
+    wa = Window.partitionBy("source")
     kth = (
-        sh.withColumn("r", F.row_number().over(w))
+        sh.withColumn("r", F.row_number().over(wr))
+        .withColumn("exact_distinct", F.count(F.lit(1)).over(wa))
         .filter(F.col("r") == KMV_K)
-        .select("source", F.col("h").alias("hk"))
+        .select("source", "exact_distinct", F.col("h").alias("hk"))
     )
     est = F.floor(
         F.lit(float(KMV_K - 1) * _TWO60) / F.col("hk").cast("double")
     ).cast("bigint")
-    return (
-        exact.join(kth, "source")
-        .select(
-            "source", "exact_distinct", est.alias("kmv_est"),
-            (F.floor(
-                F.abs(est.cast("double") - F.col("exact_distinct"))
-                / F.col("exact_distinct") * 10000.0
-            ) / 10000.0).alias("rel_err"),
-        )
+    return kth.select(
+        "source", "exact_distinct", est.alias("kmv_est"),
+        (F.floor(
+            F.abs(est.cast("double") - F.col("exact_distinct"))
+            / F.col("exact_distinct") * 10000.0
+        ) / 10000.0).alias("rel_err"),
     )
 
 
