@@ -484,9 +484,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     aggregate, converging in graph-diameter rounds (near-dup clusters
     are shallow, so single digits).  This is the Pregel shape on plain
     DataFrames: driver-side loop, executor-side set operations, nothing
-    per-row on the driver.  At corpus scale: cache + checkpoint the label
-    frame every few rounds to cut lineage, and note iterations are
-    *batch-wide* barriers, exactly like large-graph CC in production.
+    per-row on the driver.
+
+    Each round's label frame is ``localCheckpoint``-ed: iterative plans
+    otherwise grow by one join+aggregate of *lineage* per round (round N
+    re-analyzes rounds 1..N-1 — quadratic planning cost, and the printed
+    plan re-derives the LSH pipeline hundreds of times), while
+    checkpointing both materializes the frame and truncates its lineage
+    to a leaf.  On a real cluster prefer reliable ``checkpoint()`` (an
+    executor loss under localCheckpoint forces a full job restart —
+    the standard trade for large-graph CC in production).
 
     The DuckDB oracle computes the same fixpoint as a recursive
     reachability CTE — feasible because test clusters are tiny, while the
@@ -499,10 +506,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         .unionByName(
             pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
         )
+        .localCheckpoint(eager=True)   # LSH pipeline runs exactly once
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels.cache()
-    edges.cache()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -518,8 +526,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
                     F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -527,14 +535,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected components did not converge in {max_iter} rounds "
             "(a component's diameter exceeds the iteration budget; raise "
