@@ -228,10 +228,18 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     table (n_cells x dim) broadcasts everywhere.  nprobe is the standard
     IVF recall/latency dial (FAISS semantics): more probed cells, higher
     recall, linearly more candidates scanned.
+
+    The quantized corpus is localCheckpoint-ed once up front — the index
+    build.  Centroids, query norms, cell assignment and the candidate
+    scan are four consumers of it; without the materialization each one
+    re-reads and re-quantizes the embeddings table (six full scans at
+    corpus scale, since Catalyst does not dedupe common subplans).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_QVEC).alias("qv0")
+    ).localCheckpoint(eager=True)
     dims = e.select(
-        "vec_id", "label", F.posexplode(F.expr(_QVEC)).alias("d", "v")
+        "vec_id", "label", F.posexplode("qv0").alias("d", "v")
     )
     cent = dims.groupBy(F.col("label").alias("c_label"), "d").agg(
         F.sum("v").alias("s")
@@ -266,11 +274,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.expr(_QVEC).alias("qq"))
+        .select(F.col("vec_id").alias("query_id"), F.col("qv0").alias("qq"))
         .join(F.broadcast(cells), "query_id")
     )
     pairs = (
-        e.select("vec_id", "label", F.expr(_QVEC).alias("qv"))
+        e.select("vec_id", "label", F.col("qv0").alias("qv"))
         .join(F.broadcast(q),
               (F.col("label") == F.col("cell"))
               & (F.col("vec_id") != F.col("query_id")))
