@@ -1,0 +1,174 @@
+"""Data-profiling, stratified-sampling and anomaly-detection operators.
+
+Pipeline-hygiene primitives a 100 TB ingest needs around the core engine:
+
+- ``profile_columns``: per-column null/distinct/min/max profile of a fact
+  table in ONE scan (the "describe" a data contract check runs nightly).
+- ``sample_stratified``: exactly-k-per-stratum deterministic sample —
+  hash-ordered, so stable across runs, engines and partitionings.
+- ``ev_anomaly_zscore``: hourly event-count outliers per event type via
+  exact integer power sums (no floating accumulation order anywhere).
+
+The reference has no profiling surface at all — its only data-quality
+loop is the per-row validator (``src/validators/row_validator.py:47-107``);
+these operators are the set-based, corpus-level generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..spec import QuerySpec
+from ..tables import load_table
+
+#: Numeric lineitem measures profiled by ``profile_columns``.
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+#: Per-stratum sample size for ``sample_stratified``.
+STRATUM_K = 20
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null / distinct / min / max profile of the lineitem measures.
+
+    One ``stack`` unpivot feeds a single hash aggregate, so the table is
+    scanned once regardless of how many columns are profiled.  Partial
+    aggregation collapses the unpivoted rows to (#cols × #partitions)
+    before the shuffle; only the distinct count needs the values
+    themselves shuffled, grouped by (col_name, value) first so the
+    per-key cardinality work distributes instead of concentrating on
+    #cols reducers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = ", ".join(f"'{c}', {c}" for c in PROFILE_COLS)
+    long = li.select(
+        F.expr(f"stack({len(PROFILE_COLS)}, {pairs}) AS (col_name, v)")
+    )
+    # (col, value) pre-aggregation: distinct-count becomes a count of
+    # group rows — two shuffles of shrinking size, no expand operator.
+    per_val = long.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_val.groupBy("col_name").agg(
+        F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("n_non_null"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+        .cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+_PROFILE_ONE = """
+SELECT '{c}' AS col_name,
+       CAST(count({c}) AS BIGINT) AS n_non_null,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min({c}) AS min_val,
+       max({c}) AS max_val
+FROM lineitem
+"""
+
+PROFILE_ORACLE = " UNION ALL ".join(
+    _PROFILE_ONE.format(c=c) for c in PROFILE_COLS
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``STRATUM_K`` customers per market segment, chosen by
+    keyed-hash order.
+
+    Deterministic equivalent of ``df.sampleBy``: the k smallest hashes
+    within each stratum form a uniform sample that never changes across
+    runs or engines.  At scale the window is a bottom-k per group —
+    partial top-k per partition bounds what the shuffle carries to
+    k·#partitions rows per stratum, and strata parallelize the reduction
+    (contrast one global sample, which funnels into a single reducer).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = hash64(F.concat(F.lit("strat:"), F.col("c_custkey").cast("string")))
+    w = Window.partitionBy("c_mktsegment").orderBy(h.asc(), F.col("c_custkey"))
+    return (
+        c.select("c_mktsegment", "c_custkey")
+        .withColumn("stratum_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("stratum_rank") <= STRATUM_K)
+    )
+
+
+STRATIFIED_ORACLE = f"""
+SELECT c_mktsegment, c_custkey, CAST(r AS INT) AS stratum_rank FROM (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY {hash64_sql("'strat:' || CAST(c_custkey AS VARCHAR)")},
+                    c_custkey) AS r
+  FROM customer
+) WHERE r <= {STRATUM_K}
+"""
+
+
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per event type (|z| > 2).
+
+    The z-score is computed from integer power sums only:
+    ``z = (n·c − Σc) / sqrt(n·Σc² − (Σc)²)``  — numerator and radicand
+    are exact BIGINTs, so the one double division + sqrt is bit-identical
+    in any engine.  Even the |z| > 2 cut is taken on the *integer*
+    inequality ``(n·c − Σc)² > 4·(n·Σc² − (Σc)²)`` so no float boundary
+    can flip a row between engines.
+
+    Scale shape: groupBy(type, hour) is a partial-aggregated shuffle of
+    one row per bucket; the per-type stats frame is tiny and broadcast
+    back onto the buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    num = F.col("n") * F.col("c") - F.col("sx")
+    rad = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.filter((num * num > 4 * rad) & (F.col("n") > 1))
+        .select(
+            "event_type", "hour", F.col("c").alias("hour_count"),
+            F.round(num.cast("double") / F.sqrt(rad.cast("double")), 6)
+            .alias("zscore"),
+        )
+    )
+
+
+ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(c) AS sx, sum(c * c) AS sxx
+  FROM hourly GROUP BY 1
+)
+SELECT hourly.event_type AS event_type, hour, c AS hour_count,
+       round(CAST(n * c - sx AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zscore
+FROM hourly JOIN st ON hourly.event_type = st.event_type
+WHERE (n * c - sx) * (n * c - sx) > 4 * (n * sxx - sx * sx) AND n > 1
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
+    "sample_stratified": QuerySpec(sample_stratified, STRATIFIED_ORACLE),
+    "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),
+}

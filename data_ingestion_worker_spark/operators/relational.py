@@ -270,6 +270,25 @@ def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", delta.cast("double").alias("delta"))
 
 
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance quartile + percent_rank per market segment.
+
+    NTILE/PERCENT_RANK are deterministic only under a total order, so the
+    ORDER BY always carries the key tie-break — the same discipline every
+    "latest wins" window in this repo follows.  percent_rank is
+    (rank−1)/(n−1): a single division of exact integers, bit-identical
+    across engines.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("bal_prank"),
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale)."""
     return (
@@ -412,6 +431,14 @@ SPECS: dict[str, QuerySpec] = {
         "SELECT event_id, user_id, CAST(CAST(value AS DECIMAL(14,2)) - "
         "lag(CAST(value AS DECIMAL(14,2))) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id) AS DOUBLE) AS delta FROM events"),
+    "win_ntile_quartiles": QuerySpec(
+        win_ntile_quartiles,
+        "SELECT c_custkey, c_mktsegment, c_acctbal, "
+        "CAST(ntile(4) OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_quartile, "
+        "round(percent_rank() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey), 8) AS bal_prank "
+        "FROM customer"),
     "topk_orders": QuerySpec(
         topk_orders,
         "SELECT o_orderkey, o_totalprice FROM orders "

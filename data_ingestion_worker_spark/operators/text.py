@@ -279,7 +279,80 @@ JOIN bigs ON bigs.doc_id = tok.doc_id
 """
 
 
+#: Regexes shared by Spark (Java regex) and DuckDB (RE2) — restricted to
+#: the common dialect subset (character classes, bounded repetition, \b).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def doc_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction fingerprint over the document corpus.
+
+    The driver corpus is PII-free word soup, so a deterministic fraction
+    of documents (doc_id % 7 == 0) gets a synthetic contact line appended
+    — identically on the Spark and oracle side — making the extraction
+    counts non-trivial while staying fully verifiable.  The operator
+    itself is the real thing: count emails / URLs / phone numbers, then
+    fingerprint the text with all three redacted (the form a compliance
+    pass stores instead of raw text).  Pure per-row column expressions —
+    zero shuffles at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://example.org/d/"),
+        F.col("doc_id").cast("string"), F.lit(" tel 555-010-4242"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), contact))
+        .otherwise(F.col("text")).alias("body"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE, "<URL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("body", F.lit(PII_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(PII_URL_RE), F.lit(0)))
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all("body", F.lit(PII_PHONE_RE), F.lit(0)))
+        .alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+              || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://example.org/d/'
+              || CAST(doc_id AS VARCHAR) || ' tel 555-010-4242'
+         ELSE text END AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(body, '{PII_EMAIL_RE}', 0)) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(body, '{PII_URL_RE}', 0)) AS INT)
+         AS n_urls,
+       CAST(len(regexp_extract_all(body, '{PII_PHONE_RE}', 0)) AS INT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(body,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_URL_RE}', '<URL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM aug
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_pii_extract": QuerySpec(doc_pii_extract, PII_ORACLE),
     "doc_repetition_signals": QuerySpec(doc_repetition_signals,
                                         REPETITION_ORACLE),
     "doc_token_stats": QuerySpec(doc_token_stats, TOKEN_STATS_ORACLE),

@@ -23,6 +23,7 @@ def _collect() -> dict[str, QuerySpec]:
         dedup,
         events,
         multimodal,
+        profiling,
         relational,
         similarity,
         sketches,
@@ -35,7 +36,7 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
-               dedup, similarity, sketches, multimodal]
+               dedup, similarity, sketches, multimodal, profiling]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:
