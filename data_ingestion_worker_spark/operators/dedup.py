@@ -261,14 +261,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select("doc_id", F.explode(band_structs).alias("bs"))
         .select("doc_id", "bs.band", "bs.m1", "bs.m2")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-aggregate pairing: one shuffle of the band table (groupBy on
+    # the band signature) instead of the two a self-join would need, then
+    # intra-bucket pair expansion as an array expression.  sort_array
+    # guarantees d1 < d2 without a comparison join predicate.  Bucket
+    # sizes are the LSH collision counts — bounded on real corpora, so
+    # the quadratic expansion stays local and small.
+    buckets = bands.groupBy("band", "m1", "m2").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.m1") == F.col("b.m1"))
-               & (F.col("a.m2") == F.col("b.m2"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS d1, y AS d2))))"
+        )).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
 
