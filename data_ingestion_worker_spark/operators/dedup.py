@@ -517,9 +517,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         )
         .localCheckpoint(eager=True)   # LSH pipeline runs exactly once
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # Only vertices incident to an edge can ever change label, so the
+    # propagation loop runs on the edge subgraph alone; isolated docs
+    # (the overwhelming majority of a mostly-unique corpus) are attached
+    # afterwards with label = own id.  On a 100 TB corpus this shrinks
+    # every round's join from |corpus| to |near-dup docs|.
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("doc_id"),
+                F.col("src").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -527,24 +535,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # The convergence flag rides the label frame (computed in the
+        # same pass and materialized by the checkpoint), so the check is
+        # a filter over the checkpointed rows — no old-vs-new join.
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(neighbor_min, "doc_id")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                F.least("cluster_id", "nmin").alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             converged = True
             break
@@ -554,7 +558,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
             "(a component's diameter exceeds the iteration budget; raise "
             "max_iter)"
         )
-    return labels
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 DEDUP_CC_ORACLE = f"""
