@@ -122,24 +122,26 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     can flip a row between engines.
 
     Scale shape: groupBy(type, hour) is a partial-aggregated shuffle of
-    one row per bucket; the per-type stats frame is tiny and broadcast
-    back onto the buckets.
+    one row per bucket; the per-type power sums are an unbounded window
+    over that already-tiny hourly frame, so events is scanned exactly
+    once (a stats-side self-join would scan and aggregate it twice).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
         F.window("ts", "1 hour").getField("start").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    stats = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sx"),
-        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    w = Window.partitionBy("event_type")
+    st = hourly.select(
+        "event_type", "hour", "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sxx"),
     )
-    j = hourly.join(F.broadcast(stats), "event_type")
     num = F.col("n") * F.col("c") - F.col("sx")
     rad = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
-        j.filter((num * num > 4 * rad) & (F.col("n") > 1))
+        st.filter((num * num > 4 * rad) & (F.col("n") > 1))
         .select(
             "event_type", "hour", F.col("c").alias("hour_count"),
             F.round(num.cast("double") / F.sqrt(rad.cast("double")), 6)
