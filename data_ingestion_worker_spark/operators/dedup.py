@@ -586,8 +586,53 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+LEV_MAX = 3
+
+
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: part-name pairs within edit distance 3.
+
+    The entity-resolution shape: collapse the corpus to DISTINCT names
+    first (the cheap exact dedup), block on a stable key (here the noun
+    — last token — of the name) so candidate pairs are generated only
+    inside blocks, then score survivors with levenshtein.  Cost is
+    Σ|block|², never |corpus|² — the blocking key takes the role the
+    band signature plays in MinHash-LSH.  levenshtein is the classical
+    DP edit distance in both engines, so the oracle is exact.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("name", " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.noun") == F.col("b.noun"))
+               & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("n1"), F.col("b.name").alias("n2"),
+                F.levenshtein(F.col("a.name"), F.col("b.name"))
+                .alias("dist"))
+        .filter(F.col("dist") <= LEV_MAX)
+    )
+
+
+DEDUP_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         split_part(p_name, ' ', -1) AS noun
+  FROM part
+)
+SELECT a.name AS n1, b.name AS n2,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),
     "dedup_connected_components": QuerySpec(dedup_connected_components,
                                             DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,

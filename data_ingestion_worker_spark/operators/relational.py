@@ -308,6 +308,15 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evens.union(threes).distinct().exceptAll(fives.distinct())
 
 
+def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — planned as a left-semi join, so
+    it broadcasts/shuffles exactly like any other join under AQE."""
+    c = _t(spark, sf_dir, "customer")
+    evens = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    threes = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    return evens.intersect(threes)
+
+
 # --- scalar functions (F2, F5, F8; reference §2.6) ---------------------------
 
 def f2_email_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +458,10 @@ SPECS: dict[str, QuerySpec] = {
         "SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0 "
         "UNION SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) "
         "EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0"),
+    "set_ops_intersect": QuerySpec(
+        set_ops_intersect,
+        "SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0 "
+        "INTERSECT SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0"),
     "f2_email_regex": QuerySpec(
         f2_email_regex,
         f"WITH {BATCH_CTE.strip()} "

@@ -131,7 +131,64 @@ FROM (
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation.
+
+    Complements the CUBE/ROLLUP operators: only the requested grouping
+    combinations are computed (one Expand branch each), and grouping_id
+    lets the consumer tell a genuine NULL from an aggregated-out column
+    — both engines share the first-column-is-MSB bitmask convention.
+    """
+    from ..tables import register_views
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                 AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+HIST_WIDTH = 25000
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals.
+
+    Bucketing is ``floor(x / width)`` — one exact double division per
+    row, no data-dependent bucket boundaries, so the aggregation is a
+    single partial+final hash agg (the same shape at any scale; compare
+    equi-depth histograms, which need a percentile pre-pass).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(float(HIST_WIDTH)))
+    return o.groupBy(b.cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {HIST_WIDTH}.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
+    "agg_histogram": QuerySpec(agg_histogram, HISTOGRAM_ORACLE),
     "agg_percentiles": QuerySpec(agg_percentiles, PERCENTILES_ORACLE),
     "agg_variance_exact": QuerySpec(agg_variance_exact, VARIANCE_ORACLE),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_ORACLE),

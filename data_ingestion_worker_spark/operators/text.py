@@ -9,7 +9,7 @@ document).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -351,8 +351,69 @@ FROM aug
 """
 
 
+TOP_TERMS = 5
+
+
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by tf × (N/df) weight.
+
+    The tf-idf shape with a *rational* idf: weight = tf·N/df is a single
+    IEEE division of exact integers, so it is bit-identical across
+    engines (ln-idf would hang the verdict on libm ulp agreement; the
+    ranking it induces is identical because ln is monotone in N/df).
+
+    Plan shape: one explode of the token arrays feeds BOTH aggregates —
+    tf per (doc, token), then df per token derived from the tf frame
+    (a second, smaller aggregate — never a second scan).  The df side
+    joins back by token; the final top-k is a per-doc window over ≤
+    |vocab| rows.  Every shuffle shrinks: |tokens| → |doc×term| →
+    |vocab|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar; one parquet-footer count
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weight = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .select("doc_id", "term", "tf", "df", weight.alias("weight"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_TERMS)
+        .drop("weight")
+    )
+
+
+SALIENT_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS weight
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, term) AS rk
+  FROM scored
+) WHERE rk <= {TOP_TERMS}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_pii_extract": QuerySpec(doc_pii_extract, PII_ORACLE),
+    "doc_salient_terms": QuerySpec(doc_salient_terms, SALIENT_ORACLE),
     "doc_repetition_signals": QuerySpec(doc_repetition_signals,
                                         REPETITION_ORACLE),
     "doc_token_stats": QuerySpec(doc_token_stats, TOKEN_STATS_ORACLE),
