@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_quality_score",
     "sketch_kmv_distinct",
     "ev_funnel_stages",
+    "profile_columns",
+    "doc_salient_terms",
+    "dedup_fuzzy_names",
 ]
 
 

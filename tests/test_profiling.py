@@ -1,0 +1,93 @@
+"""Contracts for the profiling / sampling / anomaly / matching operators
+beyond oracle parity: invariants a user relies on, plus the plan shapes
+that make them viable at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.operators.dedup import (
+    LEV_MAX,
+    dedup_fuzzy_names,
+)
+from data_ingestion_worker_spark.operators.profiling import (
+    PROFILE_COLS,
+    STRATUM_K,
+    ev_anomaly_zscore,
+    profile_columns,
+    sample_stratified,
+)
+from data_ingestion_worker_spark.operators.text import doc_salient_terms
+from data_ingestion_worker_spark.tables import load_table
+
+
+def test_profile_single_scan_no_expand(spark, sf_dir):
+    """Any number of profiled columns must cost exactly one table scan,
+    and the distinct counts must not plan an Expand (the multi-distinct
+    fallback that multiplies shuffle rows by #aggregates)."""
+    df = profile_columns(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    rows = {r["col_name"]: r for r in df.collect()}
+    assert set(rows) == set(PROFILE_COLS)
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    for r in rows.values():
+        assert r["n_non_null"] + r["n_null"] == n
+        assert r["n_distinct"] <= r["n_non_null"]
+        assert r["min_val"] is None or r["min_val"] <= r["max_val"]
+
+
+def test_stratified_sample_exact_k_and_stability(spark, sf_dir):
+    """Every stratum yields exactly min(K, |stratum|) rows, and the
+    sample is identical across runs (keyed hash, no RNG)."""
+    s1 = sample_stratified(spark, sf_dir)
+    per = {r["c_mktsegment"]: r["n"] for r in
+           s1.groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["c_mktsegment"]: r["n"] for r in
+             load_table(spark, sf_dir, "customer")
+             .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {seg for seg, n in sizes.items() if n > 0}
+    for seg, n in per.items():
+        assert n == min(STRATUM_K, sizes[seg]), seg
+    s2 = sample_stratified(spark, sf_dir)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_anomaly_zscore_magnitude_and_single_scan(spark, sf_dir):
+    """Every reported bucket really has |z| > 2, and events is scanned
+    exactly once (power sums ride a window, not a second aggregate)."""
+    df = ev_anomaly_zscore(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    for r in df.collect():
+        assert abs(r["zscore"]) > 2.0 - 1e-6, r
+
+
+def test_fuzzy_names_symmetric_blocking(spark, sf_dir):
+    """Pairs are canonical (n1 < n2), within the distance bound, and
+    only ever share a blocking noun."""
+    rows = dedup_fuzzy_names(spark, sf_dir).collect()
+    assert rows, "expected some fuzzy pairs on the part names"
+    for r in rows:
+        assert r["n1"] < r["n2"]
+        assert 0 < r["dist"] <= LEV_MAX
+        assert r["n1"].rsplit(" ", 1)[-1] == r["n2"].rsplit(" ", 1)[-1]
+
+
+def test_salient_terms_topk_contract(spark, sf_dir):
+    """≤ k terms per doc, ranks contiguous from 1, and the weight
+    ordering tf*N/df is non-increasing within a doc."""
+    df = doc_salient_terms(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in df.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        weights = [r["tf"] * n_docs / r["df"] for r in rs]
+        assert all(a >= b - 1e-9 for a, b in zip(weights, weights[1:]))
