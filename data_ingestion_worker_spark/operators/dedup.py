@@ -586,6 +586,57 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+EVAL_MOD = 97       # doc_id % EVAL_MOD == 0 -> held-out eval set
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any word
+    3-gram with a held-out eval set.
+
+    The benchmark-leakage guard every training corpus needs: the eval
+    set here is the deterministic slice ``doc_id % 97 == 0``; in
+    production it is the benchmark suite.  Contamination = a left-semi
+    join from training shingles to the (distinct, comparatively tiny)
+    eval shingle set — Spark broadcasts the eval side, so the training
+    corpus is never shuffled at all; cost is one scan of the training
+    shingles regardless of corpus size.
+    """
+    sh = _shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval)
+    contaminated = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id").distinct()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(~is_eval)
+        .join(contaminated.withColumn("contaminated", F.lit(True)),
+              "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("contaminated", F.lit(False))
+                .alias("contaminated"))
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+eval_sh AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM shingles
+  WHERE doc_id % {EVAL_MOD} <> 0
+    AND shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT d.doc_id AS doc_id,
+       (c.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
 LEV_MAX = 3
 
 
@@ -633,6 +684,7 @@ WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),
+    "doc_decontaminate": QuerySpec(doc_decontaminate, DECONTAMINATE_ORACLE),
     "dedup_connected_components": QuerySpec(dedup_connected_components,
                                             DEDUP_CC_ORACLE),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,

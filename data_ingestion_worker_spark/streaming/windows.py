@@ -132,6 +132,22 @@ def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against a static dimension snapshot.
+
+    The static side is broadcast (re-read per micro-batch only if its
+    source supports it, e.g. a Delta table picking up dimension
+    updates); the stream side never shuffles, carries no join state and
+    needs no watermark — stream-static inner joins are stateless by
+    definition.  This is the canonical "attach user profile to the
+    event firehose" shape; at 100 TB/day the only cost that grows is
+    the stream scan itself.
+    """
+    return events.join(F.broadcast(dim), key, "inner")
+
+
 _RUNNING_STATE_SCHEMA = "n bigint, total double"
 _RUNNING_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 

@@ -216,3 +216,26 @@ def test_stream_dedup_exact(spark, tmp_path):
     _drain(spark, inbox, ckpt, stream_dedup_exact, out, "append")
     ids = sorted(r["event_id"] for r in _rows(spark, out))
     assert ids == [1, 2, 3]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each microbatch is enriched against the
+    static dimension with a broadcast join, statelessly (no watermark
+    required, no state store directory growth)."""
+    from data_ingestion_worker_spark.streaming.windows import (
+        enrich_with_dimension,
+    )
+
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string")
+    _write_events(inbox, "b1.json", [
+        _ev(1, "2026-01-01 10:00:00", 1, "click", 1.0),
+        _ev(2, "2026-01-01 10:01:00", 2, "view", 2.0),
+        _ev(3, "2026-01-01 10:02:00", 9, "view", 3.0),   # no dim row
+    ])
+    _drain(spark, inbox, ckpt,
+           lambda s: enrich_with_dimension(s, dim), out, "append")
+    rows = {r["event_id"]: r["tier"] for r in _rows(spark, out)}
+    assert rows == {1: "gold", 2: "silver"}              # inner join drops 9
