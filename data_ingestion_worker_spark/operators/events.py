@@ -295,7 +295,75 @@ GROUP BY 1, 2
 """
 
 
+def ev_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props → typed map → explode → per-(type, key) aggregate.
+
+    The semi-structured column pattern: ``from_json`` parses once into a
+    real MapType (SURVEY §1.1 notes the reference's only nested value is
+    a JSON body it parses per-message), the map explodes to (key, value)
+    rows, and the aggregate is an ordinary hash agg.  Sums run in
+    BIGINT — exact at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "v"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("bigint")).alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+    )
+
+
+PROPS_MAP_ORACLE = """
+SELECT event_type, k AS prop_key, CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS v_sum,
+       CAST(min(CAST(json_extract(props, '$.' || k) AS INT)) AS INT)
+         AS v_min,
+       CAST(max(CAST(json_extract(props, '$.' || k) AS INT)) AS INT)
+         AS v_max
+FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY 1, 2
+"""
+
+
+def ev_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: truncate-to-date, extract fields,
+    day offsets, month ends, day differences vs a fixed anchor —
+    SURVEY §2.6 notes the reference has no date arithmetic at all;
+    this pins the engine's (all whole-stage-codegen expressions)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        d.alias("d"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.date_add(d, 30).alias("due_30d"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2026-06-01").cast("date"), d).cast("int")
+        .alias("days_to_anchor"),
+    )
+
+
+DATE_MATH_ORACLE = """
+SELECT event_id, CAST(ts AS DATE) AS d,
+       CAST(extract(year FROM ts) AS INT) AS y,
+       CAST(extract(month FROM ts) AS INT) AS m,
+       CAST(ts AS DATE) + 30 AS due_30d,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       CAST(datediff('day', CAST(ts AS DATE), DATE '2026-06-01') AS INT)
+         AS days_to_anchor
+FROM events
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_props_map_stats": QuerySpec(ev_props_map_stats, PROPS_MAP_ORACLE),
+    "ev_date_math": QuerySpec(ev_date_math, DATE_MATH_ORACLE),
     "ev_funnel_stages": QuerySpec(ev_funnel_stages, FUNNEL_ORACLE),
     "ev_retention_cohorts": QuerySpec(ev_retention_cohorts, RETENTION_ORACLE),
     "ev_tumbling_hourly": QuerySpec(ev_tumbling_hourly, TUMBLING_ORACLE),
