@@ -308,6 +308,29 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evens.union(threes).distinct().exceptAll(fives.distinct())
 
 
+def corr_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers richer than their nation's average balance.
+
+    The correlated-scalar-subquery shape, decorrelated the way Catalyst
+    (and any optimizer) rewrites it: one per-nation aggregate joined
+    back to the row grain.  The comparison is ``bal · n > Σbal`` in
+    DECIMAL — no division, so the boundary can't drift between engines
+    no matter how the average would round.
+    """
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bal).alias("s"),
+    )
+    j = c.join(F.broadcast(per_nation), "c_nationkey")
+    return (
+        j.filter((bal * F.col("n")).cast("decimal(38,2)")
+                 > F.col("s").cast("decimal(38,2)"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
 def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct semantics) — planned as a left-semi join, so
     it broadcasts/shuffles exactly like any other join under AQE."""
@@ -458,6 +481,15 @@ SPECS: dict[str, QuerySpec] = {
         "SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0 "
         "UNION SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) "
         "EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0"),
+    "corr_subquery_above_avg": QuerySpec(
+        corr_subquery_above_avg,
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer c "
+        "WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * ("
+        "  SELECT count(*) FROM customer i "
+        "  WHERE i.c_nationkey = c.c_nationkey) AS DECIMAL(38,2)) > ("
+        "  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
+        "              AS DECIMAL(38,2)) FROM customer i "
+        "  WHERE i.c_nationkey = c.c_nationkey)"),
     "set_ops_intersect": QuerySpec(
         set_ops_intersect,
         "SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0 "

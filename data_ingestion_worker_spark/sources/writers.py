@@ -17,7 +17,7 @@ the optimizer hook at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -77,3 +77,41 @@ def repartition_for_output(df: DataFrame, target_file_mb: int = 256,
     files = max(1, math.ceil(n * approx_row_bytes /
                              (target_file_mb * 1024 * 1024)))
     return df.repartition(files)
+
+
+def compact_dir(spark: SparkSession, path: str,
+                target_file_mb: int = 256) -> int:
+    """Rewrite a parquet directory into ``target_file_mb``-sized files.
+
+    The maintenance half of the small-files story: long-running ingest
+    (per-microbatch appends, per-job staging writes) accumulates files
+    far smaller than a scan-efficient size; footer/open overhead then
+    dominates reads.  Sizing uses the *actual* on-disk bytes, so the
+    target holds regardless of schema or compression ratio.  The
+    rewrite lands in a sibling temp dir and swaps in with two renames —
+    readers see the old or the new layout, never a half-written one.
+
+    For a partition-tree layout, compact per partition directory (this
+    rewrites one flat directory; partition columns would be flattened
+    into the files).  On a real deployment this is Delta/Iceberg
+    ``OPTIMIZE``; the single swap point is this function.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    root = path.rstrip("/")
+    total = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                           recursive=True)
+    )
+    files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp, old = root + ".compacting", root + ".precompact"
+    spark.read.parquet(root).repartition(files) \
+        .write.mode("overwrite").parquet(tmp)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    return files

@@ -126,3 +126,26 @@ def test_repartition_for_output(spark, sf_dir):
                                  row_count=li.count())
     assert out.rdd.getNumPartitions() >= 1
     assert out.count() == li.count()
+
+
+def test_compact_dir_collapses_small_files(spark, sf_dir, tmp_path):
+    """Many tiny appended files collapse to the byte-sized target; rows
+    and values survive; the directory swap leaves no temp residue."""
+    import glob
+    import os
+
+    from data_ingestion_worker_spark.sources.writers import compact_dir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    path = str(tmp_path / "frag")
+    li.repartition(40).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 40
+    n_rows = li.count()
+    files = compact_dir(spark, path, target_file_mb=256)
+    after = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(after) == files == 1          # tiny table -> one file
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".precompact")
