@@ -1,0 +1,40 @@
+"""Engine-wide physical-plan hygiene.
+
+Every registry query's executed plan is scanned for the shapes that kill
+jobs at scale:
+
+- ``BatchEvalPython`` — a row-at-a-time Python UDF (the §2.8 zero-UDF
+  constraint; Arrow-batched ``MapInPandas``/``FlatMapGroupsInPandas``
+  remain allowed for the multimodal stubs).
+- ``CartesianProduct`` — an unbroadcast cross join; at any real scale
+  this is a non-terminating job.
+- ``BroadcastNestedLoopJoin`` — allowed only where a broadcast cross
+  join *is* the algorithm (query-vector × corpus scans, scalar-subquery
+  attachment), listed explicitly so a new accidental one fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_worker_spark.registry import all_specs
+
+#: Queries whose algorithm is a deliberate broadcast cross join.
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",     # K query vectors broadcast against the corpus
+    "ann_ivf_recall",      # IVF results × brute-force results comparison
+    "q22_idle_rich_customers",  # scalar subquery attached to every row
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_plan_has_no_scale_killers(spark, sf_dir, name):
+    spec = all_specs()[name]
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected broadcast nested-loop join"
+        )

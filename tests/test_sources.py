@@ -149,3 +149,21 @@ def test_compact_dir_collapses_small_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n_rows
     assert not os.path.exists(path + ".compacting")
     assert not os.path.exists(path + ".precompact")
+
+
+def test_ivf_cell_layout_prunes_unprobed_cells(spark, sf_dir, tmp_path):
+    """The ANN scale story made concrete: embeddings written partitioned
+    by IVF cell; a probe of 2 cells reaches the scan as a
+    PartitionFilter, so unprobed cells are never read."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_layout")
+    e.withColumn("cell", F.col("label")).write.partitionBy("cell") \
+        .parquet(path)
+    probed = [1, 3]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    expect = e.filter(F.col("label").isin(probed)).count()
+    assert df.count() == expect
