@@ -167,3 +167,24 @@ def test_ivf_cell_layout_prunes_unprobed_cells(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan, plan
     expect = e.filter(F.col("label").isin(probed)).count()
     assert df.count() == expect
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Long-lived datasets widen: files written before a column existed
+    must read as NULL for it, and the union schema must come back when
+    asked (mergeSchema) — the parquet half of schema evolution; a table
+    format makes it metadata-only."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")) \
+        .write.parquet(path)
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[0]["v2"] is None        # pre-evolution file -> NULL
+    assert rows[4]["v2"] == 1.5
+    assert merged.count() == 5
