@@ -295,6 +295,39 @@ GROUP BY 1, 2
 """
 
 
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling sum per user — a RANGE window frame.
+
+    ROWS frames (win_running_sum) count physical rows; this is the
+    *time* frame: all events within the preceding 3600 s, however many
+    there are.  RANGE frames treat same-timestamp peers identically in
+    every engine, so no tie-break is needed; the sum runs in DECIMAL so
+    accumulation order can't matter either.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_s(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(14,2)")).over(w)
+        .cast("double").alias("trailing_1h"),
+    )
+
+
+TIME_RANGE_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
+         PARTITION BY user_id
+         ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_1h
+FROM events
+"""
+
+
 def ev_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON props → typed map → explode → per-(type, key) aggregate.
 
@@ -362,6 +395,7 @@ FROM events
 
 
 SPECS: dict[str, QuerySpec] = {
+    "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),
     "ev_props_map_stats": QuerySpec(ev_props_map_stats, PROPS_MAP_ORACLE),
     "ev_date_math": QuerySpec(ev_date_math, DATE_MATH_ORACLE),
     "ev_funnel_stages": QuerySpec(ev_funnel_stages, FUNNEL_ORACLE),

@@ -411,7 +411,92 @@ SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rk FROM (
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks.
+
+    The tokenize-for-training step: every doc becomes ⌈n/stride⌉ chunks
+    of ≤ CHUNK_TOKENS tokens with CHUNK_TOKENS−CHUNK_STRIDE overlap.
+    Chunking is a pure array expression (sequence → slice) followed by
+    one posexplode — embarrassingly parallel, no shuffle; downstream
+    writers repartition by size, not here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    chunks = F.expr(
+        f"transform(sequence(0, size(toks) - 1, {CHUNK_STRIDE}), "
+        f"s -> struct(concat_ws(' ', slice(toks, s + 1, {CHUNK_TOKENS})) "
+        f"AS chunk_text, "
+        f"least({CHUNK_TOKENS}, size(toks) - s) AS n_tok))"
+    )
+    return (
+        base.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select("doc_id", F.col("chunk_id").cast("int"),
+                "c.chunk_text", F.col("c.n_tok").cast("int").alias("n_tok"))
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) > 0
+)
+SELECT doc_id,
+       CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(toks) - s) AS INT) AS n_tok
+FROM base, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS t(s)
+"""
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share and uniform-target resampling weight.
+
+    The domain-mixing bookkeeping of a training pipeline: a source with
+    share s in a k-source corpus needs weight (1/k)/s to hit a uniform
+    mix.  Weights derive from one tiny aggregate; the grand total rides
+    an unbounded window over the k-row frame rather than a second scan.
+    Shares/weights are exact integer divisions floored to 6 decimals.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    k = F.count(F.lit(1)).over(w)
+    share = F.col("n_docs").cast("double") / total
+    weight = total.cast("double") / (k * F.col("n_docs"))
+    return per.select(
+        "source", "n_docs",
+        (F.floor(share * 1e6) / 1e6).alias("share"),
+        (F.floor(weight * 1e6) / 1e6).alias("uniform_weight"),
+    )
+
+
+MIX_ORACLE = """
+SELECT source, n_docs,
+       floor(CAST(n_docs AS DOUBLE) / total * 1000000.0) / 1000000.0
+         AS share,
+       floor(CAST(total AS DOUBLE) / (k * n_docs) * 1000000.0) / 1000000.0
+         AS uniform_weight
+FROM (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(count(*)) OVER () AS total,
+         count(*) OVER () AS k
+  FROM documents GROUP BY 1
+)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_chunk": QuerySpec(doc_chunk, CHUNK_ORACLE),
+    "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_ORACLE),
     "doc_pii_extract": QuerySpec(doc_pii_extract, PII_ORACLE),
     "doc_salient_terms": QuerySpec(doc_salient_terms, SALIENT_ORACLE),
     "doc_repetition_signals": QuerySpec(doc_repetition_signals,
