@@ -394,7 +394,53 @@ FROM events
 """
 
 
+def ev_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: count, mean value
+    and the type's share of traffic landing in that hour.
+
+    The time-series decomposition baseline (observed = seasonal + resid):
+    subtracting this profile from the hourly series is what turns
+    :func:`ev_anomaly_zscore` from "daily rhythm detector" into a true
+    outlier detector.  Shape: one groupBy over ≤ |types|×24 buckets
+    (partial-agg shuffle), then the share via a window over that tiny
+    frame — the raw events table is scanned exactly once.  Mean is a
+    DECIMAL-sum ÷ BIGINT-count double division (order-independent); the
+    share is integer-over-integer (exact inputs, one IEEE division).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_val()).alias("sv"),
+    )
+    w = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type", "hod", "n",
+        F.round(F.col("sv").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_value"),
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(w).cast("double"), 6).alias("hour_share"),
+    )
+
+
+SEASONAL_ORACLE = """
+SELECT event_type, hod, n,
+       round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS hour_share
+FROM (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(14,2))) AS sv
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_seasonal_profile": QuerySpec(ev_seasonal_profile, SEASONAL_ORACLE),
     "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),
     "ev_props_map_stats": QuerySpec(ev_props_map_stats, PROPS_MAP_ORACLE),
     "ev_date_math": QuerySpec(ev_date_math, DATE_MATH_ORACLE),

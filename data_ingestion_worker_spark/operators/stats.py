@@ -186,8 +186,114 @@ FROM orders GROUP BY 1
 """
 
 
+def stats_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression of extended price on quantity per return flag,
+    from the same exact DECIMAL power sums as :func:`agg_corr_exact`:
+
+    slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    intercept = (Σy − slope·Σx) / n
+
+    Every accumulator is a map-side-combinable DECIMAL SUM (one shuffle
+    of one row per flag, any cluster size); only the final two divisions
+    run in double, and IEEE division is correctly rounded, so both
+    engines produce bit-identical statistics regardless of row order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy")).cast("decimal(38,4)") \
+        - (F.col("sx") * F.col("sy")).cast("decimal(38,4)")
+    den = (n * F.col("sxx")).cast("decimal(38,4)") \
+        - (F.col("sx") * F.col("sx")).cast("decimal(38,4)")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (F.col("sy").cast("double") - slope
+                 * F.col("sx").cast("double")) / n.cast("double")
+    return agg.select(
+        "l_returnflag", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
+
+
+LINREG_ORACLE = """
+SELECT l_returnflag, n,
+       round(slope, 6) AS slope,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS intercept
+FROM (
+  SELECT *,
+         CAST(CAST(n AS DECIMAL(38,4)) * sxy - sx * sy AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(38,4)) * sxx - sx * sx AS DOUBLE) AS slope
+  FROM (
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    AS DECIMAL(38,4))) AS sxx,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(38,4))) AS sxy
+    FROM lineitem GROUP BY 1
+  )
+)
+"""
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per order status with a pinned tie-break.
+
+    The built-in ``mode()`` in both engines picks an arbitrary winner on
+    ties, so the operator is specified as the deterministic composition:
+    count per (group, value), then rank by (count DESC, value ASC) and
+    keep rank 1.  The count pre-aggregation means the window runs over
+    |statuses|×|priorities| rows — constant-size whatever the fact-table
+    scale — instead of windowing the raw scan.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc())
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
+
+
+MODE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority AS modal_priority,
+       cnt AS modal_count
+FROM (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC)
+           AS rn
+  FROM orders GROUP BY 1, 2
+)
+WHERE rn = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
+    "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),
+    "agg_mode_deterministic": QuerySpec(agg_mode_deterministic, MODE_ORACLE),
     "agg_histogram": QuerySpec(agg_histogram, HISTOGRAM_ORACLE),
     "agg_percentiles": QuerySpec(agg_percentiles, PERCENTILES_ORACLE),
     "agg_variance_exact": QuerySpec(agg_variance_exact, VARIANCE_ORACLE),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64_sql
 from ..functions.text import (
     BPE_REGEX,
     LANG_MARKERS,
@@ -494,7 +495,104 @@ FROM (
 """
 
 
+INDEX_MIN_DF = 5
+INDEX_POSTINGS_HEAD = 16
+
+
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency, total term
+    frequency, and the head of the sorted posting list.
+
+    The classic retrieval / keyword-search preprocessing pass.  Plan
+    shape: explode tokens, then ONE hash aggregation keyed on token —
+    partial aggregation collapses each partition's duplicate tokens
+    before the shuffle, so shuffle volume is |vocabulary|-bounded per
+    partition, not |tokens|.  `collect_set` keeps postings as a set
+    (mergeable across partitions); the head slice bounds output row
+    width so a hot token (df = |corpus|) cannot produce a gigabyte row
+    at 100 TB — full posting lists would instead be written partitioned
+    BY RANGE(token) without the slice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.sort_array(F.collect_set("doc_id")).alias("docs"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+        .select(
+            "token", "df", "tf_total",
+            F.concat_ws(
+                ",",
+                F.expr(f"transform(slice(docs, 1, {INDEX_POSTINGS_HEAD}), "
+                       "x -> cast(x AS string))"),
+            ).alias("postings_head"),
+        )
+    )
+
+
+INVERTED_INDEX_ORACLE = f"""
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf_total,
+       array_to_string(
+         list_sort(list(DISTINCT doc_id))[1:{INDEX_POSTINGS_HEAD}], ',')
+         AS postings_head
+FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token
+HAVING count(DISTINCT doc_id) >= {INDEX_MIN_DF}
+"""
+
+
+SAMPLE_WEIGHTED_K = 12
+
+
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted corpus sample: the k documents with
+    the smallest ``hash64(doc_id) div n_chars`` priority.
+
+    A reproducible stand-in for probability-proportional-to-size
+    sampling (token-budget corpus draws weight long documents higher):
+    the priority is an *integer* division of a uniform 60-bit hash by
+    the weight, so larger ``n_chars`` → stochastically smaller priority,
+    and ties are impossible to flip across engines because no float is
+    ever compared.  Plan shape is TakeOrderedAndProject — each partition
+    keeps its local top-k, the driver merges k·P rows — no global sort
+    at any scale.
+    """
+    from ..functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.expr("hashv div greatest(n_chars, 1)")
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            hash64(F.col("doc_id").cast("string")).alias("hashv"),
+        )
+        .select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_WEIGHTED_K)
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       {hash64_sql("CAST(doc_id AS VARCHAR)")} // greatest(n_chars, 1)
+         AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_inverted_index": QuerySpec(doc_inverted_index,
+                                    INVERTED_INDEX_ORACLE),
+    "sample_weighted_bottomk": QuerySpec(sample_weighted_bottomk,
+                                         SAMPLE_WEIGHTED_ORACLE),
     "doc_chunk": QuerySpec(doc_chunk, CHUNK_ORACLE),
     "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_ORACLE),
     "doc_pii_extract": QuerySpec(doc_pii_extract, PII_ORACLE),

@@ -1,0 +1,100 @@
+"""Semantic contracts for the regression/mode/index/sample/seasonal
+operators — each pinned against an independent recomputation (numpy /
+pandas / hashlib), not against the DuckDB oracle (tools/check_oracle.py
+and test_oracle_parity.py already cover engine parity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from data_ingestion_worker_spark.operators.stats import (
+    agg_mode_deterministic,
+    stats_linreg_exact,
+)
+from data_ingestion_worker_spark.operators.events import ev_seasonal_profile
+from data_ingestion_worker_spark.operators.text import (
+    INDEX_MIN_DF,
+    INDEX_POSTINGS_HEAD,
+    SAMPLE_WEIGHTED_K,
+    doc_inverted_index,
+    sample_weighted_bottomk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    rows = stats_linreg_exact(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    assert rows
+    for r in rows:
+        g = li[li.l_returnflag == r.l_returnflag]
+        slope, intercept = np.polyfit(g.l_quantity, g.l_extendedprice, 1)
+        assert r.n == len(g)
+        assert r.slope == pytest.approx(slope, abs=1e-4)
+        assert r.intercept == pytest.approx(intercept, abs=1e-2)
+
+
+def test_mode_matches_pandas_value_counts(spark):
+    rows = {r.o_orderstatus: r for r in
+            agg_mode_deterministic(spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderstatus", "o_orderpriority").toPandas()
+    assert rows
+    for status, g in o.groupby("o_orderstatus"):
+        counts = g.o_orderpriority.value_counts()
+        best = counts.max()
+        # pinned tie-break: smallest value among the max-count candidates
+        expect = min(v for v, c in counts.items() if c == best)
+        assert rows[status].modal_priority == expect
+        assert rows[status].modal_count == best
+
+
+def test_inverted_index_contract(spark):
+    rows = doc_inverted_index(spark, SF_DIR).collect()
+    docs = dict(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.df >= INDEX_MIN_DF
+        assert r.tf_total >= r.df          # tf counts repeats, df doesn't
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert head == sorted(head)
+        assert len(head) == min(r.df, INDEX_POSTINGS_HEAD)
+        for doc_id in head:                # every posting really has it
+            assert r.token in docs[doc_id].lower().split()
+
+
+def test_weighted_sample_is_the_global_bottom_k(spark):
+    rows = sample_weighted_bottomk(spark, SF_DIR).collect()
+    assert len(rows) == SAMPLE_WEIGHTED_K
+    # recompute every priority driver-side with hashlib
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "n_chars").collect()
+    pri = {
+        d.doc_id: int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:15],
+                      16) // max(d.n_chars, 1)
+        for d in docs
+    }
+    expect = sorted(pri, key=lambda i: (pri[i], i))[:SAMPLE_WEIGHTED_K]
+    assert [r.doc_id for r in rows] == expect
+    for r in rows:
+        assert r.priority == pri[r.doc_id]
+
+
+def test_seasonal_profile_shares_and_domain(spark):
+    rows = ev_seasonal_profile(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, float] = {}
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        assert r.n > 0
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.hour_share
+    for share_sum in by_type.values():   # shares partition the type total
+        assert share_sum == pytest.approx(1.0, abs=1e-4)
