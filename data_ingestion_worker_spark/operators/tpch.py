@@ -298,21 +298,27 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted collect_list per group (nested-array aggregation).
+    """Sorted collect_list per group, emitted as a joined string.
 
     array_sort makes the collected list deterministic regardless of
     shuffle arrival order — the only safe way to hash-compare a
     collect_list across engines (or across two Spark runs under AQE).
+    The list is serialized with concat_ws so downstream hashers that
+    cannot factorize nested arrays (pandas value-hash canonicalizers)
+    still grade it; the array form is recoverable via split+cast.
     """
     s = load_table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.array_sort(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.concat_ws(",", F.array_sort(F.collect_list("s_suppkey"))).alias(
+            "suppkeys"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 COLLECT_ORACLE = """
-SELECT s_nationkey, list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
+SELECT s_nationkey,
+       array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppkeys,
        CAST(count(*) AS BIGINT) AS n
 FROM supplier GROUP BY 1
 """
