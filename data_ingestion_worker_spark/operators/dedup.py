@@ -421,7 +421,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select("vec_id", F.expr(_EMB_QVEC).alias("qv"))
     e1 = vecs.select(F.col("vec_id").alias("v1"), F.col("qv").alias("qa"))
     e2 = vecs.select(F.col("vec_id").alias("v2"), F.col("qv").alias("qb"))
-    pairs = cand.join(F.broadcast(e1), "v1").join(F.broadcast(e2), "v2")
+    # No broadcast hint: the verification side is the FULL embeddings
+    # table, which exceeds any broadcast budget at real corpus size.
+    # AQE broadcasts it when (and only when) it actually fits; otherwise
+    # this is a shuffle hash join keyed on vec_id.
+    pairs = cand.join(e1, "v1").join(e2, "v2")
     dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
                  "cast(0 as bigint), (acc, v) -> acc + v)")
     na = F.expr("aggregate(transform(qa, x -> x * x), "

@@ -27,6 +27,43 @@ BNLJ_ALLOWED = {
 }
 
 
+def test_embedding_cosine_verification_join_not_forced_broadcast(
+    spark, sf_dir
+):
+    """The verification join must not *hint* a broadcast of embeddings.
+
+    With the auto-broadcast threshold off, a hint-free plan degrades to
+    a shuffle join; a leftover ``F.broadcast`` hint would still force a
+    BroadcastExchange — the driver-memory killer at real corpus size.
+    """
+    spec = all_specs()["dedup_embedding_cosine"]
+    # Build FIRST: operator construction (load_table) re-applies
+    # ENGINE_CONF, which would clobber the -1 threshold below.  Physical
+    # planning reads SQLConf lazily at executedPlan(), so setting the
+    # threshold after construction still governs join selection.
+    df = spec.fn(spark, sf_dir)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, (
+            "embeddings relation is hint-forced into a broadcast"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
     spec = all_specs()[name]
