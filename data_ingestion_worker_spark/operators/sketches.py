@@ -77,28 +77,49 @@ def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt fanout for the KMV first phase: each source's hash set is split
+#: across this many groups so no single task ever sorts a whole source.
+KMV_SALTS = 64
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle estimate from a KMV sketch, with the
     exact count and relative error alongside.
 
-    The exact count and the k-th smallest hash come from two windows
-    over the SAME source partitioning — one scan, one shingle explosion,
-    one exchange (an aggregate-plus-rank formulation would recompute the
-    whole shingle subplan per branch; Catalyst does not dedupe common
-    subplans).  At scale the k smallest hashes per partition survive
-    partial aggregation, so the exchange carries k values per (source,
-    partition), not the key domain.
+    Two-phase bounded top-k, one scan, no rank window: phase 1 groups by
+    (source, hash-salt) and keeps each group's k smallest hashes plus its
+    row count; phase 2 merges the ≤ KMV_SALTS k-sized sorted states per
+    source and sums the counts.  ``source`` is low-cardinality, so a
+    per-source rank window would funnel every shingle hash of a source
+    into ONE task's sort; here the phase-1 sort is spread over KMV_SALTS
+    groups and the per-source merge state is KMV_SALTS x k values — the
+    sketch's merge property doing the work.
     """
     sh = _src_shingles(spark, sf_dir).select(
         "source", hash64(F.col("shingle")).alias("h")
     )
-    wr = Window.partitionBy("source").orderBy("h")
-    wa = Window.partitionBy("source")
+    mins = (
+        sh.groupBy("source", F.pmod("h", F.lit(KMV_SALTS)).alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K)
+            .alias("mins"),
+        )
+    )
     kth = (
-        sh.withColumn("r", F.row_number().over(wr))
-        .withColumn("exact_distinct", F.count(F.lit(1)).over(wa))
-        .filter(F.col("r") == KMV_K)
-        .select("source", "exact_distinct", F.col("h").alias("hk"))
+        mins.groupBy("source")
+        .agg(
+            F.sum("c").alias("exact_distinct"),
+            F.get(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("mins"))),
+                    1, KMV_K,
+                ),
+                KMV_K - 1,
+            ).alias("hk"),
+        )
+        .filter(F.col("hk").isNotNull())
+        .select("source", "exact_distinct", "hk")
     )
     est = F.floor(
         F.lit(float(KMV_K - 1) * _TWO60) / F.col("hk").cast("double")

@@ -64,6 +64,15 @@ def test_embedding_cosine_verification_join_not_forced_broadcast(
                 spark.conf.set(k, v)
 
 
+def test_kmv_plan_has_no_rank_window(spark, sf_dir):
+    """KMV must stay a two-phase bounded aggregate: a per-source rank
+    window would sort every shingle hash of a source in one task."""
+    spec = all_specs()["sketch_kmv_distinct"]
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, "per-source rank window reintroduced"
+
+
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
     spec = all_specs()[name]
