@@ -45,6 +45,11 @@ SCHEMAS: dict[str, T.StructType] = {
         ("job_status", _S), ("job_total_rows", _L),
         ("job_processed_rows", _L), ("job_issue_count", _L),
         ("job_process_start", _TS), ("job_process_end", _TS),
+        # Error text of the last fatal failure (reference marks
+        # JobStatus.FAILED on any processing exception,
+        # src/processor.py:387,671,787; here a job goes FAILED when its
+        # dead-letter retry budget is exhausted).
+        ("job_error", _S),
     ]),
     "staging": _schema([
         ("staging_id", _L), ("staging_job_id", _L), ("staging_email", _S),

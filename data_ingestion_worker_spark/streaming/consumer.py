@@ -92,7 +92,11 @@ class JobStreamConsumer:
 
     def _record_failure(self, job_id: int, s3_key: str, error: str) -> None:
         """Bump the receive count; at max_receive_count the message is
-        dead-lettered (status=DEAD) and never retried again."""
+        dead-lettered (status=DEAD), never retried again, and the job row
+        itself goes FAILED with the error text — the reference's
+        JobStatus.FAILED-on-exception (src/processor.py:387,671,787), so
+        a user polling job status sees the terminal state, not an
+        eternal PROCESSING."""
         now = datetime.now(timezone.utc)
         prev = (
             self.store.read("dead_letters")
@@ -107,6 +111,16 @@ class JobStreamConsumer:
             SCHEMAS["dead_letters"],
         )
         self.store.upsert("dead_letters", entry)
+        if status == "DEAD":
+            # The job may have died before its row was ever created
+            # (e.g. poison path upstream of _ensure_job on a replay).
+            self.processor._ensure_job(job_id, s3_key)
+            self.processor._set_job(
+                job_id,
+                job_status=F.lit("FAILED"),
+                job_error=F.lit(error),
+                job_process_end=F.current_timestamp(),
+            )
 
     def _clear_failure(self, job_id: int) -> None:
         """A retried job succeeded: drop its dead-letter entry."""

@@ -138,6 +138,13 @@ def test_dead_letter_retry_budget(spark, tmp_path):
     dl = store.read("dead_letters").collect()[0]
     assert (dl["dlq_attempts"], dl["dlq_status"]) == (2, "DEAD")
     assert "never-created" in dl["dlq_error"]
+    # Budget exhausted => the job row itself is terminal (reference
+    # JobStatus.FAILED on exception): a status poll must not see an
+    # eternal PROCESSING.
+    job = store.read("jobs").filter(F.col("job_id") == 20).collect()[0]
+    assert job["job_status"] == "FAILED"
+    assert "never-created" in job["job_error"]
+    assert job["job_process_end"] is not None
 
     # DEAD entries are parked: a third batch does not retry job 20.
     (inbox / "m3.json").write_text("{poison}\n")
