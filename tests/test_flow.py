@@ -10,7 +10,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from data_ingestion_worker_spark.control import ControlStore, JobProcessor
+from data_ingestion_worker_spark.control import (
+    ControlStore,
+    JdbcControlStore,
+    JobProcessor,
+)
 
 CSV = (
     b"email,first_name,last_name,company\n"
@@ -22,9 +26,21 @@ CSV = (
 )
 
 
-@pytest.fixture()
-def env(spark, tmp_path):
-    store = ControlStore(spark, str(tmp_path / "control"))
+def _make_store(kind, spark, tmp_path):
+    if kind == "jdbc":
+        # Embedded Derby (ships with Spark) stands in for the reference's
+        # Postgres; the store's MERGE/overwrite SQL is shared syntax.
+        return JdbcControlStore(
+            spark,
+            f"jdbc:derby:{tmp_path}/controldb;create=true",
+            {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )
+    return ControlStore(spark, str(tmp_path / "control"))
+
+
+@pytest.fixture(params=["parquet", "jdbc"])
+def env(spark, tmp_path, request):
+    store = _make_store(request.param, spark, tmp_path)
     proc = JobProcessor(spark, store, user_id="user-1")
     csv_path = str(tmp_path / "job1.csv")
     with open(csv_path, "wb") as f:
@@ -176,7 +192,10 @@ def test_store_vacuum_keeps_current_readable(env):
     proc.process_job(1, csv_path)          # many publishes per table
     before = store.read("staging").count()
     removed = store.vacuum(keep_last=1)
-    assert removed > 0
+    if isinstance(store, ControlStore):
+        assert removed > 0                 # old parquet versions reclaimed
+    else:
+        assert removed == 0                # JDBC holds one live version
     assert store.read("staging").count() == before     # current intact
     assert store.read("jobs").count() == 1
 
@@ -204,6 +223,8 @@ def test_staging_reads_prune_by_job_partition(env):
     """SURVEY §1.3 layout: staging partitioned by job -> per-job reads
     show PartitionFilters in the scan (the index-upgrade story)."""
     store, proc, csv_path = env
+    if not isinstance(store, ControlStore):
+        pytest.skip("partition layout is parquet-store-specific")
     proc.process_job(1, csv_path)
     scan = store.read("staging").filter(F.col("staging_job_id") == 1)
     plan = scan._jdf.queryExecution().executedPlan().toString()
