@@ -68,3 +68,28 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_salted_lsh_pair_set_equals_unsalted(spark, sf_dir):
+    """Triangle-cell band salting must not change the candidate pair
+    set — only how a hot band bucket's pair generation is distributed.
+    Also exercises a synthetic hot bucket (every doc sharing one band
+    signature) so the cross-salt cells actually fire."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        _band_pairs,
+        dedup_minhash_lsh,
+    )
+
+    plain = dedup_minhash_lsh(spark, sf_dir, salts=1)
+    salted = dedup_minhash_lsh(spark, sf_dir, salts=4)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+    hot = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"), F.lit(7).alias("m1"), F.lit(9).alias("m2"),
+    )
+    want = {(a, b) for a in range(40) for b in range(40) if a < b}
+    got = {(r["d1"], r["d2"])
+           for r in _band_pairs(hot, salts=4).collect()}
+    assert got == want
