@@ -22,6 +22,7 @@ NotImplementedError pending a real codec.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,6 +31,10 @@ from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
 from ..tables import load_table
+
+#: True when Pillow is importable — the seam between the deterministic
+#: stub decoder (oracle-verified) and the real codec path.
+HAS_PIL: bool = importlib.util.find_spec("PIL") is not None
 
 DECODE_SCHEMA = ("doc_id bigint, byte_len int, fake_width int, "
                  "fake_height int, payload_sha string")
@@ -69,18 +74,61 @@ def fake_decode_image(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         })
 
 
+REAL_DECODE_SCHEMA = ("doc_id bigint, byte_len int, width int, "
+                      "height int, mode string, format string")
+
+
 def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Production decode signature — requires an image codec at runtime."""
-    raise NotImplementedError(
-        "real image decode needs Pillow/libav; use fake_decode_image for "
-        "plumbing tests"
-    )
+    """Real image decode (Pillow), same batch loop as the stub.
+
+    Emits REAL_DECODE_SCHEMA rows; undecodable payloads yield NULL
+    dimensions instead of failing the batch (row-level error isolation,
+    reference T10).  Raises only when Pillow is absent — callers choose
+    the seam via :data:`HAS_PIL` / :func:`decode_image`.
+    """
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real image decode needs Pillow; use fake_decode_image for "
+            "plumbing tests"
+        )
+    import io
+
+    from PIL import Image
+
+    def _meta(b: bytes):
+        try:
+            with Image.open(io.BytesIO(b)) as img:
+                return (img.width, img.height, img.mode, img.format)
+        except Exception:  # noqa: BLE001 — corrupt payload, not a bug
+            return (None, None, None, None)
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_meta)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "byte_len": pdf["payload"].map(len).astype("int32"),
+            "width": metas.map(lambda m: m[0]).astype("Int32"),
+            "height": metas.map(lambda m: m[1]).astype("Int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+        })
+
+
+#: The decode seam: the real codec when the environment has one, the
+#: deterministic stub otherwise.  Note the two emit different schemas —
+#: pick the matching one (REAL_DECODE_SCHEMA vs DECODE_SCHEMA).
+decode_image = decode_image_real if HAS_PIL else fake_decode_image
 
 
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> mapInPandas decode -> typed metadata columns."""
     docs = load_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(fake_decode_image, DECODE_SCHEMA)
+
+
+def mm_decode_real(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Real-codec decode over any (doc_id, payload) DataFrame."""
+    return df.mapInPandas(decode_image_real, REAL_DECODE_SCHEMA)
 
 
 MM_DECODE_ORACLE = """
