@@ -134,6 +134,15 @@ class JobProcessor:
         self.store.upsert("staging", _pad(staging_new, self.store, "staging"),
                           insert_only=True)
 
+        # Mid-job heartbeat (reference T4: src/processor.py:179,216-233
+        # bumps job_processed_rows every 10 rows; the set-based analogue
+        # is a stage boundary): staging is merged, issues not yet
+        # derived — publish the counts now so a status poll during a
+        # long batch sees movement before the terminal route lands.
+        self._set_job(job_id,
+                      job_total_rows=F.lit(total_rows).cast("long"),
+                      job_processed_rows=F.lit(total_rows).cast("long"))
+
         self._merge_issues_and_links(job_id, annot.filter(
             F.col("issue_type").isNotNull()
         ))

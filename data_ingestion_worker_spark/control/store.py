@@ -85,6 +85,14 @@ SCHEMAS: dict[str, T.StructType] = {
         ("dlq_attempts", _L), ("dlq_status", _S),
         ("dlq_first_seen_at", _TS), ("dlq_last_attempt_at", _TS),
     ]),
+    # Per-microbatch heartbeat written by the StreamProgressListener —
+    # the drain-level half of the reference's row-granularity progress
+    # (T4): each completed microbatch publishes its input-row count
+    # while the streaming query is still running.
+    "stream_progress": _schema([
+        ("progress_query_id", _S), ("progress_batch_id", _L),
+        ("progress_input_rows", _L), ("progress_at", _TS),
+    ]),
 }
 
 #: Primary keys used by MERGE upserts.
@@ -95,6 +103,7 @@ KEYS: dict[str, list[str]] = {
     "issue_items": ["item_issue_id", "item_staging_id"],
     "contacts": ["staging_id"],
     "dead_letters": ["dlq_job_id"],
+    "stream_progress": ["progress_query_id", "progress_batch_id"],
 }
 
 #: Physical layout (SURVEY.md §1.3): per-job reads of staging/issues and

@@ -1,1 +1,2 @@
 from .consumer import JOB_MESSAGE_SCHEMA, JobStreamConsumer  # noqa: F401
+from .heartbeat import StreamProgressListener  # noqa: F401

@@ -152,6 +152,56 @@ def test_dead_letter_retry_budget(spark, tmp_path):
     assert r3 == []
 
 
+def test_progress_heartbeat_updates_during_drain(spark, tmp_path):
+    """T4 drain-level heartbeat: with maxFilesPerTrigger=1 a 3-file
+    drain runs >= 3 microbatches; the listener publishes a
+    stream_progress row per batch — progress is visible in the store
+    while the query is still running, and the mid-job stage heartbeat
+    leaves job_processed_rows populated."""
+    from data_ingestion_worker_spark.streaming import StreamProgressListener
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    store = ControlStore(spark, str(tmp_path / "control"))
+    for i, job in enumerate((41, 42, 43)):
+        csv_path = str(tmp_path / f"j{job}.csv")
+        with open(csv_path, "wb") as f:
+            f.write(b"email,first_name,last_name,company\n"
+                    b"h%d@x.com,Ann,Ada,Acme\n" % job)
+        (inbox / f"m{i}.json").write_text(
+            json.dumps({"job_id": job, "s3_key": csv_path}) + "\n"
+        )
+    listener = StreamProgressListener(spark, store)
+    spark.streams.addListener(listener)
+    try:
+        consumer = JobStreamConsumer(
+            spark, store, str(inbox), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q = consumer.start(available_now=True)
+        listener.watch(q)
+        q.awaitTermination(180)
+        # Listener events are async — wait for the final upsert to land.
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = store.read("stream_progress").filter(
+                F.col("progress_query_id") == str(q.id)
+            ).collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+        batch_ids = sorted(r["progress_batch_id"] for r in rows)
+        assert len(batch_ids) >= 3           # one heartbeat per microbatch
+        assert batch_ids == sorted(set(batch_ids))
+        assert sum(r["progress_input_rows"] for r in rows) == 3
+        # Mid-job stage heartbeat: processed rows published per job.
+        jobs = {r["job_id"]: r for r in store.read("jobs").collect()}
+        assert all(jobs[j]["job_processed_rows"] == 1 for j in (41, 42, 43))
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_dead_letter_cleared_on_successful_retry(spark, tmp_path):
     """A retry that succeeds completes the job and drops the DLQ entry."""
     inbox = tmp_path / "inbox"
