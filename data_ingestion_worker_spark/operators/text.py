@@ -287,44 +287,59 @@ PII_URL_RE = r"https?://[A-Za-z0-9./_-]+"
 PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
 
-def doc_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scan + redaction fingerprint over the document corpus.
-
-    The driver corpus is PII-free word soup, so a deterministic fraction
-    of documents (doc_id % 7 == 0) gets a synthetic contact line appended
-    — identically on the Spark and oracle side — making the extraction
-    counts non-trivial while staying fully verifiable.  The operator
-    itself is the real thing: count emails / URLs / phone numbers, then
-    fingerprint the text with all three redacted (the form a compliance
-    pass stores instead of raw text).  Pure per-row column expressions —
-    zero shuffles at any scale.
+def pii_scan(df: DataFrame, text_col: str = "body") -> DataFrame:
+    """The reusable PII pass: count emails / URLs / phone numbers in
+    ``text_col`` and fingerprint the text with all three redacted (the
+    form a compliance pass stores instead of raw text).  Pure per-row
+    column expressions — zero shuffles at any scale.  Expects and keeps
+    a ``doc_id`` column; never mutates the corpus it measures.
     """
-    d = load_table(spark, sf_dir, "documents")
+    body = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE, "<URL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_URL_RE), F.lit(0)))
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE_RE), F.lit(0)))
+        .alias("n_phones"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def _augment_with_synthetic_pii(d: DataFrame) -> DataFrame:
+    """FIXTURE ONLY — do NOT use in a real pipeline.
+
+    The driver corpus is PII-free word soup, so the *verified* query
+    appends a synthetic contact line to a deterministic fraction of
+    documents (doc_id % 7 == 0), identically on the Spark and oracle
+    side, making the extraction counts non-trivial while staying fully
+    verifiable.  Production code calls :func:`pii_scan` directly on the
+    raw corpus.
+    """
     contact = F.concat(
         F.lit(" contact user"), F.col("doc_id").cast("string"),
         F.lit("@example.com or https://example.org/d/"),
         F.col("doc_id").cast("string"), F.lit(" tel 555-010-4242"),
     )
-    aug = d.select(
+    return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), contact))
         .otherwise(F.col("text")).alias("body"),
     )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("body"), PII_EMAIL_RE, "<EMAIL>"),
-            PII_URL_RE, "<URL>"),
-        PII_PHONE_RE, "<PHONE>")
-    return aug.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("body", F.lit(PII_EMAIL_RE), F.lit(0)))
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all("body", F.lit(PII_URL_RE), F.lit(0)))
-        .alias("n_urls"),
-        F.size(F.regexp_extract_all("body", F.lit(PII_PHONE_RE), F.lit(0)))
-        .alias("n_phones"),
-        F.md5(red).alias("redacted_fp"),
-    )
+
+
+def doc_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction fingerprint over the (fixture-augmented)
+    document corpus — :func:`pii_scan` is the production operator, the
+    augmentation is a clearly-separated test fixture."""
+    d = load_table(spark, sf_dir, "documents")
+    return pii_scan(_augment_with_synthetic_pii(d), "body")
 
 
 PII_ORACLE = f"""
@@ -368,22 +383,25 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a second, smaller aggregate — never a second scan).  The df side
     joins back by token; the final top-k is a per-doc window over ≤
     |vocab| rows.  Every shuffle shrinks: |tokens| → |doc×term| →
-    |vocab|.
+    |vocab|.  N is attached lazily as a one-row broadcast cross join
+    (the oracle's ``CROSS JOIN n``) so building/explaining the plan
+    stays side-effect-free — no eager count job at construction time.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # driver-side scalar; one parquet-footer count
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    weight = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    weight = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("weight").desc(), F.col("term")
     )
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", weight.alias("weight"))
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= TOP_TERMS)

@@ -87,28 +87,45 @@ def compact_dir(spark: SparkSession, path: str,
     (per-microbatch appends, per-job staging writes) accumulates files
     far smaller than a scan-efficient size; footer/open overhead then
     dominates reads.  Sizing uses the *actual* on-disk bytes, so the
-    target holds regardless of schema or compression ratio.  The
-    rewrite lands in a sibling temp dir and swaps in with two renames —
-    readers see the old or the new layout, never a half-written one.
+    target holds regardless of schema or compression ratio.
 
-    For a partition-tree layout, compact per partition directory (this
-    rewrites one flat directory; partition columns would be flattened
-    into the files).  On a real deployment this is Delta/Iceberg
-    ``OPTIMIZE``; the single swap point is this function.
+    **Local-filesystem only.** The size probe and the rename swap use
+    OS-level APIs; object stores and HDFS need their own atomic-promote
+    (on a real deployment this whole function is Delta/Iceberg
+    ``OPTIMIZE``).  Non-local URIs are rejected up front rather than
+    silently mis-sized.
+
+    **Swap is crash-safe, not atomic.** The rewrite lands in a sibling
+    ``.compacting`` dir and swaps in with two renames; between them a
+    reader sees a missing directory for an instant, and a crash there
+    leaves the data parked in ``.precompact``.  Both leftover dirs are
+    detected at entry: a stale ``.precompact`` with no live root is
+    restored (crash recovery), and stale temp dirs are cleared so the
+    next run cannot trip over them.
     """
     import glob
     import math
     import os
     import shutil
 
-    root = path.rstrip("/")
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_dir is local-filesystem-only, got {path!r}; use the "
+            "table format's OPTIMIZE for object stores"
+        )
+    root = path.removeprefix("file://").rstrip("/")
+    tmp, old = root + ".compacting", root + ".precompact"
+    # Crash recovery / stale-state cleanup from a previous interrupted run.
+    if os.path.isdir(old) and not os.path.isdir(root):
+        os.rename(old, root)               # crashed between the two renames
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     total = sum(
         os.path.getsize(p)
         for p in glob.glob(os.path.join(root, "**", "*.parquet"),
                            recursive=True)
     )
     files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    tmp, old = root + ".compacting", root + ".precompact"
     spark.read.parquet(root).repartition(files) \
         .write.mode("overwrite").parquet(tmp)
     os.rename(root, old)

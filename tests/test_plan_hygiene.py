@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",     # K query vectors broadcast against the corpus
     "ann_ivf_recall",      # IVF results × brute-force results comparison
     "q22_idle_rich_customers",  # scalar subquery attached to every row
+    "doc_salient_terms",   # one-row N aggregate broadcast cross join
 }
 
 

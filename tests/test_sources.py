@@ -151,6 +151,33 @@ def test_compact_dir_collapses_small_files(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + ".precompact")
 
 
+def test_compact_dir_recovers_from_crash_leftovers(spark, sf_dir, tmp_path):
+    """A crash between the two renames leaves data in .precompact and/or
+    a stale .compacting; the next run must restore and proceed, and a
+    non-local URI is rejected up front."""
+    import os
+
+    import pytest
+
+    from data_ingestion_worker_spark.sources.writers import compact_dir
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    path = str(tmp_path / "frag")
+    li.repartition(4).write.parquet(path)
+    n_rows = li.count()
+    # Simulate the worst crash window: root renamed away, swap not done.
+    os.rename(path, path + ".precompact")
+    os.makedirs(path + ".compacting")        # stale temp from the crash
+    compact_dir(spark, path, target_file_mb=256)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".precompact")
+
+    with pytest.raises(ValueError, match="local-filesystem-only"):
+        compact_dir(spark, "s3://bucket/table")
+
+
 def test_ivf_cell_layout_prunes_unprobed_cells(spark, sf_dir, tmp_path):
     """The ANN scale story made concrete: embeddings written partitioned
     by IVF cell; a probe of 2 cells reaches the scan as a
