@@ -448,6 +448,153 @@ GROUP BY 1, 2
 """)
 
 
+KM_K = 8        # k-means cluster count
+KM_ITERS = 2    # assignment rounds (unrolled — each is one shuffle)
+
+
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embeddings — the explicit
+    form of the IVF coarse-quantizer training step.
+
+    Seeds are the KM_K vectors with the smallest cross-engine hash of
+    their id (a reproducible "random" init); each round assigns every
+    vector to its max-cosine centroid, then recomputes centroids as the
+    per-cluster *sum* vector (cosine is scale-invariant, so the sum
+    stands in for the mean and everything stays integer-exact — the only
+    doubles are the final sqrt/divide on identical int operands).
+
+    Scale shape: centroids are k x dim and broadcast; assignment is one
+    map-side join + groupBy per round; the corpus is localCheckpoint-ed
+    once and never self-joins.  This is exactly how k-means is run on a
+    1000-executor cluster — the iteration count is fixed and small, and
+    each iteration is one shuffle of (vec_id, cluster) pairs.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv0")
+    ).localCheckpoint(eager=True)
+    dims = e.select("vec_id", F.posexplode("qv0").alias("d", "v"))
+    vnorm = dims.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("nv")
+    )
+    seed_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+    # Bottom-k seed pick compiles to TakeOrderedAndProject (per-partition
+    # top-k + tiny driver merge) — no global sort; the rank window that
+    # numbers the clusters then runs over only KM_K rows.
+    ws = Window.orderBy(F.col("sh").asc(), F.col("vec_id"))
+    seeds = (
+        e.select("vec_id", seed_h.alias("sh"))
+        .orderBy(F.col("sh").asc(), F.col("vec_id"))
+        .limit(KM_K)
+        .withColumn("cluster", (F.row_number().over(ws) - 1).cast("int"))
+        .select("vec_id", "cluster")
+    )
+    cent = (
+        dims.join(F.broadcast(seeds), "vec_id")
+        .select("cluster", "d", F.col("v").alias("s"))
+    )
+    assign = None
+    for it in range(KM_ITERS):
+        cnorm = cent.groupBy("cluster").agg(
+            F.sum(F.col("s") * F.col("s")).alias("ns")
+        )
+        dots = (
+            dims.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+        )
+        cosd = (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nv").cast("double"))
+               * F.sqrt(F.col("ns").cast("double")))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("cosd").desc(), F.col("cluster")
+        )
+        assign = (
+            dots.join(F.broadcast(cnorm), "cluster")
+            .join(vnorm, "vec_id")
+            .select("vec_id", "cluster", cosd.alias("cosd"))
+            .withColumn("r", F.row_number().over(wa))
+            .filter(F.col("r") == 1)
+            .drop("r")
+        )
+        if it < KM_ITERS - 1:
+            cent = (
+                dims.join(assign.select("vec_id", "cluster"), "vec_id")
+                .groupBy("cluster", "d")
+                .agg(F.sum("v").alias("s"))
+            )
+    return assign.select(
+        "vec_id", "cluster",
+        (F.floor(F.col("cosd") * 10000.0) / 10000.0).alias("cos_q"),
+    )
+
+
+def _kmeans_iter_ctes(i: int, cent: str) -> str:
+    """One assignment round as CTEs: cnorm{i}/dots{i}/assign{i} off ``cent``."""
+    cosd = (f"CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) "
+            f"* sqrt(CAST(ns AS DOUBLE)))")
+    return f"""
+cnorm{i} AS (SELECT cluster, sum(s * s) AS ns FROM {cent} GROUP BY 1),
+dots{i} AS (
+  SELECT q.vec_id, c.cluster, sum(q.v * c.s) AS dot
+  FROM qv q JOIN {cent} c ON q.d = c.d
+  GROUP BY 1, 2
+),
+assign{i} AS (
+  SELECT vec_id, cluster, cosd FROM (
+    SELECT d.vec_id, d.cluster, {cosd} AS cosd,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {cosd} DESC, d.cluster) AS r
+    FROM dots{i} d
+    JOIN vnorm USING (vec_id)
+    JOIN cnorm{i} USING (cluster)
+  ) WHERE r = 1
+)"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+vnorm AS (SELECT vec_id, sum(v * v) AS nv FROM qv GROUP BY 1),
+seeds AS (
+  SELECT vec_id, CAST(r - 1 AS INT) AS cluster FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY {hash64_sql("'kmeans:' || CAST(vec_id AS VARCHAR)")}, vec_id
+    ) AS r FROM embeddings
+  ) WHERE r <= {KM_K}
+),
+cent0 AS (
+  SELECT s.cluster, q.d, q.v AS s FROM seeds s JOIN qv q USING (vec_id)
+)"""]
+    for i in range(KM_ITERS):
+        parts.append("," + _kmeans_iter_ctes(i, f"cent{i}"))
+        if i < KM_ITERS - 1:
+            parts.append(f""",
+cent{i + 1} AS (
+  SELECT a.cluster, q.d, sum(q.v) AS s
+  FROM assign{i} a JOIN qv q USING (vec_id)
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""
+SELECT vec_id, cluster, floor(cosd * 10000.0) / 10000.0 AS cos_q
+FROM assign{KM_ITERS - 1}
+""")
+    return "".join(parts)
+
+
+CLUSTER_KMEANS_ORACLE = _kmeans_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
@@ -458,4 +605,6 @@ SPECS: dict[str, QuerySpec] = {
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, ANN_BUCKET_STATS_ORACLE),
     "emb_label_centroid_dot": QuerySpec(emb_label_centroid_dot,
                                         EMB_CENTROID_ORACLE),
+    "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings,
+                                           CLUSTER_KMEANS_ORACLE),
 }
