@@ -749,6 +749,146 @@ WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
 """
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate pairs against the
+    exact-Jaccard (>= 0.2) ground truth — the measurement harness that
+    turns "approximate dedup" into a number, exactly as
+    :func:`ann_ivf_recall` does for the ANN index.
+
+    Both pair sets are produced by already-scale-safe operators (inverted
+    index / band buckets); the comparison is one full-outer join on the
+    pair key and a single global aggregate.  At corpus scale you run this
+    on a sampled partition to *choose* the band configuration before
+    committing the full dedup job.
+    """
+    exact = _jaccard_pairs(_shingles(spark, sf_dir)) \
+        .select("d1", "d2", F.lit(1).alias("in_exact"))
+    lsh = dedup_minhash_lsh(spark, sf_dir) \
+        .select("d1", "d2", F.lit(1).alias("in_lsh"))
+    j = exact.join(lsh, ["d1", "d2"], "full_outer")
+    hit = (F.col("in_exact").isNotNull()
+           & F.col("in_lsh").isNotNull()).cast("bigint")
+    return j.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count("in_lsh").alias("n_lsh"),
+        F.sum(hit).alias("n_hits"),
+    ).select(
+        "n_exact", "n_lsh", "n_hits",
+        (F.floor(F.col("n_hits").cast("double")
+                 / F.col("n_lsh") * 10000.0) / 10000.0).alias("precision"),
+        (F.floor(F.col("n_hits").cast("double")
+                 / F.col("n_exact") * 10000.0) / 10000.0).alias("recall"),
+    )
+
+
+DEDUP_LSH_RECALL_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT d1, d2 FROM jpairs
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
+        / 10000.0 >= 0.2
+),
+{_MINHASH_SQL.strip()},
+lsh AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2
+   AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT e.d1 AS ed1, l.d1 AS ld1
+  FROM exact e FULL JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2
+)
+SELECT count(ed1) AS n_exact, count(ld1) AS n_lsh,
+       CAST(sum(CASE WHEN ed1 IS NOT NULL AND ld1 IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       floor(CAST(sum(CASE WHEN ed1 IS NOT NULL AND ld1 IS NOT NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(ld1) * 10000.0) / 10000.0 AS precision,
+       floor(CAST(sum(CASE WHEN ed1 IS NOT NULL AND ld1 IS NOT NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(ed1) * 10000.0) / 10000.0 AS recall
+FROM j
+"""
+
+
+SPAN_TOKENS = 16    # fixed-width span granularity for block-level dedup
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span ratio at SPAN_TOKENS granularity —
+    the fixed-width form of line-level dedup (RefinedWeb/Gopher style):
+    a span is "duplicated" when its exact text occurs anywhere else in
+    the corpus (another doc or a repeat within the same doc).
+
+    Spans are non-overlapping SPAN_TOKENS-token blocks built with array
+    slicing before the explode; the occurrence count rides ONE window
+    shuffle on the span text (at corpus scale you'd key the exchange on
+    a span hash instead of the raw text — same plan, smaller rows).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+        "ELSE split(trim(lower(text)), '\\\\s+') END"
+    )
+    blocks = F.expr(
+        f"transform(sequence(0, size(toks) div {SPAN_TOKENS} - 1), "
+        f"i -> concat_ws(' ', slice(toks, i * {SPAN_TOKENS} + 1, "
+        f"{SPAN_TOKENS})))"
+    )
+    blk = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_TOKENS)
+        .select("doc_id", F.explode(blocks).alias("block"))
+    )
+    w = Window.partitionBy("block")
+    return (
+        blk.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("cnt") >= 2).cast("bigint")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id", "n_spans", "n_dup_spans",
+            (F.floor(F.col("n_dup_spans").cast("double")
+                     / F.col("n_spans") * 10000.0) / 10000.0)
+            .alias("dup_ratio"),
+        )
+    )
+
+
+DEDUP_SPAN_ORACLE = f"""
+WITH blocks AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i * {SPAN_TOKENS} + 1,
+                                    i * {SPAN_TOKENS} + {SPAN_TOKENS}), ' ')
+         AS block
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+       unnest(range(0, len(toks) // {SPAN_TOKENS})) AS t(i)
+  WHERE len(toks) >= {SPAN_TOKENS}
+),
+counted AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY block) AS cnt FROM blocks
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_dup_spans,
+       floor(CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000.0) / 10000.0 AS dup_ratio
+FROM counted GROUP BY doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),
@@ -764,4 +904,6 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_salted": QuerySpec(dedup_minhash_lsh_salted,
                                           DEDUP_MINHASH_ORACLE),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "dedup_lsh_recall": QuerySpec(dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
+    "dedup_span_exact": QuerySpec(dedup_span_exact, DEDUP_SPAN_ORACLE),
 }
