@@ -159,6 +159,111 @@ FROM scored
 """
 
 
+HLL_P = 8                    # register-index bits
+HLL_M = 1 << HLL_P           # 256 registers
+HLL_REST_BITS = 60 - HLL_P   # 52 bits feed the leading-zero count
+#: alpha_m * m^2, pre-scaled by 2^52 to cancel the integer-scaled
+#: harmonic sum below; one double literal shared verbatim by both engines.
+HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M \
+    * float(1 << HLL_REST_BITS)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-shingle estimate, engine-exact.
+
+    The classic register computation — bucket = low HLL_P hash bits,
+    register = max over the bucket of (leading zeros of the remaining
+    bits + 1) — is a single groupBy(source, bucket) max: the sketch is an
+    algebraic aggregate whose merged state is HLL_M bytes per source, the
+    canonical 100 TB distinct-count plan (Spark's own
+    ``approx_count_distinct`` is the built-in twin; this form makes the
+    registers *visible* and verifiable cross-engine).
+
+    Determinism: rho comes from the binary-string length of the hash
+    remainder (exact in both engines), and the harmonic sum is kept as
+    the INTEGER sum( 2^(HLL_REST_BITS - rho) ) so no float accumulation
+    order exists; the estimate is one double division at the end.  The
+    standard small-range linear-counting correction is intentionally
+    omitted (it needs ln(), which IEEE does not pin across libms) — at
+    the scales this sketch exists for, n >> m and the raw estimator is
+    the right branch anyway.
+    """
+    sh = _src_shingles(spark, sf_dir).select(
+        "source", hash64(F.col("shingle")).alias("h")
+    )
+    buckets = sh.select(
+        "source",
+        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    ).select(
+        "source", "bucket",
+        F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+            F.lit(HLL_REST_BITS + 1)
+            - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
+        ).cast("int").alias("rho"),
+    )
+    regs = buckets.groupBy("source", "bucket").agg(
+        F.max("rho").alias("r"), F.count(F.lit(1)).alias("c")
+    )
+    z_present = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {HLL_REST_BITS} - r)")
+    )
+    per_source = regs.groupBy("source").agg(
+        F.sum("c").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        z_present.alias("z_present"),
+    )
+    z = (F.col("z_present")
+         + (F.lit(HLL_M) - F.col("n_buckets"))
+         * F.lit(1 << HLL_REST_BITS).cast("bigint"))
+    est = F.floor(F.lit(HLL_ALPHA_NUM) / z.cast("double")).cast("bigint")
+    return per_source.select(
+        "source", "exact_distinct",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("hll_est"),
+        (F.floor(
+            F.abs(est.cast("double") - F.col("exact_distinct"))
+            / F.col("exact_distinct") * 10000.0
+        ) / 10000.0).alias("rel_err"),
+    )
+
+
+HLL_ORACLE = f"""
+WITH {_SRC_SHINGLES_SQL.strip()},
+hashed AS (
+  SELECT source, {hash64_sql('shingle')} AS h FROM sh
+),
+buckets AS (
+  SELECT source, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+         END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT source, bucket, max(rho) AS r, count(*) AS c
+  FROM buckets GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source, sum(c) AS exact_distinct, count(*) AS n_buckets,
+         sum(1::BIGINT << ({HLL_REST_BITS} - r)) AS z_present
+  FROM regs GROUP BY 1
+),
+scored AS (
+  SELECT source, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         CAST(n_buckets AS BIGINT) AS n_buckets,
+         CAST(floor({HLL_ALPHA_NUM!r} / CAST(z_present
+              + ({HLL_M} - n_buckets) * (1::BIGINT << {HLL_REST_BITS})
+              AS DOUBLE)) AS BIGINT) AS hll_est
+  FROM per_source
+)
+SELECT source, exact_distinct, n_buckets, hll_est,
+       floor(abs(CAST(hll_est AS DOUBLE) - exact_distinct)
+             / exact_distinct * 10000.0) / 10000.0 AS rel_err
+FROM scored
+"""
+
+
 def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min estimates for the corpus's top heavy-hitter tokens.
 
@@ -335,6 +440,7 @@ SELECT doc_id, CAST(r AS INT) AS sample_rank FROM (
 
 SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(sketch_kmv_distinct, KMV_ORACLE),
+    "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, HLL_ORACLE),
     "sketch_countmin_tokens": QuerySpec(sketch_countmin_tokens, CMS_ORACLE),
     "sketch_bloom_membership": QuerySpec(sketch_bloom_membership,
                                          BLOOM_ORACLE),
