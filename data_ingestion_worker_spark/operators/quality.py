@@ -1,0 +1,247 @@
+"""Corpus-quality operators: the composed "what goes into the training
+run" decision layer over ``documents``.
+
+- :func:`doc_unigram_logprob` — a perplexity proxy: per-doc mean token
+  surprisal against the corpus unigram model, in integer log2 bits so
+  the score is engine-exact (no ln(), no float accumulation order).
+  This is the CCNet-style "LM quality" filter reduced to its
+  deterministic core.
+- :func:`pipeline_pretrain_filter` — the composite keep/reject decision
+  (length -> language -> near-dup -> quality, first-failure-wins), the
+  document-corpus analogue of the reference's validation CASE precedence
+  (reference ``src/services/row_validator.py`` — one codified rule
+  order, every branch visible).
+- :func:`pipeline_filter_stats` — the per-reason survival report a
+  pipeline owner reads before launching the 100 TB job.
+
+Scale shape: the unigram frequencies ride ONE window shuffle on the
+token; the corpus total is attached lazily as a broadcast one-row cross
+join (no eager count at plan-construction time); the near-dup side is
+the already-sub-quadratic inverted-index Jaccard join from
+``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_MARKERS, STOPWORDS, marker_count, tokens, \
+    ws_token_count
+from ..spec import QuerySpec
+from ..tables import load_table
+from .dedup import _SHINGLES_SQL, _jaccard_pairs, _shingles
+from .text import _TOKENS_SQL, _WS_COUNT_SQL, _floor4, _marker_sql
+
+MIN_TOKENS = 20         # too_short cutoff
+QUALITY_MIN = 0.38      # low_quality cutoff (median corpus score ~0.44)
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal vs the corpus unigram model, in integer bits.
+
+    surprisal(token) = floor_log2(total_tokens) - floor_log2(freq) — an
+    integer per instance, so the per-doc sum has no accumulation order
+    and the only double is the final mean.  Rare-token-heavy documents
+    score high (gibberish), boilerplate scores low — the standard LM
+    quality signal without a libm ``ln`` in sight.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    wt = Window.partitionBy("token")
+    scored = tok.withColumn("freq", F.count(F.lit(1)).over(wt))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    bits = (
+        F.length(F.conv(F.col("total").cast("string"), 10, 2))
+        - F.length(F.conv(F.col("freq").cast("string"), 10, 2))
+    ).cast("bigint")
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).alias("bits_total"),
+        )
+        .select(
+            "doc_id", "n_tokens", "bits_total",
+            _floor4(F.col("bits_total").cast("double") / F.col("n_tokens"))
+            .alias("bits_per_token"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+freqs AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY token) AS freq FROM tok
+),
+tot AS (SELECT count(*) AS total FROM tok)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(length(bin(total)) - length(bin(freq))) AS BIGINT)
+       AS bits_total,
+       floor(CAST(sum(length(bin(total)) - length(bin(freq))) AS DOUBLE)
+             / count(*) * 10000.0) / 10000.0 AS bits_per_token
+FROM freqs CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def _lang_pred() -> F.Column:
+    """Marker-word language prediction (same precedence as doc_lang_id)."""
+    s = {code: marker_count(F.col("text"), m)
+         for code, m in LANG_MARKERS.items()}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+               & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0),
+              F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def _quality_score() -> F.Column:
+    """The doc_quality_score formula (pinned weighted sum)."""
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return (
+        (stop.cast("double") / n_tok) * 0.4
+        + (alpha.cast("double") / F.length("text")) * 0.3
+        + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3
+    )
+
+
+def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretrain admission decision, first-failure-wins:
+
+    too_short (< MIN_TOKENS) -> non_english (marker-word lang-ID) ->
+    near_dup (higher-id side of an exact-Jaccard >= 0.2 pair — keep-first
+    semantics) -> low_quality (< QUALITY_MIN) -> kept.
+
+    One CASE codifies the precedence (the corpus twin of the reference
+    validator's severity order); the near-dup set arrives as a left-join
+    marker from the inverted-index Jaccard pairs, so the expensive leg is
+    the same sub-quadratic plan the dedup operator already runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dups = (
+        _jaccard_pairs(_shingles(spark, sf_dir))
+        .select(F.col("d2").alias("doc_id")).distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    n_tok = ws_token_count(F.col("text"))
+    reason = (
+        F.when(n_tok < MIN_TOKENS, F.lit("too_short"))
+        .when(_lang_pred() != "en", F.lit("non_english"))
+        .when(F.col("is_dup").isNotNull(), F.lit("near_dup"))
+        .when(_quality_score() < QUALITY_MIN, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.join(dups, "doc_id", "left")
+        .select(
+            "doc_id", n_tok.alias("n_tokens"), reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+        )
+    )
+
+
+_LANG_PRED_SQL = f"""
+  CASE
+    WHEN {_marker_sql(LANG_MARKERS['en'])} >= {_marker_sql(LANG_MARKERS['de'])}
+     AND {_marker_sql(LANG_MARKERS['en'])} >= {_marker_sql(LANG_MARKERS['es'])}
+     AND {_marker_sql(LANG_MARKERS['en'])} >= {_marker_sql(LANG_MARKERS['fr'])}
+     AND {_marker_sql(LANG_MARKERS['en'])} > 0 THEN 'en'
+    WHEN {_marker_sql(LANG_MARKERS['de'])} >= {_marker_sql(LANG_MARKERS['es'])}
+     AND {_marker_sql(LANG_MARKERS['de'])} >= {_marker_sql(LANG_MARKERS['fr'])}
+     AND {_marker_sql(LANG_MARKERS['de'])} > 0 THEN 'de'
+    WHEN {_marker_sql(LANG_MARKERS['es'])} >= {_marker_sql(LANG_MARKERS['fr'])}
+     AND {_marker_sql(LANG_MARKERS['es'])} > 0 THEN 'es'
+    WHEN {_marker_sql(LANG_MARKERS['fr'])} > 0 THEN 'fr'
+    ELSE 'und'
+  END
+"""
+
+_QUALITY_SQL = f"""
+  ((CAST({_marker_sql(STOPWORDS)} AS DOUBLE) / {_WS_COUNT_SQL}) * 0.4
+   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      / length(text)) * 0.3
+   + least(1.0, CAST({_WS_COUNT_SQL} AS DOUBLE) / 100.0) * 0.3)
+"""
+
+_PIPELINE_CORE_SQL = f"""
+{_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+jp AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT d2 AS doc_id, 1 AS is_dup FROM jp
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
+        / 10000.0 >= 0.2
+),
+decided AS (
+  SELECT d.doc_id, CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+         CASE
+           WHEN len({_TOKENS_SQL}) < {MIN_TOKENS} THEN 'too_short'
+           WHEN ({_LANG_PRED_SQL.strip()}) <> 'en' THEN 'non_english'
+           WHEN dups.is_dup IS NOT NULL THEN 'near_dup'
+           WHEN {_QUALITY_SQL.strip()} < {QUALITY_MIN} THEN 'low_quality'
+           ELSE 'kept'
+         END AS reason
+  FROM documents d LEFT JOIN dups ON dups.doc_id = d.doc_id
+)
+"""
+
+PIPELINE_FILTER_ORACLE = f"""
+WITH {_PIPELINE_CORE_SQL.strip()}
+SELECT doc_id, n_tokens, reason, reason = 'kept' AS keep FROM decided
+"""
+
+
+def pipeline_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-reason survival report: doc counts, token mass, corpus share."""
+    decided = pipeline_pretrain_filter(spark, sf_dir)
+    agg = decided.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    # The share window runs over the <= 5-row aggregate, not the corpus.
+    wall = Window.partitionBy()
+    return agg.select(
+        "reason", "n_docs", "sum_tokens",
+        _floor4(F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(wall)).alias("share"),
+    )
+
+
+PIPELINE_STATS_ORACLE = f"""
+WITH {_PIPELINE_CORE_SQL.strip()},
+agg AS (
+  SELECT reason, count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+  FROM decided GROUP BY 1
+)
+SELECT reason, n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () * 10000.0)
+       / 10000.0 AS share
+FROM agg
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "doc_unigram_logprob": QuerySpec(doc_unigram_logprob,
+                                     UNIGRAM_LOGPROB_ORACLE),
+    "pipeline_pretrain_filter": QuerySpec(pipeline_pretrain_filter,
+                                          PIPELINE_FILTER_ORACLE),
+    "pipeline_filter_stats": QuerySpec(pipeline_filter_stats,
+                                       PIPELINE_STATS_ORACLE),
+}

@@ -24,6 +24,7 @@ def _collect() -> dict[str, QuerySpec]:
         events,
         multimodal,
         profiling,
+        quality,
         relational,
         similarity,
         sketches,
@@ -36,7 +37,7 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
-               dedup, similarity, sketches, multimodal, profiling]
+               dedup, similarity, sketches, multimodal, profiling, quality]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_recall",      # IVF results × brute-force results comparison
     "q22_idle_rich_customers",  # scalar subquery attached to every row
     "doc_salient_terms",   # one-row N aggregate broadcast cross join
+    "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
 }
 
 
