@@ -1,0 +1,74 @@
+"""Contracts for the corpus-quality layer beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.operators.dedup import dedup_lsh_recall
+from data_ingestion_worker_spark.operators.quality import (
+    MIN_TOKENS,
+    doc_unigram_logprob,
+    pipeline_filter_stats,
+    pipeline_pretrain_filter,
+)
+from data_ingestion_worker_spark.operators.similarity import (
+    KM_K,
+    cluster_kmeans_embeddings,
+)
+
+
+def test_lsh_recall_metrics_are_probabilities(spark, sf_dir):
+    r = dedup_lsh_recall(spark, sf_dir).collect()[0]
+    assert r.n_hits <= min(r.n_exact, r.n_lsh)
+    assert 0.0 <= r.precision <= 1.0
+    assert 0.0 <= r.recall <= 1.0
+    # the synthetic corpus has confirmable near-dups; the harness must
+    # actually see them or it is measuring nothing
+    assert r.n_exact > 0 and r.n_lsh > 0
+
+
+def test_kmeans_assigns_every_vector_to_a_valid_cluster(spark, sf_dir):
+    df = cluster_kmeans_embeddings(spark, sf_dir)
+    n_vec = df.count()
+    from data_ingestion_worker_spark.tables import load_table
+    assert n_vec == load_table(spark, sf_dir, "embeddings").count()
+    bad = df.filter((F.col("cluster") < 0) | (F.col("cluster") >= KM_K))
+    assert bad.count() == 0
+    # at least two clusters survive two rounds on the synthetic corpus
+    assert df.select("cluster").distinct().count() >= 2
+
+
+def test_kmeans_stable_under_repartition(spark, sf_dir):
+    base = {(r.vec_id, r.cluster)
+            for r in cluster_kmeans_embeddings(spark, sf_dir).collect()}
+    again = {(r.vec_id, r.cluster)
+             for r in cluster_kmeans_embeddings(spark, sf_dir)
+             .repartition(13).collect()}
+    assert base == again
+
+
+def test_pretrain_filter_reason_precedence(spark, sf_dir):
+    rows = pipeline_pretrain_filter(spark, sf_dir).collect()
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(r.reason, []).append(r)
+        assert r.keep == (r.reason == "kept")
+    # every too_short row really is short; no kept row is
+    for r in by_reason.get("too_short", []):
+        assert r.n_tokens < MIN_TOKENS
+    for r in by_reason.get("kept", []):
+        assert r.n_tokens >= MIN_TOKENS
+    # stats roll up to the same totals
+    stats = {r.reason: r.n_docs
+             for r in pipeline_filter_stats(spark, sf_dir).collect()}
+    assert sum(stats.values()) == len(rows)
+    for reason, docs in by_reason.items():
+        assert stats[reason] == len(docs)
+
+
+def test_unigram_logprob_bits_nonnegative(spark, sf_dir):
+    rows = doc_unigram_logprob(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bits_total >= 0
+        assert r.bits_per_token >= 0.0

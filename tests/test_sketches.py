@@ -70,3 +70,19 @@ def test_bottomk_sample_stable_under_repartition(spark, sf_dir):
         .filter(F.col("sample_rank") <= 100)
     )
     assert {(r.doc_id, r.sample_rank) for r in shuffled.collect()} == base
+
+
+def test_hll_estimate_tolerance_and_register_bound(spark, sf_dir):
+    """HLL at m=256 has relative stddev ~1.04/sqrt(m) (~6.5%); assert a
+    generous envelope plus the structural bound n_buckets <= m."""
+    from data_ingestion_worker_spark.operators.sketches import (
+        HLL_M,
+        sketch_hll_distinct,
+    )
+    rows = sketch_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_buckets <= HLL_M
+        if r.exact_distinct >= 4 * HLL_M:
+            # raw-estimator regime: the 3-sigma envelope applies
+            assert r.rel_err < 0.20, (r.source, r.rel_err)
