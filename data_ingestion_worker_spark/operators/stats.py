@@ -290,6 +290,200 @@ WHERE rn = 1
 """
 
 
+HIST_BINS = 64
+HQ_PCTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles vs the exact order statistics — the
+    mergeable scale path for percentiles, with its error made visible.
+
+    The equi-width bin counts are an algebraic aggregate (per-partition
+    partials add), so at 100 TB the shuffle carries HIST_BINS counters
+    per group instead of every value; the quantile readout is a
+    cumulative scan over the tiny (group x bins) table.  Exact
+    ``percentile`` runs alongside as ground truth (Spark's exact
+    percentile and DuckDB's quantile_cont share interpolation semantics)
+    — the histogram's abs_err column is the accuracy contract, exactly
+    as rel_err is for the KMV/HLL sketches.  Assumes hi > lo per group
+    (degenerate groups would need a one-bin special case).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * HIST_BINS),
+    ).cast("int")
+    counts = (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lo", "hi", "n", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    pp = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("pct"), F.lit(p).alias("p"))
+        for name, p in HQ_PCTS
+    ])).alias("pp")
+    hit = (
+        counts.withColumn("cum", F.sum("cnt").over(wc))
+        .select("event_type", "lo", "hi", "n", "bin", "cum", pp)
+        .select("event_type", "lo", "hi", "bin", "cum", "pp.pct", "pp.p",
+                (F.col("p") * F.col("n")).alias("target"))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("bin").alias("qbin"),
+             F.max("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    est = hit.select(
+        "event_type", "pct",
+        (F.col("lo") + (F.col("qbin") + 0.5)
+         * (F.col("hi") - F.col("lo")) / HIST_BINS).alias("est_raw"),
+    )
+    exact = (
+        e.groupBy("event_type")
+        .agg(*[F.expr(f"percentile(value, {p})").alias(name)
+               for name, p in HQ_PCTS])
+        .select(
+            "event_type",
+            F.expr("stack(3, " + ", ".join(
+                f"'{name}', {name}" for name, _ in HQ_PCTS
+            ) + ") as (pct, exact_raw)"),
+        )
+    )
+    err = F.abs(F.col("est_raw") - F.col("exact_raw"))
+    return est.join(exact, ["event_type", "pct"]).select(
+        "event_type", "pct",
+        (F.floor(F.col("est_raw") * 10000.0) / 10000.0).alias("est_value"),
+        (F.floor(F.col("exact_raw") * 10000.0) / 10000.0).alias("exact_value"),
+        (F.floor(err * 10000.0) / 10000.0).alias("abs_err"),
+    )
+
+
+_HQ_EXACT_SELECTS = " UNION ALL ".join(
+    f"SELECT event_type, '{name}' AS pct, quantile_cont(value, {p}) "
+    f"AS exact_raw FROM events GROUP BY 1"
+    for name, p in HQ_PCTS
+)
+_HQ_PCT_VALUES = ", ".join(f"('{name}', {p})" for name, p in HQ_PCTS)
+
+HIST_QUANTILES_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY 1
+),
+counts AS (
+  SELECT e.event_type, lo, hi, n,
+         CAST(least({HIST_BINS - 1},
+                    floor((value - lo) / (hi - lo) * {HIST_BINS})) AS INT)
+         AS bin,
+         count(*) AS cnt
+  FROM events e JOIN stats USING (event_type)
+  GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM counts
+),
+pp AS (SELECT * FROM (VALUES {_HQ_PCT_VALUES}) v(pct, p)),
+hit AS (
+  SELECT event_type, pct, min(bin) AS qbin,
+         max(lo) AS lo, max(hi) AS hi
+  FROM cum CROSS JOIN pp
+  WHERE cum >= p * n
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, pct,
+         lo + (qbin + 0.5) * (hi - lo) / {HIST_BINS} AS est_raw
+  FROM hit
+),
+exact AS ({_HQ_EXACT_SELECTS})
+SELECT est.event_type AS event_type, est.pct AS pct,
+       floor(est_raw * 10000.0) / 10000.0 AS est_value,
+       floor(exact_raw * 10000.0) / 10000.0 AS exact_value,
+       floor(abs(est_raw - exact_raw) * 10000.0) / 10000.0 AS abs_err
+FROM est JOIN exact ON est.event_type = exact.event_type
+                   AND est.pct = exact.pct
+"""
+
+
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type x hour-of-day.
+
+    Every per-cell quantity is derived from exact integer counts; the
+    per-cell terms are integer-scaled (floor(term * 1e6)) before the
+    global sum so no float accumulation order exists — the reduction is
+    a bigint SUM, order-independent and map-side combinable.  Zero-count
+    cells still contribute their expected mass: the full type x hour
+    domain is generated by crossing the two (tiny, aggregated) margins.
+    At petabyte counts the r*c products would move to DECIMAL; doubles
+    are exact here because every count fits well under 2^26.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    obs = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("o"))
+    rows_t = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    cols_h = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rows_t.crossJoin(F.broadcast(cols_h))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "h"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    eexp = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    term = (F.col("o") - eexp) * (F.col("o") - eexp) / eexp
+    scaled = F.floor(term * 1000000.0).cast("bigint")
+    return (
+        cells.agg(
+            F.max("n").alias("n"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count_distinct("h").alias("n_hours"),
+            F.sum(scaled).alias("chi2_scaled"),
+        )
+        .select(
+            "n",
+            ((F.col("n_types") - 1) * (F.col("n_hours") - 1))
+            .cast("int").alias("df"),
+            (F.col("chi2_scaled").cast("double") / 1000000.0).alias("chi2"),
+        )
+    )
+
+
+CHI2_ORACLE = """
+WITH e AS (SELECT event_type, hour(ts) AS h FROM events),
+obs AS (SELECT event_type, h, count(*) AS o FROM e GROUP BY 1, 2),
+rows_t AS (SELECT event_type, count(*) AS r FROM e GROUP BY 1),
+cols_h AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM e),
+cells AS (
+  SELECT rows_t.event_type, cols_h.h, r, c, n, coalesce(o, 0) AS o
+  FROM rows_t CROSS JOIN cols_h CROSS JOIN tot
+  LEFT JOIN obs ON obs.event_type = rows_t.event_type AND obs.h = cols_h.h
+),
+terms AS (
+  SELECT n, event_type, h,
+         CAST(floor((o - CAST(r * c AS DOUBLE) / n)
+                    * (o - CAST(r * c AS DOUBLE) / n)
+                    / (CAST(r * c AS DOUBLE) / n) * 1000000.0) AS BIGINT)
+         AS scaled
+  FROM cells
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT h) - 1)
+            AS INT) AS df,
+       CAST(sum(scaled) AS DOUBLE) / 1000000.0 AS chi2
+FROM terms
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
     "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),
@@ -298,4 +492,8 @@ SPECS: dict[str, QuerySpec] = {
     "agg_percentiles": QuerySpec(agg_percentiles, PERCENTILES_ORACLE),
     "agg_variance_exact": QuerySpec(agg_variance_exact, VARIANCE_ORACLE),
     "agg_corr_exact": QuerySpec(agg_corr_exact, CORR_ORACLE),
+    "sketch_hist_quantiles": QuerySpec(sketch_hist_quantiles,
+                                       HIST_QUANTILES_ORACLE),
+    "stats_chi2_independence": QuerySpec(stats_chi2_independence,
+                                         CHI2_ORACLE),
 }

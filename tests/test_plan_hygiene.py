@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "q22_idle_rich_customers",  # scalar subquery attached to every row
     "doc_salient_terms",   # one-row N aggregate broadcast cross join
     "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
+    "stats_chi2_independence",  # tiny-margin cross to generate the domain
 }
 
 
