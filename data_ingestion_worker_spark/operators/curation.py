@@ -1,0 +1,447 @@
+"""Corpus-curation operators: the steps between "cleaned documents" and
+"training batches" in a 100 TB pretraining pipeline.
+
+Five operators, each a pure DataFrame plan with a DuckDB oracle:
+
+- ``split_train_holdout`` — deterministic hash split (train/val/test).
+  The split must be a *function of the document*, never of partitioning
+  or arrival order, so re-runs and backfills land every doc in the same
+  split (no eval leakage when the corpus is re-sharded).
+- ``split_balance`` — per-(split, source) occupancy: the stratification
+  audit run after every split change.
+- ``pack_sequences`` — concat-and-split sequence packing: documents are
+  concatenated in deterministic order and cut into fixed token-budget
+  packs (the standard GPT-style pretraining layout).  Packing is done
+  per (source, shard) where shard is a hash bucket: a window over a
+  low-cardinality ``source`` alone would sort whole sources in single
+  tasks at 100 TB, exactly the skew the KMV fix removed; 256 shards
+  per source restore embarrassing parallelism and bound every sort.
+- ``dedup_keep_best`` — canonical-document selection inside exact-dup
+  groups: rank by quality (desc) with doc_id as the tie-break, keep the
+  winner.  Composes ``doc_fingerprint`` grouping with the
+  ``doc_quality_score`` expression — one shuffle on the fingerprint.
+- ``token_bigram_pmi`` — collocation mining: pointwise mutual
+  information of adjacent token pairs, min-support filtered, top-50.
+  Corpus totals attach via one-row cross joins (lazy, no eager count —
+  the doc_salient_terms lesson) and unigram counts broadcast to the
+  bigram side (vocab is small; the fact table never re-shuffles).
+
+Plus ``emb_int8_quantize`` — max-abs int8 quantization of embeddings
+(the storage/bandwidth step before ANN serving).  All-integer outputs
+except the scale, so hashes are exact; the quantized vector is emitted
+as a comma-joined string (driver canonicalizers cannot hash arrays —
+the agg_collect_sorted lesson).
+
+Reference: the reference engine has no corpus layer (it is a contacts
+ETL worker); these extend SURVEY.md §2's scale block alongside
+operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import (
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    marker_count,
+    ws_token_count,
+)
+from ..spec import QuerySpec
+from ..tables import load_table
+
+# DuckDB mirrors shared with operators/text.py (same semantics, kept in
+# sync by the oracle sweep).
+_TOKENS_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+               "ELSE string_split_regex(trim(lower(text)), '\\s+') END")
+_WS_COUNT_SQL = f"CAST(len({_TOKENS_SQL}) AS INT)"
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))")
+
+
+def _floor4(c: F.Column) -> F.Column:
+    """Engine-stable 4-decimal truncation (see operators/text.py:_floor4)."""
+    return F.floor(c * 10000.0) / 10000.0
+
+
+def _floor6(c: F.Column) -> F.Column:
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/holdout split
+# ---------------------------------------------------------------------------
+
+#: Salt namespaces the split hash away from every other hash64 use, so
+#: changing an unrelated operator's hashing can never silently re-split
+#: the corpus.
+_SPLIT_SALT = "split:v1:"
+_TRAIN_CUT, _VAL_CUT = 96, 98  # train <96, val <98, test <100
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by content-independent hash.
+
+    bucket = hash64(salt || doc_id) mod 100; 96/2/2 split.  Pure
+    per-row expression — no shuffle, no state, stable under re-sharding
+    and backfill (the property that prevents eval-set leakage).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash64(F.concat(F.lit(_SPLIT_SALT),
+                                    F.col("doc_id").cast("string"))), F.lit(100))
+    split = (
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(
+        "doc_id", "source",
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+_SPLIT_EXPR = f"'{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+_BUCKET_SQL = f"CAST({hash64_sql(_SPLIT_EXPR)} % 100 AS INT)"
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       {_BUCKET_SQL} AS bucket,
+       CASE WHEN {_BUCKET_SQL} < {_TRAIN_CUT} THEN 'train'
+            WHEN {_BUCKET_SQL} < {_VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit: doc count per (split, source) and its share
+    of the split.  Two shrinking aggregations — the second input is
+    |splits|×|sources| rows, so the window is trivially small."""
+    assigned = split_train_holdout(spark, sf_dir)
+    counts = assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("split")
+    return counts.select(
+        "split", "source", "n",
+        _floor4(F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+SPLIT_BALANCE_ORACLE = f"""
+WITH assigned AS ({SPLIT_ORACLE}),
+counts AS (
+  SELECT split, source, CAST(count(*) AS BIGINT) AS n
+  FROM assigned GROUP BY 1, 2
+)
+SELECT split, source, n,
+       floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY split))
+             * 10000.0) / 10000.0 AS share
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048   #: tokens per pack
+PACK_SHARDS = 256    #: hash shards per source — bounds every packing sort
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing: deterministic doc order within a
+    (source, shard), exclusive running token total, pack = total DIV
+    budget, offset = total MOD budget.
+
+    A document may straddle a pack boundary — that is the *definition*
+    of concat-and-split pretraining layout (the trainer cuts mid-doc),
+    not an approximation.  The shard key bounds each window sort to
+    ~1/256 of a source: at 100 TB no single task ever sorts a whole
+    source (window-over-low-cardinality-key is the same trap the KMV
+    sketch fix removed).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(hash64(F.concat(F.lit("pack:"),
+                                   F.col("doc_id").cast("string"))),
+                   F.lit(PACK_SHARDS))
+    n_tok = bpe_token_count(F.col("text"))
+    base = d.select(
+        "doc_id", "source",
+        shard.cast("int").alias("shard"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    w = (Window.partitionBy("source", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "source", "shard", "n_tok",
+        (cum / PACK_BUDGET).cast("long").alias("pack_id"),
+        (cum % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+def _bpe_sql() -> str:
+    # operators/text.py pins BPE_REGEX; re-render here to avoid an import
+    # cycle on module constants.
+    from ..functions.text import BPE_REGEX
+    return f"CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT)"
+
+
+PACK_ORACLE_TEMPLATE = """
+WITH base AS (
+  SELECT doc_id, source,
+         CAST({bucket} % {shards} AS INT) AS shard,
+         {ntok} AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM base
+)
+SELECT doc_id, source, shard, n_tok,
+       CAST(c // {budget} AS BIGINT) AS pack_id,
+       CAST(c % {budget} AS BIGINT) AS pack_offset
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection in duplicate groups
+# ---------------------------------------------------------------------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within each exact-fingerprint group keep the best-quality doc.
+
+    Ranking: quality desc (the doc_quality_score expression, floored to
+    4 decimals so cross-engine ordering has no float ties), then doc_id
+    asc as the total-order tie-break.  One shuffle, on the fingerprint;
+    partial aggregation does not apply to the rank window but the group
+    sizes are duplicate-cluster-sized (tiny), so no skew risk.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    quality = _floor4(
+        (stop.cast("double") / n_tok) * 0.4
+        + (alpha.cast("double") / F.length("text")) * 0.3
+        + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3
+    )
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("fp")
+    rank = F.row_number().over(
+        w.orderBy(F.desc("quality"), F.asc("doc_id")))
+    return scored.select(
+        "doc_id", "fp", "quality",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (rank == 1).alias("kept"),
+    )
+
+
+def _marker_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (f"CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ({lst}))) AS INT)")
+
+
+KEEP_BEST_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5({_NORM_SQL}) AS fp,
+         floor(((CAST({_marker_sql(STOPWORDS)} AS DOUBLE) / {_WS_COUNT_SQL}) * 0.4
+                + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / length(text)) * 0.3
+                + least(1.0, CAST({_WS_COUNT_SQL} AS DOUBLE) / 100.0) * 0.3)
+               * 10000.0) / 10000.0 AS quality
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, fp, quality,
+       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size,
+       (row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC)
+        = 1) AS kept
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by pointwise mutual information.
+
+    PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) with p from corpus unigram /
+    bigram totals.  The double-arithmetic tree is written identically in
+    Spark and the oracle (same association order), then floored to 4
+    decimals before the rank so ordering is engine-stable.
+
+    Scale shape: explode → two shrinking hash aggregations (token and
+    bigram counts, both partial-agg friendly); corpus totals attach as
+    one-row cross joins (lazy scalar subqueries, no eager action); the
+    unigram side is vocabulary-sized and broadcasts.  The final rank
+    window runs over ≤ the min-support survivors, a tiny relation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(
+            "CASE WHEN length(trim(lower(text))) = 0 "
+            "THEN cast(array() as array<string>) "
+            "ELSE split(trim(lower(text)), '\\\\s+') END"
+        ).alias("t"))
+    uni = (toks.select(F.explode("t").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
+    big = (toks.select(F.explode(F.expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> "
+        "concat(x, ' ', t[i + 1]))")).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bi"))
+        .filter(F.col("c_bi") >= PMI_MIN_COUNT))
+    n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
+    n_bi_tot = (toks.select(
+        F.greatest(F.size("t") - 1, F.lit(0)).alias("nb"))
+        .agg(F.sum("nb").alias("n_bi")))
+    parts = F.split("bigram", " ")
+    scored = (
+        big.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c_uni", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c_uni", "c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_tot))
+    )
+    pmi = _floor4(F.log(
+        ((F.col("c_bi").cast("double") * F.col("n_uni")) / F.col("n_bi"))
+        * ((F.col("n_uni").cast("double") / F.col("c1")) / F.col("c2"))
+    ))
+    ranked = scored.select(
+        "bigram", "c_bi", pmi.alias("pmi"),
+    ).withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("pmi"), F.asc("bigram"))))
+    return ranked.filter(F.col("r") <= PMI_TOP_K).select(
+        "bigram", "c_bi", "pmi", F.col("r").cast("int").alias("r"))
+
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT {_TOKENS_SQL} AS t FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks)
+  GROUP BY 1 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT sum(c_uni) FROM uni) AS n_uni,
+         (SELECT sum(greatest(len(t) - 1, 0)) FROM toks) AS n_bi
+),
+scored AS (
+  SELECT b.bigram, b.c_bi,
+         floor(ln(((CAST(b.c_bi AS DOUBLE) * t.n_uni) / t.n_bi)
+                  * ((CAST(t.n_uni AS DOUBLE) / u1.c_uni) / u2.c_uni))
+               * 10000.0) / 10000.0 AS pmi
+  FROM big b
+  JOIN uni u1 ON u1.tok = string_split(b.bigram, ' ')[1]
+  JOIN uni u2 ON u2.tok = string_split(b.bigram, ' ')[2]
+  CROSS JOIN tot t
+)
+SELECT bigram, c_bi, pmi, CAST(r AS INT) AS r
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS r
+      FROM scored)
+WHERE r <= {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 quantization of each embedding vector.
+
+    q_i = floor(x_i * 127 / scale + 0.5) — floor-based half-up rounding
+    because round() on doubles is not engine-stable at exact halves
+    (the _floor4 lesson applies to rounding too).  Outputs are exact
+    integers (joined as a string: array outputs are not hashable by the
+    driver canonicalizer) plus the floored scale; the integer L1 norm
+    replaces a float reconstruction error so no float summation order
+    can diverge.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dv = F.expr("transform(embedding, x -> cast(x as double))")
+    scale = F.greatest(F.array_max(F.expr(
+        "transform(embedding, x -> abs(cast(x as double)))")),
+        F.lit(1e-12))
+    q = F.transform(dv, lambda x: F.floor(x * 127.0 / scale + 0.5)
+                    .cast("int"))
+    return e.select(
+        "vec_id",
+        _floor6(scale).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+        .alias("q_vec"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.array_max(F.transform(q, F.abs)).cast("int").alias("q_max"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                                          x -> abs(CAST(x AS DOUBLE)))),
+                  1e-12) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale
+                                        + 0.5) AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       floor(scale * 1000000.0) / 1000000.0 AS scale,
+       array_to_string(qv, ',') AS q_vec,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_max
+FROM q
+"""
+
+
+def _pack_oracle() -> str:
+    bucket = hash64_sql("'pack:' || CAST(doc_id AS VARCHAR)")
+    return PACK_ORACLE_TEMPLATE.format(
+        bucket=bucket, shards=PACK_SHARDS, ntok=_bpe_sql(),
+        budget=PACK_BUDGET)
+
+
+SPECS: dict[str, QuerySpec] = {
+    "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
+    "split_balance": QuerySpec(split_balance, SPLIT_BALANCE_ORACLE),
+    "pack_sequences": QuerySpec(pack_sequences, _pack_oracle()),
+    "dedup_keep_best": QuerySpec(dedup_keep_best, KEEP_BEST_ORACLE),
+    "token_bigram_pmi": QuerySpec(token_bigram_pmi, PMI_ORACLE),
+    "emb_int8_quantize": QuerySpec(emb_int8_quantize, QUANTIZE_ORACLE),
+}

@@ -20,6 +20,7 @@ def _collect() -> dict[str, QuerySpec]:
     # the whole registry loudly, not silently shrink the declared coverage
     # (the correctness gate would "pass" while verifying fewer operators).
     from .operators import (  # noqa: F401
+        curation,
         dedup,
         events,
         multimodal,
@@ -37,7 +38,8 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
-               dedup, similarity, sketches, multimodal, profiling, quality]
+               dedup, similarity, sketches, multimodal, profiling, quality,
+               curation]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:

@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "doc_salient_terms",   # one-row N aggregate broadcast cross join
     "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
+    "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
 }
 
 
