@@ -439,7 +439,60 @@ FROM (
 """
 
 
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    The behavioural-model building block: P(next event type | current
+    event type), estimated from every adjacent pair in each user's
+    (ts, event_id)-ordered stream.  One partitioning of events by user
+    feeds a single lead() window; the pair counts are a partial-agg
+    shuffle of |types|² rows; the row-normalizing totals come from a
+    window over that tiny matrix — the fact is scanned once.  The
+    probability is one IEEE division of two exact counts, truncated to
+    6 decimals, so both engines emit identical doubles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    prob = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        (F.floor(prob * 1000000.0) / 1000000.0).alias("p"),
+    )
+
+
+MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  )
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       floor(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS p
+FROM pairs
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_markov_transitions": QuerySpec(ev_markov_transitions,
+                                       MARKOV_ORACLE),
     "ev_seasonal_profile": QuerySpec(ev_seasonal_profile, SEASONAL_ORACLE),
     "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),
     "ev_props_map_stats": QuerySpec(ev_props_map_stats, PROPS_MAP_ORACLE),

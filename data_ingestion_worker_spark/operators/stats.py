@@ -484,7 +484,103 @@ FROM terms
 """
 
 
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic (+ Satterthwaite df) for every pair of event
+    types, from integer power sums.
+
+    Values are quantized to milli-units (``floor(value·1000)`` — the t
+    statistic is scale-invariant, so the quantization only snaps inputs
+    to a grid both engines agree on); n, Σq, Σq² are then exact integer
+    sums (Σq² in DECIMAL(38) — BIGINT would overflow past ~10⁵ rows of
+    q≈5·10⁵).  One shuffle aggregates the fact to a |types|-row stats
+    table; the pair enumeration is a broadcast self cross join of that
+    tiny table — the fact table is scanned once and never joined.
+    All post-aggregate math is IEEE doubles over identical expression
+    trees, truncated (not rounded) to 6 decimals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+
+    def _d(side: str, col: str) -> F.Column:
+        return F.col(f"{side}.{col}").cast("double")
+
+    def _var(side: str) -> F.Column:
+        # Cast BEFORE multiplying: s·s on raw BIGINTs overflows around
+        # sf1 (s ≈ 3·10⁹ ⇒ s² ≈ 10¹⁹ > 2⁶³); DECIMAL(38) does not.
+        s_dec = F.col(f"{side}.s").cast("decimal(38,0)")
+        num = (
+            F.col(f"{side}.n") * F.col(f"{side}.ss") - s_dec * s_dec
+        ).cast("double")
+        return num / (_d(side, "n") * (_d(side, "n") - F.lit(1.0)))
+
+    se_a = _var("a") / _d("a", "n")
+    se_b = _var("b") / _d("b", "n")
+    t = (_d("a", "s") / _d("a", "n") - _d("b", "s") / _d("b", "n")) / F.sqrt(
+        se_a + se_b
+    )
+    dof = ((se_a + se_b) * (se_a + se_b)) / (
+        (se_a * se_a) / (_d("a", "n") - F.lit(1.0))
+        + (se_b * se_b) / (_d("b", "n") - F.lit(1.0))
+    )
+
+    def _floor6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            _floor6(t).alias("t_stat"),
+            _floor6(dof).alias("welch_df"),
+        )
+    )
+
+
+WELCH_ORACLE = """
+WITH st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)) AS s,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)
+             * CAST(floor(value * 1000.0) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+           / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+           / CAST(a.n AS DOUBLE) AS se_a,
+         CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+           / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))
+           / CAST(b.n AS DOUBLE) AS se_b,
+         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS dm
+  FROM st a CROSS JOIN st b
+  WHERE a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       floor(dm / sqrt(se_a + se_b) * 1000000.0) / 1000000.0 AS t_stat,
+       floor(((se_a + se_b) * (se_a + se_b))
+             / ((se_a * se_a) / (CAST(n_a AS DOUBLE) - 1.0)
+                + (se_b * se_b) / (CAST(n_b AS DOUBLE) - 1.0))
+             * 1000000.0) / 1000000.0 AS welch_df
+FROM pairs
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
     "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),
     "agg_mode_deterministic": QuerySpec(agg_mode_deterministic, MODE_ORACLE),

@@ -606,7 +606,118 @@ LIMIT {SAMPLE_WEIGHTED_K}
 """
 
 
+BM25_QUERY = ["spark", "hash", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def doc_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 retrieval for a fixed query over the corpus.
+
+    BM25 with a *rational* idf — ``(N − df + 0.5)/(df + 0.5)`` instead of
+    its logarithm.  ln is monotone, so per-term ranking is unchanged, and
+    dropping it keeps every arithmetic step an exactly-specified IEEE
+    operation on values derived from integers (tf, df, N, dl are all
+    BIGINTs) — bit-identical across engines, where ln would hang parity
+    on libm ulp agreement.  The three per-term partial scores are summed
+    in *fixed written order* (pivot to columns, then ``a + b + c``) so no
+    shuffle-order float accumulation can occur.
+
+    Plan shape, smallest-first: the explode is filtered to the query
+    terms *before* the (doc, term) aggregate, so the shuffle carries only
+    matching postings (|query| ≪ |vocab|); df and the one-row corpus
+    stats (N, Σdl) are broadcast back; the final top-k is
+    TakeOrderedAndProject — per-partition heads merged on the driver,
+    never a global sort.  At 100 TB this is exactly the
+    scatter-gather-topk a distributed retrieval engine runs per query.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("dl"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    n = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sumdl").cast("double") / F.col("n").cast("double")
+    idf = (
+        (F.col("n") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (
+        F.col("dl").cast("double") / avgdl
+    )
+    tfs = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double") + F.lit(BM25_K1) * norm
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (idf * tfs).alias("s"))
+    )
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, t in enumerate(BM25_QUERY)
+    ]
+    raw = F.col("s0") + F.col("s1") + F.col("s2")
+    return (
+        scored.groupBy("doc_id")
+        .agg(*parts)
+        .select("doc_id", raw.alias("s_raw"))
+        .orderBy(F.col("s_raw").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .select("doc_id", _floor4(F.col("s_raw")).alias("score"))
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WS_COUNT_SQL} AS dl, {_TOKENS_SQL} AS toks
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sumdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT doc_id, tf.term,
+         ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0})
+            / (CAST(tf AS DOUBLE)
+               + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                  * (CAST(dl AS DOUBLE)
+                     / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           AS s
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+p AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+         + coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0)
+         + coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0) AS s_raw
+  FROM s GROUP BY 1
+)
+SELECT doc_id, floor(s_raw * 10000.0) / 10000.0 AS score
+FROM p ORDER BY s_raw DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,
                                     INVERTED_INDEX_ORACLE),
     "sample_weighted_bottomk": QuerySpec(sample_weighted_bottomk,

@@ -566,7 +566,74 @@ GROUP BY n_name
 """
 
 
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of customers on (order count, total spend).
+
+    A customer is dominated when another customer has ≥ on both axes and
+    > on at least one; the skyline is the undominated set — the classic
+    multi-criteria "best customers" query that SQL can only state as an
+    all-pairs NOT EXISTS (and that is exactly what the oracle runs, so
+    the scalable plan below is verified against the brute-force
+    *definition*, not against itself).
+
+    Scale shape — never all-pairs: order count is a discrete axis, so
+    (1) aggregate customers (one shuffle of the orders fact, partial
+    agg), (2) collapse to one row per distinct count value — max spend
+    per bucket, a frame bounded by |distinct counts|, not |customers| —
+    (3) a running max over the strictly-greater buckets (window over
+    that tiny frame) gives the dominance threshold S(n); a customer is
+    on the frontier iff spend == bucket max AND spend > S(n).  Both
+    comparisons are exact DECIMAL.  The only per-customer work is one
+    broadcast join against the |distinct counts|-row threshold table —
+    at 100 TB the frontier test costs one map-side lookup per customer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("spend"),
+    )
+    buckets = per_cust.groupBy("n_orders").agg(
+        F.max("spend").alias("bucket_max")
+    )
+    w = (
+        Window.orderBy(F.col("n_orders").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresh = buckets.select(
+        "n_orders", "bucket_max",
+        F.max("bucket_max").over(w).alias("s_above"),
+    )
+    return (
+        per_cust.join(F.broadcast(thresh), "n_orders")
+        .filter(
+            (F.col("spend") == F.col("bucket_max"))
+            & (
+                F.col("s_above").isNull()
+                | (F.col("spend") > F.col("s_above"))
+            )
+        )
+        .select("custkey", "n_orders", "spend")
+    )
+
+
+SKYLINE_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT custkey, n_orders, spend
+FROM per_cust a
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_cust b
+  WHERE b.n_orders >= a.n_orders AND b.spend >= a.spend
+    AND (b.n_orders > a.n_orders OR b.spend > a.spend)
+)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "skyline_pareto": QuerySpec(skyline_pareto, SKYLINE_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_ORACLE),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_ORACLE),
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
+    "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
+    "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
 }
 
 

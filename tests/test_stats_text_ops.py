@@ -98,3 +98,105 @@ def test_seasonal_profile_shares_and_domain(spark):
         by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.hour_share
     for share_sum in by_type.values():   # shares partition the type total
         assert share_sum == pytest.approx(1.0, abs=1e-4)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    from data_ingestion_worker_spark.operators.stats import stats_welch_ttest
+
+    rows = stats_welch_ttest(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_type", "value").toPandas()
+    ev["q"] = np.floor(ev.value * 1000.0)
+    assert len(rows) == 10   # C(5,2) unordered type pairs
+    for r in rows:
+        a = ev[ev.event_type == r.type_a].q.to_numpy()
+        b = ev[ev.event_type == r.type_b].q.to_numpy()
+        se_a = a.var(ddof=1) / len(a)
+        se_b = b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se_a + se_b)
+        dof = (se_a + se_b) ** 2 / (
+            se_a**2 / (len(a) - 1) + se_b**2 / (len(b) - 1)
+        )
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.t_stat == pytest.approx(t, abs=1e-4)
+        assert r.welch_df == pytest.approx(dof, abs=1e-2)
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    from data_ingestion_worker_spark.operators.events import (
+        ev_markov_transitions,
+    )
+
+    rows = ev_markov_transitions(spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("user_id", "ts", "event_id", "event_type").toPandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    ev["next"] = ev.groupby("user_id").event_type.shift(-1)
+    pairs = ev.dropna(subset=["next"]).groupby(
+        ["event_type", "next"]
+    ).size()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert r.n == pairs[(r.from_type, r.to_type)]
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    for s in by_from.values():   # each matrix row sums to 1
+        assert s == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bm25_matches_pure_python(spark):
+    from data_ingestion_worker_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+        doc_bm25_rank,
+    )
+
+    rows = doc_bm25_rank(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    toks = {d.doc_id: d.text.lower().split() for d in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in BM25_QUERY
+    }
+    scores = {}
+    for did, t in toks.items():
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = (n - df[q] + 0.5) / (df[q] + 0.5)
+            s += idf * (tf * (BM25_K1 + 1)) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(t) / avgdl)
+            )
+        scores[did] = s
+    expect = sorted(scores, key=lambda i: (-scores[i], i))[:BM25_TOPK]
+    assert [r.doc_id for r in rows] == expect
+    for r in rows:
+        assert r.score == pytest.approx(scores[r.doc_id], abs=1e-3)
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    from data_ingestion_worker_spark.operators.tpch_ext import skyline_pareto
+
+    rows = skyline_pareto(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_custkey", "o_totalprice").toPandas()
+    per = o.groupby("o_custkey").agg(
+        n=("o_totalprice", "size"), spend=("o_totalprice", "sum")
+    ).reset_index()
+    pts = list(per.itertuples(index=False))
+    frontier = {
+        p.o_custkey
+        for p in pts
+        if not any(
+            q.n >= p.n and q.spend >= p.spend
+            and (q.n > p.n or q.spend > p.spend)
+            for q in pts
+        )
+    }
+    assert {r.custkey for r in rows} == frontier
