@@ -1,0 +1,197 @@
+"""Graph analytics over the customer–supplier interaction graph.
+
+The reference (rpdevelops/data-ingestion-worker) has no graph surface;
+these operators extend the engine the way ``operators/dedup.py``'s
+connected components does — iterative relational algebra over an edge
+list, no graph library.
+
+The graph: an undirected bipartite customer↔supplier graph induced by
+``lineitem ⋈ orders`` (a customer is linked to every supplier that
+shipped a line of one of its orders).  Node encoding packs both key
+spaces into one BIGINT axis: ``2·custkey`` for customers,
+``2·suppkey + 1`` for suppliers.
+
+Determinism contract: PageRank mass is carried as a BIGINT scaled by
+10¹² and every step is integer arithmetic — ``div`` for the per-edge
+contribution split and the 0.85 damping (17/20) — so shuffle order
+cannot perturb a single bit, and the DuckDB oracle (the same three
+iterations unrolled as CTEs) matches exactly.  Float PageRank would
+accumulate in shuffle order and never hash-match across engines.
+
+Scale notes (100 TB): the edge list is the only large intermediate —
+it is distinct-ed once (one shuffle) and marked for a *lazy* local
+checkpoint, so the first action materializes it once and all three
+iteration references reuse those partitions instead of re-scanning the
+fact table per iteration (operator construction itself stays
+side-effect-free, per the engine-wide rule).  Each iteration is then
+one shuffle join (ranks ⋈ edges on src) + one partial-agg shuffle
+(sum by dst) — the classic Pregel superstep expressed relationally.
+Production at real scale would swap ``localCheckpoint`` for reliable
+``checkpoint()`` exactly as dedup_connected_components documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spec import QuerySpec
+from ..tables import load_table
+
+#: Rank mass scale: 1.0 of probability mass == 10¹² scaled units.
+PR_SCALE = 1_000_000_000_000
+PR_ITERATIONS = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (src, dst) edge list, one row per direction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank (damping 0.85, 3 fixed iterations).
+
+    ``r₀ = SCALE div V``; per step each node sends ``r div deg`` along
+    every incident edge and receives
+    ``(3·SCALE) div (20·V) + (17·Σ contrib) div 20``.  Because the
+    graph is undirected, every node has deg ≥ 1 and receives at least
+    one contribution, so no dangling-mass term is needed.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    v = deg.agg(F.count(F.lit(1)).alias("v"))
+    ranks = deg.crossJoin(F.broadcast(v)).select(
+        "node", "deg", F.expr(f"{PR_SCALE} div v").alias("r")
+    )
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            deg.join(incoming, "node")
+            .crossJoin(F.broadcast(v))
+            .select(
+                "node", "deg",
+                F.expr(
+                    f"(3 * {PR_SCALE}) div (20 * v) + (17 * s) div 20"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
+def _pr_oracle() -> str:
+    base = f"(3 * {PR_SCALE}) // (20 * v)"
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, sum(r.r // r.deg) AS s
+  FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY 1
+),
+r{i} AS (
+  SELECT d.node, d.deg,
+         CAST({base} + (17 * c{i}.s) // 20 AS BIGINT) AS r
+  FROM deg d JOIN c{i} ON d.node = c{i}.node CROSS JOIN v
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM deg),
+r0 AS (
+  SELECT node, deg, CAST({PR_SCALE} // v AS BIGINT) AS r
+  FROM deg CROSS JOIN v
+),{",".join(iters)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, r AS rank_scaled
+FROM {prev}
+"""
+
+
+PAGERANK_ORACLE = _pr_oracle()
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution per node kind — the skew diagnostic you run
+    *before* any per-node iteration (a power-law hub means the rank
+    join needs salting; a flat histogram means it does not)."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("kind"),
+            "deg",
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+DEGREE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
+    "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),
+}

@@ -23,6 +23,7 @@ def _collect() -> dict[str, QuerySpec]:
         curation,
         dedup,
         events,
+        graph,
         multimodal,
         profiling,
         quality,
@@ -39,7 +40,7 @@ def _collect() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
                dedup, similarity, sketches, multimodal, profiling, quality,
-               curation]
+               curation, graph]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:

@@ -1,0 +1,64 @@
+"""Semantic contracts for the graph operators (operators/graph.py) —
+pinned against graph-theoretic invariants and a pandas recomputation,
+independent of the DuckDB oracle parity that test_oracle_parity.py
+already enforces."""
+
+from __future__ import annotations
+
+from data_ingestion_worker_spark.operators.graph import (
+    PR_SCALE,
+    graph_degree_stats,
+    graph_pagerank,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey").distinct().collect()
+    )
+
+
+def test_pagerank_conserves_mass_and_follows_degree(spark):
+    rows = graph_pagerank(spark, SF_DIR).collect()
+    pairs = _pairs(spark)
+    deg: dict[tuple[str, int], int] = {}
+    for p in pairs:
+        deg[("customer", p.o_custkey)] = \
+            deg.get(("customer", p.o_custkey), 0) + 1
+        deg[("supplier", p.l_suppkey)] = \
+            deg.get(("supplier", p.l_suppkey), 0) + 1
+    assert {(r.kind, r.key) for r in rows} == set(deg)
+    total = sum(r.rank_scaled for r in rows)
+    # Integer division truncates; each of the 3 iterations loses < 1
+    # scaled unit per edge-contribution and per node, never gains.
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE * 0.99
+    assert all(r.rank_scaled > 0 for r in rows)
+    # PageRank on an undirected graph correlates with degree: the top
+    # degree quartile must out-rank the bottom quartile on average.
+    ranked = sorted(rows, key=lambda r: deg[(r.kind, r.key)])
+    q = len(ranked) // 4
+    lo = sum(r.rank_scaled for r in ranked[:q]) / q
+    hi = sum(r.rank_scaled for r in ranked[-q:]) / q
+    assert hi > lo
+
+
+def test_degree_stats_sum_to_twice_the_edge_count(spark):
+    rows = graph_degree_stats(spark, SF_DIR).collect()
+    pairs = _pairs(spark)
+    # Each undirected edge contributes 1 to a customer degree and 1 to
+    # a supplier degree.
+    assert sum(r.deg * r.n_nodes for r in rows) == 2 * len(pairs)
+    by_kind = {}
+    for r in rows:
+        assert r.deg >= 1
+        by_kind[r.kind] = by_kind.get(r.kind, 0) + r.n_nodes
+    assert by_kind["customer"] == len({p.o_custkey for p in pairs})
+    assert by_kind["supplier"] == len({p.l_suppkey for p in pairs})

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
+    "graph_pagerank",      # one-row |V| aggregate broadcast cross join
 }
 
 
