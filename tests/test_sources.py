@@ -215,3 +215,50 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert rows[0]["v2"] is None        # pre-evolution file -> NULL
     assert rows[4]["v2"] == 1.5
     assert merged.count() == 5
+
+
+def test_format_roundtrips_preserve_rows(spark, tmp_path):
+    from data_ingestion_worker_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt)
+        got = read_table(spark, path, fmt, schema=src.schema)
+        assert got.schema == src.schema
+        assert sorted(map(tuple, got.collect())) == want
+
+
+def test_row_formats_demand_a_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.sources.formats import read_table
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_table(spark, str(tmp_path / "x"), "json")
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_table(spark, str(tmp_path / "x"), "avro")
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
+    from data_ingestion_worker_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_table(src, path, "orc")
+    q = (
+        read_table(spark, path, "orc")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderpriority" not in read_schema  # pruned
