@@ -77,29 +77,29 @@ def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Salt fanout for the KMV first phase: each source's hash set is split
-#: across this many groups so no single task ever sorts a whole source.
-KMV_SALTS = 64
-
-
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle estimate from a KMV sketch, with the
     exact count and relative error alongside.
 
     Two-phase bounded top-k, one scan, no rank window: phase 1 groups by
-    (source, hash-salt) and keeps each group's k smallest hashes plus its
-    row count; phase 2 merges the ≤ KMV_SALTS k-sized sorted states per
-    source and sums the counts.  ``source`` is low-cardinality, so a
+    (source, spark_partition_id()) and keeps each group's k smallest
+    hashes plus its row count; phase 2 merges the k-sized sorted states
+    per source and sums the counts.  ``source`` is low-cardinality, so a
     per-source rank window would funnel every shingle hash of a source
-    into ONE task's sort; here the phase-1 sort is spread over KMV_SALTS
-    groups and the per-source merge state is KMV_SALTS x k values — the
-    sketch's merge property doing the work.
+    into ONE task's sort; grouping by the *physical partition id* instead
+    caps every phase-1 group at one input partition (maxPartitionBytes
+    governs it — no salt constant to outgrow), the partial aggregation
+    completes map-side (each task holds exactly its own pid), and the
+    shuffle carries only |sources| × |partitions| k-sized states.  The
+    pid is run-dependent, but the merged k-minima of a union are
+    grouping-invariant, so the output is deterministic — the sketch's
+    merge property doing the work.
     """
     sh = _src_shingles(spark, sf_dir).select(
         "source", hash64(F.col("shingle")).alias("h")
     )
     mins = (
-        sh.groupBy("source", F.pmod("h", F.lit(KMV_SALTS)).alias("salt"))
+        sh.groupBy("source", F.spark_partition_id().alias("salt"))
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K)
