@@ -18,7 +18,7 @@ Two classes of statistics and how each stays reproducible:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
@@ -579,7 +579,136 @@ FROM pairs
 """
 
 
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+#: ECDF prefix-sum bucket width on the milli-quantized value axis.
+KS_BUCKET = 65536
+
+
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types — the distribution-drift gate a
+    data pipeline runs between snapshots.
+
+    Exactness: D is computed as ``max |n_b·cum_a − n_a·cum_b|`` over
+    the pooled support, all integers (values milli-quantized as in the
+    Welch test), divided once at the end — no float ECDF accumulates.
+    The products are DECIMAL(38) so petabyte-scale sample sizes cannot
+    overflow the cross terms.  The 95% rejection flag compares the
+    *integer* D numerator squared against the Smirnov critical value,
+    via one identical double expression in both engines.
+
+    Scale shape — no global sort: the cumulative counts use a two-phase
+    prefix sum.  Distinct quantized values are bucketed into fixed
+    value ranges; within-bucket cumulative sums run as per-bucket
+    windows (parallel across buckets), and each bucket's starting
+    offset comes from a window over the |buckets|-row totals table —
+    the only serial step scans one row per bucket, never one per value.
+    This is the distributed-ECDF construction, verified against the
+    oracle's single-window formulation.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([KS_TYPE_A, KS_TYPE_B])
+    )
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    counts = (
+        ev.select(
+            q.alias("q"),
+            F.when(F.col("event_type") == KS_TYPE_A, F.lit(1))
+            .otherwise(F.lit(0)).alias("ia"),
+        )
+        .groupBy("q")
+        .agg(
+            F.sum("ia").alias("ca"),
+            F.sum(1 - F.col("ia")).alias("cb"),
+        )
+        .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.select(
+        "q", "bucket",
+        F.sum("ca").over(win).alias("la"),
+        F.sum("cb").over(win).alias("lb"),
+    )
+    btot = counts.groupBy("bucket").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    bwin = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = btot.select(
+        "bucket",
+        F.coalesce(F.sum("ta").over(bwin), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(bwin), F.lit(0)).alias("ob"),
+    )
+    n = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum = (
+        local.join(F.broadcast(boffs), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "na", "nb",
+            F.abs(
+                F.col("nb").cast("decimal(38,0)")
+                * (F.col("oa") + F.col("la")).cast("decimal(38,0)")
+                - F.col("na").cast("decimal(38,0)")
+                * (F.col("ob") + F.col("lb")).cast("decimal(38,0)")
+            ).alias("dev"),
+        )
+    )
+    agg = cum.groupBy("na", "nb").agg(F.max("dev").alias("dnum_dec"))
+    dnum = F.col("dnum_dec").cast("double")
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("dnum_dec").cast("bigint").alias("d_num"),
+        (F.floor(dnum / (na_d * nb_d) * 1000000.0) / 1000000.0).alias("d"),
+        (dnum * dnum
+         > F.lit(1.358 * 1.358) * (na_d * nb_d) * (na_d * nb_d)
+         * ((na_d + nb_d) / (na_d * nb_d))).alias("reject_95"),
+    )
+
+
+KS_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(floor(value * 1000.0) AS BIGINT) AS q,
+         sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY q) AS cum_a,
+         sum(cb) OVER (ORDER BY q) AS cum_b,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts
+),
+agg AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         max(abs(nb * cum_a - na * cum_b)) AS dnum
+  FROM cum GROUP BY 1, 2
+)
+SELECT n_a, n_b, CAST(dnum AS BIGINT) AS d_num,
+       floor(CAST(dnum AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS d,
+       CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+         > {1.358 * 1.358} * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         AS reject_95
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
     "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),
