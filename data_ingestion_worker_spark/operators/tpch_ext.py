@@ -348,8 +348,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape: supplier(s) with max quarterly revenue.
 
-    The scalar max-subquery is a window max over the (tiny) per-supplier
-    aggregate — no second scan of the fact, no driver round-trip.
+    The scalar max-subquery is a one-row ``agg(max)`` over the per-supplier
+    aggregate, broadcast-cross-joined back into the filter (the q22 scalar
+    pattern) — a ``Window.partitionBy()`` max here would funnel every
+    supplier through one ``Exchange SinglePartition`` task, a serial choke
+    at scale.  No second scan of the fact, no driver round-trip.
     Comparison happens on exact DECIMAL revenue, so 'equal to max' is
     engine-independent.
     """
@@ -362,9 +365,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev_dec"))
     )
-    w = Window.partitionBy()
+    max_row = per_supp.agg(F.max("total_rev_dec").alias("max_rev"))
     top = (
-        per_supp.withColumn("max_rev", F.max("total_rev_dec").over(w))
+        per_supp.crossJoin(F.broadcast(max_row))
         .filter(F.col("total_rev_dec") == F.col("max_rev"))
     )
     return (

@@ -24,12 +24,14 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",     # K query vectors broadcast against the corpus
     "ann_ivf_recall",      # IVF results × brute-force results comparison
     "q22_idle_rich_customers",  # scalar subquery attached to every row
+    "q15_top_supplier",    # one-row max-revenue broadcast cross join
     "doc_salient_terms",   # one-row N aggregate broadcast cross join
     "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
+    "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
 }
 
@@ -80,6 +82,75 @@ def test_kmv_plan_has_no_rank_window(spark, sf_dir):
     assert "Window" not in plan, "per-source rank window reintroduced"
 
 
+#: Queries whose plan may contain ``Exchange SinglePartition``.  Every
+#: entry must be a one-row scalar aggregate (partial agg per partition,
+#: one-row final — constant data volume) or a window over an already
+#: *bounded* group-aggregate (see WINDOW_OVER_SP_ALLOWED).  A corpus-wide
+#: funnel — e.g. ``Window.partitionBy()`` over a table that grows with SF
+#: — must NOT be added here; fix the plan instead (the q15 history).
+SP_ALLOWED = {
+    "q6_forecast_revenue",      # one-row revenue scalar
+    "q14_promo_revenue",        # one-row promo-share scalar
+    "q15_top_supplier",         # one-row max-revenue scalar
+    "q17_small_quantity",       # one-row yearly-revenue scalar
+    "q19_disjunctive_revenue",  # one-row revenue scalar
+    "q22_idle_rich_customers",  # one-row avg-balance scalar
+    "dedup_lsh_recall",         # one-row recall/precision scalar
+    "doc_salient_terms",        # one-row corpus-N scalar
+    "doc_unigram_logprob",      # one-row corpus-total scalar
+    "doc_bm25_rank",            # one-row (N, Σdl) scalar
+    "graph_pagerank",           # one-row |V| + per-iteration mass scalars
+    "stats_chi2_independence",  # one-row grand-total scalar
+    "stats_ks_test",            # one-row per-sample-N scalars + CDF window
+    "token_bigram_pmi",         # one-row corpus-total scalars
+    "skyline_pareto",           # running-max window over the bucket agg
+    "corpus_mix_weights",       # mix-weight window over the k-source agg
+    "pipeline_filter_stats",    # survival window over the per-reason agg
+}
+
+#: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
+#: legitimate when the window's input is a group-aggregate whose
+#: cardinality is bounded by a domain (buckets, sources, filter reasons)
+#: — NOT by table size.
+WINDOW_OVER_SP_ALLOWED = {
+    "skyline_pareto",       # |buckets| rows (fixed bucket count)
+    "corpus_mix_weights",   # |sources| rows
+    "pipeline_filter_stats",  # |filter reasons| rows
+    "stats_ks_test",        # |CDF buckets| rows (fixed bucket count)
+}
+
+
+def _tree_indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _sp_feeds_window(plan: str) -> bool:
+    """True iff some ``Exchange SinglePartition`` has a Window ancestor
+    before any aggregate/join boundary — the shape of an empty-frame
+    window funneling a whole relation through one task."""
+    lines = plan.splitlines()
+    for idx, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        cur = _tree_indent(ln)
+        for j in range(idx - 1, -1, -1):
+            ii = _tree_indent(lines[j])
+            if ii >= cur:
+                continue
+            node = lines[j].strip().lstrip("+-: ")
+            if node.startswith("Window"):
+                return True
+            if node.startswith(("HashAggregate", "SortAggregate",
+                                "ObjectHashAggregate", "BroadcastExchange",
+                                "TakeOrderedAndProject")) or "Join" in node:
+                break  # consumed by an aggregate/join — not a window funnel
+            cur = ii  # Sort/Filter/Project pass-throughs: keep walking
+    return False
+
+
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
     spec = all_specs()[name]
@@ -90,4 +161,16 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected broadcast nested-loop join"
+        )
+    if name not in SP_ALLOWED:
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: plan funnels data through a single partition; if "
+            "this is a one-row scalar aggregate, add it to SP_ALLOWED "
+            "with a justification"
+        )
+    if name not in WINDOW_OVER_SP_ALLOWED:
+        assert not _sp_feeds_window(plan), (
+            f"{name}: a Window runs over an Exchange SinglePartition — "
+            "an empty-frame window funneling the relation through one "
+            "task; use a scalar agg + broadcast cross join instead"
         )

@@ -150,10 +150,9 @@ def test_running_user_totals_state_survives_restart(spark, tmp_path):
 
 def test_windowed_counts_batch_parity(spark, sf_dir):
     """The same plan runs in batch mode over the events table."""
+    # ``ts`` is already a timestamp in the driver parquet — pass through.
     events = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
-        "event_id",
-        "timestamp_micros(cast(ts / 1000 as long)) AS ts",
-        "user_id", "event_type", "value",
+        "event_id", "ts", "user_id", "event_type", "value",
     )
     out = windowed_counts(events)
     total = out.agg({"n_events": "sum"}).collect()[0][0]
