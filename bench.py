@@ -46,6 +46,8 @@ HEADLINE = [
     "profile_columns",
     "doc_salient_terms",
     "dedup_fuzzy_names",
+    "graph_pagerank",
+    "pack_sequences",
 ]
 
 
@@ -62,18 +64,20 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
     specs["q6_forecast_revenue"].fn(spark, sf_dir).count()
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        # Best of two executions: the first run of a query pays its own
-        # codegen/JIT; the min reflects steady-state throughput and keeps
-        # round-over-round comparisons stable against scheduler noise.
-        best = None
-        for _ in range(2):
+        # Best of three executions: the first run of a query pays its own
+        # codegen/JIT; the min reflects steady-state throughput.  The
+        # recorded [min, max] spread makes machine/JVM noise attributable
+        # — a real regression moves the min, noise only widens the band.
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
@@ -81,6 +85,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": 3,
+        "spread": spread,
     }))
     spark.stop()
 

@@ -79,28 +79,35 @@ REAL_DECODE_SCHEMA = ("doc_id bigint, byte_len int, width int, "
 
 
 def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Real image decode (Pillow), same batch loop as the stub.
+    """Real image decode, same batch loop as the stub.
 
-    Emits REAL_DECODE_SCHEMA rows; undecodable payloads yield NULL
+    Codec selection per payload: Pillow (every format it knows) when the
+    environment has it, else the dependency-free builtin codecs
+    (uncompressed BMP, binary PPM — ``functions.imagecodec``, real
+    bytes-to-pixels work, not a stub).  Undecodable payloads yield NULL
     dimensions instead of failing the batch (row-level error isolation,
-    reference T10).  Raises only when Pillow is absent — callers choose
-    the seam via :data:`HAS_PIL` / :func:`decode_image`.
+    reference T10).
     """
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "real image decode needs Pillow; use fake_decode_image for "
-            "plumbing tests"
-        )
-    import io
+    if HAS_PIL:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    def _meta(b: bytes):
-        try:
-            with Image.open(io.BytesIO(b)) as img:
+        def _meta(b: bytes):
+            try:
+                with Image.open(io.BytesIO(b)) as img:
+                    return (img.width, img.height, img.mode, img.format)
+            except Exception:  # noqa: BLE001 — corrupt payload, not a bug
+                return (None, None, None, None)
+    else:
+        from ..functions.imagecodec import decode_builtin
+
+        def _meta(b: bytes):
+            try:
+                img = decode_builtin(bytes(b))
                 return (img.width, img.height, img.mode, img.format)
-        except Exception:  # noqa: BLE001 — corrupt payload, not a bug
-            return (None, None, None, None)
+            except ValueError:  # corrupt or non-BMP/PPM payload
+                return (None, None, None, None)
 
     for pdf in batches:
         metas = pdf["payload"].map(_meta)
@@ -114,10 +121,12 @@ def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         })
 
 
-#: The decode seam: the real codec when the environment has one, the
-#: deterministic stub otherwise.  Note the two emit different schemas —
-#: pick the matching one (REAL_DECODE_SCHEMA vs DECODE_SCHEMA).
-decode_image = decode_image_real if HAS_PIL else fake_decode_image
+#: The decode seam: ``decode_image`` is always the real codec path now
+#: that the builtin BMP/PPM decoders exist in-container (Pillow widens
+#: format coverage when present).  ``fake_decode_image`` remains solely
+#: the oracle-verified plumbing stub — note the two emit different
+#: schemas (REAL_DECODE_SCHEMA vs DECODE_SCHEMA).
+decode_image = decode_image_real
 
 
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,40 @@ from pyspark.sql import DataFrame, SparkSession
 from .spec import QuerySpec
 
 
+#: Registration order is part of the external contract: the correctness
+#: driver grades the FIRST 50 ``queries()`` entries.  The §2-mapped
+#: relational block (28 entries) registers first; these 22 flagship
+#: LLM-data-pipeline operators fill positions 29-50 so every pipeline
+#: category (dedup, ANN/clustering, sketches, text analysis, curation,
+#: graph, profiling, multimodal) gets a driver-graded correctness row.
+#: Everything else (TPC-H, events, stats, ...) follows and stays covered
+#: by the local full-registry oracle sweep (tools/check_oracle.py).
+PRIORITY_AFTER_RELATIONAL = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "doc_decontaminate",
+    "dedup_keep_best",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "cluster_kmeans_embeddings",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_lang_id",
+    "pipeline_pretrain_filter",
+    "split_train_holdout",
+    "pack_sequences",
+    "emb_int8_quantize",
+    "graph_pagerank",
+    "profile_columns",
+    "mm_decode_stub",
+]
+
+
 def _collect() -> dict[str, QuerySpec]:
     # Imports are strict on purpose: a module failing to import must fail
     # the whole registry loudly, not silently shrink the declared coverage
@@ -46,7 +80,22 @@ def _collect() -> dict[str, QuerySpec]:
             if name in specs:
                 raise ValueError(f"duplicate query name: {name}")
             specs[name] = spec
-    return specs
+
+    missing = [n for n in PRIORITY_AFTER_RELATIONAL if n not in specs]
+    if missing:
+        raise ValueError(f"priority list names unknown queries: {missing}")
+
+    ordered: dict[str, QuerySpec] = {}
+    for name in relational.SPECS:            # §2 block: positions 1-28
+        ordered[name] = specs[name]
+    for name in PRIORITY_AFTER_RELATIONAL:   # LLM block: positions 29-50
+        if name in ordered:
+            raise ValueError(f"priority name duplicates §2 block: {name}")
+        ordered[name] = specs[name]
+    for name, spec in specs.items():         # the rest, module order
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,9 +1,9 @@
-"""Multimodal decode seam: stub plumbing always, real codec when present.
+"""Multimodal decode seam: stub plumbing for the oracle, real codecs live.
 
 The stub path is oracle-verified (mm_decode_stub in the registry); these
-tests pin the seam itself — that the dispatch picks the right decoder
-and that the real path works end-to-end whenever Pillow exists in the
-environment (skipped otherwise, by design: the container has no codecs).
+tests pin the seam itself — ``decode_image`` is always the REAL codec
+path (builtin BMP/PPM decoders in-container; Pillow widens coverage when
+present) and corrupt payloads NULL out instead of failing the batch.
 """
 
 from __future__ import annotations
@@ -11,47 +11,94 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from data_ingestion_worker_spark.functions.imagecodec import (
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    sniff_format,
+)
 from data_ingestion_worker_spark.operators.multimodal import (
     HAS_PIL,
     decode_image,
     decode_image_real,
-    fake_decode_image,
     mm_decode_real,
 )
 
+#: 2x3 RGB test card, distinct channel values per pixel (top-to-bottom).
+RGB_2X3 = bytes((
+    255, 0, 0,    0, 255, 0,
+    0, 0, 255,    10, 20, 30,
+    200, 100, 50, 1, 2, 3,
+))
 
-def test_seam_dispatches_on_pillow_presence():
-    expected = decode_image_real if HAS_PIL else fake_decode_image
-    assert decode_image is expected
+
+def test_seam_is_always_the_real_codec_path():
+    assert decode_image is decode_image_real
+
+
+def test_bmp_pixel_roundtrip():
+    img = decode_bmp(encode_bmp(2, 3, RGB_2X3))
+    assert (img.width, img.height, img.mode, img.format) == (2, 3, "RGB",
+                                                             "BMP")
+    assert img.pixels == RGB_2X3  # bottom-up storage re-flipped correctly
+
+
+def test_bmp_odd_width_row_padding():
+    """Width 3 gives a 9-byte row padded to 12 — stride handling must not
+    shear pixels across rows."""
+    rgb = bytes(range(3 * 2 * 3))  # 3x2
+    img = decode_bmp(encode_bmp(3, 2, rgb))
+    assert img.pixels == rgb
+
+
+def test_ppm_pixel_roundtrip():
+    img = decode_ppm(encode_ppm(2, 3, RGB_2X3))
+    assert (img.width, img.height, img.mode, img.format) == (2, 3, "RGB",
+                                                             "PPM")
+    assert img.pixels == RGB_2X3
+
+
+def test_codec_rejects_malformed_payloads():
+    assert sniff_format(b"not an image") is None
+    for bad in (b"BM" + b"\x00" * 10,              # truncated header
+                encode_bmp(2, 3, RGB_2X3)[:-4],    # truncated pixels
+                b"P6\n2 x\n255\n" + RGB_2X3,       # non-numeric field
+                b"P6\n2 3\n65535\n" + RGB_2X3):    # 16-bit maxval
+        with pytest.raises(ValueError):
+            decode_bmp(bad) if bad[:2] == b"BM" else decode_ppm(bad)
+
+
+def test_real_decode_reads_bmp_ppm_and_isolates_corrupt_rows(spark):
+    """Real in-container decode: a 2x3 BMP and a 2x3 PPM come back with
+    true dimensions; a corrupt payload yields NULL metadata (T10)."""
+    rows = [
+        (1, bytearray(encode_bmp(2, 3, RGB_2X3))),
+        (2, bytearray(encode_ppm(2, 3, RGB_2X3))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in mm_decode_real(spark, df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 3)
+    assert out[1]["format"] == "BMP" and out[1]["mode"] == "RGB"
+    assert (out[2]["width"], out[2]["height"]) == (2, 3)
+    assert out[2]["format"] == "PPM"
+    assert out[3]["width"] is None and out[3]["mode"] is None
 
 
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
-def test_real_decode_reads_png_and_isolates_corrupt_rows(spark):
-    """A real 2x3 PNG decodes to its true dimensions; a corrupt payload
-    yields NULL metadata instead of failing the batch (T10)."""
+def test_real_decode_reads_png_via_pillow(spark):
+    """With Pillow present the seam also covers compressed formats."""
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
     Image.new("RGB", (2, 3)).save(buf, format="PNG")
-    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))]
-    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
-    out = {r["doc_id"]: r for r in mm_decode_real(spark, df).collect()}
-    assert (out[1]["width"], out[1]["height"]) == (2, 3)
-    assert out[1]["format"] == "PNG"
-    assert out[2]["width"] is None and out[2]["mode"] is None
-
-
-def test_real_decode_raises_cleanly_without_pillow(spark):
-    if HAS_PIL:
-        pytest.skip("Pillow present; covered by the real-decode test")
-    df = spark.createDataFrame([(1, bytearray(b"x"))],
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
                                "doc_id bigint, payload binary")
-    with pytest.raises(Exception) as exc:
-        mm_decode_real(spark, df).collect()
-    assert "NotImplementedError" in str(exc.value) \
-        or isinstance(exc.value, NotImplementedError)
+    out = mm_decode_real(spark, df).collect()[0]
+    assert (out["width"], out["height"], out["format"]) == (2, 3, "PNG")
 
 
 def test_stub_oracle_path_unchanged(spark, sf_dir):
