@@ -231,6 +231,66 @@ FROM scaled
 """
 
 
+ROUNDTRIP_SCHEMA = ("doc_id bigint, width int, height int, mode string, "
+                    "format string, pixel_hex string")
+
+
+def bmp_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL codec work per payload: derive WxH RGB pixels from the payload
+    hash, ``encode_bmp`` them, ``decode_bmp`` the result with the builtin
+    codec, and emit the decoded metadata + pixel bytes (hex).
+
+    Unlike the stubs, the bytes-to-pixels path here is genuine — a codec
+    bug (stride, bottom-up flip, channel order) changes ``pixel_hex`` and
+    fails the DuckDB oracle, so the decoder itself is parity-gated.
+    """
+    from ..functions.imagecodec import decode_bmp, encode_bmp
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 2
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_bmp(encode_bmp(w, h, raw))
+        return (img.width, img.height, img.mode, img.format,
+                img.pixels.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+            "pixel_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real BMP encode/decode round-trip -> metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(bmp_roundtrip, ROUNDTRIP_SCHEMA)
+
+
+#: The oracle recomputes the expected pixels algebraically: the first
+#: w*h*3 bytes of sha256(payload) are, in hex, the first w*h*6 chars of
+#: the sha256 hex string.  Spark must arrive at the same bytes THROUGH
+#: the encoder+decoder, so any codec defect breaks parity.
+MM_ROUNDTRIP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id,
+       CAST(1 + h64 % 3 AS INT) AS width,
+       CAST(1 + h64 % 2 AS INT) AS height,
+       'RGB' AS mode, 'BMP' AS format,
+       substr(sha_hex, 1, CAST((1 + h64 % 3) * (1 + h64 % 2) * 6 AS INT))
+         AS pixel_hex
+FROM h
+"""
+
+
 N_FEATURES = 8
 FEATURE_SCHEMA = "doc_id bigint, feature array<bigint>"
 
@@ -279,5 +339,6 @@ SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
+    "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),
 }
