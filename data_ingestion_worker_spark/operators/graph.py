@@ -76,9 +76,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one contribution, so no dangling-mass term is needed.
     """
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    # deg is referenced 4x (V count + every iteration's rank update); a
+    # lazy local checkpoint materializes its shuffle once — without it the
+    # plan re-executes the groupBy subtree per reference (no
+    # ReusedExchange across the iteration joins, verified empirically).
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=False)
     v = deg.agg(F.count(F.lit(1)).alias("v"))
     ranks = deg.crossJoin(F.broadcast(v)).select(
         "node", "deg", F.expr(f"{PR_SCALE} div v").alias("r")
