@@ -81,6 +81,42 @@ def test_bridge_drains_queue_into_inbox_atomically(tmp_path, spark):
     }
 
 
+def test_queue_to_contacts_end_to_end(spark, tmp_path):
+    """Full S1 path: queue -> bridge -> streaming consumer -> control
+    tables. Two job messages and one poison body drain through the
+    bridge; the consumer completes both jobs and ignores the poison."""
+    from data_ingestion_worker_spark.control import ControlStore
+    from data_ingestion_worker_spark.streaming import JobStreamConsumer
+    from pyspark.sql import functions as F
+
+    csvs = {}
+    for jid, rows in ((1, b"ann@x.com,Ann,Ada,Acme\n"),
+                      (2, b"bob@y.com,Bob,Bee,Bmart\n")):
+        p = str(tmp_path / f"job{jid}.csv")
+        with open(p, "wb") as f:
+            f.write(b"email,first_name,last_name,company\n" + rows)
+        csvs[jid] = p
+
+    q = FileQueueClient(str(tmp_path / "q"), visibility_timeout=60.0)
+    for jid, path in csvs.items():
+        q.send(job_message(jid, path))
+    q.send("{broken json")
+    inbox = str(tmp_path / "inbox")
+    assert QueueBridge(q, inbox).drain_once(max_messages=10) == 3
+    assert q.approximate_depth() == 0
+
+    store = ControlStore(spark, str(tmp_path / "control"))
+    consumer = JobStreamConsumer(spark, store, inbox,
+                                 str(tmp_path / "ckpt"))
+    consumer.start(available_now=True).awaitTermination(120)
+    assert sorted(consumer.results) == [(1, "initial"), (2, "initial")]
+    jobs = {r["job_id"]: r["job_status"]
+            for r in store.read("jobs").collect()}
+    assert jobs == {1: "COMPLETED", 2: "COMPLETED"}
+    emails = {r["contact_email"] for r in store.read("contacts").collect()}
+    assert emails == {"ann@x.com", "bob@y.com"}
+
+
 def test_bridge_run_is_bounded_and_incremental(tmp_path):
     qdir, inbox = str(tmp_path / "q"), str(tmp_path / "inbox")
     q = FileQueueClient(qdir, visibility_timeout=60.0)

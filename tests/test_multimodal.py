@@ -52,6 +52,53 @@ def test_bmp_odd_width_row_padding():
     assert img.pixels == rgb
 
 
+def _bmp_with_dib(width, height, bpp, pixel_rows, palette=b""):
+    """Hand-assemble a BMP (any bpp / row order) for decoder edge paths."""
+    import struct
+
+    stride = ((bpp * width + 31) // 32) * 4
+    body = b"".join(row.ljust(stride, b"\x00") for row in pixel_rows)
+    pixel_offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", pixel_offset + len(body), 0, 0,
+                         pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                      len(body), 2835, 2835, len(palette) // 4, 0)
+    return header + dib + palette + body
+
+
+def test_bmp_top_down_negative_height():
+    """Negative DIB height = rows stored top-down; decoder must NOT flip."""
+    rows = [bytes((0, 0, 255, 0, 255, 0)),      # BGR: red px, green px
+            bytes((255, 0, 0, 1, 2, 3))]        # blue px, (3,2,1) px
+    img = decode_bmp(_bmp_with_dib(2, -2, 24, rows))
+    assert (img.width, img.height) == (2, 2)
+    assert img.pixels == bytes((255, 0, 0, 0, 255, 0,   # row0 as stored
+                                0, 0, 255, 3, 2, 1))
+
+
+def test_bmp_8bit_palette_resolves_to_rgb():
+    palette = bytes((255, 0, 0, 0)) + bytes((0, 255, 0, 0))  # BGRX: blue, green
+    rows = [bytes((0, 1)), bytes((1, 0))]       # bottom-up storage
+    img = decode_bmp(_bmp_with_dib(2, 2, 8, rows, palette))
+    assert img.mode == "P"
+    # Stored bottom-up: decoded top row is the LAST stored row.
+    assert img.pixels == bytes((0, 255, 0, 0, 0, 255,
+                                0, 0, 255, 0, 255, 0))
+
+
+def test_bmp_32bit_preserves_alpha():
+    rows = [bytes((10, 20, 30, 40))]            # BGRA -> RGBA
+    img = decode_bmp(_bmp_with_dib(1, 1, 32, rows))
+    assert img.mode == "RGBA"
+    assert img.pixels == bytes((30, 20, 10, 40))
+
+
+def test_bmp_rejects_out_of_range_palette_index():
+    palette = bytes((0, 0, 0, 0))               # 1 color only
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp_with_dib(1, 1, 8, [bytes((5,))], palette))
+
+
 def test_ppm_pixel_roundtrip():
     img = decode_ppm(encode_ppm(2, 3, RGB_2X3))
     assert (img.width, img.height, img.mode, img.format) == (2, 3, "RGB",
