@@ -437,8 +437,108 @@ def _pack_oracle() -> str:
         budget=PACK_BUDGET)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic training order (shuffle-shards)
+# ---------------------------------------------------------------------------
+
+_SHARD_SALT = "shard:v1:"
+_ORDER_SALT = "order:v1:"
+N_SHARDS = 64
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order as (shard, position) pairs.
+
+    Training wants the corpus in a fixed pseudo-random order that every
+    re-run reproduces.  shard = hash(doc) mod N; position = rank of a
+    second, independent hash within the shard.  Both are functions of
+    the document alone, so backfills and re-shards cannot perturb the
+    order (the split_train_holdout property, applied to ordering).
+
+    Scale: the per-shard rank is a sort of |corpus|/N_SHARDS rows per
+    task — the sort is inherent to producing an order, and sharding IS
+    the scalable layout for it: pick N_SHARDS ≈ corpus/shard-budget so
+    each sort fits an executor (64 here for test-sized data; a 100 TB
+    corpus uses tens of thousands and writes one file per shard).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(hash64(F.concat(F.lit(_SHARD_SALT),
+                                   F.col("doc_id").cast("string"))),
+                   F.lit(N_SHARDS))
+    order_key = hash64(F.concat(F.lit(_ORDER_SALT),
+                                F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            shard.cast("int").alias("shard"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_SHARD_SQL = hash64_sql(f"'{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)")
+_ORDER_SQL = hash64_sql(f"'{_ORDER_SALT}' || CAST(doc_id AS VARCHAR)")
+
+SHUFFLE_SHARDS_ORACLE = f"""
+SELECT doc_id,
+       CAST({_SHARD_SQL} % {N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_SHARD_SQL} % {N_SHARDS}
+           ORDER BY {_ORDER_SQL}, doc_id) AS INT) AS pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram (packing-efficiency planning)
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET = 32
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution in fixed integer buckets.
+
+    The input to choosing ``pack_sequences``' token budget: how much of
+    each source is short-tail vs long-tail.  Integer-division buckets
+    (width 32) keep bucket edges exact across engines (a log2 bucket
+    would put boundary docs on different sides per float rounding).
+    One groupBy over (source, bucket) — partial aggregation shrinks it
+    map-side; output is |sources| × |buckets|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = ws_token_count(F.col("text"))
+    return (
+        d.select("source", n_tok.alias("n_tok"))
+        .groupBy("source", (F.col("n_tok") - F.col("n_tok") % _LEN_BUCKET)
+                 .cast("int").alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+LENGTH_HIST_ORACLE = f"""
+SELECT source,
+       CAST({_WS_COUNT_SQL} - {_WS_COUNT_SQL} % {_LEN_BUCKET} AS INT)
+         AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_WS_COUNT_SQL}) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
+    "corpus_shuffle_shards": QuerySpec(corpus_shuffle_shards,
+                                       SHUFFLE_SHARDS_ORACLE),
+    "doc_length_histogram": QuerySpec(doc_length_histogram,
+                                      LENGTH_HIST_ORACLE),
     "split_balance": QuerySpec(split_balance, SPLIT_BALANCE_ORACLE),
     "pack_sequences": QuerySpec(pack_sequences, _pack_oracle()),
     "dedup_keep_best": QuerySpec(dedup_keep_best, KEEP_BEST_ORACLE),

@@ -889,8 +889,66 @@ FROM counted GROUP BY doc_id
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: new batch vs the already-ingested corpus.
+
+    THE production dedup shape at 100 TB: a new crawl/batch (here: every
+    source but ``src0``) is admitted only if its content fingerprint is
+    (a) absent from the existing corpus (``src0``) and (b) first within
+    the batch itself.  Status precedence: corpus duplicate beats
+    in-batch duplicate.
+
+    Scale: the corpus contributes ONLY its distinct fingerprint column
+    to a left join — at real scale that column is a pre-computed,
+    bucketed fingerprint index, so the join is bucket-local and the
+    corpus text is never read, let alone shuffled.  The in-batch
+    first-wins window shuffles just the new batch, partitioned by
+    fingerprint (duplicate-cluster-sized groups, no skew).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") != "src0").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus_fps = (
+        d.filter(F.col("source") == "src0")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        new.join(corpus_fps, "fp", "left")
+        .select(
+            "doc_id", "source", "fp",
+            F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != first_in_batch, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH new_batch AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS fp
+  FROM documents WHERE source <> 'src0'
+),
+corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents
+  WHERE source = 'src0'
+)
+SELECT n.doc_id, n.source, n.fp,
+       CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN n.doc_id <> min(n.doc_id) OVER (PARTITION BY n.fp)
+              THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM new_batch n LEFT JOIN corpus c ON n.fp = c.fp
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_incremental": QuerySpec(dedup_incremental,
+                                   DEDUP_INCREMENTAL_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),
     "doc_decontaminate": QuerySpec(doc_decontaminate, DECONTAMINATE_ORACLE),
     "dedup_connected_components": QuerySpec(dedup_connected_components,
