@@ -18,6 +18,7 @@ the optimizer hook at 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str,
@@ -77,6 +78,86 @@ def repartition_for_output(df: DataFrame, target_file_mb: int = 256,
     files = max(1, math.ceil(n * approx_row_bytes /
                              (target_file_mb * 1024 * 1024)))
     return df.repartition(files)
+
+
+def write_tar_shards(df: DataFrame, out_dir: str, n_shards: int = 16,
+                     key_col: str = "key", payload_col: str = "payload",
+                     ext: str = "bin") -> int:
+    """WebDataset-style tar-shard sink for multimodal training data.
+
+    The standard layout multimodal trainers stream: N tar archives, each
+    holding ``{key}.{ext}`` members, readable sequentially with no
+    per-sample object-store GETs.  Spark mapping:
+
+    - shard assignment is ``hash64(key) mod n_shards`` — a function of
+      the sample alone, so re-runs and re-partitions land every sample
+      in the same shard (the split_train_holdout determinism property);
+    - one ``repartition(n_shards, shard)`` co-locates each shard's rows
+      (a shard never spans partitions), ``sortWithinPartitions`` fixes
+      member order, and each task streams its shards straight to tar —
+      payloads are never collected to the driver;
+    - archives are byte-deterministic (member order sorted by key,
+      zeroed mtime/uid/gid, fixed mode): re-running the sink produces
+      identical bytes, so shard-level checksums can gate a backfill.
+
+    Writes to a local/shared filesystem path (one atomic rename per
+    shard); an object-store deployment writes to a scratch mount and
+    promotes, or swaps in a tar-over-S3A stream.  Returns the number of
+    shard files written.
+
+    Sizing: pick ``n_shards`` so one shard ~ 1-10 GB at target scale
+    (100 TB of media -> tens of thousands of shards), which also bounds
+    the per-task sort.
+    """
+    import os
+
+    from ..functions.hashing import hash64
+
+    staged = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(payload_col).alias("payload"),
+        )
+        .withColumn("shard",
+                    F.pmod(hash64(F.col("key")), F.lit(n_shards))
+                    .cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "key")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        import io
+        import os as _os
+        import tarfile
+
+        tf = None
+        tmp_path = None
+        cur = None
+        for r in rows:
+            if r["shard"] != cur:
+                if tf is not None:
+                    tf.close()
+                    _os.rename(tmp_path, tmp_path[:-4])
+                cur = r["shard"]
+                tmp_path = _os.path.join(out_dir,
+                                         f"shard-{cur:05d}.tar.tmp")
+                tf = tarfile.open(tmp_path, "w")
+            data = bytes(r["payload"])
+            info = tarfile.TarInfo(name=f"{r['key']}.{ext}")
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+        if tf is not None:
+            tf.close()
+            _os.rename(tmp_path, tmp_path[:-4])
+
+    staged.foreachPartition(_write_partition)
+    return sum(1 for n in os.listdir(out_dir)
+               if n.startswith("shard-") and n.endswith(".tar"))
 
 
 def compact_dir(spark: SparkSession, path: str,

@@ -20,6 +20,7 @@ from data_ingestion_worker_spark.sources.writers import (
     repartition_for_output,
     write_bucketed,
     write_partitioned,
+    write_tar_shards,
 )
 
 FILES = [
@@ -262,3 +263,68 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderpriority" not in read_schema  # pruned
+
+
+def test_tar_shards_membership_and_payload_roundtrip(spark, tmp_path):
+    """Every sample lands in exactly the shard its key hashes to, with
+    byte-identical payload and key-sorted member order."""
+    import hashlib
+    import tarfile
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    expected = {r["key"]: bytes(r["payload"]) for r in docs.collect()}
+    out = str(tmp_path / "shards")
+    n = write_tar_shards(docs, out, n_shards=4, ext="txt")
+    assert 1 <= n <= 4
+    seen = {}
+    for i in range(4):
+        p = f"{out}/shard-{i:05d}.tar"
+        import os
+        if not os.path.exists(p):
+            continue
+        with tarfile.open(p) as tf:
+            names = [m.name for m in tf.getmembers()]
+            assert names == sorted(names)          # deterministic order
+            for m in tf.getmembers():
+                key = m.name[:-len(".txt")]
+                # shard == hash64(key) % 4 (md5-prefix integer)
+                h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                assert h % 4 == i
+                seen[key] = tf.extractfile(m).read()
+    assert seen == expected
+
+
+def test_tar_shards_are_byte_deterministic(spark, tmp_path):
+    import hashlib
+    import os
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_tar_shards(docs, a, n_shards=4)
+    # Different partitioning on the way in must not change the bytes.
+    write_tar_shards(docs.repartition(7), b, n_shards=4)
+
+    def digest(d):
+        out = {}
+        for name in sorted(os.listdir(d)):
+            with open(os.path.join(d, name), "rb") as f:
+                out[name] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    da, db = digest(a), digest(b)
+    assert da and da == db
+    assert not any(name.endswith(".tmp") for name in da)
