@@ -97,6 +97,33 @@ def stream_dedup_exact(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def dedup_on_arrival(docs: DataFrame, corpus_fps: DataFrame,
+                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming incremental-ingest dedup — the streaming face of
+    ``operators.dedup.dedup_incremental``.
+
+    Arriving documents are dropped when their content fingerprint
+    already exists in the ingested corpus (stream-static left-anti
+    join: stateless, no watermark needed, the static side is just the
+    corpus fingerprint index), then in-stream duplicates are reduced to
+    their first occurrence with ``dropDuplicatesWithinWatermark`` —
+    dedup state bounded by the lateness horizon, exactly like
+    :func:`stream_dedup_exact` but keyed on content, not event id.
+
+    ``docs`` needs ``(ts timestamp, text string, ...)``; ``corpus_fps``
+    is a static ``(fp string)`` relation (at scale: the pre-computed,
+    bucketed fingerprint index the batch operator also joins against).
+    """
+    from ..functions.text import fingerprint
+
+    with_fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    fresh = with_fp.join(corpus_fps, "fp", "left_anti")
+    return (
+        fresh.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "30 minutes",
                      watermark: str = "2 hours") -> DataFrame:

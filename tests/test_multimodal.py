@@ -106,6 +106,26 @@ def test_ppm_pixel_roundtrip():
     assert img.pixels == RGB_2X3
 
 
+def test_codec_roundtrip_property():
+    """Any RGB buffer survives encode->decode bit-exactly, for every
+    width/height (odd widths exercise BMP row padding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        w = data.draw(st.integers(1, 8))
+        h = data.draw(st.integers(1, 8))
+        rgb = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        for enc, dec in ((encode_bmp, decode_bmp),
+                         (encode_ppm, decode_ppm)):
+            img = dec(enc(w, h, rgb))
+            assert (img.width, img.height, img.pixels) == (w, h, rgb)
+
+    run()
+
+
 def test_codec_rejects_malformed_payloads():
     assert sniff_format(b"not an image") is None
     for bad in (b"BM" + b"\x00" * 10,              # truncated header

@@ -238,3 +238,61 @@ def test_stream_static_enrichment(spark, tmp_path):
            lambda s: enrich_with_dimension(s, dim), out, "append")
     rows = {r["event_id"]: r["tier"] for r in _rows(spark, out)}
     assert rows == {1: "gold", 2: "silver"}              # inner join drops 9
+
+
+def test_dedup_on_arrival_drops_corpus_and_instream_dups(spark, tmp_path):
+    """Streaming incremental-ingest dedup: a doc already in the corpus is
+    dropped; identical in-stream docs reduce to the first; dedup state
+    survives a restart (a redelivered duplicate in a later drain stays
+    dropped)."""
+    from data_ingestion_worker_spark.functions.text import fingerprint
+    from data_ingestion_worker_spark.streaming.windows import (
+        dedup_on_arrival,
+    )
+    from pyspark.sql import functions as F
+
+    DOC_SCHEMA = "doc_id bigint, ts timestamp, text string"
+    corpus = spark.createDataFrame(
+        [("already ingested body",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+
+    inbox = str(tmp_path / "in")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        {"doc_id": 1, "ts": "2026-01-01 10:00:00",
+         "text": "already ingested body"},          # corpus dup
+        {"doc_id": 2, "ts": "2026-01-01 10:01:00",
+         "text": "fresh document two"},             # kept
+        {"doc_id": 3, "ts": "2026-01-01 10:02:00",
+         "text": "fresh document two"},             # in-stream dup of 2
+        {"doc_id": 4, "ts": "2026-01-01 10:03:00",
+         "text": "fresh document four"},            # kept
+    ])
+
+    def drain(batch_name_unused=None):
+        stream = spark.readStream.schema(DOC_SCHEMA).json(inbox)
+        q = (
+            dedup_on_arrival(stream, corpus).writeStream
+            .foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r["doc_id"] for r in _rows(spark, out)) == [2, 4]
+
+    # Restart with a redelivery of doc 2's content inside the watermark:
+    # the checkpointed dedup state must still drop it.
+    _write_events(inbox, "b2.json", [
+        {"doc_id": 5, "ts": "2026-01-01 10:10:00",
+         "text": "fresh document two"},             # late duplicate
+        {"doc_id": 6, "ts": "2026-01-01 10:11:00",
+         "text": "brand new six"},                  # kept
+    ])
+    drain()
+    assert sorted(r["doc_id"] for r in _rows(spark, out)) == [2, 4, 6]
