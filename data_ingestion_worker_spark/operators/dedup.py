@@ -208,6 +208,68 @@ shingles_df AS (
 ),{_jaccard_oracle_body('shingles_df')}"""
 
 
+CONTAIN_CUTOFF = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs: c(A→B) = |A∩B| / |A|.
+
+    Catches what symmetric Jaccard structurally misses — a short
+    document quoted or templated inside a much longer one (the
+    intersection is small relative to the UNION but large relative to
+    the SHORT side).  Emits both directions per pair; kept when either
+    containment >= 0.5.  Same inverted-index candidate generation as
+    the Jaccard ladder (pairs only for docs sharing a shingle —
+    sub-quadratic, DF-cutoff composable), one extra projection.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"),
+                 F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    c1 = F.floor(F.col("inter").cast("double") / F.col("sa.n")
+                 * 10000.0) / 10000.0
+    c2 = F.floor(F.col("inter").cast("double") / F.col("sb.n")
+                 * 10000.0) / 10000.0
+    return (
+        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", c1.alias("c_d1_in_d2"), c2.alias("c_d2_in_d1"))
+        .filter((F.col("c_d1_in_d2") >= CONTAIN_CUTOFF)
+                | (F.col("c_d2_in_d1") >= CONTAIN_CUTOFF))
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       floor(CAST(inter AS DOUBLE) / sa.n * 10000.0) / 10000.0
+         AS c_d1_in_d2,
+       floor(CAST(inter AS DOUBLE) / sb.n * 10000.0) / 10000.0
+         AS c_d2_in_d1
+FROM pairs
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE floor(CAST(inter AS DOUBLE) / sa.n * 10000.0) / 10000.0
+        >= {CONTAIN_CUTOFF}
+   OR floor(CAST(inter AS DOUBLE) / sb.n * 10000.0) / 10000.0
+        >= {CONTAIN_CUTOFF}
+"""
+
+
 #: Universal-hash permutation constants: mh_p = (A[p]*h + B[p]) mod MERSENNE
 #: over ONE 32-bit base hash per shingle — the textbook minhash family.
 #: 8 md5s/shingle collapse to 1 md5 + 8 multiply-mods (the hash is the
@@ -956,6 +1018,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
                                         DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "dedup_containment": QuerySpec(dedup_containment,
+                                   DEDUP_CONTAINMENT_ORACLE),
     "dedup_jaccard_df_cutoff": QuerySpec(dedup_jaccard_df_cutoff,
                                          DEDUP_JACCARD_DF_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
