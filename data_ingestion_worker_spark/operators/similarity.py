@@ -595,8 +595,55 @@ FROM assign{KM_ITERS - 1}
 CLUSTER_KMEANS_ORACLE = _kmeans_oracle()
 
 
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm² distribution — the embedding-quality diagnostic
+    run before any ANN/index build: a collapsed encoder shows up as
+    near-zero norm variance, a mis-scaled source as a shifted mean,
+    unnormalized vectors as a wide min/max band.
+
+    Quantized-integer norm² sums are exact (the QUANT idiom shared by
+    every op in this module), so min/max/sum hash identically across
+    engines; only the derived mean is floating, floored to 4 decimals.
+    One scan, one partial-agg shuffle of |labels| rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(_QVEC).alias("qv")
+    )
+    n2 = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    per = e.select("label", n2.alias("n2"))
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("n2").alias("min_norm2"),
+        F.max("n2").alias("max_norm2"),
+        F.sum("n2").alias("sum_norm2"),
+    )
+    mean4 = (F.floor(F.col("sum_norm2").cast("double")
+                     / F.col("n_vecs") * 10000.0) / 10000.0)
+    return agg.select("label", "n_vecs", "min_norm2", "max_norm2",
+                      "sum_norm2", mean4.alias("mean_norm2"))
+
+
+EMB_NORM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, label, sum(v * v) AS n2 FROM q GROUP BY 1, 2)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(n2) AS BIGINT) AS min_norm2,
+       CAST(max(n2) AS BIGINT) AS max_norm2,
+       CAST(sum(n2) AS BIGINT) AS sum_norm2,
+       floor(CAST(sum(n2) AS DOUBLE) / count(*) * 10000.0) / 10000.0
+         AS mean_norm2
+FROM norms GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
+    "emb_norm_stats": QuerySpec(emb_norm_stats, EMB_NORM_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,
                                      ANN_IVF_PROBE2_ORACLE),
