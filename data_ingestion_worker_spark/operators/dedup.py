@@ -208,6 +208,53 @@ shingles_df AS (
 ),{_jaccard_oracle_body('shingles_df')}"""
 
 
+def corpus_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication health report: how much of each
+    source is duplicated content, and how concentrated the duplication
+    is (largest cluster).  The number a curation pipeline tracks per
+    ingest batch to catch a crawler loop or a boilerplate source early.
+
+    One shuffle on the fingerprint (cluster sizes), one partial-agg
+    shuffle of |sources| rows; the fraction is floored to 4 decimals
+    (engine-stable, see _floor4 note in operators/text.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    cluster = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    flagged = fp.select(
+        "source", (cluster > 1).cast("int").alias("is_dup"),
+        cluster.alias("cluster_size"),
+    )
+    dup_rate = (F.floor(F.sum("is_dup").cast("double")
+                        / F.count(F.lit(1)) * 10000.0) / 10000.0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.max("cluster_size").cast("bigint").alias("max_cluster"),
+        dup_rate.alias("dup_rate"),
+    )
+
+
+CORPUS_DUP_STATS_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents
+),
+sized AS (
+  SELECT source,
+         CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END
+           AS is_dup,
+         count(*) OVER (PARTITION BY fp) AS cluster_size
+  FROM fp
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(max(cluster_size) AS BIGINT) AS max_cluster,
+       floor(CAST(sum(is_dup) AS DOUBLE) / count(*) * 10000.0) / 10000.0
+         AS dup_rate
+FROM sized GROUP BY 1
+"""
+
+
 CONTAIN_CUTOFF = 0.5
 
 
@@ -1020,6 +1067,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     "dedup_containment": QuerySpec(dedup_containment,
                                    DEDUP_CONTAINMENT_ORACLE),
+    "corpus_dup_stats": QuerySpec(corpus_dup_stats,
+                                  CORPUS_DUP_STATS_ORACLE),
     "dedup_jaccard_df_cutoff": QuerySpec(dedup_jaccard_df_cutoff,
                                          DEDUP_JACCARD_DF_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
