@@ -237,9 +237,88 @@ FROM agg
 """
 
 
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE declarative plan:
+    pretrain filter -> exact-dedup (keep-first) -> train/val/test hash
+    split -> per-(split, source) corpus stats.
+
+    This is the query a pipeline owner actually launches against 100 TB;
+    composing it as a single DataFrame lets Catalyst share the scan and
+    pipeline the stages (filter predicates and the fingerprint both
+    compute in the same pass over ``text``), instead of materializing
+    three intermediate corpora.  Stage costs: the filter's near-dup leg
+    is the sub-quadratic inverted-index join; dedup adds one fingerprint
+    shuffle; split is a pure per-row hash; the final aggregate is
+    |splits|x|sources| rows.
+    """
+    from ..functions.hashing import hash64
+    from ..functions.text import fingerprint
+    from .curation import _SPLIT_SALT, _TRAIN_CUT, _VAL_CUT
+
+    d = load_table(spark, sf_dir, "documents")
+    decided = pipeline_pretrain_filter(spark, sf_dir) \
+        .filter(F.col("keep")).select("doc_id", "n_tokens")
+    kept = d.join(decided, "doc_id")
+    first = F.min("doc_id").over(
+        Window.partitionBy(fingerprint(F.col("text"))))
+    canon = kept.withColumn("first_id", first) \
+        .filter(F.col("doc_id") == F.col("first_id"))
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100))
+    split = (
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        canon.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+def _curation_e2e_oracle() -> str:
+    from .curation import _BUCKET_SQL as bucket
+    from .curation import _TRAIN_CUT, _VAL_CUT
+    from .dedup import _NORM_SQL
+
+    return f"""
+WITH {_PIPELINE_CORE_SQL.strip()},
+kept AS (
+  SELECT d.doc_id, d.source, d.text, dec.n_tokens
+  FROM decided dec JOIN documents d ON dec.doc_id = d.doc_id
+  WHERE dec.reason = 'kept'
+),
+canon AS (
+  SELECT doc_id, source, n_tokens
+  FROM (
+    SELECT doc_id, source, n_tokens,
+           min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS first_id
+    FROM kept
+  ) WHERE doc_id = first_id
+),
+labeled AS (
+  SELECT CASE WHEN {bucket} < {_TRAIN_CUT} THEN 'train'
+              WHEN {bucket} < {_VAL_CUT} THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_tokens
+  FROM canon
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_unigram_logprob": QuerySpec(doc_unigram_logprob,
                                      UNIGRAM_LOGPROB_ORACLE),
+    "pipeline_curation_e2e": QuerySpec(pipeline_curation_e2e,
+                                       _curation_e2e_oracle()),
     "pipeline_pretrain_filter": QuerySpec(pipeline_pretrain_filter,
                                           PIPELINE_FILTER_ORACLE),
     "pipeline_filter_stats": QuerySpec(pipeline_filter_stats,
