@@ -291,6 +291,66 @@ FROM h
 """
 
 
+WAV_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
+              "n_frames int, duration_us bigint, pcm_hex string")
+
+
+def wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio codec work per payload: derive PCM frames from the
+    payload hash, ``encode_wav`` them, ``decode_wav`` the result with the
+    builtin RIFF parser, and emit the decoded header + frames (hex).
+
+    Like :func:`bmp_roundtrip`, the oracle recomputes the expected bytes
+    algebraically, so a chunk-walk or frame-count defect in the codec
+    fails DuckDB parity.
+    """
+    from ..functions.audiocodec import decode_wav, encode_wav
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        rate = 8000 * (1 + h64 % 3)
+        channels = 1 + h64 % 2
+        n_frames = 1 + h64 % 5
+        pcm = hashlib.sha256(b).digest()[: n_frames * channels * 2]
+        wav = decode_wav(encode_wav(rate, channels, pcm))
+        return (wav.sample_rate, wav.channels, wav.n_frames,
+                wav.duration_us, wav.pcm.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "sample_rate": metas.map(lambda m: m[0]).astype("int32"),
+            "channels": metas.map(lambda m: m[1]).astype("int32"),
+            "n_frames": metas.map(lambda m: m[2]).astype("int32"),
+            "duration_us": metas.map(lambda m: m[3]).astype("int64"),
+            "pcm_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real WAV encode/decode round-trip -> metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(wav_roundtrip, WAV_SCHEMA)
+
+
+MM_WAV_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id,
+       CAST(8000 * (1 + h64 % 3) AS INT) AS sample_rate,
+       CAST(1 + h64 % 2 AS INT) AS channels,
+       CAST(1 + h64 % 5 AS INT) AS n_frames,
+       CAST((1 + h64 % 5) * 1000000 // (8000 * (1 + h64 % 3)) AS BIGINT)
+         AS duration_us,
+       substr(sha_hex, 1, CAST((1 + h64 % 5) * (1 + h64 % 2) * 4 AS INT))
+         AS pcm_hex
+FROM h
+"""
+
+
 N_FEATURES = 8
 FEATURE_SCHEMA = "doc_id bigint, feature array<bigint>"
 
@@ -340,5 +400,6 @@ SPECS: dict[str, QuerySpec] = {
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
+    "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),
 }

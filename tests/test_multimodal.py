@@ -176,3 +176,50 @@ def test_stub_oracle_path_unchanged(spark, sf_dir):
     row = mm_decode_stub(spark, sf_dir).filter(F.col("doc_id") == 0) \
         .collect()[0]
     assert row["fake_width"] is not None and row["payload_sha"] is not None
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from data_ingestion_worker_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = bytes(range(16))                    # 4 stereo 16-bit frames
+    wav = decode_wav(encode_wav(16000, 2, pcm))
+    assert (wav.sample_rate, wav.channels, wav.bits_per_sample,
+            wav.n_frames) == (16000, 2, 16, 4)
+    assert wav.pcm == pcm
+    assert wav.duration_us == 4 * 1_000_000 // 16000
+
+    # A LIST metadata chunk between fmt and data must be skipped.
+    raw = encode_wav(8000, 1, pcm)
+    fmt_end = 12 + 8 + 16
+    meta = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    padded = (raw[:fmt_end] + meta + raw[fmt_end:])
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    wav2 = decode_wav(padded)
+    assert (wav2.sample_rate, wav2.n_frames) == (8000, 8)
+    assert wav2.pcm == pcm
+
+
+def test_wav_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(8000, 1, bytes(8))
+    non_pcm = bytearray(good)
+    non_pcm[20:22] = struct.pack("<H", 3)     # IEEE float format code
+    for bad in (b"RIFX" + good[4:],           # bad magic
+                good[:-3],                    # truncated data chunk
+                bytes(non_pcm),
+                good[:12]):                   # no chunks at all
+        with _pytest.raises(ValueError):
+            decode_wav(bytes(bad))
