@@ -351,6 +351,58 @@ FROM h
 """
 
 
+AVI_SCHEMA = ("doc_id bigint, width int, height int, fps int, "
+              "n_frames int, frames_hex string")
+
+
+def avi_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL video codec work per payload: derive 2x2 RGB frames from the
+    payload hash, ``encode_avi`` them, ``decode_avi`` the result with the
+    builtin RIFF walker, and emit the decoded header + concatenated
+    frame bytes (hex) — parity-gated like the BMP/WAV round-trips."""
+    from ..functions.videocodec import decode_avi, encode_avi
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        n_frames = 1 + h64 % 2
+        fps = 10 + h64 % 15
+        raw = hashlib.sha256(b).digest()[: n_frames * 12]
+        frames = [raw[i * 12:(i + 1) * 12] for i in range(n_frames)]
+        avi = decode_avi(encode_avi(2, 2, frames, fps=fps))
+        return (avi.width, avi.height, avi.fps, avi.n_frames,
+                b"".join(avi.frames).hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "fps": metas.map(lambda m: m[2]).astype("int32"),
+            "n_frames": metas.map(lambda m: m[3]).astype("int32"),
+            "frames_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real AVI encode/decode round-trip -> metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(avi_roundtrip, AVI_SCHEMA)
+
+
+MM_AVI_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id, 2 AS width, 2 AS height,
+       CAST(10 + h64 % 15 AS INT) AS fps,
+       CAST(1 + h64 % 2 AS INT) AS n_frames,
+       substr(sha_hex, 1, CAST((1 + h64 % 2) * 24 AS INT)) AS frames_hex
+FROM h
+"""
+
+
 N_FEATURES = 8
 FEATURE_SCHEMA = "doc_id bigint, feature array<bigint>"
 
@@ -401,5 +453,6 @@ SPECS: dict[str, QuerySpec] = {
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
+    "mm_roundtrip_avi": QuerySpec(mm_roundtrip_avi, MM_AVI_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),
 }

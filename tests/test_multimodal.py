@@ -223,3 +223,51 @@ def test_wav_rejects_malformed():
                 good[:12]):                   # no chunks at all
         with _pytest.raises(ValueError):
             decode_wav(bytes(bad))
+
+
+def test_avi_roundtrip_and_junk_chunk_skip():
+    import struct
+
+    from data_ingestion_worker_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    f1, f2 = bytes(range(12)), bytes(range(100, 112))   # 2x2 RGB frames
+    avi = decode_avi(encode_avi(2, 2, [f1, f2], fps=12))
+    assert (avi.width, avi.height, avi.fps, avi.n_frames) == (2, 2, 12, 2)
+    assert avi.frames == (f1, f2)
+
+    # Odd width exercises DIB row stride (9 -> 12 bytes per row).
+    f3 = bytes(range(9))
+    assert decode_avi(encode_avi(3, 1, [f3])).frames == (f3,)
+
+    # A JUNK chunk between hdrl and movi must be skipped.
+    raw = encode_avi(2, 2, [f1])
+    movi_at = raw.index(b"LIST", raw.index(b"movi") - 8)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"junkda"
+    padded = raw[:movi_at] + junk + raw[movi_at:]
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert decode_avi(padded).frames == (f1,)
+
+
+def test_avi_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    good = encode_avi(2, 2, [bytes(range(12))])
+    compressed = bytearray(good)
+    strf_at = good.index(b"strf") + 8
+    compressed[strf_at + 16: strf_at + 20] = struct.pack("<I", 0x44495658)
+    for bad in (b"RIFF" + good[4:8] + b"WAVE" + good[12:],  # wrong form
+                good[:-5],                                  # truncated movi
+                bytes(compressed),                          # non-BI_RGB
+                good[:12]):                                 # no chunks
+        with _pytest.raises(ValueError):
+            decode_avi(bytes(bad))
