@@ -21,6 +21,12 @@ from .spec import QuerySpec
 #: LLM-data-pipeline operators fill positions 29-50 so every pipeline
 #: category (dedup, ANN/clustering, sketches, text analysis, curation,
 #: graph, profiling, multimodal) gets a driver-graded correctness row.
+#: Round 5 promoted the strongest member of each category into the graded
+#: set: the REAL BMP codec round-trip (``mm_roundtrip_bmp``, not the hash
+#: stub), the production incremental-dedup shape (``dedup_incremental``),
+#: and the composed curation funnel (``pipeline_curation_e2e``).  The
+#: displaced rows (``mm_decode_stub``, ``dedup_ngram_jaccard``,
+#: ``doc_lang_id``) stay covered by the full local sweep.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -28,7 +34,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
+    "dedup_incremental",
     "doc_decontaminate",
     "dedup_keep_best",
     "ann_cosine_topk",
@@ -38,14 +44,14 @@ PRIORITY_AFTER_RELATIONAL = [
     "sketch_kmv_distinct",
     "doc_token_stats",
     "doc_quality_score",
-    "doc_lang_id",
+    "pipeline_curation_e2e",
     "pipeline_pretrain_filter",
     "split_train_holdout",
     "pack_sequences",
     "emb_int8_quantize",
     "graph_pagerank",
     "profile_columns",
-    "mm_decode_stub",
+    "mm_roundtrip_bmp",
 ]
 
 
