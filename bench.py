@@ -48,6 +48,14 @@ HEADLINE = [
     "dedup_fuzzy_names",
     "graph_pagerank",
     "pack_sequences",
+    # Round-5 additions: the real media codecs (decode is the measured
+    # cost) and the two most production-representative shapes — the
+    # incremental new-batch-vs-corpus dedup and the composed
+    # filter->dedup->split curation funnel (one Catalyst plan).
+    "mm_roundtrip_wav",
+    "mm_roundtrip_avi",
+    "dedup_incremental",
+    "pipeline_curation_e2e",
 ]
 
 
