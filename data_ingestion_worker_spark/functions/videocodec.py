@@ -87,10 +87,11 @@ def decode_avi(payload: bytes) -> DecodedAvi:
         raise ValueError("AVI: bad magic")
     width = height = None
     rate = scale = None
+    cur_stream = None  # fccType of the most recent strh ('vids'/'auds'/...)
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, rate, scale
+        nonlocal width, height, rate, scale, cur_stream
         for cid, body, size in _chunks(payload, pos, end):
             if cid == b"LIST":
                 walk(body + 4, body + size)  # skip the list-type fourcc
@@ -101,10 +102,17 @@ def decode_avi(payload: bytes) -> DecodedAvi:
             elif cid == b"strh":
                 if size < 56:
                     raise ValueError("AVI: strh too small")
-                if payload[body:body + 4] != b"vids":
+                cur_stream = payload[body:body + 4]
+                if cur_stream != b"vids":
                     continue  # non-video stream header: ignore
                 scale, rate = struct.unpack_from("<II", payload, body + 20)
             elif cid == b"strf":
+                # strf describes the stream of the preceding strh; only
+                # the video stream's format must meet the 24-bit BI_RGB
+                # contract — an audio WAVEFORMATEX (16-18 bytes) is legal
+                # and simply ignored.
+                if cur_stream != b"vids":
+                    continue
                 if size < 40:
                     raise ValueError("AVI: strf too small")
                 bits, compression = struct.unpack_from("<HI", payload,

@@ -113,11 +113,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_oracle() -> str:
+#: Iteration cap for the adaptive variant (and its unrolled oracle).
+PR_MAX_ITERATIONS = 6
+
+
+def graph_pagerank_adaptive(spark: SparkSession, sf_dir: str,
+                            max_iterations: int = PR_MAX_ITERATIONS,
+                            epsilon_scaled: int = 0) -> DataFrame:
+    """PageRank with a per-superstep convergence check (capped).
+
+    Same integer-exact superstep as :func:`graph_pagerank`, but the
+    driver loop stops as soon as ``max |Δr| <= epsilon_scaled`` — at
+    100× scale the iteration budget becomes adaptive instead of a fixed
+    unroll.  The convergence flag rides the rank frame (|Δr| computed in
+    the same pass, materialized by the eager checkpoint), so the check
+    is a ``filter().limit(1).count()`` over checkpointed rows — no extra
+    shuffle, the same pattern as ``dedup_connected_components``.
+
+    The registry entry uses ``epsilon_scaled=0``: with pure-integer
+    arithmetic, Δ=0 means an exact fixpoint, so early exit is
+    bit-identical to running out the cap — which is why the DuckDB
+    oracle can stay a fixed ``PR_MAX_ITERATIONS``-deep unroll and still
+    hash-match whether or not the loop exits early.  Production callers
+    pass a real tolerance (e.g. ``PR_SCALE // 10**6``) and trade exact
+    parity for fewer supersteps.
+
+    Each superstep's checkpoint also truncates lineage: without it,
+    round N re-analyzes rounds 1..N-1 (quadratic planning) and the
+    convergence action would re-execute the whole prefix.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    v = deg.agg(F.count(F.lit(1)).alias("v"))
+    ranks = deg.crossJoin(F.broadcast(v)).select(
+        "node", "deg", F.expr(f"{PR_SCALE} div v").alias("r")
+    )
+    for _ in range(max_iterations):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        new_ranks = (
+            ranks.withColumnRenamed("r", "r_prev")
+            .join(incoming, "node")
+            .crossJoin(F.broadcast(v))
+            .select(
+                "node", "deg",
+                F.expr(
+                    f"(3 * {PR_SCALE}) div (20 * v) + (17 * s) div 20"
+                ).alias("r"),
+                "r_prev",
+            )
+            .withColumn("delta", F.abs(F.col("r") - F.col("r_prev")))
+            .localCheckpoint(eager=True)
+        )
+        moving = new_ranks.filter(
+            F.col("delta") > epsilon_scaled
+        ).limit(1).count()
+        ranks = new_ranks.drop("r_prev", "delta")
+        if moving == 0:
+            break  # fixpoint (within epsilon): further supersteps no-op
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
+def _pr_oracle(n_iterations: int = PR_ITERATIONS) -> str:
     base = f"(3 * {PR_SCALE}) // (20 * v)"
     iters = []
     prev = "r0"
-    for i in range(1, PR_ITERATIONS + 1):
+    for i in range(1, n_iterations + 1):
         iters.append(f"""
 c{i} AS (
   SELECT e.dst AS node, sum(r.r // r.deg) AS s
@@ -155,6 +228,7 @@ FROM {prev}
 
 
 PAGERANK_ORACLE = _pr_oracle()
+PAGERANK_ADAPTIVE_ORACLE = _pr_oracle(PR_MAX_ITERATIONS)
 
 
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,5 +271,7 @@ FROM deg GROUP BY 1, 2
 
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
+    "graph_pagerank_adaptive": QuerySpec(graph_pagerank_adaptive,
+                                         PAGERANK_ADAPTIVE_ORACLE),
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),
 }

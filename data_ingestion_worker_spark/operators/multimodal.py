@@ -6,17 +6,19 @@ extraction as Arrow-batched ``mapInPandas`` stages (the only sanctioned
 Python-in-the-loop shape — vectorized batch in, vectorized batch out,
 never row-at-a-time).
 
-The real decoders (Pillow / libav / etc.) are not in this container, so
-``fake_decode_image`` is a clearly-marked deterministic stub: it derives
-"image dimensions" from the cross-engine md5 hash of the payload.  The
-*plumbing* — schema declaration, binary handling, Arrow batch iteration,
-partition-preserving shape — is real and is exactly what a true decoder
-drops into.  Because the stub is deterministic, the whole path is
-oracle-verified against DuckDB, which is rare for UDF code and pins the
-Arrow round-trip (bytes in == bytes out).
+``decode_image_real`` is a REAL decoder: the dependency-free builtin
+codecs (uncompressed BMP / binary PPM, ``functions.imagecodec``) handle
+their formats per-payload via magic-byte sniffing, and Pillow — when the
+environment has it — widens coverage to every other format.  The
+parity-gated ``mm_roundtrip_*`` registry queries verify the codecs
+bytes-to-pixels against an algebraic DuckDB oracle.
 
-``decode_image_real`` shows the production signature and raises
-NotImplementedError pending a real codec.
+``fake_decode_image`` remains alongside it as the clearly-marked
+deterministic plumbing stub: it derives "image dimensions" from the
+cross-engine md5 hash of the payload, so the *plumbing* — schema
+declaration, binary handling, Arrow batch iteration — is oracle-verified
+independently of any codec (rare for UDF code; pins the Arrow round-trip
+bytes in == bytes out).
 """
 
 from __future__ import annotations
@@ -78,42 +80,60 @@ REAL_DECODE_SCHEMA = ("doc_id bigint, byte_len int, width int, "
                       "height int, mode string, format string")
 
 
+def _pil_meta_fn():
+    """Build the Pillow metadata probe (split out so tests can exercise
+    the Pillow seam with a monkeypatched ``PIL`` module even in
+    containers that don't ship it)."""
+    import io
+
+    from PIL import Image
+
+    def _meta(b: bytes):
+        try:
+            with Image.open(io.BytesIO(b)) as img:
+                return (img.width, img.height, img.mode, img.format)
+        except Exception:  # noqa: BLE001 — corrupt payload, not a bug
+            return (None, None, None, None)
+
+    return _meta
+
+
 def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Real image decode, same batch loop as the stub.
 
-    Codec selection per payload: Pillow (every format it knows) when the
-    environment has it, else the dependency-free builtin codecs
-    (uncompressed BMP, binary PPM — ``functions.imagecodec``, real
-    bytes-to-pixels work, not a stub).  Undecodable payloads yield NULL
-    dimensions instead of failing the batch (row-level error isolation,
-    reference T10).
+    Codec selection is per payload, sniff first: magic bytes route
+    BMP/PPM to the dependency-free builtin codecs
+    (``functions.imagecodec`` — real bytes-to-pixels work, not a stub);
+    anything else falls through to Pillow when the environment has it.
+    Both seams therefore execute whenever their format appears — neither
+    is a dead branch gated on the other's presence.  Undecodable or
+    malformed payloads (bad bytes, wrong type, ``None``) yield NULL
+    dimensions instead of failing the Arrow batch (row-level error
+    isolation, reference T10).
     """
-    if HAS_PIL:
-        import io
+    from ..functions.imagecodec import decode_builtin, sniff_format
 
-        from PIL import Image
+    pil_meta = _pil_meta_fn() if HAS_PIL else None
 
-        def _meta(b: bytes):
-            try:
-                with Image.open(io.BytesIO(b)) as img:
-                    return (img.width, img.height, img.mode, img.format)
-            except Exception:  # noqa: BLE001 — corrupt payload, not a bug
-                return (None, None, None, None)
-    else:
-        from ..functions.imagecodec import decode_builtin
-
-        def _meta(b: bytes):
-            try:
-                img = decode_builtin(bytes(b))
+    def _meta(b):
+        try:
+            raw = bytes(b)
+            if sniff_format(raw) is not None:
+                img = decode_builtin(raw)
                 return (img.width, img.height, img.mode, img.format)
-            except ValueError:  # corrupt or non-BMP/PPM payload
-                return (None, None, None, None)
+            if pil_meta is not None:
+                return pil_meta(raw)
+        except Exception:  # noqa: BLE001 — corrupt payload, not a bug
+            pass
+        return (None, None, None, None)
 
     for pdf in batches:
         metas = pdf["payload"].map(_meta)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "byte_len": pdf["payload"].map(len).astype("int32"),
+            "byte_len": pdf["payload"].map(
+                lambda b: None if b is None else len(b)
+            ).astype("Int32"),
             "width": metas.map(lambda m: m[0]).astype("Int32"),
             "height": metas.map(lambda m: m[1]).astype("Int32"),
             "mode": metas.map(lambda m: m[2]),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64_sql
 from ..spec import QuerySpec
 from ..tables import load_table
+from .text import doc_bm25_rank
 
 N_QUERIES = 5       # vec_id < N_QUERIES act as query vectors
 TOP_K = 5
@@ -558,7 +559,10 @@ assign{i} AS (
 )"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_assign_ctes() -> str:
+    """The shared WITH-body computing ``assign{KM_ITERS-1}`` (final
+    cluster per vec) — the prefix of both the k-means oracle and the
+    semantic-dedup oracle."""
     parts = [f"""
 WITH qv AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
@@ -585,14 +589,168 @@ cent{i + 1} AS (
   FROM assign{i} a JOIN qv q USING (vec_id)
   GROUP BY 1, 2
 )""")
-    parts.append(f"""
-SELECT vec_id, cluster, floor(cosd * 10000.0) / 10000.0 AS cos_q
-FROM assign{KM_ITERS - 1}
-""")
     return "".join(parts)
 
 
+def _kmeans_oracle() -> str:
+    return _kmeans_assign_ctes() + f"""
+SELECT vec_id, cluster, floor(cosd * 10000.0) / 10000.0 AS cos_q
+FROM assign{KM_ITERS - 1}
+"""
+
+
 CLUSTER_KMEANS_ORACLE = _kmeans_oracle()
+
+SEM_TAU = 0.35  # within-cluster near-dup cosine (synthetic corpus max ~0.51)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means cluster the embeddings,
+    then prune near-duplicates *within each cluster only*.
+
+    The scale story is the clustering itself: pairwise cosine across a
+    corpus is O(N²), but after a k-means partition the self-join key is
+    the cluster id, so cost is Σ|cluster|² ≈ N²/k — the published
+    SemDeDup recipe (Abbas et al. 2023), which runs at k ≈ √N so bucket
+    pair-counts stay bounded; here k is the engine-wide KM_K.  The
+    decision rule is deterministic: a vector is dropped iff a
+    smaller-id vector in the same cluster has cosine ≥ SEM_TAU, so no
+    iterative closure is needed and the whole operator is one Catalyst
+    plan over the (checkpointed) assignment.
+
+    Returns one row per vector: (vec_id, cluster, kept).
+    """
+    assign = cluster_kmeans_embeddings(spark, sf_dir) \
+        .select("vec_id", "cluster")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv")
+    )
+    member = e.join(assign, "vec_id")
+    a = member.select("cluster", F.col("vec_id").alias("v1"),
+                      F.col("qv").alias("qa"))
+    b = member.select("cluster", F.col("vec_id").alias("v2"),
+                      F.col("qv").alias("qb"))
+    # Within-cluster pairs only: the equi-join on cluster is the
+    # SemDeDup blocking step (shuffle by cluster, pairwise inside).
+    pairs = a.join(b, "cluster").filter(F.col("v1") < F.col("v2"))
+    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(qa, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(qb, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
+    dropped = (
+        pairs.select("v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_TAU)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("_drop", F.lit(1)),
+                    "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.col("_drop").isNull().alias("kept"))
+    )
+
+
+def _semantic_oracle() -> str:
+    last = f"assign{KM_ITERS - 1}"
+    return _kmeans_assign_ctes() + f""",
+qpairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         round(CAST(sum(qa.v * qb.v) AS DOUBLE)
+               / (sqrt(CAST(max(na.nv) AS DOUBLE))
+                  * sqrt(CAST(max(nb.nv) AS DOUBLE))), 6) AS cosine
+  FROM {last} a JOIN {last} b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN qv qa ON qa.vec_id = a.vec_id
+  JOIN qv qb ON qb.vec_id = b.vec_id AND qb.d = qa.d
+  JOIN vnorm na ON na.vec_id = a.vec_id
+  JOIN vnorm nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT v2 AS vec_id FROM qpairs WHERE cosine >= {SEM_TAU}
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM {last} a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+DEDUP_SEMANTIC_ORACLE = _semantic_oracle()
+
+HYBRID_QUERY_VEC = 0  # the query embedding: vec_id 0 (ANN-query idiom)
+
+
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: lexical candidates, semantic re-rank.
+
+    Stage 1 is the engine's BM25 top-k (``doc_bm25_rank`` — scatter/
+    gather-topk, candidates ≤ BM25_TOPK rows).  Stage 2 joins the tiny
+    candidate set to the embeddings table on ``doc_id = vec_id`` and
+    re-ranks by integer-exact cosine against one broadcast query vector
+    — the standard retrieve-then-rerank shape of a production RAG /
+    search stack, where the expensive vector math runs on dozens of
+    rows, never the corpus.  Candidates without an embedding drop out
+    (inner join), mirroring a partially-embedded corpus.
+
+    Scale shape: stage 1 is the documented BM25 plan; stage 2's join
+    input is ≤ top-k rows, so the embedding side prunes to a hash-join
+    probe of k keys and the one-row query vector is a broadcast scalar
+    attach.
+    """
+    cand = doc_bm25_rank(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qa")
+    )
+    qvec = e.filter(F.col("vec_id") == HYBRID_QUERY_VEC) \
+        .select(F.col("qa").alias("qb"))
+    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(qa, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(qb, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
+    return (
+        cand.join(e, cand.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select("doc_id", F.col("score").alias("bm25"),
+                cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .text import BM25_ORACLE
+    return f"""
+WITH cand AS ({BM25_ORACLE}),
+hq AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+hn AS (SELECT vec_id, sum(v * v) AS nv FROM hq GROUP BY 1),
+qry AS (SELECT d, v FROM hq WHERE vec_id = {HYBRID_QUERY_VEC}),
+qn AS (SELECT sum(v * v) AS nq FROM qry)
+SELECT c.doc_id, c.score AS bm25,
+       round(CAST(sum(a.v * q.v) AS DOUBLE)
+             / (sqrt(CAST(max(na.nv) AS DOUBLE))
+                * sqrt(CAST(max(qn.nq) AS DOUBLE))), 6) AS cosine
+FROM cand c
+JOIN hq a ON a.vec_id = c.doc_id
+JOIN qry q ON q.d = a.d
+JOIN hn na ON na.vec_id = c.doc_id
+CROSS JOIN qn
+GROUP BY 1, 2
+"""
 
 
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,4 +812,7 @@ SPECS: dict[str, QuerySpec] = {
                                         EMB_CENTROID_ORACLE),
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings,
                                            CLUSTER_KMEANS_ORACLE),
+    "dedup_semantic": QuerySpec(dedup_semantic, DEDUP_SEMANTIC_ORACLE),
+    "hybrid_search_rerank": QuerySpec(hybrid_search_rerank,
+                                      _hybrid_oracle()),
 }

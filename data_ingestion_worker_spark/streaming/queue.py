@@ -79,13 +79,33 @@ class FileQueueClient:
                 continue
             path = os.path.join(self.queue_dir, name)
             claim = path + ".claim"
-            if os.path.exists(claim) and \
-                    now - os.path.getmtime(claim) < self.visibility_timeout:
+            try:
+                claim_mtime = os.path.getmtime(claim)
+            except OSError:  # no claim yet (or concurrently deleted)
+                claim_mtime = None
+            if claim_mtime is not None and \
+                    now - claim_mtime < self.visibility_timeout:
                 continue  # in flight, not yet visible again
-            with open(claim, "w", encoding="utf-8"):
-                pass
-            with open(path, encoding="utf-8") as f:
-                body = f.read()
+            if claim_mtime is None:
+                # First claim: O_EXCL makes it exclusive — two concurrent
+                # consumers cannot both claim an unclaimed message.
+                try:
+                    os.close(os.open(claim,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                except FileExistsError:
+                    continue  # lost the race to another consumer
+            else:
+                # Expired claim: refresh its mtime atomically.  Like SQS
+                # itself, visibility-timeout expiry is the at-least-once
+                # window — a redelivery race here is within contract.
+                tmp = f"{claim}.{uuid.uuid4().hex}.tmp"
+                os.close(os.open(tmp, os.O_CREAT | os.O_WRONLY))
+                os.replace(tmp, claim)
+            try:
+                with open(path, encoding="utf-8") as f:
+                    body = f.read()
+            except FileNotFoundError:
+                continue  # deleted by a concurrent consumer's ack
             mid = name[:-4]
             out.append(QueueMessage(mid, body, receipt_handle=mid))
         return out
@@ -144,6 +164,25 @@ class SqsQueueClient:
                                  ReceiptHandle=receipt_handle)
 
 
+def _one_line(body: str) -> str:
+    """Collapse a message body to exactly one manifest line.
+
+    SQS bodies may legally contain newlines (e.g. pretty-printed JSON);
+    the inbox manifest is line-framed, so an embedded newline would split
+    one message into several and corrupt poison-line accounting.  Valid
+    JSON is re-serialized compact (semantics preserved); anything else —
+    poison by definition downstream — gets its newlines replaced so it
+    still lands as ONE (still-unparseable, still-counted-once) line.
+    """
+    body = body.rstrip("\n")
+    if "\n" not in body and "\r" not in body:
+        return body
+    try:
+        return json.dumps(json.loads(body), separators=(",", ":"))
+    except ValueError:
+        return body.replace("\r", " ").replace("\n", " ")
+
+
 class QueueBridge:
     """Drain a queue into the streaming consumer's file inbox.
 
@@ -175,7 +214,7 @@ class QueueBridge:
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             for m in msgs:
-                f.write(m.body.rstrip("\n") + "\n")
+                f.write(_one_line(m.body) + "\n")
         os.rename(tmp, path)
         for m in msgs:  # durable -> ack (delete-on-success, moved one hop)
             self.client.delete(m.receipt_handle)

@@ -52,6 +52,49 @@ def test_queue_visibility_timeout_redelivers(tmp_path):
     assert [m.body for m in redelivered] == [got[0].body]
 
 
+def test_queue_first_claim_is_exclusive(tmp_path, monkeypatch):
+    """The claim is O_CREAT|O_EXCL: if another consumer creates it
+    between this consumer's existence check and its create, this
+    consumer loses the race and skips — no double-claim."""
+    import os as _os
+
+    q = FileQueueClient(str(tmp_path), visibility_timeout=60.0)
+    q.send(job_message(1, "a.csv"))
+    real_getmtime = _os.path.getmtime
+
+    def racy_getmtime(p):
+        p = str(p)
+        if p.endswith(".claim"):
+            # Interleave the rival's claim inside the check-then-create
+            # window, then report "no claim existed" at check time.
+            _os.close(_os.open(p, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+            raise OSError(p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(_os.path, "getmtime", racy_getmtime)
+    assert q.receive() == []  # lost the race; message stays claimed once
+
+
+def test_bridge_keeps_multiline_body_as_one_line(tmp_path, spark):
+    """SQS bodies may embed newlines; the manifest is line-framed.  A
+    pretty-printed JSON body must land as ONE parseable line and a
+    multi-line poison body as ONE poison line (not two)."""
+    import json as _json
+
+    qdir, inbox = str(tmp_path / "q"), str(tmp_path / "inbox")
+    q = FileQueueClient(qdir, visibility_timeout=60.0)
+    pretty = _json.dumps({"job_id": 7, "s3_key": "k7.csv"}, indent=2)
+    assert "\n" in pretty
+    q.send(pretty)
+    q.send("poison\nwith newline")
+    assert QueueBridge(q, inbox).drain_once(max_messages=10) == 2
+    raw = spark.read.text(inbox)
+    assert raw.count() == 2                    # one line per message
+    parsed = parse_job_messages(raw)
+    assert [(r["job_id"], r["s3_key"]) for r in parsed.collect()] \
+        == [(7, "k7.csv")]
+
+
 def test_queue_delete_is_terminal(tmp_path):
     q = FileQueueClient(str(tmp_path), visibility_timeout=0.0)
     q.send(job_message(1, "a.csv"))

@@ -9,6 +9,7 @@ from data_ingestion_worker_spark.operators.graph import (
     PR_SCALE,
     graph_degree_stats,
     graph_pagerank,
+    graph_pagerank_adaptive,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -48,6 +49,32 @@ def test_pagerank_conserves_mass_and_follows_degree(spark):
     lo = sum(r.rank_scaled for r in ranked[:q]) / q
     hi = sum(r.rank_scaled for r in ranked[-q:]) / q
     assert hi > lo
+
+
+def test_pagerank_adaptive_matches_fixed_at_same_iteration_count(spark):
+    """With epsilon=0 and the cap pinned to PR_ITERATIONS, the adaptive
+    loop is bit-identical to the fixed 3-iteration unroll (integer
+    arithmetic — no room for drift)."""
+    fixed = {(r.kind, r.key): r.rank_scaled
+             for r in graph_pagerank(spark, SF_DIR).collect()}
+    adaptive = {(r.kind, r.key): r.rank_scaled
+                for r in graph_pagerank_adaptive(
+                    spark, SF_DIR, max_iterations=3).collect()}
+    assert fixed == adaptive
+
+
+def test_pagerank_adaptive_early_exit_on_loose_epsilon(spark):
+    """A tolerance of a full unit of mass is met after the very first
+    superstep, so a cap of 6 must return the 1-superstep ranks — the
+    early exit actually fires."""
+    one_step = {(r.kind, r.key): r.rank_scaled
+                for r in graph_pagerank_adaptive(
+                    spark, SF_DIR, max_iterations=1).collect()}
+    loose = {(r.kind, r.key): r.rank_scaled
+             for r in graph_pagerank_adaptive(
+                 spark, SF_DIR, max_iterations=6,
+                 epsilon_scaled=PR_SCALE).collect()}
+    assert loose == one_step
 
 
 def test_degree_stats_sum_to_twice_the_edge_count(spark):

@@ -143,6 +143,7 @@ def test_real_decode_reads_bmp_ppm_and_isolates_corrupt_rows(spark):
         (1, bytearray(encode_bmp(2, 3, RGB_2X3))),
         (2, bytearray(encode_ppm(2, 3, RGB_2X3))),
         (3, bytearray(b"not an image")),
+        (4, None),  # NULL payload: TypeError path must also NULL out
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     out = {r["doc_id"]: r for r in mm_decode_real(spark, df).collect()}
@@ -151,6 +152,58 @@ def test_real_decode_reads_bmp_ppm_and_isolates_corrupt_rows(spark):
     assert (out[2]["width"], out[2]["height"]) == (2, 3)
     assert out[2]["format"] == "PPM"
     assert out[3]["width"] is None and out[3]["mode"] is None
+    assert out[4]["width"] is None and out[4]["mode"] is None
+
+
+def _fake_pil(monkeypatch, opened):
+    """Install a minimal fake ``PIL`` module so the Pillow seam executes
+    even in containers without the dependency."""
+    import sys
+    import types
+
+    class _Img:
+        width, height, mode, format = 2, 3, "RGB", "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(buf):
+        opened.append(buf.read())
+        return _Img()
+
+    image_mod = types.SimpleNamespace(open=_open)
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_pillow_seam_executes_with_monkeypatched_module(monkeypatch):
+    """The HAS_PIL=True branch is not a dead path: with a fake PIL
+    installed, non-builtin payloads route to Pillow while BMP/PPM still
+    take the builtin codecs (sniff-first routing)."""
+    import pandas as pd
+
+    from data_ingestion_worker_spark.operators import multimodal as mm
+
+    opened: list[bytes] = []
+    _fake_pil(monkeypatch, opened)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [b"\x89PNG fake", encode_bmp(2, 3, RGB_2X3), None],
+    })
+    (out,) = list(mm.decode_image_real(iter([batch])))
+    by_id = out.set_index("doc_id")
+    # PNG-ish payload went through the (fake) Pillow probe...
+    assert by_id.loc[1, "format"] == "PNG" and opened == [b"\x89PNG fake"]
+    # ...BMP bypassed Pillow entirely (sniffed to the builtin codec)...
+    assert by_id.loc[2, "format"] == "BMP"
+    # ...and a NULL payload NULLs out on any seam.
+    assert by_id.loc[3, "format"] is None
 
 
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
@@ -249,6 +302,39 @@ def test_avi_roundtrip_and_junk_chunk_skip():
     padded = raw[:movi_at] + junk + raw[movi_at:]
     padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
     assert decode_avi(padded).frames == (f1,)
+
+
+def test_avi_with_audio_stream_is_decodable():
+    """An interleaved audio stream (strh 'auds' + 16-byte WAVEFORMATEX
+    strf) must be ignored, not rejected as an undersized video strf."""
+    import struct
+
+    from data_ingestion_worker_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    f1 = bytes(range(12))
+    raw = encode_avi(2, 2, [f1], fps=10)
+    # Build an audio strl: strh(fccType='auds') + 16-byte WAVEFORMATEX.
+    strh = (b"auds" + b"\x00" * 52)
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    # Splice it into hdrl (after the video strl, before hdrl's end).
+    hdrl_at = raw.index(b"hdrl") - 4          # LIST header start
+    hdrl_size = struct.unpack_from("<I", raw, hdrl_at + 4)[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    spliced = bytearray(raw[:hdrl_end] + strl + raw[hdrl_end:])
+    struct.pack_into("<I", spliced, hdrl_at + 4, hdrl_size + len(strl))
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    avi = decode_avi(bytes(spliced))
+    assert (avi.width, avi.height, avi.fps) == (2, 2, 10)
+    assert avi.frames == (f1,)
 
 
 def test_avi_rejects_malformed():

@@ -33,6 +33,8 @@ BNLJ_ALLOWED = {
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
+    "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
+    "hybrid_search_rerank",  # one-row query-vector broadcast cross join
 }
 
 
@@ -100,6 +102,8 @@ SP_ALLOWED = {
     "doc_unigram_logprob",      # one-row corpus-total scalar
     "doc_bm25_rank",            # one-row (N, Σdl) scalar
     "graph_pagerank",           # one-row |V| + per-iteration mass scalars
+    "graph_pagerank_adaptive",  # same scalars, convergence-capped loop
+    "hybrid_search_rerank",     # BM25 stage's (N, Σdl) scalar + qvec row
     "stats_chi2_independence",  # one-row grand-total scalar
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "token_bigram_pmi",         # one-row corpus-total scalars

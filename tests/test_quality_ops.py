@@ -13,7 +13,10 @@ from data_ingestion_worker_spark.operators.quality import (
 )
 from data_ingestion_worker_spark.operators.similarity import (
     KM_K,
+    SEM_TAU,
     cluster_kmeans_embeddings,
+    dedup_semantic,
+    hybrid_search_rerank,
 )
 
 
@@ -45,6 +48,60 @@ def test_kmeans_stable_under_repartition(spark, sf_dir):
              for r in cluster_kmeans_embeddings(spark, sf_dir)
              .repartition(13).collect()}
     assert base == again
+
+
+def test_hybrid_rerank_is_a_rerank_of_bm25_candidates(spark, sf_dir):
+    """Stage 2 must only re-order (and possibly shrink, via the inner
+    embedding join) the BM25 candidate set — never introduce new docs —
+    and the output must be cosine-sorted."""
+    from data_ingestion_worker_spark.operators.text import doc_bm25_rank
+
+    cand = {r.doc_id: r.score
+            for r in doc_bm25_rank(spark, sf_dir).collect()}
+    rows = hybrid_search_rerank(spark, sf_dir).collect()
+    assert rows, "hybrid rerank returned nothing"
+    assert {r.doc_id for r in rows} <= set(cand)
+    for r in rows:
+        assert r.bm25 == cand[r.doc_id]
+        assert -1.0 <= r.cosine <= 1.0
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_semantic_dedup_drop_rule_matches_numpy(spark, sf_dir):
+    """The SemDeDup decision recomputed in numpy: dropped iff a
+    smaller-id same-cluster vector has cosine >= SEM_TAU (on the same
+    quantized integers the engine uses)."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.tables import load_table
+
+    out = {r.vec_id: r for r in dedup_semantic(spark, sf_dir).collect()}
+    cluster = {v: r.cluster for v, r in out.items()}
+    emb = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64)
+                              * 10000).astype(np.int64)
+           for r in load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").collect()}
+    assert set(out) == set(emb)
+    by_cluster: dict[int, list[int]] = {}
+    for v, c in cluster.items():
+        by_cluster.setdefault(c, []).append(v)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort()
+        for i, v2 in enumerate(members):
+            expect_drop = any(
+                round(float(emb[v1] @ emb[v2])
+                      / (np.sqrt(float(emb[v1] @ emb[v1]))
+                         * np.sqrt(float(emb[v2] @ emb[v2]))), 6)
+                >= SEM_TAU
+                for v1 in members[:i]
+            )
+            assert out[v2].kept == (not expect_drop), v2
+            n_dropped += expect_drop
+    # the synthetic corpus must actually contain semantic near-dups,
+    # and the op must not collapse the corpus
+    assert 0 < n_dropped < len(out)
 
 
 def test_pretrain_filter_reason_precedence(spark, sf_dir):

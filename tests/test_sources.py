@@ -129,6 +129,25 @@ def test_repartition_for_output(spark, sf_dir):
     assert out.count() == li.count()
 
 
+def test_multi_file_scan_parallelizes(spark, sf_dir, tmp_path):
+    """The single-task scans at sf0.1 are a fixture artifact (one file,
+    one row group — PERF.md 'known local-mode ceilings'), not an engine
+    property: the same table written as multiple files scans as multiple
+    input partitions, so a real multi-file dataset parallelizes the same
+    plans."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    multi = str(tmp_path / "lineitem_multi")
+    li.repartition(8).write.parquet(multi)
+    scan = spark.read.parquet(multi)
+    # >1 scan task: the read splits across files without any help from
+    # maxPartitionBytes (each file is its own split at this size).
+    assert scan.rdd.getNumPartitions() > 1
+    # ...and the parallel scan computes the same aggregate.
+    total = scan.agg(F.sum("l_quantity").alias("s")).collect()[0]["s"]
+    expect = li.agg(F.sum("l_quantity").alias("s")).collect()[0]["s"]
+    assert total == expect
+
+
 def test_compact_dir_collapses_small_files(spark, sf_dir, tmp_path):
     """Many tiny appended files collapse to the byte-sized target; rows
     and values survive; the directory swap leaves no temp residue."""

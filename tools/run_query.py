@@ -66,10 +66,15 @@ def main() -> int:
             df.explain("formatted")
             continue
         t0 = time.time()
-        rows = df.limit(args.limit).collect()
-        n = df.count()
-        print(f"== {name}: {n} rows in {time.time() - t0:.2f}s "
-              f"(showing {min(args.limit, n)}) ==")
+        # limit+1 detects truncation without a second full execution
+        # (a separate count() would double the runtime of an expensive
+        # query and mistime the reported elapsed seconds).
+        rows = df.limit(args.limit + 1).collect()
+        elapsed = time.time() - t0
+        truncated = len(rows) > args.limit
+        rows = rows[:args.limit]
+        shown = f"{len(rows)}{'+' if truncated else ''}"
+        print(f"== {name}: {shown} rows in {elapsed:.2f}s ==")
         if rows:
             cols = rows[0].__fields__
             print(" | ".join(cols))
