@@ -36,15 +36,18 @@ _QVEC = ("transform(embedding, x -> cast(round(cast(x as double) * "
          f"{QUANT}) as bigint))")
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the first N_QUERIES vectors.
+def _brute_topk(spark: SparkSession, sf_dir: str,
+                vec_expr: str = _QVEC) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors, over an
+    arbitrary quantized-vector expression (full vectors by default;
+    prefix slices for the matryoshka harness).
 
     Plan shape: tiny query side broadcast; corpus scanned once; per-row
     zip_with/aggregate dot product inside codegen; per-query top-k via
     rank window (partition count = N_QUERIES, trivially parallel).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QVEC).alias("qv")
+        "vec_id", F.expr(vec_expr).alias("qv")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES) \
         .withColumnRenamed("vec_id", "query_id").withColumnRenamed("qv", "qq")
@@ -69,6 +72,121 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (full 64-d vectors) — see
+    :func:`_brute_topk` for the plan shape."""
+    return _brute_topk(spark, sf_dir)
+
+
+#: Matryoshka prefix lengths measured against the full 64-d truth.
+MRL_DIMS = (16, 32)
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of prefix-truncated embeddings vs the full-dimension
+    ground truth — the quality gate for Matryoshka-style dimension
+    reduction (store/search the first d dims, keep the rest cold).
+
+    For each prefix length in :data:`MRL_DIMS`, runs the same
+    brute-force top-k on ``slice(vec, 1, d)`` and measures
+    ``|trunc_topk ∩ full_topk| / k`` per query.  At scale the truncated
+    index is d/64 of the scan bytes and shuffle width; this harness is
+    the number that says what that saving costs in recall — same
+    measurement pattern as :func:`ann_ivf_recall`.
+    """
+    exact = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    per_dim = []
+    for dim in MRL_DIMS:
+        trunc = _brute_topk(
+            spark, sf_dir, f"slice({_QVEC}, 1, {dim})"
+        ).select("query_id", F.col("vec_id").alias("t_vec_id"))
+        hits = exact.join(
+            trunc,
+            (exact["query_id"] == trunc["query_id"])
+            & (exact["vec_id"] == trunc["t_vec_id"]),
+            "left",
+        ).groupBy(exact["query_id"].alias("query_id")).agg(
+            F.count("t_vec_id").alias("n_hits")
+        )
+        per_dim.append(hits.select(
+            "query_id",
+            F.lit(dim).cast("int").alias("mrl_dim"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+        ))
+    out = per_dim[0]
+    for df in per_dim[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _mrl_topk_cte(dim: int) -> str:
+    return f"""
+mdots{dim} AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES} AND a.d <= {dim}
+  GROUP BY 1, 2
+),
+mnorm{dim} AS (
+  SELECT vec_id, sum(v * v) AS n FROM qv WHERE d <= {dim} GROUP BY 1
+),
+mtopk{dim} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT mdots{dim}.query_id AS query_id, mdots{dim}.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY mdots{dim}.query_id
+             ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))), 6)
+               DESC, mdots{dim}.vec_id) AS rank
+    FROM mdots{dim}
+    JOIN mnorm{dim} nq ON nq.vec_id = mdots{dim}.query_id
+    JOIN mnorm{dim} nv ON nv.vec_id = mdots{dim}.vec_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+EMB_MATRYOSHKA_ORACLE = (f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1),
+exact_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT exact_dots.query_id AS query_id, exact_dots.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY exact_dots.query_id
+             ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))), 6)
+               DESC, exact_dots.vec_id) AS rank
+    FROM exact_dots
+    JOIN norms nq ON nq.vec_id = exact_dots.query_id
+    JOIN norms nv ON nv.vec_id = exact_dots.vec_id
+  ) WHERE rank <= {TOP_K}
+),"""
+    + ",".join(_mrl_topk_cte(d) for d in MRL_DIMS) + f"""
+SELECT e.query_id, dims.mrl_dim,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(t.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM exact_topk e
+CROSS JOIN (SELECT CAST(unnest([{", ".join(str(d) for d in MRL_DIMS)}])
+                   AS INT) AS mrl_dim) dims
+LEFT JOIN (
+""" + "\n  UNION ALL\n".join(
+        f"  SELECT {d} AS mrl_dim, query_id, vec_id FROM mtopk{d}"
+        for d in MRL_DIMS) + """
+) t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+   AND t.mrl_dim = dims.mrl_dim
+GROUP BY 1, 2
+""")
 
 
 ANN_TOPK_ORACLE = f"""
@@ -813,6 +931,8 @@ SPECS: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings,
                                            CLUSTER_KMEANS_ORACLE),
     "dedup_semantic": QuerySpec(dedup_semantic, DEDUP_SEMANTIC_ORACLE),
+    "emb_matryoshka_recall": QuerySpec(emb_matryoshka_recall,
+                                       EMB_MATRYOSHKA_ORACLE),
     "hybrid_search_rerank": QuerySpec(hybrid_search_rerank,
                                       _hybrid_oracle()),
 }

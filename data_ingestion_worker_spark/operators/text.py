@@ -498,6 +498,56 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize a uniform language mix by deterministic hash-gated
+    downsampling — the sampling step that *applies* the
+    :func:`corpus_mix_weights` bookkeeping (language rebalancing: thin
+    the dominant languages down to the rarest one).
+
+    Every language is thinned to the size of the smallest one: a
+    document survives iff ``hash64('mix:' || doc_id) % n_docs(lang) <
+    min_lang_docs``, an exact integer acceptance test with probability
+    min/n per language.  Re-runs (and replays after failure) select the
+    identical document set — no RNG state, no seed coordination across
+    executors.
+
+    Plan shape: the per-language count table is k rows, broadcast back
+    onto the corpus; the corpus itself is scanned and filtered in place
+    — zero shuffles of document data at any scale.  (The count aggregate
+    itself is map-side partial over the scan; at 100 TB the counts
+    would typically come from table metadata instead.)
+    """
+    from ..functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = per.agg(F.min("n_docs").alias("min_docs"))
+    rates = per.crossJoin(F.broadcast(m))
+    gate = hash64(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % F.col("n_docs") < F.col("min_docs")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(gate)
+        .select("doc_id", "lang")
+    )
+
+
+MIX_SAMPLE_ORACLE = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+m AS (SELECT min(n_docs) AS min_docs FROM per)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN per ON per.lang = d.lang
+CROSS JOIN m
+WHERE {hash64_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % per.n_docs
+      < m.min_docs
+"""
+
+
 MIX_ORACLE = """
 SELECT source, n_docs,
        floor(CAST(n_docs AS DOUBLE) / total * 1000000.0) / 1000000.0
@@ -724,6 +774,7 @@ SPECS: dict[str, QuerySpec] = {
                                          SAMPLE_WEIGHTED_ORACLE),
     "doc_chunk": QuerySpec(doc_chunk, CHUNK_ORACLE),
     "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_ORACLE),
+    "corpus_mix_sample": QuerySpec(corpus_mix_sample, MIX_SAMPLE_ORACLE),
     "doc_pii_extract": QuerySpec(doc_pii_extract, PII_ORACLE),
     "doc_salient_terms": QuerySpec(doc_salient_terms, SALIENT_ORACLE),
     "doc_repetition_signals": QuerySpec(doc_repetition_signals,

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
+    "emb_matryoshka_recall",  # K query vectors broadcast (twice per dim)
+    "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
 }
 
 
@@ -109,6 +111,7 @@ SP_ALLOWED = {
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
+    "corpus_mix_sample",        # one-row min over the k-language agg
     "pipeline_filter_stats",    # survival window over the per-reason agg
 }
 

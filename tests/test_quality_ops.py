@@ -129,3 +129,87 @@ def test_unigram_logprob_bits_nonnegative(spark, sf_dir):
     for r in rows:
         assert r.bits_total >= 0
         assert r.bits_per_token >= 0.0
+
+
+def test_matryoshka_recall_matches_numpy(spark, sf_dir):
+    """Truncated-vs-full recall@k recomputed with numpy on the quantized
+    vectors must match the operator exactly (same rounding, same
+    tie-break by ascending vec_id)."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        QUANT,
+        TOP_K,
+        emb_matryoshka_recall,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding").collect()
+    vecs = {
+        r.vec_id: np.round(
+            np.array(r.embedding, dtype=np.float64) * QUANT
+        ).astype(np.int64)
+        for r in raw
+    }
+
+    def topk(dim: int | None) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for q in range(N_QUERIES):
+            qv = vecs[q] if dim is None else vecs[q][:dim]
+            scored = []
+            for vid, v in vecs.items():
+                if vid == q:
+                    continue
+                vv = v if dim is None else v[:dim]
+                cos = round(
+                    float(qv @ vv)
+                    / (float(np.sqrt(qv @ qv)) * float(np.sqrt(vv @ vv))),
+                    6,
+                )
+                scored.append((-cos, vid))
+            scored.sort()
+            out[q] = {vid for _, vid in scored[:TOP_K]}
+        return out
+
+    exact = topk(None)
+    expected = {
+        (q, d): len(exact[q] & trunc[q])
+        for d in MRL_DIMS
+        for trunc in (topk(d),)
+        for q in range(N_QUERIES)
+    }
+    rows = emb_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * len(MRL_DIMS)
+    for r in rows:
+        assert r.n_hits == expected[(r.query_id, r.mrl_dim)]
+        assert r.recall == r.n_hits / TOP_K
+
+
+def test_corpus_mix_sample_is_deterministic_hash_gate(spark, sf_dir):
+    """The sampled set must be exactly the md5-gate winners — bit-stable
+    across runs and partitionings, thinning every language to ~min."""
+    import hashlib
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.text import corpus_mix_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang").collect()
+    n_by_lang = Counter(r.lang for r in docs)
+    min_docs = min(n_by_lang.values())
+    expected = {
+        (r.doc_id, r.lang)
+        for r in docs
+        if int(hashlib.md5(f"mix:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        % n_by_lang[r.lang] < min_docs
+    }
+    got = {(r.doc_id, r.lang)
+           for r in corpus_mix_sample(spark, sf_dir).collect()}
+    assert got == expected
+    # The rarest language survives intact; no language oversamples.
+    got_by_lang = Counter(lang for _, lang in got)
+    assert got_by_lang[min(n_by_lang, key=n_by_lang.get)] == min_docs
+    for lang, n in got_by_lang.items():
+        assert n <= n_by_lang[lang]
