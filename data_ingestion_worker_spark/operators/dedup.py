@@ -150,12 +150,27 @@ def dedup_jaccard_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Bucket aggregation, not a self-join: one shuffle groups the posting
+    # list per shingle and the candidate pairs expand *locally* inside
+    # each bucket (sorted, i<j) — the same pattern dedup_minhash_lsh uses
+    # for band buckets.  The self-join formulation shuffles the shingle
+    # table twice and materializes Σ df² rows through the exchange; here
+    # the expansion happens after the shuffle, so only |postings| rows
+    # move.  Production corpora bound the per-bucket list with the DF
+    # cutoff (``_shingles(max_df=...)``) — a boilerplate shingle with an
+    # unbounded posting list is a skew hazard under either formulation.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(F.expr(
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> named_struct('d1', x, 'd2', y))))"
+        )).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")
