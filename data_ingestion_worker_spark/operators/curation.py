@@ -533,8 +533,81 @@ GROUP BY 1, 2
 """
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity gate: do any near-duplicate pairs straddle the
+    train/holdout boundary?
+
+    Joins the exact near-dup pairs (word-3-gram Jaccard >= 0.2, the
+    same sub-quadratic inverted-index pairing the dedup ladder uses)
+    with the deterministic split assignment and reports the pair count
+    per unordered split combination.  Any row with ``is_leak`` true
+    means a holdout document has a near-twin in train — the check a
+    pipeline owner runs *after* splitting and *before* training, since
+    hash-splitting is content-independent by design and therefore
+    cannot see near-dups on its own.
+
+    Scale: the pair set is the already-bounded near-dup output (work
+    follows collisions); the split column is a pure per-row hash, so
+    the two split lookups are map-side joins against a projection of
+    the corpus — no new shuffle beyond the pairing itself.
+    """
+    from .dedup import _jaccard_pairs, _shingles
+
+    pairs = _jaccard_pairs(_shingles(spark, sf_dir)).select("d1", "d2")
+    splits = split_train_holdout(spark, sf_dir).select("doc_id", "split")
+    s1 = splits.withColumnRenamed("doc_id", "d1")         .withColumnRenamed("split", "split_d1")
+    s2 = splits.withColumnRenamed("doc_id", "d2")         .withColumnRenamed("split", "split_d2")
+    lo = F.least("split_d1", "split_d2")
+    hi = F.greatest("split_d1", "split_d2")
+    return (
+        pairs.join(s1, "d1").join(s2, "d2")
+        .groupBy(lo.alias("split_a"), hi.alias("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _SHINGLES_SQL
+
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+jp AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM jp
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
+        / 10000.0 >= 0.2
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_SQL} < {_TRAIN_CUT} THEN 'train'
+              WHEN {_BUCKET_SQL} < {_VAL_CUT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+FROM pairs
+JOIN sp a ON pairs.d1 = a.doc_id
+JOIN sp b ON pairs.d2 = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
+    "split_leakage_check": QuerySpec(split_leakage_check,
+                                     _leakage_oracle()),
     "corpus_shuffle_shards": QuerySpec(corpus_shuffle_shards,
                                        SHUFFLE_SHARDS_ORACLE),
     "doc_length_histogram": QuerySpec(doc_length_histogram,

@@ -1069,8 +1069,84 @@ FROM new_batch n LEFT JOIN corpus c ON n.fp = c.fp
 """
 
 
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental *near*-dup: new batch vs the corpus's LSH band index.
+
+    The approximate sibling of :func:`dedup_incremental` — the shape a
+    production crawl actually needs, since exact fingerprints miss
+    boilerplate-wrapped and lightly-edited recrawls.  Every document
+    contributes its MinHash band signatures once; the corpus side
+    (``src0``) acts as the *band-signature index* (at 100 TB a
+    maintained index table, bucketed by band signature, built
+    incrementally at each ingest — the corpus text is never re-read),
+    and the new batch probes it with an equi-join on the signature.
+    Candidate volume follows collisions, never |batch| x |corpus|.
+
+    Output: every batch document with its corpus-candidate count, the
+    smallest matching corpus doc_id (deterministic representative), and
+    the near-dup verdict.  Documents too short to shingle produce no
+    bands and fall through as not-near-dup, preserved by the left join.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bands = _minhash_bands(spark, sf_dir).join(d, "doc_id")
+    batch_bands = bands.filter(F.col("source") != "src0")
+    corpus_idx = bands.filter(F.col("source") == "src0").select(
+        "band", "m1", "m2", F.col("doc_id").alias("corpus_doc_id")
+    )
+    cand = (
+        batch_bands.join(corpus_idx, ["band", "m1", "m2"])
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    agg = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_corpus_candidates"),
+        F.min("corpus_doc_id").alias("first_corpus_match"),
+    )
+    base = d.filter(F.col("source") != "src0")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id", "source",
+        F.coalesce(F.col("n_corpus_candidates"), F.lit(0)).cast("bigint")
+        .alias("n_corpus_candidates"),
+        F.col("first_corpus_match").cast("bigint")
+        .alias("first_corpus_match"),
+        F.col("n_corpus_candidates").isNotNull().alias("is_near_dup"),
+    )
+
+
+DEDUP_INCREMENTAL_LSH_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL.strip()},
+src AS (SELECT doc_id, source FROM documents),
+batch_bands AS (
+  SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source <> 'src0'
+),
+corpus_bands AS (
+  SELECT b.* FROM bands b JOIN src USING (doc_id) WHERE source = 'src0'
+),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS corpus_doc_id
+  FROM batch_bands bb
+  JOIN corpus_bands cb
+    ON bb.band = cb.band AND bb.m1 = cb.m1 AND bb.m2 = cb.m2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_corpus_candidates,
+         CAST(min(corpus_doc_id) AS BIGINT) AS first_corpus_match
+  FROM cand GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       COALESCE(a.n_corpus_candidates, 0) AS n_corpus_candidates,
+       a.first_corpus_match,
+       a.n_corpus_candidates IS NOT NULL AS is_near_dup
+FROM src d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_incremental_lsh": QuerySpec(dedup_incremental_lsh,
+                                       DEDUP_INCREMENTAL_LSH_ORACLE),
     "dedup_incremental": QuerySpec(dedup_incremental,
                                    DEDUP_INCREMENTAL_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),

@@ -264,6 +264,112 @@ FROM scored
 """
 
 
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source HLL union: per-source register sets merged by a
+    bucketwise max into one corpus-wide distinct-shingle estimate.
+
+    This is the *mergeability* half of the sketch story — the property
+    that makes HLL the 100 TB distinct-count plan: each source (or
+    executor, or day of ingest) reduces to HLL_M registers, and the
+    union of any number of sketches is a constant-size bucketwise max,
+    never a re-scan.  Because max is associative, the merged registers
+    are bit-identical to sketching the concatenated corpus directly
+    (pinned by test_sketches contract); the operator keeps the
+    per-source stage explicit so the plan *is* the merge.
+
+    Plan: one groupBy(source, bucket) shuffle -> one groupBy(bucket)
+    merge of |sources| x HLL_M rows -> one-row scalar register sum,
+    cross-joined (broadcast) with the one-row exact count — the two
+    scalars are constant-size whatever the corpus.
+    """
+    sh = _src_shingles(spark, sf_dir).select(
+        "source", hash64(F.col("shingle")).alias("h")
+    )
+    buckets = sh.select(
+        "source",
+        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    ).select(
+        "source", "bucket",
+        F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+            F.lit(HLL_REST_BITS + 1)
+            - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
+        ).cast("int").alias("rho"),
+    )
+    per_source_regs = buckets.groupBy("source", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = per_source_regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    z_present = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {HLL_REST_BITS} - r)")
+    )
+    regs_row = merged.agg(
+        F.count(F.lit(1)).alias("n_buckets"), z_present.alias("z_present")
+    )
+    exact_row = sh.agg(
+        F.countDistinct("h").alias("exact_distinct"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    z = (F.col("z_present")
+         + (F.lit(HLL_M) - F.col("n_buckets"))
+         * F.lit(1 << HLL_REST_BITS).cast("bigint"))
+    est = F.floor(F.lit(HLL_ALPHA_NUM) / z.cast("double")).cast("bigint")
+    return exact_row.crossJoin(F.broadcast(regs_row)).select(
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("hll_est"),
+        (F.floor(
+            F.abs(est.cast("double") - F.col("exact_distinct"))
+            / F.col("exact_distinct") * 10000.0
+        ) / 10000.0).alias("rel_err"),
+    )
+
+
+HLL_UNION_ORACLE = f"""
+WITH {_SRC_SHINGLES_SQL.strip()},
+hashed AS (
+  SELECT source, {hash64_sql('shingle')} AS h FROM sh
+),
+buckets AS (
+  SELECT source, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+         END AS rho
+  FROM hashed
+),
+per_source_regs AS (
+  SELECT source, bucket, max(rho) AS r FROM buckets GROUP BY 1, 2
+),
+merged AS (
+  SELECT bucket, max(r) AS r FROM per_source_regs GROUP BY 1
+),
+regs_row AS (
+  SELECT count(*) AS n_buckets,
+         sum(1::BIGINT << ({HLL_REST_BITS} - r)) AS z_present
+  FROM merged
+),
+exact_row AS (
+  SELECT count(DISTINCT h) AS exact_distinct,
+         count(DISTINCT source) AS n_sources
+  FROM hashed
+),
+scored AS (
+  SELECT n_sources, exact_distinct, n_buckets,
+         CAST(floor({HLL_ALPHA_NUM!r} / CAST(z_present
+              + ({HLL_M} - n_buckets) * (1::BIGINT << {HLL_REST_BITS})
+              AS DOUBLE)) AS BIGINT) AS hll_est
+  FROM exact_row CROSS JOIN regs_row
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(n_buckets AS BIGINT) AS n_buckets, hll_est,
+       floor(abs(CAST(hll_est AS DOUBLE) - exact_distinct)
+             / exact_distinct * 10000.0) / 10000.0 AS rel_err
+FROM scored
+"""
+
+
 def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min estimates for the corpus's top heavy-hitter tokens.
 
@@ -441,6 +547,7 @@ SELECT doc_id, CAST(r AS INT) AS sample_rank FROM (
 SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(sketch_kmv_distinct, KMV_ORACLE),
     "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, HLL_ORACLE),
+    "sketch_hll_union": QuerySpec(sketch_hll_union, HLL_UNION_ORACLE),
     "sketch_countmin_tokens": QuerySpec(sketch_countmin_tokens, CMS_ORACLE),
     "sketch_bloom_membership": QuerySpec(sketch_bloom_membership,
                                          BLOOM_ORACLE),

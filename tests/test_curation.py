@@ -117,3 +117,65 @@ def test_pack_window_is_sharded_not_per_source(spark, sf_dir):
     plan = (pack_sequences(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "shard" in plan
+
+
+def test_incremental_lsh_consistent_with_full_pairing(spark, sf_dir):
+    """A batch document is near-dup-of-corpus iff the full LSH pairing
+    links it to some src0 document, and the reported first match is the
+    smallest such partner."""
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        dedup_minhash_lsh,
+    )
+
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    partners = defaultdict(set)
+    for p in dedup_minhash_lsh(spark, sf_dir).collect():
+        partners[p.d1].add(p.d2)
+        partners[p.d2].add(p.d1)
+    expected = {}
+    for doc, source in src.items():
+        if source == "src0":
+            continue
+        corpus_hits = {o for o in partners[doc] if src[o] == "src0"}
+        expected[doc] = (len(corpus_hits),
+                         min(corpus_hits) if corpus_hits else None)
+    rows = dedup_incremental_lsh(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(expected)
+    for r in rows:
+        n, first = expected[r.doc_id]
+        assert r.n_corpus_candidates == n
+        assert r.first_corpus_match == first
+        assert r.is_near_dup == (n > 0)
+    assert any(r.is_near_dup for r in rows), "no corpus near-dups - vacuous"
+
+
+def test_split_leakage_check_matches_composition(spark, sf_dir):
+    """The leakage matrix must equal the composition of the pair set and
+    the split assignment, aggregated by unordered split combination."""
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.curation import (
+        split_leakage_check,
+    )
+    from data_ingestion_worker_spark.operators.dedup import (
+        _jaccard_pairs,
+        _shingles,
+    )
+
+    splits = {r.doc_id: r.split
+              for r in split_train_holdout(spark, sf_dir).collect()}
+    expected: Counter = Counter()
+    for p in _jaccard_pairs(_shingles(spark, sf_dir)).collect():
+        a, b = sorted((splits[p.d1], splits[p.d2]))
+        expected[(a, b)] += 1
+    rows = split_leakage_check(spark, sf_dir).collect()
+    assert {(r.split_a, r.split_b): r.n_pairs for r in rows} == dict(expected)
+    for r in rows:
+        assert r.is_leak == (r.split_a != r.split_b)

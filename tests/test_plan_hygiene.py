@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
     "emb_matryoshka_recall",  # K query vectors broadcast (twice per dim)
     "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
+    "sketch_hll_union",    # one-row merged-registers x one-row exact count
 }
 
 
@@ -112,6 +113,7 @@ SP_ALLOWED = {
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
     "corpus_mix_sample",        # one-row min over the k-language agg
+    "sketch_hll_union",         # two one-row scalars (registers, exact)
     "pipeline_filter_stats",    # survival window over the per-reason agg
 }
 
