@@ -82,6 +82,24 @@ _SPLIT_SALT = "split:v1:"
 _TRAIN_CUT, _VAL_CUT = 96, 98  # train <96, val <98, test <100
 
 
+def _split_bucket(doc_id: F.Column) -> F.Column:
+    """bucket = hash64(salt || doc_id) mod 100 — the single split rule."""
+    return F.pmod(
+        hash64(F.concat(F.lit(_SPLIT_SALT), doc_id.cast("string"))),
+        F.lit(100),
+    )
+
+
+def _split_of(doc_id: F.Column) -> F.Column:
+    """train/val/test label as a pure expression over any doc_id column."""
+    bucket = _split_bucket(doc_id)
+    return (
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document to train/val/test by content-independent hash.
 
@@ -90,17 +108,10 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     and backfill (the property that prevents eval-set leakage).
     """
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(hash64(F.concat(F.lit(_SPLIT_SALT),
-                                    F.col("doc_id").cast("string"))), F.lit(100))
-    split = (
-        F.when(bucket < _TRAIN_CUT, F.lit("train"))
-        .when(bucket < _VAL_CUT, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return d.select(
         "doc_id", "source",
-        bucket.cast("int").alias("bucket"),
-        split.alias("split"),
+        _split_bucket(F.col("doc_id")).cast("int").alias("bucket"),
+        _split_of(F.col("doc_id")).alias("split"),
     )
 
 
@@ -537,31 +548,29 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-integrity gate: do any near-duplicate pairs straddle the
     train/holdout boundary?
 
-    Joins the exact near-dup pairs (word-3-gram Jaccard >= 0.2, the
+    Labels the exact near-dup pairs (word-3-gram Jaccard >= 0.2, the
     same sub-quadratic inverted-index pairing the dedup ladder uses)
-    with the deterministic split assignment and reports the pair count
-    per unordered split combination.  Any row with ``is_leak`` true
-    means a holdout document has a near-twin in train — the check a
-    pipeline owner runs *after* splitting and *before* training, since
-    hash-splitting is content-independent by design and therefore
+    with the deterministic split of each side and reports the pair
+    count per unordered split combination.  Any row with ``is_leak``
+    true means a holdout document has a near-twin in train — the check
+    a pipeline owner runs *after* splitting and *before* training,
+    since hash-splitting is content-independent by design and therefore
     cannot see near-dups on its own.
 
     Scale: the pair set is the already-bounded near-dup output (work
-    follows collisions); the split column is a pure per-row hash, so
-    the two split lookups are map-side joins against a projection of
-    the corpus — no new shuffle beyond the pairing itself.
+    follows collisions); the split is a pure per-row hash of doc_id, so
+    both labels evaluate directly on the pair columns — no lookup join
+    against the corpus at all, and no shuffle beyond the pairing
+    itself.
     """
     from .dedup import _jaccard_pairs, _shingles
 
     pairs = _jaccard_pairs(_shingles(spark, sf_dir)).select("d1", "d2")
-    splits = split_train_holdout(spark, sf_dir).select("doc_id", "split")
-    s1 = splits.withColumnRenamed("doc_id", "d1")         .withColumnRenamed("split", "split_d1")
-    s2 = splits.withColumnRenamed("doc_id", "d2")         .withColumnRenamed("split", "split_d2")
-    lo = F.least("split_d1", "split_d2")
-    hi = F.greatest("split_d1", "split_d2")
+    s1, s2 = _split_of(F.col("d1")), _split_of(F.col("d2"))
     return (
-        pairs.join(s1, "d1").join(s2, "d2")
-        .groupBy(lo.alias("split_a"), hi.alias("split_b"))
+        pairs
+        .groupBy(F.least(s1, s2).alias("split_a"),
+                 F.greatest(s1, s2).alias("split_b"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )

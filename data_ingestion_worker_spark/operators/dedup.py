@@ -165,11 +165,9 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
         .filter(F.size("docs") >= 2)
     )
     pairs = (
-        buckets.select(F.explode(F.expr(
-            "flatten(transform(docs, (x, i) -> "
-            "transform(slice(docs, i + 2, size(docs)), "
-            "y -> named_struct('d1', x, 'd2', y))))"
-        )).alias("p"))
+        buckets.select(F.explode(
+            F.expr(_TRIANGLE.format(ids="docs"))
+        ).alias("p"))
         .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -84,6 +84,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_DIMS = (16, 32)
 
 
+def _recall_vs_exact(exact: DataFrame,
+                     approx_runs: list[tuple[int, DataFrame]],
+                     label_col: str) -> DataFrame:
+    """Per-query recall@k of each approximate top-k vs the exact top-k.
+
+    ``exact`` is (query_id, vec_id); each entry of ``approx_runs`` is a
+    (setting value, top-k DataFrame) pair — the setting lands in
+    ``label_col``.  Shared by the IVF-nprobe and matryoshka harnesses so
+    "recall" has exactly one definition (count of exact hits via a left
+    join, over TOP_K).
+    """
+    out = None
+    for setting, topk in approx_runs:
+        a = topk.select("query_id", F.col("vec_id").alias("a_vec_id"))
+        hits = exact.join(
+            a,
+            (exact["query_id"] == a["query_id"])
+            & (exact["vec_id"] == a["a_vec_id"]),
+            "left",
+        ).groupBy(exact["query_id"].alias("query_id")).agg(
+            F.count("a_vec_id").alias("n_hits")
+        )
+        row = hits.select(
+            "query_id",
+            F.lit(setting).cast("int").alias(label_col),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of prefix-truncated embeddings vs the full-dimension
     ground truth — the quality gate for Matryoshka-style dimension
@@ -94,32 +126,15 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``|trunc_topk ∩ full_topk| / k`` per query.  At scale the truncated
     index is d/64 of the scan bytes and shuffle width; this harness is
     the number that says what that saving costs in recall — same
-    measurement pattern as :func:`ann_ivf_recall`.
+    measurement (:func:`_recall_vs_exact`) as :func:`ann_ivf_recall`.
     """
     exact = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
-    per_dim = []
-    for dim in MRL_DIMS:
-        trunc = _brute_topk(
-            spark, sf_dir, f"slice({_QVEC}, 1, {dim})"
-        ).select("query_id", F.col("vec_id").alias("t_vec_id"))
-        hits = exact.join(
-            trunc,
-            (exact["query_id"] == trunc["query_id"])
-            & (exact["vec_id"] == trunc["t_vec_id"]),
-            "left",
-        ).groupBy(exact["query_id"].alias("query_id")).agg(
-            F.count("t_vec_id").alias("n_hits")
-        )
-        per_dim.append(hits.select(
-            "query_id",
-            F.lit(dim).cast("int").alias("mrl_dim"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
-        ))
-    out = per_dim[0]
-    for df in per_dim[1:]:
-        out = out.unionByName(df)
-    return out
+    return _recall_vs_exact(
+        exact,
+        [(dim, _brute_topk(spark, sf_dir, f"slice({_QVEC}, 1, {dim})"))
+         for dim in MRL_DIMS],
+        "mrl_dim",
+    )
 
 
 def _mrl_topk_cte(dim: int) -> str:
@@ -440,26 +455,11 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     'approximate' into a number.  recall = |ivf_topk ∩ exact_topk| / k.
     """
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
-    per_probe = []
-    for nprobe in (1, 2):
-        ivf = _ivf_topk(spark, sf_dir, nprobe).select(
-            "query_id", F.col("vec_id").alias("ivf_vec_id")
-        )
-        hits = exact.join(
-            ivf,
-            (exact["query_id"] == ivf["query_id"])
-            & (exact["vec_id"] == ivf["ivf_vec_id"]),
-            "left",
-        ).groupBy(exact["query_id"].alias("query_id")).agg(
-            F.count("ivf_vec_id").alias("n_hits")
-        )
-        per_probe.append(hits.select(
-            "query_id",
-            F.lit(nprobe).cast("int").alias("nprobe"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
-        ))
-    return per_probe[0].unionByName(per_probe[1])
+    return _recall_vs_exact(
+        exact,
+        [(nprobe, _ivf_topk(spark, sf_dir, nprobe)) for nprobe in (1, 2)],
+        "nprobe",
+    )
 
 
 #: Shared IVF CTE chain, parameterized by nprobe; ends with a CTE named

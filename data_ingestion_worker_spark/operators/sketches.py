@@ -168,6 +168,44 @@ HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M \
     * float(1 << HLL_REST_BITS)
 
 
+def _hll_rho_buckets(hashed: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., bucket, rho) from a frame carrying hash column ``h``.
+
+    The single codification of the register rule — bucket = low HLL_P
+    hash bits, rho = leading zeros of the remaining bits + 1 — shared by
+    the per-source sketch and the union merge (their oracle CTEs mirror
+    this expression verbatim).
+    """
+    return hashed.select(
+        *keys,
+        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    ).select(
+        *keys, "bucket",
+        F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+            F.lit(HLL_REST_BITS + 1)
+            - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
+        ).cast("int").alias("rho"),
+    )
+
+
+def _hll_z_present() -> F.Column:
+    """Aggregate for the integer-scaled harmonic sum over present
+    registers (built lazily — Column exprs need an active session)."""
+    return F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {HLL_REST_BITS} - r)")
+    )
+
+
+def _hll_estimate(z_present: F.Column, n_buckets: F.Column) -> F.Column:
+    """Raw HLL estimate from the present-register sum + register count
+    (absent registers contribute 2^HLL_REST_BITS each)."""
+    z = (z_present
+         + (F.lit(HLL_M) - n_buckets)
+         * F.lit(1 << HLL_REST_BITS).cast("bigint"))
+    return F.floor(F.lit(HLL_ALPHA_NUM) / z.cast("double")).cast("bigint")
+
+
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HyperLogLog distinct-shingle estimate, engine-exact.
 
@@ -191,32 +229,16 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _src_shingles(spark, sf_dir).select(
         "source", hash64(F.col("shingle")).alias("h")
     )
-    buckets = sh.select(
-        "source",
-        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
-        F.expr(f"h div {HLL_M}").alias("rest"),
-    ).select(
-        "source", "bucket",
-        F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
-            F.lit(HLL_REST_BITS + 1)
-            - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
-        ).cast("int").alias("rho"),
-    )
+    buckets = _hll_rho_buckets(sh, "source")
     regs = buckets.groupBy("source", "bucket").agg(
         F.max("rho").alias("r"), F.count(F.lit(1)).alias("c")
-    )
-    z_present = F.sum(
-        F.expr(f"shiftleft(cast(1 as bigint), {HLL_REST_BITS} - r)")
     )
     per_source = regs.groupBy("source").agg(
         F.sum("c").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_buckets"),
-        z_present.alias("z_present"),
+        _hll_z_present().alias("z_present"),
     )
-    z = (F.col("z_present")
-         + (F.lit(HLL_M) - F.col("n_buckets"))
-         * F.lit(1 << HLL_REST_BITS).cast("bigint"))
-    est = F.floor(F.lit(HLL_ALPHA_NUM) / z.cast("double")).cast("bigint")
+    est = _hll_estimate(F.col("z_present"), F.col("n_buckets"))
     return per_source.select(
         "source", "exact_distinct",
         F.col("n_buckets").cast("bigint").alias("n_buckets"),
@@ -285,35 +307,18 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _src_shingles(spark, sf_dir).select(
         "source", hash64(F.col("shingle")).alias("h")
     )
-    buckets = sh.select(
-        "source",
-        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
-        F.expr(f"h div {HLL_M}").alias("rest"),
-    ).select(
-        "source", "bucket",
-        F.when(F.col("rest") == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
-            F.lit(HLL_REST_BITS + 1)
-            - F.length(F.conv(F.col("rest").cast("string"), 10, 2))
-        ).cast("int").alias("rho"),
-    )
-    per_source_regs = buckets.groupBy("source", "bucket").agg(
-        F.max("rho").alias("r")
-    )
+    per_source_regs = _hll_rho_buckets(sh, "source") \
+        .groupBy("source", "bucket").agg(F.max("rho").alias("r"))
     merged = per_source_regs.groupBy("bucket").agg(F.max("r").alias("r"))
-    z_present = F.sum(
-        F.expr(f"shiftleft(cast(1 as bigint), {HLL_REST_BITS} - r)")
-    )
     regs_row = merged.agg(
-        F.count(F.lit(1)).alias("n_buckets"), z_present.alias("z_present")
+        F.count(F.lit(1)).alias("n_buckets"),
+        _hll_z_present().alias("z_present"),
     )
     exact_row = sh.agg(
         F.countDistinct("h").alias("exact_distinct"),
         F.countDistinct("source").alias("n_sources"),
     )
-    z = (F.col("z_present")
-         + (F.lit(HLL_M) - F.col("n_buckets"))
-         * F.lit(1 << HLL_REST_BITS).cast("bigint"))
-    est = F.floor(F.lit(HLL_ALPHA_NUM) / z.cast("double")).cast("bigint")
+    est = _hll_estimate(F.col("z_present"), F.col("n_buckets"))
     return exact_row.crossJoin(F.broadcast(regs_row)).select(
         F.col("n_sources").cast("bigint").alias("n_sources"),
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),

@@ -63,6 +63,17 @@ def get_spark(app_name: str = "data-ingestion-worker-spark",
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
     )
+    # Heap for the single local JVM (driver + all executor threads).
+    # Spark's 1g default is the real ceiling on a local[32] box: a long
+    # session (the 152-query oracle sweep) accumulates retained state
+    # until a genuinely heavy hash join OOMs.  Launch-time only — a
+    # no-op when the JVM already exists (e.g. the correctness driver's
+    # own session); on a real cluster executor/driver memory comes from
+    # the deployment, not this code.
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
     spark = builder.getOrCreate()
     configure(spark)
     return spark
