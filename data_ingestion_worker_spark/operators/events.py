@@ -490,6 +490,191 @@ FROM pairs
 """
 
 
+def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation over
+    purchase events — the standard marketing-analytics cut.
+
+    Scale shape: per-user metrics are one groupBy; the quintile cutoffs
+    are ONE exact-percentile scalar row broadcast back (no ntile window
+    over the full user table — ntile would funnel every user through a
+    single partition and its tie behavior is engine-specific, while
+    fixed cutoffs + comparisons are embarrassingly parallel and
+    deterministic).  Users on a cutoff boundary go to the lower band in
+    both engines (strict ``>`` comparisons).
+
+    Determinism: recency is integer day counts from epoch-second
+    arithmetic; monetary is a DECIMAL sum; the percentile interpolation
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) happens once on
+    the scalar row, not per user.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(_epoch_s(F.col("ts"))).alias("last_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_val()).alias("mon"),
+    )
+    ref = per_user.agg(F.max("last_s").alias("ref_s"))
+    with_rec = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr("(ref_s - last_s) div 86400").alias("recency_days"),
+        "frequency",
+        F.col("mon").cast("double").alias("monetary"),
+    )
+    cuts = with_rec.agg(
+        *[F.expr(f"percentile(recency_days, {p})").alias(f"r{i}")
+          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
+        *[F.expr(f"percentile(frequency, {p})").alias(f"f{i}")
+          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
+        *[F.expr(f"percentile(monetary, {p})").alias(f"m{i}")
+          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
+    )
+
+    def _band_up(col: str, pfx: str) -> F.Column:
+        c = F.col(col).cast("double")
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(c > F.col(f"{pfx}{i}"), 1).otherwise(0)
+        return s
+
+    def _band_down(col: str, pfx: str) -> F.Column:
+        c = F.col(col).cast("double")
+        s = F.lit(5)
+        for i in (1, 2, 3, 4):
+            s = s - F.when(c > F.col(f"{pfx}{i}"), 1).otherwise(0)
+        return s
+
+    return (
+        with_rec.crossJoin(F.broadcast(cuts))
+        .select(
+            "user_id", "recency_days", "frequency", "monetary",
+            _band_down("recency_days", "r").alias("r_score"),
+            _band_up("frequency", "f").alias("f_score"),
+            _band_up("monetary", "m").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r_score"), F.col("f_score"),
+                        F.col("m_score")),
+        )
+    )
+
+
+RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(date_diff('second', TIMESTAMP '1970-01-01',
+                            ts)) AS BIGINT) AS last_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+with_rec AS (
+  SELECT user_id,
+         ((SELECT max(last_s) FROM per_user) - last_s) // 86400
+           AS recency_days,
+         frequency, monetary
+  FROM per_user
+),
+cuts AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS r1,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS r2,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS r3,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS r4,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f1,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f2,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f3,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f4,
+         quantile_cont(monetary, 0.2) AS m1,
+         quantile_cont(monetary, 0.4) AS m2,
+         quantile_cont(monetary, 0.6) AS m3,
+         quantile_cont(monetary, 0.8) AS m4
+  FROM with_rec
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         5 - (CASE WHEN CAST(recency_days AS DOUBLE) > r1 THEN 1 ELSE 0 END)
+           - (CASE WHEN CAST(recency_days AS DOUBLE) > r2 THEN 1 ELSE 0 END)
+           - (CASE WHEN CAST(recency_days AS DOUBLE) > r3 THEN 1 ELSE 0 END)
+           - (CASE WHEN CAST(recency_days AS DOUBLE) > r4 THEN 1 ELSE 0 END)
+           AS r_score,
+         1 + (CASE WHEN CAST(frequency AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(frequency AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(frequency AS DOUBLE) > f3 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(frequency AS DOUBLE) > f4 THEN 1 ELSE 0 END)
+           AS f_score,
+         1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > m3 THEN 1 ELSE 0 END)
+           + (CASE WHEN monetary > m4 THEN 1 ELSE 0 END)
+           AS m_score
+  FROM with_rec CROSS JOIN cuts
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+def ev_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey prefixes: each user's first five event types
+    (event-time order, event_id tie-break) joined with ``>``, ranked by
+    how many users share the prefix.
+
+    Scale shape: the row-number window is partitioned by user (parallel
+    across users), the per-user path is a bounded collect (≤5 structs),
+    and the final ranking compiles to TakeOrderedAndProject — no global
+    sort materializes.  Ties at the top-20 boundary break on the path
+    string, so the row *set* is engine-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+PATH_TOPK_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 5 GROUP BY 1
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY 1
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -504,4 +689,6 @@ SPECS: dict[str, QuerySpec] = {
     "ev_sessionize": QuerySpec(ev_sessionize, SESSION_ORACLE),
     "ev_dedup_keep_first": QuerySpec(ev_dedup_keep_first, DEDUP_FIRST_ORACLE),
     "ev_gap_seconds": QuerySpec(ev_gap_seconds, GAP_ORACLE),
+    "ev_rfm_segmentation": QuerySpec(ev_rfm_segmentation, RFM_ORACLE),
+    "ev_path_topk": QuerySpec(ev_path_topk, PATH_TOPK_ORACLE),
 }

@@ -302,11 +302,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
+        # und is referenced by both deg and the orientation join; deg by
+        # the orientation join and the final left join; oriented three
+        # times (o1/o2/cl).  Without the lazy checkpoints Catalyst
+        # re-executes the lineitem self-join subtree per reference (no
+        # ReusedExchange across differently-aliased joins — same finding
+        # as the pagerank degree table) — measured 20.4 s -> materialize
+        # each tier once and the wedge join dominates as it should.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     e = (
@@ -322,7 +331,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
-    )
+    ).localCheckpoint(eager=False)
     o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
         oriented.alias("cl")
     tri = (

@@ -707,8 +707,161 @@ FROM agg
 """
 
 
+#: Event types compared by the Mann–Whitney test (distinct from the KS
+#: pair so the two drift gates exercise different slices).
+MW_TYPE_A, MW_TYPE_B = "signup", "error"
+
+
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U (rank-sum) test between the value
+    distributions of two event types — the nonparametric companion to
+    the Welch t gate (no normality assumption, robust to outliers).
+
+    Exactness: ranks never exist as per-row floats.  Because tied
+    values share one average rank, every rank statistic is a function
+    of the per-distinct-value counts alone: with ``cum_t`` the
+    cumulative pooled count through value v and ``tv`` the count at v,
+    twice the average rank is ``2·cum_t − tv + 1`` (an integer), so
+    twice the rank sum ``2R₁`` and the tie-correction term
+    ``Σ(tv³ − tv)`` are exact DECIMAL sums.  The z statistic (normal
+    approximation with tie correction) is one identical double
+    expression in both engines, floored at 4 decimals.
+
+    Scale shape — same distributed-ECDF construction as
+    :func:`stats_ks_test`: per-value counts from one groupBy, cumulative
+    pooled counts via per-bucket windows plus a |buckets|-row offset
+    window; the only serial step scans one row per fixed value-range
+    bucket, never one per row or per distinct value.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([MW_TYPE_A, MW_TYPE_B])
+    )
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    counts = (
+        ev.select(
+            q.alias("q"),
+            F.when(F.col("event_type") == MW_TYPE_A, F.lit(1))
+            .otherwise(F.lit(0)).alias("ia"),
+        )
+        .groupBy("q")
+        .agg(
+            F.sum("ia").alias("ca"),
+            F.sum(1 - F.col("ia")).alias("cb"),
+        )
+        .withColumn("tv", F.col("ca") + F.col("cb"))
+        .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.select(
+        "q", "bucket", "ca", "tv",
+        F.sum("tv").over(win).alias("lt"),
+    )
+    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
+    bwin = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = btot.select(
+        "bucket",
+        F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot"),
+    )
+    n = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    two_avg = (
+        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
+    )
+    per_value = (
+        local.join(F.broadcast(boffs), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "na", "nb",
+            (F.col("ca").cast("decimal(38,0)")
+             * two_avg.cast("decimal(38,0)")).alias("r2c"),
+            (F.col("tv").cast("decimal(38,0)")
+             * F.col("tv") * F.col("tv") - F.col("tv")).alias("tc"),
+        )
+    )
+    agg = per_value.groupBy("na", "nb").agg(
+        F.sum("r2c").alias("r2"), F.sum("tc").alias("tcorr")
+    )
+    u_x2 = (
+        F.col("r2") - F.col("na").cast("decimal(38,0)")
+        * (F.col("na") + F.lit(1))
+    )
+    renamed = agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u_x2.cast("bigint").alias("u_x2"),
+        F.col("tcorr").cast("bigint").alias("tie_term"),
+    )
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nd = nad + nbd
+    u1d = F.col("u_x2").cast("double") / F.lit(2.0)
+    mu = nad * nbd / F.lit(2.0)
+    var = (
+        nad * nbd / F.lit(12.0)
+        * ((nd + F.lit(1.0))
+           - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    z = (u1d - mu) / F.sqrt(var)
+    return renamed.select(
+        "n_a", "n_b", "u_x2", "tie_term",
+        (F.floor(z * F.lit(10000.0)) / F.lit(10000.0)).alias("z"),
+        (z * z > F.lit(3.8414588206941254)).alias("reject_95"),
+    )
+
+
+MANNWHITNEY_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(floor(value * 1000.0) AS BIGINT) AS q,
+         sum(CASE WHEN event_type = '{MW_TYPE_A}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = '{MW_TYPE_B}' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT ca, ca + cb AS tv,
+         sum(ca + cb) OVER (ORDER BY q) AS cum_t,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM counts
+),
+agg AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         sum(ca * (2 * cum_t - tv + 1)) AS r2,
+         sum(tv * tv * tv - tv) AS tcorr
+  FROM cum GROUP BY 1, 2
+),
+stat AS (
+  SELECT n_a, n_b,
+         CAST(r2 - n_a * (n_a + 1) AS BIGINT) AS u_x2,
+         CAST(tcorr AS BIGINT) AS tie_term,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+  FROM agg
+),
+zval AS (
+  SELECT n_a, n_b, u_x2, tie_term,
+         (CAST(u_x2 AS DOUBLE) / 2.0 - nad * nbd / 2.0)
+         / sqrt(nad * nbd / 12.0
+                * ((nad + nbd + 1.0)
+                   - CAST(tie_term AS DOUBLE)
+                     / ((nad + nbd) * (nad + nbd - 1.0)))) AS zr
+  FROM stat
+)
+SELECT n_a, n_b, u_x2, tie_term,
+       floor(zr * 10000.0) / 10000.0 AS z,
+       zr * zr > 3.8414588206941254 AS reject_95
+FROM zval
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
+    "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
+                                     MANNWHITNEY_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
     "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),

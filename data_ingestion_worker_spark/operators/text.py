@@ -119,6 +119,79 @@ FROM t
 """
 
 
+def doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score.
+
+    Raw quality scores are not comparable across sources (a boilerplate-
+    heavy crawl and a curated corpus have different score distributions),
+    so curation thresholds are set on the *within-source rank*, not the
+    raw value: ``percent_rank`` over each source's score distribution,
+    bucketed to deciles.  This is the cross-source calibration step that
+    makes a single "keep the top 60%" knob meaningful corpus-wide.
+
+    Determinism: the score is the floored-4-decimal quantity the
+    ``doc_quality_score`` oracle already pins, ties share one
+    percent_rank in both engines ((rank−1)/(n−1) with min-rank ties),
+    and the decile floor can't straddle an ulp because pct is a ratio of
+    integers ≤ 2⁵³.
+
+    Scale shape: the window is partitioned by source — per-source
+    external sorts run in parallel and nothing funnels to one task.  At
+    extreme per-source cardinality the drop-in relaxation is cutting
+    deciles from approx-percentile sketches; the exact rank form is the
+    verifiable baseline.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    score = _floor4(
+        (stop.cast("double") / n_tok) * 0.4
+        + (alpha.cast("double") / F.length("text")) * 0.3
+        + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    pct = F.percent_rank().over(w)
+    return (
+        d.select("doc_id", "source", score.alias("quality"))
+        .select(
+            "doc_id", "source", "quality",
+            (F.floor(pct * 1000000.0) / 1000000.0).alias("pct_rank"),
+            F.least(F.lit(9), F.floor(pct * 10.0)).cast("int")
+            .alias("decile"),
+        )
+    )
+
+
+QUALITY_QUANTILE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {_WS_COUNT_SQL} AS n_tokens,
+         {_marker_sql(STOPWORDS)} AS stop,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+),
+scored AS (
+  SELECT doc_id, source,
+         floor(((CAST(stop AS DOUBLE) / n_tokens) * 0.4
+                + (CAST(alpha AS DOUBLE) / n) * 0.3
+                + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3)
+               * 10000.0) / 10000.0 AS quality
+  FROM t
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct
+  FROM scored
+)
+SELECT doc_id, source, quality,
+       floor(pct * 1000000.0) / 1000000.0 AS pct_rank,
+       CAST(least(9, CAST(floor(pct * 10.0) AS INT)) AS INT) AS decile
+FROM ranked
+"""
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic with fixed tie-break precedence
     (en > de > es > fr > und)."""
@@ -781,6 +854,8 @@ SPECS: dict[str, QuerySpec] = {
                                         REPETITION_ORACLE),
     "doc_token_stats": QuerySpec(doc_token_stats, TOKEN_STATS_ORACLE),
     "doc_quality_score": QuerySpec(doc_quality_score, QUALITY_ORACLE),
+    "doc_quality_quantile_norm": QuerySpec(doc_quality_quantile_norm,
+                                           QUALITY_QUANTILE_ORACLE),
     "doc_lang_id": QuerySpec(doc_lang_id, LANG_ID_ORACLE),
     "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_ORACLE),
     "doc_topwords": QuerySpec(doc_topwords, TOPWORDS_ORACLE),

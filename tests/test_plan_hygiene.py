@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
+    "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
+    "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
@@ -109,6 +111,8 @@ SP_ALLOWED = {
     "hybrid_search_rerank",     # BM25 stage's (N, Σdl) scalar + qvec row
     "stats_chi2_independence",  # one-row grand-total scalar
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
+    "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
+    "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
@@ -126,6 +130,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "corpus_mix_weights",   # |sources| rows
     "pipeline_filter_stats",  # |filter reasons| rows
     "stats_ks_test",        # |CDF buckets| rows (fixed bucket count)
+    "stats_mannwhitney_u",  # |CDF buckets| rows (fixed bucket count)
 }
 
 

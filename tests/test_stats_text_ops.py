@@ -200,3 +200,110 @@ def test_skyline_is_exactly_the_undominated_set(spark):
         )
     }
     assert {r.custkey for r in rows} == frontier
+
+
+def test_mannwhitney_matches_scipy_style_recompute(spark):
+    """U and z recomputed from raw values with numpy average ranks
+    (the textbook formulation the bucketed plan must equal)."""
+    from data_ingestion_worker_spark.operators.stats import (
+        MW_TYPE_A,
+        MW_TYPE_B,
+        stats_mannwhitney_u,
+    )
+
+    row = stats_mannwhitney_u(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_type", "value").toPandas()
+    a = np.floor(ev[ev.event_type == MW_TYPE_A].value.values * 1000.0)
+    b = np.floor(ev[ev.event_type == MW_TYPE_B].value.values * 1000.0)
+    pooled = np.concatenate([a, b])
+    order = pooled.argsort(kind="stable")
+    ranks = np.empty(len(pooled))
+    # average ranks with ties
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = ranks[: len(a)].sum()
+    u1 = r1 - len(a) * (len(a) + 1) / 2.0
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.u_x2 == round(2 * u1)
+    # z against the tie-corrected normal approximation
+    n = len(a) + len(b)
+    _, counts = np.unique(pooled, return_counts=True)
+    t = float((counts.astype(np.int64) ** 3 - counts).sum())
+    assert row.tie_term == round(t)
+    var = len(a) * len(b) / 12.0 * ((n + 1) - t / (n * (n - 1)))
+    z = (u1 - len(a) * len(b) / 2.0) / np.sqrt(var)
+    assert abs(row.z - z) < 1e-4 + 1e-12
+
+
+def test_rfm_scores_partition_users_into_bands(spark):
+    from data_ingestion_worker_spark.operators.events import (
+        ev_rfm_segmentation,
+    )
+
+    rows = ev_rfm_segmentation(spark, SF_DIR).collect()
+    assert rows, "no purchase users"
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 \
+            and 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert r.recency_days >= 0
+    # quintile cutoffs: each frequency band is non-empty only if enough
+    # distinct values exist, but band assignment must be monotone in the
+    # metric: sort by frequency and check scores never decrease.
+    by_f = sorted(rows, key=lambda r: r.frequency)
+    for lo, hi in zip(by_f, by_f[1:]):
+        assert lo.f_score <= hi.f_score
+    by_m = sorted(rows, key=lambda r: r.monetary)
+    for lo, hi in zip(by_m, by_m[1:]):
+        assert lo.m_score <= hi.m_score
+    # recency: larger recency_days (older) must never score higher
+    by_r = sorted(rows, key=lambda r: r.recency_days)
+    for lo, hi in zip(by_r, by_r[1:]):
+        assert lo.r_score >= hi.r_score
+
+
+def test_path_topk_is_bounded_and_ordered(spark):
+    from data_ingestion_worker_spark.operators.events import ev_path_topk
+
+    rows = ev_path_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_users, a.path) != (b.n_users, b.path)
+        assert a.n_users > b.n_users or (
+            a.n_users == b.n_users and a.path < b.path
+        )
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 5
+
+
+def test_quality_quantile_norm_is_a_valid_rank_transform(spark):
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.text import (
+        doc_quality_quantile_norm,
+    )
+
+    rows = doc_quality_quantile_norm(spark, SF_DIR).collect()
+    per_source = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0 <= r.decile <= 9
+        per_source[r.source].append(r)
+    for src, rs in per_source.items():
+        rs.sort(key=lambda r: r.quality)
+        # pct_rank monotone in quality, ties share a rank
+        for lo, hi in zip(rs, rs[1:]):
+            if lo.quality == hi.quality:
+                assert lo.pct_rank == hi.pct_rank
+            else:
+                assert lo.pct_rank < hi.pct_rank
+        if len(rs) > 1:
+            assert rs[-1].pct_rank == 1.0
+            assert rs[0].pct_rank == 0.0
