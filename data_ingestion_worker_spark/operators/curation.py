@@ -613,6 +613,89 @@ GROUP BY 1, 2
 """
 
 
+#: Token budget for the mixture plan (total tokens the training run will
+#: draw across all sources).
+TOKEN_BUDGET = 100_000
+#: Milli-unit quantization of sqrt weights (see determinism note below).
+_SQRT_SCALE = 1000
+
+
+def corpus_token_budget_plan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture plan under a token budget.
+
+    Given a total training budget of ``TOKEN_BUDGET`` tokens, assign
+    each source a target share ∝ sqrt(its token count) — the standard
+    temperature-sampling mix (τ=2) that up-weights small sources
+    relative to proportional sampling without letting any single crawl
+    dominate — then convert shares to per-source sampling rates.  A
+    source whose allocation exceeds its actual size caps at rate 1.0
+    and is flagged (the signal to re-normalize or upsample via epochs).
+
+    Determinism: raw sqrt weights are doubles whose *sum* would depend
+    on reduction order, so the weights are quantized to integer
+    milli-units first (floor(sqrt(tokens)·1000)); the normalizing total
+    is then an exact integer sum and every derived ratio divides
+    integers ≤ 2⁵³ — bit-identical in both engines.
+
+    Scale shape: one groupBy(source) over token counts, a one-row
+    integer total broadcast back, pure arithmetic after — the plan is a
+    |sources|-row table no matter the corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(ws_token_count(F.col("text")).cast("bigint"))
+        .alias("n_tokens")
+    )
+    q = per.withColumn(
+        "qw", F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                      * _SQRT_SCALE).cast("bigint")
+    )
+    tot = q.agg(F.sum("qw").alias("qtot"))
+    share = F.col("qw").cast("double") / F.col("qtot")
+    alloc = share * TOKEN_BUDGET
+    rate = F.least(F.lit(1.0), alloc / F.col("n_tokens").cast("double"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_tokens",
+            (F.floor(share * 1e6) / 1e6).alias("target_share"),
+            (F.floor(rate * 1e6) / 1e6).alias("sampling_rate"),
+            F.floor(rate * F.col("n_tokens").cast("double"))
+            .cast("bigint").alias("expected_tokens"),
+            (alloc > F.col("n_tokens").cast("double"))
+            .alias("oversubscribed"),
+        )
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST(sum({_WS_COUNT_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+q AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_SQRT_SCALE})
+              AS BIGINT) AS qw
+  FROM per
+),
+tot AS (SELECT sum(qw) AS qtot FROM q)
+SELECT source, n_tokens,
+       floor(CAST(qw AS DOUBLE) / qtot * 1e6) / 1e6 AS target_share,
+       floor(least(1.0, CAST(qw AS DOUBLE) / qtot * {TOKEN_BUDGET}
+                        / CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6
+         AS sampling_rate,
+       CAST(floor(least(1.0, CAST(qw AS DOUBLE) / qtot * {TOKEN_BUDGET}
+                             / CAST(n_tokens AS DOUBLE))
+                  * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+         AS expected_tokens,
+       CAST(qw AS DOUBLE) / qtot * {TOKEN_BUDGET}
+         > CAST(n_tokens AS DOUBLE) AS oversubscribed
+FROM q CROSS JOIN tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
     "split_leakage_check": QuerySpec(split_leakage_check,
@@ -625,5 +708,7 @@ SPECS: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(pack_sequences, _pack_oracle()),
     "dedup_keep_best": QuerySpec(dedup_keep_best, KEEP_BEST_ORACLE),
     "token_bigram_pmi": QuerySpec(token_bigram_pmi, PMI_ORACLE),
+    "corpus_token_budget_plan": QuerySpec(corpus_token_budget_plan,
+                                          TOKEN_BUDGET_ORACLE),
     "emb_int8_quantize": QuerySpec(emb_int8_quantize, QUANTIZE_ORACLE),
 }

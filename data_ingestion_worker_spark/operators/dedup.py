@@ -148,6 +148,76 @@ def dedup_jaccard_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles(spark, sf_dir, max_df=DF_CUTOFF))
 
 
+def dedup_jaccard_prefix_filter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.2 via *prefix filtering* (the
+    ssjoin / PPJoin family): identical output to
+    :func:`dedup_ngram_jaccard`, but candidate pairs are generated from
+    a small per-document prefix instead of every posting.
+
+    Order all shingles by global document frequency ascending (rarest
+    first, shingle text tie-break — one total order both sides of a
+    pair agree on).  A document with n shingles keeps only its first
+    ``n − ceil(0.2·n) + 1`` as its *prefix*: any pair with Jaccard >=
+    0.2 has intersection >= ceil(0.2·max(|A|,|B|)), and two sets with
+    that much overlap must collide inside these prefixes (the standard
+    prefix-filter lemma).  Candidates come from prefix posting lists
+    only — on boilerplate-heavy corpora the frequent shingles (the fat,
+    skewed posting lists) fall *outside* every prefix, so the candidate
+    join touches a fraction of the index while remaining lossless,
+    unlike the DF-cutoff variant which changes the scores.  Survivors
+    are then verified with the true intersection.
+
+    The oracle is the naive all-postings self-join — parity proves the
+    filter drops no qualifying pair.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_tab, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(w).alias("rn"))
+    )
+    # prefix length n - ceil(n/5) + 1; ceil(n/5) = (n+4) div 5
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1)
+        .select("doc_id", "shingle")
+    )
+    buckets = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode(
+            F.expr(_TRIANGLE.format(ids="docs"))
+        ).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, (F.col("d2") == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2",
+                (F.floor(jac * 10000.0) / 10000.0).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Bucket aggregation, not a self-join: one shuffle groups the posting
@@ -754,7 +824,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     )
 
 
-DEDUP_CC_ORACLE = f"""
+#: Shared WITH-prefix: LSH pairs -> undirected edges -> recursive
+#: reachability.  ``labels`` is the CC fixpoint both the plain CC oracle
+#: and the cluster-representative oracle select from.
+_CC_ORACLE_WITH = f"""
 WITH RECURSIVE {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL.strip()},
 pairs AS (
@@ -771,8 +844,73 @@ reach(src, dst) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 )
-SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+DEDUP_CC_ORACLE = f"""
+{_CC_ORACLE_WITH}
+SELECT doc_id, cluster_id FROM labels
+"""
+
+
+def dedup_cluster_representative(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The dedup endgame made actionable: connected components over the
+    LSH candidate pairs, plus a deterministic *representative* per
+    cluster (longest document, doc_id tie-break) and a drop flag.
+
+    ``dedup_connected_components`` answers "which docs form one
+    near-dup group"; this operator answers the question a pipeline
+    actually executes on: "which row do I keep".  Keep-longest is the
+    common pretraining policy (the longest variant usually subsumes the
+    truncated ones).
+
+    Scale shape: the representative choice is one row_number window
+    partitioned by cluster — parallel across clusters, and cluster
+    sizes are bounded by the near-dup group size, not corpus size.
+    """
+    cc = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = cc.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    reps = (
+        sized.select("cluster_id", "doc_id",
+                     F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("rep_doc_id"))
+    )
+    return (
+        sized.join(reps, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "rep_doc_id",
+            (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
+        )
+    )
+
+
+DEDUP_CLUSTER_REP_ORACLE = f"""
+{_CC_ORACLE_WITH}
+, sized AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+reps AS (
+  SELECT cluster_id, doc_id AS rep_doc_id
+  FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sized
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.cluster_id, r.rep_doc_id,
+       s.doc_id <> r.rep_doc_id AS is_dup
+FROM sized s JOIN reps r USING (cluster_id)
 """
 
 
@@ -1154,6 +1292,10 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
                                         DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "dedup_jaccard_prefix_filter": QuerySpec(dedup_jaccard_prefix_filter,
+                                             DEDUP_JACCARD_ORACLE),
+    "dedup_cluster_representative": QuerySpec(dedup_cluster_representative,
+                                              DEDUP_CLUSTER_REP_ORACLE),
     "dedup_containment": QuerySpec(dedup_containment,
                                    DEDUP_CONTAINMENT_ORACLE),
     "corpus_dup_stats": QuerySpec(corpus_dup_stats,

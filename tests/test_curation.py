@@ -179,3 +179,80 @@ def test_split_leakage_check_matches_composition(spark, sf_dir):
     assert {(r.split_a, r.split_b): r.n_pairs for r in rows} == dict(expected)
     for r in rows:
         assert r.is_leak == (r.split_a != r.split_b)
+
+
+def test_prefix_filter_candidates_are_a_strict_subset(spark, sf_dir):
+    """The point of prefix filtering: fewer candidate postings than the
+    full inverted index, with identical final pairs."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        _shingles,
+        dedup_jaccard_prefix_filter,
+        dedup_ngram_jaccard,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # prefix postings (replicates the operator's prefix selection)
+    from pyspark.sql import Window
+
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = sh.join(df_tab, "shingle").select(
+        "doc_id", "shingle", F.row_number().over(w).alias("rn")
+    )
+    prefix_n = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1)
+        .count()
+    )
+    full_n = sh.count()
+    assert prefix_n < full_n, "prefix kept every posting — no pruning"
+    got = {(r.d1, r.d2, r.jaccard)
+           for r in dedup_jaccard_prefix_filter(spark, sf_dir).collect()}
+    want = {(r.d1, r.d2, r.jaccard)
+            for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    assert got == want, "prefix filter changed the result set"
+
+
+def test_cluster_representative_is_longest_then_smallest_id(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.dedup import (
+        dedup_cluster_representative,
+    )
+
+    rows = dedup_cluster_representative(spark, sf_dir).collect()
+    docs = {r.doc_id: r.n_chars
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "n_chars").collect()}
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        reps = {m.rep_doc_id for m in members}
+        assert len(reps) == 1, f"cluster {cid} has {len(reps)} reps"
+        rep = reps.pop()
+        best = min(members, key=lambda m: (-docs[m.doc_id], m.doc_id))
+        assert rep == best.doc_id
+        for m in members:
+            assert m.is_dup == (m.doc_id != rep)
+
+
+def test_token_budget_plan_is_a_valid_allocation(spark, sf_dir):
+    from data_ingestion_worker_spark.operators.curation import (
+        TOKEN_BUDGET,
+        corpus_token_budget_plan,
+    )
+
+    rows = corpus_token_budget_plan(spark, sf_dir).collect()
+    assert rows
+    share_sum = sum(r.target_share for r in rows)
+    assert 0.99 <= share_sum <= 1.0 + 1e-9   # floored shares undershoot
+    for r in rows:
+        assert 0.0 <= r.sampling_rate <= 1.0
+        assert r.expected_tokens <= r.n_tokens
+        if r.oversubscribed:
+            assert r.sampling_rate == 1.0
+    # a non-oversubscribed plan never draws more than the budget
+    if not any(r.oversubscribed for r in rows):
+        assert sum(r.expected_tokens for r in rows) <= TOKEN_BUDGET

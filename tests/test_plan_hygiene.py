@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
+    "corpus_token_budget_plan",  # one-row integer-total broadcast cross
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
@@ -113,6 +114,7 @@ SP_ALLOWED = {
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
     "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
+    "corpus_token_budget_plan",  # one-row integer-total scalar
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
