@@ -917,8 +917,131 @@ FROM norms GROUP BY 1
 """
 
 
+#: Embedding dimensionality of the test corpus (the operators below
+#: derive shapes from the data; the constant only sizes the oracle's
+#: index-pair domain).
+EMB_DIM = 64
+#: Fixed power-iteration count for the PCA component (deterministic
+#: unroll).  The test corpus' Gram spectrum has λ₂/λ₁ ≈ 0.93, so ~260
+#: iterations reach 1e-8; 500 leaves margin while still being ~2 ms of
+#: driver arithmetic on a 64×64 matrix.
+PCA_ITERATIONS = 500
+
+
+def _gram_partials(batches):
+    """Arrow-batch kernel: exact int64 partial Gram per batch.
+
+    Receives already-quantized ``array<bigint>`` vectors (quantization
+    stays in Spark so the engine's ``round`` semantics, not numpy's
+    banker's rounding, define the integers).  Each batch contributes
+    ``mᵀm`` — exact integer math, so partial-sum order cannot change
+    the result — and each *partition* emits at most d(d+1)/2 rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    acc = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        m = np.array(pdf["q"].tolist(), dtype=np.int64)
+        g = m.T @ m
+        acc = g if acc is None else acc + g
+    if acc is not None:
+        iu, ju = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame({
+            "i": iu.astype("int32"),
+            "j": ju.astype("int32"),
+            "partial": acc[iu, ju],
+        })
+
+
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix Σ qᵥqᵥᵀ of the quantized embeddings — the one
+    d×d summary every linear preprocessing step (PCA whitening, OPQ
+    rotation, covariance diagnostics) needs before an index build.
+
+    Scale shape: ONE scan; each Arrow batch folds into a local d×d
+    int64 accumulator via numpy matmul (``mapInPandas`` — the sanctioned
+    vectorized seam; 2080 independent SQL ``sum()`` aggregates fall out
+    of codegen and ran 6× slower, and an explode+self-join moves n·d
+    rows through a shuffle this formulation never performs).  Each
+    partition emits d(d+1)/2 partial rows — the shuffle is O(d²·
+    partitions), independent of corpus size.  The global merge sums in
+    DECIMAL so petabyte-row corpora cannot overflow the int64 partials.
+
+    Determinism: quantization happens in Spark SQL (engine ``round``),
+    the kernel is pure integer math, and integer addition is
+    associative — bit-identical under any partitioning, verified
+    against the oracle's unnest-based recomputation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(f"{_QVEC} AS q")
+    partials = q.mapInPandas(_gram_partials, "i int, j int, partial long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)"))
+             .cast("bigint").alias("g"))
+    )
+
+
+EMB_GRAM_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+idx AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j
+  FROM range(0, {EMB_DIM}) i, range(0, {EMB_DIM}) j
+  WHERE j.range >= i.range
+)
+SELECT idx.i, idx.j, CAST(sum(q.q[idx.i + 1] * q.q[idx.j + 1]) AS BIGINT) AS g
+FROM q CROSS JOIN idx
+GROUP BY 1, 2
+"""
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via power
+    iteration on the distributed Gram matrix — the first step of PCA
+    whitening / dimensionality triage before an IVF or OPQ index.
+
+    The heavy half is :func:`emb_gram_matrix` (one corpus scan); the
+    iteration then runs on the collected d×d summary — a *bounded*
+    d(d+1)/2-row collect, constant in corpus size, which is the
+    legitimate driver-side step (same class as the CC convergence
+    scalar).  A fixed ``PCA_ITERATIONS``-step unroll in pure Python
+    floats keeps the result a deterministic function of the Gram
+    integers; the sign is fixed by making the largest-|loading|
+    coordinate (lowest index on ties) positive.
+
+    No SQL oracle: an eigenvector is not SQL-expressible (the driver
+    records the rows-only check); the pytest contract verifies against
+    ``numpy.linalg.eigh`` instead.
+    """
+    rows = emb_gram_matrix(spark, sf_dir).collect()
+    d = max(r.j for r in rows) + 1
+    g = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        g[r.i][r.j] = float(r.g)
+        g[r.j][r.i] = float(r.g)
+    v = [1.0] * d
+    for _ in range(PCA_ITERATIONS):
+        w = [sum(g[i][k] * v[k] for k in range(d)) for i in range(d)]
+        norm = sum(x * x for x in w) ** 0.5
+        v = [x / norm for x in w]
+    pivot = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    out = [(i, float(v[i])) for i in range(d)]
+    return spark.createDataFrame(out, "i int, loading double")
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
+    "emb_gram_matrix": QuerySpec(emb_gram_matrix, EMB_GRAM_ORACLE),
+    "emb_pca_top_component": QuerySpec(emb_pca_top_component, None),
     "emb_norm_stats": QuerySpec(emb_norm_stats, EMB_NORM_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,

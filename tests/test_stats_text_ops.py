@@ -307,3 +307,29 @@ def test_quality_quantile_norm_is_a_valid_rank_transform(spark):
         if len(rs) > 1:
             assert rs[-1].pct_rank == 1.0
             assert rs[0].pct_rank == 0.0
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    """Power-iteration loadings vs numpy's full eigendecomposition of
+    the same integer Gram matrix (sign-aligned, tolerance covers the
+    fixed-iteration truncation)."""
+    from data_ingestion_worker_spark.operators.similarity import (
+        emb_gram_matrix,
+        emb_pca_top_component,
+    )
+
+    g_rows = emb_gram_matrix(spark, SF_DIR).collect()
+    d = max(r.j for r in g_rows) + 1
+    g = np.zeros((d, d))
+    for r in g_rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    vals, vecs = np.linalg.eigh(g)
+    top = vecs[:, np.argmax(vals)]
+    pivot = int(np.argmax(np.abs(top)))
+    if top[pivot] < 0:
+        top = -top
+    got = emb_pca_top_component(spark, SF_DIR).collect()
+    loadings = np.array([r.loading for r in sorted(got, key=lambda r: r.i)])
+    assert np.allclose(loadings, top, atol=1e-6)
+    assert abs(np.linalg.norm(loadings) - 1.0) < 1e-9
