@@ -171,7 +171,11 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     The oracle is the naive all-postings self-join — parity proves the
     filter drops no qualifying pair.
     """
-    sh = _shingles(spark, sf_dir)
+    # sh feeds four consumers (sizes, DF table, the ranked join, and
+    # both verification legs); without the lazy checkpoint each one
+    # re-tokenizes and re-explodes the documents scan — the regex
+    # splitting is the CPU-heaviest leaf in the plan.
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")

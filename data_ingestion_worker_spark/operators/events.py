@@ -510,11 +510,14 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    # per_user feeds the ref-ts scalar, the cutoff aggregate, and the
+    # final projection; the lazy checkpoint materializes the events
+    # groupBy once instead of re-scanning the fact table per reference.
     per_user = ev.groupBy("user_id").agg(
         F.max(_epoch_s(F.col("ts"))).alias("last_s"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_val()).alias("mon"),
-    )
+    ).localCheckpoint(eager=False)
     ref = per_user.agg(F.max("last_s").alias("ref_s"))
     with_rec = per_user.crossJoin(F.broadcast(ref)).select(
         "user_id",

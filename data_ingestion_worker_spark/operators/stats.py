@@ -622,6 +622,9 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("ia")).alias("cb"),
         )
         .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
+        # counts feeds the per-bucket window, the bucket totals, and the
+        # sample-size scalar; materialize the events groupBy once.
+        .localCheckpoint(eager=False)
     )
     win = (
         Window.partitionBy("bucket").orderBy("q")
@@ -750,6 +753,9 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("tv", F.col("ca") + F.col("cb"))
         .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
+        # counts feeds the per-bucket window, the bucket totals, and the
+        # sample-size scalar; materialize the events groupBy once.
+        .localCheckpoint(eager=False)
     )
     win = (
         Window.partitionBy("bucket").orderBy("q")
