@@ -60,6 +60,13 @@ HEADLINE = [
     # on the part co-order graph (~1.9M triangles at sf0.1) — wedge
     # enumeration is the measured cost, all of it joins + counts.
     "graph_triangle_count",
+    # Round-5 (cont.) additions: the Arrow-batch linear-algebra seam
+    # (exact d×d Gram via numpy partial sums), the lossless ssjoin
+    # prefix filter (candidate pruning + verification joins), and the
+    # CC + keep-longest dedup endgame (iterative label propagation).
+    "emb_gram_matrix",
+    "dedup_jaccard_prefix_filter",
+    "dedup_cluster_representative",
 ]
 
 
