@@ -192,6 +192,126 @@ FROM ranked
 """
 
 
+#: Value-range bucket width for the AUC rank construction (quality
+#: quanta are 0..~13000, so this yields a handful of buckets; the
+#: bucket-offset window scans one row per bucket).
+AUC_BUCKET = 4096
+
+
+def stats_auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality score as a ranker for English documents —
+    the standard scalar answer to "does this curation signal actually
+    separate the classes", here scoring quality against the labeled
+    ``lang`` column.
+
+    AUC is a pure rank statistic: with average ranks over the pooled
+    scores, ``AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)`` — the Mann–Whitney U
+    normalized.  So the whole computation reuses the per-distinct-value
+    count construction (``stats_mannwhitney_u``): scores become exact
+    integer quanta (the same floor(raw·10⁴) integers the
+    ``doc_quality_score`` oracle pins), per-value class counts come
+    from one groupBy, cumulative pooled counts from per-bucket windows
+    plus a |buckets|-row offset window, and twice-the-rank-sum is an
+    exact DECIMAL dot product.  Ranks never exist per row; the only
+    division is the final AUC, floored at 6 decimals.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    q10k = F.floor(
+        ((stop.cast("double") / n_tok) * 0.4
+         + (alpha.cast("double") / F.length("text")) * 0.3
+         + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3)
+        * 10000.0
+    )
+    counts = (
+        d.select(
+            q10k.alias("q"),
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            .alias("ip"),
+        )
+        .groupBy("q")
+        .agg(F.sum("ip").alias("cp"), F.sum(1 - F.col("ip")).alias("cn"))
+        .withColumn("tv", F.col("cp") + F.col("cn"))
+        .withColumn("bucket", F.expr(f"q div {AUC_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.select(
+        "q", "bucket", "cp", "tv", F.sum("tv").over(win).alias("lt")
+    )
+    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
+    bwin = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = btot.select(
+        "bucket", F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot")
+    )
+    n = counts.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
+    two_avg = (
+        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
+    )
+    agg = (
+        local.join(F.broadcast(boffs), "bucket")
+        .crossJoin(F.broadcast(n))
+        .groupBy("np", "nn")
+        .agg(F.sum(F.col("cp").cast("decimal(38,0)")
+                   * two_avg.cast("decimal(38,0)")).alias("r2"))
+    )
+    u_x2 = (
+        F.col("r2") - F.col("np").cast("decimal(38,0)")
+        * (F.col("np") + F.lit(1))
+    )
+    auc = (
+        u_x2.cast("double")
+        / (F.lit(2.0) * F.col("np") * F.col("nn"))
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        u_x2.cast("bigint").alias("u_x2"),
+        (F.floor(auc * 1000000.0) / 1000000.0).alias("auc"),
+    )
+
+
+AUC_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(floor(((CAST({_marker_sql(STOPWORDS)} AS DOUBLE)
+                      / {_WS_COUNT_SQL}) * 0.4
+                     + (CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+                                                   'g')) AS DOUBLE)
+                        / length(text)) * 0.3
+                     + least(1.0, CAST({_WS_COUNT_SQL} AS DOUBLE) / 100.0)
+                       * 0.3) * 10000.0) AS BIGINT) AS q,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ip
+  FROM documents WHERE length(text) > 0
+),
+counts AS (
+  SELECT q, sum(ip) AS cp, sum(1 - ip) AS cn FROM t GROUP BY 1
+),
+cum AS (
+  SELECT cp, cp + cn AS tv,
+         sum(cp + cn) OVER (ORDER BY q) AS cum_t,
+         sum(cp) OVER () AS np, sum(cn) OVER () AS nn
+  FROM counts
+),
+agg AS (
+  SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         sum(cp * (2 * cum_t - tv + 1)) AS r2
+  FROM cum GROUP BY 1, 2
+)
+SELECT n_pos, n_neg,
+       CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+       floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg) * 1000000.0) / 1000000.0 AS auc
+FROM agg
+"""
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic with fixed tie-break precedence
     (en > de > es > fr > und)."""
@@ -856,6 +976,7 @@ SPECS: dict[str, QuerySpec] = {
     "doc_quality_score": QuerySpec(doc_quality_score, QUALITY_ORACLE),
     "doc_quality_quantile_norm": QuerySpec(doc_quality_quantile_norm,
                                            QUALITY_QUANTILE_ORACLE),
+    "stats_auc_quality_lang": QuerySpec(stats_auc_quality_lang, AUC_ORACLE),
     "doc_lang_id": QuerySpec(doc_lang_id, LANG_ID_ORACLE),
     "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_ORACLE),
     "doc_topwords": QuerySpec(doc_topwords, TOPWORDS_ORACLE),

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total broadcast cross
+    "stats_auc_quality_lang",  # one-row per-class-N broadcast cross join
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
@@ -115,6 +116,7 @@ SP_ALLOWED = {
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
     "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total scalar
+    "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
@@ -133,6 +135,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "pipeline_filter_stats",  # |filter reasons| rows
     "stats_ks_test",        # |CDF buckets| rows (fixed bucket count)
     "stats_mannwhitney_u",  # |CDF buckets| rows (fixed bucket count)
+    "stats_auc_quality_lang",  # |CDF buckets| rows (fixed bucket count)
 }
 
 

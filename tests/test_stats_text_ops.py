@@ -333,3 +333,38 @@ def test_pca_top_component_matches_numpy_eigh(spark):
     loadings = np.array([r.loading for r in sorted(got, key=lambda r: r.i)])
     assert np.allclose(loadings, top, atol=1e-6)
     assert abs(np.linalg.norm(loadings) - 1.0) < 1e-9
+
+
+def test_auc_matches_rank_recompute(spark):
+    """AUC recomputed from raw quality quanta with numpy average ranks
+    (the probabilistic definition: P(s+ > s-) + 0.5 P(tie))."""
+    from data_ingestion_worker_spark.operators.text import (
+        stats_auc_quality_lang,
+    )
+
+    row = stats_auc_quality_lang(spark, SF_DIR).collect()[0]
+    import pandas as pd
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("text", "lang").toPandas()
+    d = d[d.text.str.len() > 0]
+    stopwords = ["the", "a", "and", "of", "to", "in", "is"]
+
+    def quanta(t):
+        toks = t.strip().lower().split()
+        n_tok = len(toks)
+        stop = sum(1 for w in toks if w in stopwords)
+        alpha = sum(1 for c in t if c.isascii() and c.isalpha())
+        raw = (stop / n_tok) * 0.4 + (alpha / len(t)) * 0.3 \
+            + min(1.0, n_tok / 100.0) * 0.3
+        return int(np.floor(raw * 10000.0))
+
+    scores = d.text.map(quanta).values
+    pos = (d.lang == "en").values
+    # pairwise definition on the small fixture
+    s_pos, s_neg = scores[pos], scores[~pos]
+    wins = (s_pos[:, None] > s_neg[None, :]).sum()
+    ties = (s_pos[:, None] == s_neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(s_pos) * len(s_neg))
+    assert row.n_pos == len(s_pos) and row.n_neg == len(s_neg)
+    assert abs(row.auc - auc) < 2e-6
