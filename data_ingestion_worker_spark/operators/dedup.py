@@ -223,6 +223,11 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    # The shingle table feeds both the size aggregate and the posting
+    # buckets; materialize the tokenize+explode once (the multi-consumer
+    # localCheckpoint rule — benefits every caller, including the
+    # curation funnel's near-dup leg).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Bucket aggregation, not a self-join: one shuffle groups the posting
     # list per shingle and the candidate pairs expand *locally* inside

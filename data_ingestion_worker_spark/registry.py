@@ -24,15 +24,18 @@ from .spec import QuerySpec
 #: Round 5 promoted the strongest member of each category into the graded
 #: set: the REAL BMP codec round-trip (``mm_roundtrip_bmp``, not the hash
 #: stub), the production incremental-dedup shape (``dedup_incremental``),
-#: and the composed curation funnel (``pipeline_curation_e2e``).  The
-#: displaced rows (``mm_decode_stub``, ``dedup_ngram_jaccard``,
-#: ``doc_lang_id``) stay covered by the full local sweep.
+#: the composed curation funnel (``pipeline_curation_e2e``), and — late
+#: round 5 — the dedup endgame (``dedup_cluster_representative``:
+#: connected components + the keep-longest decision, subsuming the plain
+#: CC row).  The displaced rows (``mm_decode_stub``,
+#: ``dedup_ngram_jaccard``, ``doc_lang_id``, ``dedup_simhash``) stay
+#: covered by the full local sweep.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_cluster_representative",
     "dedup_embedding_cosine",
     "dedup_incremental",
     "doc_decontaminate",
