@@ -678,9 +678,60 @@ LIMIT 20
 """
 
 
+def ev_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per tumbling hour by total value (windowed
+    heavy hitters — the dashboard query behind every "trending now"
+    panel).
+
+    Scale shape: one windowed groupBy shrinks the fact table to
+    |hours|×|types| rows; the rank window then partitions by hour —
+    parallel across hours, each partition a handful of rows.  Ties
+    break on (value, type) so the row set is engine-independent.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_val()).alias("total_dec"),
+    )
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("total_dec"), "event_type"
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("bucket_start", "event_type", "n",
+                F.col("total_dec").cast("double").alias("total_value"),
+                "rank")
+    )
+
+
+WINDOWED_TOPK_ORACLE = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(14,2))) AS total_dec
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket_start, event_type, n,
+         CAST(total_dec AS DOUBLE) AS total_value,
+         CAST(row_number() OVER (PARTITION BY bucket_start
+                                 ORDER BY total_dec DESC, event_type)
+              AS INT) AS rank
+  FROM hourly
+)
+SELECT bucket_start, event_type, n, total_value, rank
+FROM ranked WHERE rank <= 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
+    "ev_windowed_topk": QuerySpec(ev_windowed_topk, WINDOWED_TOPK_ORACLE),
     "ev_seasonal_profile": QuerySpec(ev_seasonal_profile, SEASONAL_ORACLE),
     "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),
     "ev_props_map_stats": QuerySpec(ev_props_map_stats, PROPS_MAP_ORACLE),

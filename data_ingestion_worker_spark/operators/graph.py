@@ -400,8 +400,104 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
 
 
+#: Fixed synchronous label-propagation rounds (unrolled in the oracle).
+LPA_ITERATIONS = 2
+
+
+def graph_label_propagation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation: each round every node adopts its neighbors'
+    most-frequent label (ties → smallest label), run for a fixed
+    ``LPA_ITERATIONS`` rounds.
+
+    Classic LPA breaks ties randomly and is therefore unreproducible;
+    this variant pins (count DESC, label ASC) so the fixpoint path is a
+    pure function of the graph — the determinism contract every
+    operator here carries.  A fixed unroll (rather than
+    propagate-to-convergence) keeps the oracle expressible as plain
+    CTEs; convergence-looped variants follow the
+    ``dedup_connected_components`` pattern.
+
+    Scale shape: per round, one shuffle join (edges ⋈ labels on dst)
+    + one count aggregate + one argmax window *partitioned by node* —
+    parallel across nodes, each partition bounded by the node's
+    distinct neighbor-label count.  Labels are checkpointed per round
+    (iterative-lineage rule).
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ITERATIONS):
+        cnt = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("label").alias("community"),
+    )
+
+
+def _lpa_oracle(n_iterations: int = LPA_ITERATIONS) -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, n_iterations + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.src, l.label, count(*) AS cnt
+  FROM edges e JOIN {prev} l ON e.dst = l.node GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s, c FROM pairs
+),
+l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+),
+{','.join(iters)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, label AS community
+FROM {prev}
+"""
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
+    "graph_label_propagation": QuerySpec(graph_label_propagation,
+                                         LPA_ORACLE),
     "graph_pagerank_adaptive": QuerySpec(graph_pagerank_adaptive,
                                          PAGERANK_ADAPTIVE_ORACLE),
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),

@@ -126,3 +126,43 @@ def test_triangle_count_matches_bruteforce(spark):
     assert {r.partkey: r.degree for r in rows} \
         == {n: len(adj[n]) for n in adj}
     assert tris, "fixture produced no triangles - test is vacuous"
+
+
+def test_label_propagation_labels_are_member_seeded(spark, sf_dir):
+    """Every community label is a node id that exists in the graph, and
+    the argmax tie-break makes two runs bit-identical."""
+    from data_ingestion_worker_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    node_ids = {
+        (2 * r.key if r.kind == "customer" else 2 * r.key + 1)
+        for r in rows
+    }
+    labels = {r.community for r in rows}
+    assert labels <= node_ids, "community label is not a member node id"
+    again = {(r.kind, r.key): r.community
+             for r in graph_label_propagation(spark, sf_dir).collect()}
+    assert again == {(r.kind, r.key): r.community for r in rows}
+
+
+def test_windowed_topk_is_bounded_per_hour(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_windowed_topk,
+    )
+
+    rows = ev_windowed_topk(spark, sf_dir).collect()
+    per_hour = defaultdict(list)
+    for r in rows:
+        per_hour[r.bucket_start].append(r)
+    for hour, rs in per_hour.items():
+        assert 1 <= len(rs) <= 2
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        if len(rs) == 2:
+            assert (rs[0].total_value, rs[1].event_type) >= \
+                (rs[1].total_value, rs[1].event_type)
+            assert rs[0].total_value >= rs[1].total_value
