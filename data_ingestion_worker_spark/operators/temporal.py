@@ -232,8 +232,103 @@ FROM spine s ASOF LEFT JOIN obs o
 """
 
 
+#: Backward look-back horizon for the tolerance-bounded as-of join.
+ASOF_TOLERANCE_S = 3600
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance: each click matches the user's most
+    recent purchase within the preceding hour, NULL beyond it (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    The tolerance changes the scalable formulation: the carry-forward
+    window of :func:`asof_join_purchase` must remember the last
+    purchase indefinitely (state = one row per user, but a full
+    per-user history sort), while a *bounded* look-back admits a range
+    join whose fan-out is capped by event density within the horizon —
+    the same bounded-state trick watermarked stream-stream joins use.
+    Candidates come from one equi-join on user plus the band predicate;
+    a per-click argmax window (latest ts, event_id tie-break) picks the
+    winner.  Purchases are deduped per (user, ts) first — equal-ts ties
+    are engine-ambiguous otherwise, same spec as the plain as-of.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    wp = Window.partitionBy("user_id", "p_ts").orderBy(
+        F.col("p_id").desc()
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id",
+                F.col("ts").alias("p_ts"), F.col("value").alias("p_val"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    gap = _epoch_s(F.col("c.ts")) - _epoch_s(F.col("p.p_ts"))
+    # Band predicate lives IN the join: the equi-part hashes on user,
+    # the range conditions filter at the join, so a click fans out only
+    # to in-horizon purchases (bounded by event density, not history
+    # length).  A left join emits exactly one all-NULL row for clicks
+    # with no in-band purchase, so the argmax window never ranks a NULL
+    # row against real candidates.
+    cand = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.p_ts") <= F.col("c.ts"))
+        & (gap <= ASOF_TOLERANCE_S),
+        "left",
+    )
+    wc = Window.partitionBy("c.event_id").orderBy(
+        F.desc("p.p_ts"), F.desc("p.p_id")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("c.event_id").alias("event_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("ts"),
+            F.col("p.p_id").alias("purchase_event_id"),
+            F.col("p.p_val").alias("purchase_value"),
+        )
+    )
+
+
+ASOF_TOLERANCE_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p.event_id AS pid, p.value AS pval,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM clicks c LEFT JOIN purch p
+    ON p.user_id = c.user_id
+   AND p.ts <= c.ts
+   AND date_diff('second', p.ts, c.ts) <= {ASOF_TOLERANCE_S}
+)
+SELECT event_id, user_id, ts,
+       pid AS purchase_event_id, pval AS purchase_value
+FROM cand WHERE rn = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "asof_join_purchase": QuerySpec(asof_join_purchase, ASOF_ORACLE),
+    "asof_join_tolerance": QuerySpec(asof_join_tolerance,
+                                     ASOF_TOLERANCE_ORACLE),
     "range_join_pairs": QuerySpec(range_join_pairs, RANGE_ORACLE),
     "ev_resample_ffill": QuerySpec(ev_resample_ffill, RESAMPLE_ORACLE),
 }
