@@ -130,6 +130,9 @@ class ControlStore:
     def _pointer(self, table: str) -> str:
         return os.path.join(self.root, table, "_CURRENT")
 
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_LOG")
+
     def _current_version(self, table: str) -> str | None:
         try:
             with open(self._pointer(table)) as f:
@@ -137,15 +140,43 @@ class ControlStore:
         except FileNotFoundError:
             return None
 
-    def read(self, table: str) -> DataFrame:
-        version = self._current_version(table)
-        if version is None:
-            return self.spark.createDataFrame([], SCHEMAS[table])
-        return self.spark.read.schema(SCHEMAS[table]).parquet(
-            os.path.join(self.root, table, version)
-        )
+    def _append_log(self, table: str, version: str, operation: str) -> None:
+        import json
+        import time
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+        entry = {"version": version, "operation": operation,
+                 "ts": time.time()}
+        with open(self._log_path(table), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def history(self, table: str) -> list[dict]:
+        """Version log, oldest first (Delta ``DESCRIBE HISTORY`` shape):
+        one entry per publish/restore with version id, operation and
+        wall-clock timestamp."""
+        import json
+
+        try:
+            with open(self._log_path(table)) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def read(self, table: str, version: str | None = None) -> DataFrame:
+        """Current snapshot, or — time travel — any retained ``version``
+        from :meth:`history` (Delta ``VERSION AS OF``)."""
+        if version is None:
+            version = self._current_version(table)
+            if version is None:
+                return self.spark.createDataFrame([], SCHEMAS[table])
+        path = os.path.join(self.root, table, version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"{table}@{version}: version unknown or vacuumed"
+            )
+        return self.spark.read.schema(SCHEMAS[table]).parquet(path)
+
+    def overwrite(self, table: str, df: DataFrame,
+                  operation: str = "overwrite") -> None:
         """Publish a new immutable version of the table (atomic pointer flip)."""
         cols = [f.name for f in SCHEMAS[table].fields]
         version = f"v-{uuid.uuid4().hex[:12]}"
@@ -160,15 +191,34 @@ class ControlStore:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer(table))
+        self._append_log(table, version, operation)
+
+    def restore(self, table: str, version: str) -> None:
+        """Flip the table back to a retained prior version (Delta
+        ``RESTORE TABLE``).  The restore itself is logged, so history
+        stays append-only and a later vacuum keeps the restored
+        version alive as current."""
+        path = os.path.join(self.root, table, version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"{table}@{version}: version unknown or vacuumed"
+            )
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer(table))
+        self._append_log(table, version, "restore")
 
     def vacuum(self, table: str | None = None, keep_last: int = 3) -> int:
         """Delete unreferenced version directories, keeping the current
-        version plus the ``keep_last`` most recent others.
+        version plus the ``keep_last`` most recently *published* others
+        (log order — not directory mtimes, which rewrites can touch).
 
         The snapshot-isolation contract means a reader started before a
         publish may still be scanning an old version; ``keep_last`` is the
-        retention window (Delta's VACUUM retention, scaled down).  Returns
-        the number of versions removed.
+        retention window (Delta's VACUUM retention, scaled down).  Vacuumed
+        versions stay in the history log but can no longer be time-traveled
+        to.  Returns the number of versions removed.
         """
         import shutil
 
@@ -178,10 +228,12 @@ class ControlStore:
             if not os.path.isdir(tdir):
                 continue
             current = self._current_version(t)
+            logged = [e["version"] for e in self.history(t)]
+            order = {v: i for i, v in enumerate(logged)}  # last wins
             versions = sorted(
                 (v for v in os.listdir(tdir)
                  if v.startswith("v-") and v != current),
-                key=lambda v: os.path.getmtime(os.path.join(tdir, v)),
+                key=lambda v: order.get(v, -1),
                 reverse=True,
             )
             for v in versions[keep_last:]:
@@ -208,10 +260,11 @@ class ControlStore:
                 target.select(keys), keys, "left_anti"
             )
             merged = target.unionByName(fresh)
-        else:
-            kept = target.join(updates.select(keys), keys, "left_anti")
-            merged = kept.unionByName(updates.select(cols))
-        self.overwrite(table, merged)
+            self.overwrite(table, merged, operation="merge-insert-only")
+            return
+        kept = target.join(updates.select(keys), keys, "left_anti")
+        merged = kept.unionByName(updates.select(cols))
+        self.overwrite(table, merged, operation="merge")
 
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
@@ -219,4 +272,5 @@ class ControlStore:
         keys = KEYS[table]
         target = self.read(table)
         self.overwrite(table, target.join(keys_df.select(keys), keys,
-                                          "left_anti"))
+                                          "left_anti"),
+                       operation="delete")

@@ -230,3 +230,37 @@ def test_staging_reads_prune_by_job_partition(env):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     part_section = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "staging_job_id" in part_section, plan
+
+
+def test_store_time_travel_history_restore_vacuum(spark, tmp_path):
+    """The lakehouse surface of the versioned store: every publish is
+    logged, old versions stay readable until vacuumed, restore flips
+    the pointer without rewriting data, and vacuum retention follows
+    publish order."""
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(100 + i, None, f"u{i}", None, None, "PENDING", None, None,
+              None, None, None, None)],
+            store.read("jobs").schema,
+        )
+        store.overwrite("jobs", df)
+    hist = store.history("jobs")
+    assert [e["operation"] for e in hist] == ["overwrite"] * 3
+    assert len({e["version"] for e in hist}) == 3
+    v0, v2 = hist[0]["version"], hist[2]["version"]
+    assert store.read("jobs").collect()[0].job_id == 102
+    assert store.read("jobs", version=v0).collect()[0].job_id == 100
+    store.restore("jobs", v0)
+    assert store.read("jobs").collect()[0].job_id == 100
+    assert store.history("jobs")[-1]["operation"] == "restore"
+    # current (restored v0) is never vacuumed; keep_last=1 keeps v2 only
+    removed = store.vacuum("jobs", keep_last=1)
+    assert removed == 1
+    assert store.read("jobs", version=v2).collect()[0].job_id == 102
+    with _pytest.raises(FileNotFoundError):
+        store.read("jobs", version=hist[1]["version"])
