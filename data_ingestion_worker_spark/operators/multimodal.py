@@ -467,8 +467,110 @@ FROM documents
 """
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_samples int, "
+    "sum_amp bigint, sum_sq bigint, peak_abs int, rms double"
+)
+
+
+def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio analysis per payload: decode the WAV (same derivation
+    as :func:`wav_roundtrip`), unpack int16-LE samples, and emit exact
+    integer loudness features — the decode→analyze stage of an audio
+    curation pipeline (silence/clipping gates run on exactly these
+    quantities).  Sum/sum-of-squares/peak are integers, so hashes are
+    exact; only the derived RMS is floating, floored at 4 decimals."""
+    import struct
+
+    from ..functions.audiocodec import decode_wav, encode_wav
+
+    def _feat(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        rate = 8000 * (1 + h64 % 3)
+        channels = 1 + h64 % 2
+        n_frames = 1 + h64 % 5
+        pcm = hashlib.sha256(b).digest()[: n_frames * channels * 2]
+        wav = decode_wav(encode_wav(rate, channels, pcm))
+        n = wav.n_frames * wav.channels
+        vals = struct.unpack(f"<{n}h", wav.pcm)
+        return (wav.sample_rate, wav.channels, n, sum(vals),
+                sum(v * v for v in vals), max(abs(v) for v in vals))
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_feat)
+        import numpy as np
+
+        sum_sq = metas.map(lambda m: m[4]).astype("int64")
+        n = metas.map(lambda m: m[2]).astype("int64")
+        rms = np.floor(np.sqrt(sum_sq.values.astype("float64")
+                               / n.values.astype("float64"))
+                       * 10000.0) / 10000.0
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "sample_rate": metas.map(lambda m: m[0]).astype("int32"),
+            "channels": metas.map(lambda m: m[1]).astype("int32"),
+            "n_samples": metas.map(lambda m: m[2]).astype("int32"),
+            "sum_amp": metas.map(lambda m: m[3]).astype("int64"),
+            "sum_sq": sum_sq,
+            "peak_abs": metas.map(lambda m: m[5]).astype("int32"),
+            "rms": rms,
+        })
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → loudness features through the real PCM-WAV codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(audio_features,
+                                          AUDIO_FEATURES_SCHEMA)
+
+
+#: 2-hex-char unsigned byte at 1-based position p of column hx.
+def _hexbyte(hx: str, p: str) -> str:
+    return f"(('0x' || substr({hx}, {p}, 2))::INT)"
+
+
+MM_AUDIO_FEATURES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+hdr AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + h64 % 3) AS INT) AS sample_rate,
+         CAST(1 + h64 % 2 AS INT) AS channels,
+         CAST((1 + h64 % 5) * (1 + h64 % 2) AS INT) AS n_samples,
+         sha_hex
+  FROM h
+),
+samples AS (
+  -- fixed 0..9 index domain (max 5 frames x 2 channels), filtered per
+  -- row: DuckDB's generate_series cannot take lateral column bounds
+  SELECT doc_id, sample_rate, channels, n_samples,
+         {_hexbyte('sha_hex', '4 * gs.i + 3')} * 256
+           + {_hexbyte('sha_hex', '4 * gs.i + 1')} AS vu
+  FROM hdr CROSS JOIN generate_series(0, 9) AS gs(i)
+  WHERE gs.i < n_samples
+),
+signed_s AS (
+  SELECT doc_id, sample_rate, channels, n_samples,
+         vu - CASE WHEN vu >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM samples
+)
+SELECT doc_id, sample_rate, channels, n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_amp,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS INT) AS peak_abs,
+       floor(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples) * 10000.0)
+         / 10000.0 AS rms
+FROM signed_s
+GROUP BY 1, 2, 3, 4
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
+    "mm_audio_features": QuerySpec(mm_audio_features,
+                                   MM_AUDIO_FEATURES_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
