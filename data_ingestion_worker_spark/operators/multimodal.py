@@ -567,10 +567,92 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+MOTION_SCHEMA = ("doc_id bigint, width int, height int, n_frames int, "
+                 "motion_energy bigint, mean_abs_diff double")
+
+
+def video_motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL video analysis per payload: decode the AVI (same derivation
+    as :func:`avi_roundtrip`) and emit frame-difference energy —
+    Σ|frame₁[j] − frame₀[j]| over raw bytes — the scene-change /
+    static-content signal a video curation pipeline thresholds on.
+    Single-frame clips score 0.  Energy is an exact integer; the
+    per-byte mean is floored at 4 decimals."""
+    from ..functions.videocodec import decode_avi, encode_avi
+
+    def _mo(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        n_frames = 1 + h64 % 2
+        fps = 10 + h64 % 15
+        raw = hashlib.sha256(b).digest()[: n_frames * 12]
+        frames = [raw[i * 12:(i + 1) * 12] for i in range(n_frames)]
+        avi = decode_avi(encode_avi(2, 2, frames, fps=fps))
+        energy = 0
+        if avi.n_frames >= 2:
+            a, c = avi.frames[0], avi.frames[1]
+            energy = sum(abs(x - y) for x, y in zip(a, c))
+        return (avi.width, avi.height, avi.n_frames, energy,
+                len(avi.frames[0]))
+
+    import numpy as np
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_mo)
+        energy = metas.map(lambda m: m[3]).astype("int64")
+        nbytes = metas.map(lambda m: m[4]).astype("int64")
+        mean_ad = np.floor(energy.values.astype("float64")
+                           / nbytes.values.astype("float64")
+                           * 10000.0) / 10000.0
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "n_frames": metas.map(lambda m: m[2]).astype("int32"),
+            "motion_energy": energy,
+            "mean_abs_diff": mean_ad,
+        })
+
+
+def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → frame-difference energy through the real AVI codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(video_motion, MOTION_SCHEMA)
+
+
+MM_VIDEO_MOTION_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+hdr AS (
+  SELECT doc_id, CAST(1 + h64 % 2 AS INT) AS n_frames, sha_hex FROM h
+),
+-- frame f, byte j lives at digest byte (12*f + j): hex position
+-- 2*(12*f + j) + 1.  Fixed 12-byte frame domain (2x2 BI_RGB24).
+diffs AS (
+  SELECT doc_id, n_frames,
+         abs({_hexbyte('sha_hex', '2 * (12 + gs.j) + 1')}
+             - {_hexbyte('sha_hex', '2 * gs.j + 1')}) AS d
+  FROM hdr CROSS JOIN generate_series(0, 11) AS gs(j)
+  WHERE n_frames >= 2
+),
+energy AS (
+  SELECT doc_id, CAST(sum(d) AS BIGINT) AS motion_energy FROM diffs
+  GROUP BY 1
+)
+SELECT hdr.doc_id, 2 AS width, 2 AS height, hdr.n_frames,
+       coalesce(e.motion_energy, 0) AS motion_energy,
+       floor(CAST(coalesce(e.motion_energy, 0) AS DOUBLE) / 12.0
+             * 10000.0) / 10000.0 AS mean_abs_diff
+FROM hdr LEFT JOIN energy e ON hdr.doc_id = e.doc_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_audio_features": QuerySpec(mm_audio_features,
                                    MM_AUDIO_FEATURES_ORACLE),
+    "mm_video_motion": QuerySpec(mm_video_motion, MM_VIDEO_MOTION_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
