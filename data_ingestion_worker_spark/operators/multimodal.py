@@ -648,11 +648,101 @@ FROM hdr LEFT JOIN energy e ON hdr.doc_id = e.doc_id
 """
 
 
+IMAGE_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
+                      "sum_r bigint, sum_g bigint, sum_b bigint, "
+                      "mean_luma double")
+
+
+def image_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL image analysis per payload: decode the BMP (same derivation
+    as :func:`bmp_roundtrip`) and emit exact per-channel pixel sums plus
+    a floored ITU-R 601 luminance mean — the brightness/black-frame gate
+    of an image curation pipeline.  Channel sums are integers over the
+    decoded (not source) bytes, so any stride/flip/channel-order defect
+    shifts them and breaks oracle parity."""
+    from ..functions.imagecodec import decode_bmp, encode_bmp
+
+    def _st(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 2
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_bmp(encode_bmp(w, h, raw))
+        px = img.pixels
+        sr = sum(px[0::3])
+        sg = sum(px[1::3])
+        sb = sum(px[2::3])
+        return (img.width, img.height, sr, sg, sb, w * h)
+
+    import numpy as np
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_st)
+        sr = metas.map(lambda m: m[2]).astype("int64")
+        sg = metas.map(lambda m: m[3]).astype("int64")
+        sb = metas.map(lambda m: m[4]).astype("int64")
+        n = metas.map(lambda m: m[5]).astype("int64").values.astype("float64")
+        luma = np.floor(
+            (0.299 * sr.values.astype("float64")
+             + 0.587 * sg.values.astype("float64")
+             + 0.114 * sb.values.astype("float64")) / n * 10000.0
+        ) / 10000.0
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "sum_r": sr, "sum_g": sg, "sum_b": sb,
+            "mean_luma": luma,
+        })
+
+
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → channel sums / luminance through the real BMP codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(image_stats, IMAGE_STATS_SCHEMA)
+
+
+MM_IMAGE_STATS_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+hdr AS (
+  SELECT doc_id,
+         CAST(1 + h64 % 3 AS INT) AS width,
+         CAST(1 + h64 % 2 AS INT) AS height,
+         CAST((1 + h64 % 3) * (1 + h64 % 2) AS INT) AS n_px,
+         sha_hex
+  FROM h
+),
+-- pixel p channel c (0=R,1=G,2=B) is digest byte (3p + c):
+-- hex position 2*(3p + c) + 1.  Max 6 pixels (3x2).
+px AS (
+  SELECT doc_id, width, height, n_px,
+         {_hexbyte('sha_hex', '6 * gs.p + 1')} AS r,
+         {_hexbyte('sha_hex', '6 * gs.p + 3')} AS g,
+         {_hexbyte('sha_hex', '6 * gs.p + 5')} AS b
+  FROM hdr CROSS JOIN generate_series(0, 5) AS gs(p)
+  WHERE gs.p < n_px
+)
+SELECT doc_id, width, height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       floor((0.299 * CAST(sum(r) AS DOUBLE)
+              + 0.587 * CAST(sum(g) AS DOUBLE)
+              + 0.114 * CAST(sum(b) AS DOUBLE)) / n_px * 10000.0)
+         / 10000.0 AS mean_luma
+FROM px
+GROUP BY doc_id, width, height, n_px
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_audio_features": QuerySpec(mm_audio_features,
                                    MM_AUDIO_FEATURES_ORACLE),
     "mm_video_motion": QuerySpec(mm_video_motion, MM_VIDEO_MOTION_ORACLE),
+    "mm_image_stats": QuerySpec(mm_image_stats, MM_IMAGE_STATS_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
