@@ -169,8 +169,79 @@ WHERE (n * c - sx) * (n * c - sx) > 4 * (n * sxx - sx * sx) AND n > 1
 """
 
 
+#: Join-key columns profiled for skew, and heavy-hitter depth.
+SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+SKEW_TOP_K = 3
+
+
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report per join-key column of the fact table — the
+    diagnostic a pipeline runs *before* choosing a skew mitigation
+    (AQE split vs explicit salting, ``operators/skew.py``): for each
+    candidate shuffle key, the top-3 hottest values with their row
+    share.
+
+    Scale shape: ONE pass — each row explodes to |columns| (key, value)
+    pairs and a single groupBy counts them (map-side combine sees the
+    expansion locally), instead of one full scan + shuffle per column.
+    The rank window partitions by column name — |columns| partitions,
+    each ranking its own counts.  Shares divide integers, floored at 6
+    decimals; ties break on key value.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col"),
+                     F.col(c).cast("bigint").alias("key"))
+            for c in SKEW_COLS
+        ])).alias("p")
+    ).select("p.col", "p.key")
+    counts = pairs.groupBy("col", "key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), "key")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKEW_TOP_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "col", "key", "cnt", "rank",
+            (F.floor(F.col("cnt").cast("double") / F.col("n").cast("double")
+                     * 1000000.0) / 1000000.0).alias("share"),
+        )
+    )
+
+
+SKEW_PROFILE_ORACLE = f"""
+WITH pairs AS (
+  {' UNION ALL '.join(
+      f"SELECT '{c}' AS col, CAST({c} AS BIGINT) AS key FROM lineitem"
+      for c in SKEW_COLS)}
+),
+counts AS (
+  SELECT col, key, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY 1, 2
+),
+total AS (SELECT count(*) AS n FROM lineitem),
+ranked AS (
+  SELECT col, key, cnt,
+         CAST(row_number() OVER (PARTITION BY col
+                                 ORDER BY cnt DESC, key) AS INT) AS rank
+  FROM counts
+)
+SELECT col, key, cnt, rank,
+       floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS share
+FROM ranked CROSS JOIN total
+WHERE rank <= {SKEW_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
     "sample_stratified": QuerySpec(sample_stratified, STRATIFIED_ORACLE),
+    "profile_join_key_skew": QuerySpec(profile_join_key_skew,
+                                       SKEW_PROFILE_ORACLE),
     "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),
 }

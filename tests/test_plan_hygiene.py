@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total broadcast cross
     "stats_auc_quality_lang",  # one-row per-class-N broadcast cross join
+    "profile_join_key_skew",   # one-row fact-count broadcast cross join
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
@@ -117,6 +118,7 @@ SP_ALLOWED = {
     "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total scalar
     "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
+    "profile_join_key_skew",    # one-row fact-count scalar
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
