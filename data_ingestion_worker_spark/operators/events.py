@@ -728,9 +728,82 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, rolling-7-day active users, and the DAU/WAU
+    stickiness ratio — the engagement KPI of every product dashboard.
+
+    Rolling *distinct* counts don't decompose like sums, so the rolling
+    window is computed by a bounded fan-out instead of a window
+    function: each distinct (user, day) activity row contributes to at
+    most 7 target days (day..day+6), the expansion is de-duplicated per
+    (user, target day) and counted — work scales with activity × 7,
+    never days × full-history rescans.  Target days are restricted to
+    observed days so the trailing edge of the calendar doesn't emit
+    partial windows.  Stickiness divides two integers, floored at 6
+    decimals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().localCheckpoint(eager=False)  # feeds DAU, WAU, day set
+    dau = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    days = pairs.select("day").distinct()
+    expanded = (
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, off)").alias("tday"))
+        .distinct()
+    )
+    wau = (
+        expanded.join(days, expanded.tday == days.day)
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).alias("wau7"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.tday)
+        .select(
+            "day", "dau", "wau7",
+            (F.floor(F.col("dau").cast("double") / F.col("wau7")
+                     * 1000000.0) / 1000000.0).alias("stickiness"),
+        )
+    )
+
+
+DAU_STICKINESS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1
+),
+days AS (SELECT DISTINCT day FROM pairs),
+expanded AS (
+  SELECT DISTINCT user_id,
+         day + CAST(gs.off AS INT) AS tday
+  FROM pairs CROSS JOIN generate_series(0, 6) AS gs(off)
+),
+wau AS (
+  SELECT tday, CAST(count(*) AS BIGINT) AS wau7
+  FROM expanded JOIN days ON expanded.tday = days.day
+  GROUP BY 1
+)
+SELECT dau.day AS day, dau, wau7,
+       floor(CAST(dau AS DOUBLE) / wau7 * 1000000.0) / 1000000.0
+         AS stickiness
+FROM dau JOIN wau ON dau.day = wau.tday
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
+    "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
+                                   DAU_STICKINESS_ORACLE),
     "ev_windowed_topk": QuerySpec(ev_windowed_topk, WINDOWED_TOPK_ORACLE),
     "ev_seasonal_profile": QuerySpec(ev_seasonal_profile, SEASONAL_ORACLE),
     "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),
