@@ -256,3 +256,40 @@ def test_token_budget_plan_is_a_valid_allocation(spark, sf_dir):
     # a non-oversubscribed plan never draws more than the budget
     if not any(r.oversubscribed for r in rows):
         assert sum(r.expected_tokens for r in rows) <= TOKEN_BUDGET
+
+
+def test_prefix_filter_lemma_holds_on_random_sets():
+    """Property: under any global token order, two sets with Jaccard >=
+    0.2 share an element inside their per-set prefixes of length
+    n - ceil(0.2 n) + 1 — the lemma dedup_jaccard_prefix_filter's
+    candidate pruning rests on (pure-python check, no Spark)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sets(st.integers(0, 40), min_size=1, max_size=25),
+        st.sets(st.integers(0, 40), min_size=1, max_size=25),
+        st.randoms(),
+    )
+    def check(a, b, rng):
+        inter = len(a & b)
+        jac = inter / (len(a) + len(b) - inter)
+        if jac < 0.2:
+            return
+        universe = sorted(a | b)
+        rng.shuffle(universe)          # arbitrary global order
+        rank = {t: i for i, t in enumerate(universe)}
+
+        def prefix(s):
+            n = len(s)
+            keep = n - math.ceil(0.2 * n) + 1
+            return set(sorted(s, key=lambda t: rank[t])[:keep])
+
+        assert prefix(a) & prefix(b), (
+            f"lemma violated: a={sorted(a)} b={sorted(b)} jac={jac:.3f}"
+        )
+
+    check()
