@@ -140,6 +140,13 @@ class ControlStore:
         except FileNotFoundError:
             return None
 
+    def _flip_pointer(self, table: str, version: str) -> None:
+        tmp = self._pointer(table) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer(table))
+
     def _append_log(self, table: str, version: str, operation: str) -> None:
         import json
         import time
@@ -155,11 +162,22 @@ class ControlStore:
         wall-clock timestamp."""
         import json
 
+        entries: list[dict] = []
         try:
             with open(self._log_path(table)) as f:
-                return [json.loads(ln) for ln in f if ln.strip()]
+                for ln in f:
+                    if not ln.strip():
+                        continue
+                    try:
+                        entries.append(json.loads(ln))
+                    except ValueError:
+                        # A crash mid-append leaves one torn trailing
+                        # line; skipping it keeps history()/vacuum()
+                        # usable instead of permanently poisoned.
+                        continue
         except FileNotFoundError:
-            return []
+            pass
+        return entries
 
     def read(self, table: str, version: str | None = None) -> DataFrame:
         """Current snapshot, or — time travel — any retained ``version``
@@ -186,11 +204,7 @@ class ControlStore:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
-        tmp = self._pointer(table) + ".tmp"
-        os.makedirs(os.path.dirname(tmp), exist_ok=True)
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer(table))
+        self._flip_pointer(table, version)
         self._append_log(table, version, operation)
 
     def restore(self, table: str, version: str) -> None:
@@ -203,10 +217,7 @@ class ControlStore:
             raise FileNotFoundError(
                 f"{table}@{version}: version unknown or vacuumed"
             )
-        tmp = self._pointer(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer(table))
+        self._flip_pointer(table, version)
         self._append_log(table, version, "restore")
 
     def vacuum(self, table: str | None = None, keep_last: int = 3) -> int:
@@ -230,10 +241,24 @@ class ControlStore:
             current = self._current_version(t)
             logged = [e["version"] for e in self.history(t)]
             order = {v: i for i, v in enumerate(logged)}  # last wins
+
+            def _recency(v: str) -> tuple:
+                # Logged versions order by publish position; unlogged
+                # directories (pre-log stores, lost log lines) fall back
+                # to mtime and always rank OLDER than any logged one —
+                # never deleting a just-published version first.
+                if v in order:
+                    return (1, order[v])
+                try:
+                    mt = os.path.getmtime(os.path.join(tdir, v))
+                except OSError:
+                    mt = 0.0
+                return (0, mt)
+
             versions = sorted(
                 (v for v in os.listdir(tdir)
                  if v.startswith("v-") and v != current),
-                key=lambda v: order.get(v, -1),
+                key=_recency,
                 reverse=True,
             )
             for v in versions[keep_last:]:

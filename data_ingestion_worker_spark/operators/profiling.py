@@ -196,10 +196,16 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in SKEW_COLS
         ])).alias("p")
     ).select("p.col", "p.key")
+    # counts feeds both the rank window and the total (every fact row
+    # contributes exactly one pair per column, so summing one column's
+    # counts IS the row total — no second fact-table scan); checkpoint
+    # so the explode+groupBy runs once for both consumers.
     counts = pairs.groupBy("col", "key").agg(
         F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    total = counts.filter(F.col("col") == SKEW_COLS[0]).agg(
+        F.sum("cnt").alias("n")
     )
-    total = li.agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("col").orderBy(F.desc("cnt"), "key")
     return (
         counts.withColumn("rank", F.row_number().over(w))

@@ -1019,23 +1019,50 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle: an eigenvector is not SQL-expressible (the driver
     records the rows-only check); the pytest contract verifies against
     ``numpy.linalg.eigh`` instead.
+
+    Laziness: the iteration runs inside a single-partition
+    ``mapInPandas`` stage over the d(d+1)/2 Gram rows, so constructing
+    the operator builds a plan without executing anything (the
+    engine-wide side-effect-free-construction rule) and the whole
+    computation — scan, partial Grams, eigen-iteration — fires on the
+    first action as one job.
     """
-    rows = emb_gram_matrix(spark, sf_dir).collect()
-    d = max(r.j for r in rows) + 1
+    gram = emb_gram_matrix(spark, sf_dir)
+    return gram.coalesce(1).mapInPandas(
+        _pca_power_kernel, "i int, loading double"
+    )
+
+
+def _pca_power_kernel(batches):
+    """Single-task kernel: assemble the (bounded, d×d) Gram matrix from
+    its upper-triangle rows and power-iterate ``PCA_ITERATIONS`` times.
+    Pure-python float arithmetic — deterministic independent of the
+    host BLAS — and sign pinned by the largest-|loading| coordinate
+    (lowest index on ties)."""
+    import pandas as pd
+
+    rows: list[tuple[int, int, int]] = []
+    for pdf in batches:
+        rows.extend(zip(pdf["i"], pdf["j"], pdf["g"]))
+    if not rows:
+        return
+    d = max(j for _, j, _ in rows) + 1
     g = [[0.0] * d for _ in range(d)]
-    for r in rows:
-        g[r.i][r.j] = float(r.g)
-        g[r.j][r.i] = float(r.g)
+    for i, j, val in rows:
+        g[i][j] = float(val)
+        g[j][i] = float(val)
     v = [1.0] * d
     for _ in range(PCA_ITERATIONS):
         w = [sum(g[i][k] * v[k] for k in range(d)) for i in range(d)]
         norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            break
         v = [x / norm for x in w]
     pivot = max(range(d), key=lambda i: (abs(v[i]), -i))
     if v[pivot] < 0:
         v = [-x for x in v]
-    out = [(i, float(v[i])) for i in range(d)]
-    return spark.createDataFrame(out, "i int, loading double")
+    yield pd.DataFrame({"i": list(range(d)),
+                        "loading": [float(x) for x in v]})
 
 
 SPECS: dict[str, QuerySpec] = {

@@ -715,6 +715,65 @@ FROM agg
 MW_TYPE_A, MW_TYPE_B = "signup", "error"
 
 
+def rank_sum_stats(counts: DataFrame,
+                   bucket_width: int = KS_BUCKET) -> DataFrame:
+    """Distributed rank-sum core shared by the Mann–Whitney test and the
+    ROC-AUC operator (AUC = U normalized).
+
+    Input: one row per distinct quantized value with columns
+    ``q`` (the value), ``cp`` (positive/sample-A count at q) and
+    ``cn`` (negative/sample-B count).  Output: ONE row
+    ``(np, nn, r2, tcorr)`` where ``r2 = 2·R₊`` (twice the average-rank
+    sum of the positive class, exact DECIMAL) and
+    ``tcorr = Σ(tv³ − tv)`` (tie-correction term).
+
+    Construction: cumulative pooled counts via per-bucket windows plus
+    a |buckets|-row offset window (the stats_ks_test distributed-ECDF
+    shape) — ranks never exist per row, the only serial step scans one
+    row per fixed value-range bucket.
+    """
+    counts = (
+        counts.withColumn("tv", F.col("cp") + F.col("cn"))
+        .withColumn("bucket", F.expr(f"q div {bucket_width}"))
+        # feeds the per-bucket window, the bucket totals, and the
+        # class-size scalar; materialize the upstream groupBy once.
+        .localCheckpoint(eager=False)
+    )
+    win = (
+        Window.partitionBy("bucket").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = counts.select(
+        "q", "bucket", "cp", "tv", F.sum("tv").over(win).alias("lt")
+    )
+    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
+    bwin = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = btot.select(
+        "bucket", F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot")
+    )
+    n = counts.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
+    two_avg = (
+        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
+    )
+    per_value = (
+        local.join(F.broadcast(boffs), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "np", "nn",
+            (F.col("cp").cast("decimal(38,0)")
+             * two_avg.cast("decimal(38,0)")).alias("r2c"),
+            (F.col("tv").cast("decimal(38,0)")
+             * F.col("tv") * F.col("tv") - F.col("tv")).alias("tc"),
+        )
+    )
+    return per_value.groupBy("np", "nn").agg(
+        F.sum("r2c").alias("r2"), F.sum("tc").alias("tcorr")
+    )
+
+
 def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Mann–Whitney U (rank-sum) test between the value
     distributions of two event types — the nonparametric companion to
@@ -748,59 +807,18 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q")
         .agg(
-            F.sum("ia").alias("ca"),
-            F.sum(1 - F.col("ia")).alias("cb"),
-        )
-        .withColumn("tv", F.col("ca") + F.col("cb"))
-        .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
-        # counts feeds the per-bucket window, the bucket totals, and the
-        # sample-size scalar; materialize the events groupBy once.
-        .localCheckpoint(eager=False)
-    )
-    win = (
-        Window.partitionBy("bucket").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = counts.select(
-        "q", "bucket", "ca", "tv",
-        F.sum("tv").over(win).alias("lt"),
-    )
-    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
-    bwin = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boffs = btot.select(
-        "bucket",
-        F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot"),
-    )
-    n = counts.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    )
-    two_avg = (
-        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
-    )
-    per_value = (
-        local.join(F.broadcast(boffs), "bucket")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "na", "nb",
-            (F.col("ca").cast("decimal(38,0)")
-             * two_avg.cast("decimal(38,0)")).alias("r2c"),
-            (F.col("tv").cast("decimal(38,0)")
-             * F.col("tv") * F.col("tv") - F.col("tv")).alias("tc"),
+            F.sum("ia").alias("cp"),
+            F.sum(1 - F.col("ia")).alias("cn"),
         )
     )
-    agg = per_value.groupBy("na", "nb").agg(
-        F.sum("r2c").alias("r2"), F.sum("tc").alias("tcorr")
-    )
+    agg = rank_sum_stats(counts)
     u_x2 = (
-        F.col("r2") - F.col("na").cast("decimal(38,0)")
-        * (F.col("na") + F.lit(1))
+        F.col("r2") - F.col("np").cast("decimal(38,0)")
+        * (F.col("np") + F.lit(1))
     )
     renamed = agg.select(
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
+        F.col("np").alias("n_a"),
+        F.col("nn").alias("n_b"),
         u_x2.cast("bigint").alias("u_x2"),
         F.col("tcorr").cast("bigint").alias("tie_term"),
     )

@@ -73,6 +73,28 @@ def _floor4(c: F.Column) -> F.Column:
     return F.floor(c * 10000.0) / 10000.0
 
 
+def _quality_raw() -> F.Column:
+    """The unfloored quality weighted sum — THE single Spark-side
+    codification (doc_quality_score / doc_quality_quantile_norm /
+    stats_auc_quality_lang all derive from it)."""
+    n_tok = ws_token_count(F.col("text"))
+    stop = marker_count(F.col("text"), STOPWORDS)
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    return (
+        (stop.cast("double") / n_tok) * 0.4
+        + (alpha.cast("double") / F.length("text")) * 0.3
+        + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3
+    )
+
+
+#: The same weighted sum as DuckDB SQL (single oracle-side codification).
+_QUALITY_RAW_SQL = f"""((CAST({_marker_sql(STOPWORDS)} AS DOUBLE)
+    / {_WS_COUNT_SQL}) * 0.4
+   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      / length(text)) * 0.3
+   + least(1.0, CAST({_WS_COUNT_SQL} AS DOUBLE) / 100.0) * 0.3)"""
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: stopword density + alpha ratio + length.
 
@@ -86,10 +108,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
     stop_ratio = stop.cast("double") / n_tok
     alpha_ratio = alpha.cast("double") / F.length("text")
-    len_score = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
-    score = _floor4(
-        stop_ratio * 0.4 + alpha_ratio * 0.3 + len_score * 0.3
-    )
+    score = _floor4(_quality_raw())
     return d.filter(F.length("text") > 0).select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -142,14 +161,7 @@ def doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable baseline.
     """
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tok = ws_token_count(F.col("text"))
-    stop = marker_count(F.col("text"), STOPWORDS)
-    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
-    score = _floor4(
-        (stop.cast("double") / n_tok) * 0.4
-        + (alpha.cast("double") / F.length("text")) * 0.3
-        + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3
-    )
+    score = _floor4(_quality_raw())
     w = Window.partitionBy("source").orderBy("quality")
     pct = F.percent_rank().over(w)
     return (
@@ -164,21 +176,10 @@ def doc_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_QUANTILE_ORACLE = f"""
-WITH t AS (
+WITH scored AS (
   SELECT doc_id, source,
-         {_WS_COUNT_SQL} AS n_tokens,
-         {_marker_sql(STOPWORDS)} AS stop,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         length(text) AS n
+         floor({_QUALITY_RAW_SQL} * 10000.0) / 10000.0 AS quality
   FROM documents WHERE length(text) > 0
-),
-scored AS (
-  SELECT doc_id, source,
-         floor(((CAST(stop AS DOUBLE) / n_tokens) * 0.4
-                + (CAST(alpha AS DOUBLE) / n) * 0.3
-                + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3)
-               * 10000.0) / 10000.0 AS quality
-  FROM t
 ),
 ranked AS (
   SELECT doc_id, source, quality,
@@ -215,16 +216,10 @@ def stats_auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL dot product.  Ranks never exist per row; the only
     division is the final AUC, floored at 6 decimals.
     """
+    from .stats import rank_sum_stats
+
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_tok = ws_token_count(F.col("text"))
-    stop = marker_count(F.col("text"), STOPWORDS)
-    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
-    q10k = F.floor(
-        ((stop.cast("double") / n_tok) * 0.4
-         + (alpha.cast("double") / F.length("text")) * 0.3
-         + F.least(F.lit(1.0), n_tok.cast("double") / 100.0) * 0.3)
-        * 10000.0
-    )
+    q10k = F.floor(_quality_raw() * 10000.0)
     counts = (
         d.select(
             q10k.alias("q"),
@@ -233,35 +228,8 @@ def stats_auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q")
         .agg(F.sum("ip").alias("cp"), F.sum(1 - F.col("ip")).alias("cn"))
-        .withColumn("tv", F.col("cp") + F.col("cn"))
-        .withColumn("bucket", F.expr(f"q div {AUC_BUCKET}"))
-        .localCheckpoint(eager=False)
     )
-    win = (
-        Window.partitionBy("bucket").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = counts.select(
-        "q", "bucket", "cp", "tv", F.sum("tv").over(win).alias("lt")
-    )
-    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
-    bwin = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    boffs = btot.select(
-        "bucket", F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot")
-    )
-    n = counts.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
-    two_avg = (
-        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
-    )
-    agg = (
-        local.join(F.broadcast(boffs), "bucket")
-        .crossJoin(F.broadcast(n))
-        .groupBy("np", "nn")
-        .agg(F.sum(F.col("cp").cast("decimal(38,0)")
-                   * two_avg.cast("decimal(38,0)")).alias("r2"))
-    )
+    agg = rank_sum_stats(counts, bucket_width=AUC_BUCKET)
     u_x2 = (
         F.col("r2") - F.col("np").cast("decimal(38,0)")
         * (F.col("np") + F.lit(1))
@@ -280,13 +248,7 @@ def stats_auc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUC_ORACLE = f"""
 WITH t AS (
-  SELECT CAST(floor(((CAST({_marker_sql(STOPWORDS)} AS DOUBLE)
-                      / {_WS_COUNT_SQL}) * 0.4
-                     + (CAST(length(regexp_replace(text, '[^A-Za-z]', '',
-                                                   'g')) AS DOUBLE)
-                        / length(text)) * 0.3
-                     + least(1.0, CAST({_WS_COUNT_SQL} AS DOUBLE) / 100.0)
-                       * 0.3) * 10000.0) AS BIGINT) AS q,
+  SELECT CAST(floor({_QUALITY_RAW_SQL} * 10000.0) AS BIGINT) AS q,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ip
   FROM documents WHERE length(text) > 0
 ),

@@ -264,3 +264,34 @@ def test_store_time_travel_history_restore_vacuum(spark, tmp_path):
     assert store.read("jobs", version=v2).collect()[0].job_id == 102
     with _pytest.raises(FileNotFoundError):
         store.read("jobs", version=hist[1]["version"])
+
+
+def test_store_log_resilience_and_prelog_vacuum_order(spark, tmp_path):
+    """A torn trailing log line is skipped, and version directories
+    missing from the log (pre-log stores) vacuum strictly before any
+    logged version regardless of listdir order."""
+    import os
+
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+    for i in range(2):
+        store.overwrite("jobs", spark.createDataFrame(
+            [(i, None, "u", None, None, "PENDING", None, None,
+              None, None, None, None)], schema))
+    # torn trailing line from a crashed append
+    with open(store._log_path("jobs"), "a") as f:
+        f.write('{"version": "v-torn')
+    assert len(store.history("jobs")) == 2
+    # fabricate an unlogged (pre-log) version directory, newest mtime
+    tdir = os.path.join(store.root, "jobs")
+    unlogged = os.path.join(tdir, "v-prelogdir00")
+    os.makedirs(unlogged)
+    hist = store.history("jobs")
+    removed = store.vacuum("jobs", keep_last=1)
+    assert removed == 1
+    assert not os.path.isdir(unlogged), "unlogged dir must vacuum first"
+    # both logged versions survive (current + keep_last=1)
+    for e in hist:
+        assert os.path.isdir(os.path.join(tdir, e["version"]))

@@ -163,6 +163,7 @@ def test_windowed_topk_is_bounded_per_hour(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         if len(rs) == 2:
-            assert (rs[0].total_value, rs[1].event_type) >= \
-                (rs[1].total_value, rs[1].event_type)
-            assert rs[0].total_value >= rs[1].total_value
+            assert rs[0].total_value > rs[1].total_value or (
+                rs[0].total_value == rs[1].total_value
+                and rs[0].event_type < rs[1].event_type
+            )
