@@ -222,6 +222,34 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     )
 
 
+def corpus_dedup_threshold_curve(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Near-dup pair counts at every Jaccard threshold 0.2..1.0 — the
+    calibration curve a pipeline owner reads before picking the dedup
+    cutoff (too low and distinct revisions merge; too high and
+    boilerplate twins survive).
+
+    One pass over the existing sub-quadratic pair table: pairs bucket
+    by floor(10·J), and the at-or-above counts come from a cumulative
+    window over the ≤9-row bucket aggregate — the whole curve costs one
+    tiny window more than the pair join itself.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    bucket = F.least(F.lit(9), F.floor(F.col("jaccard") * 10.0)) \
+        .cast("int")
+    per = pairs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        (F.col("bucket").cast("double") / 10.0).alias("threshold"),
+        F.sum("n_bucket").over(w).cast("bigint")
+        .alias("n_pairs_at_or_above"),
+    )
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     # The shingle table feeds both the size aggregate and the posting
     # buckets; materialize the tokenize+explode once (the multi-consumer
@@ -289,6 +317,23 @@ WHERE floor(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) * 10000.0)
 DEDUP_JACCARD_ORACLE = (
     f"WITH {_SHINGLES_SQL.strip()},{_jaccard_oracle_body('shingles')}"
 )
+
+
+DEDUP_THRESHOLD_CURVE_ORACLE = f"""
+WITH per AS (
+  SELECT least(9, CAST(floor(jaccard * 10.0) AS INT)) AS bucket,
+         count(*) AS n_bucket
+  FROM (
+    WITH {_SHINGLES_SQL.strip()},{_jaccard_oracle_body('shingles')}
+  ) jac
+  GROUP BY 1
+)
+SELECT CAST(bucket AS DOUBLE) / 10.0 AS threshold,
+       CAST(sum(n_bucket) OVER (ORDER BY bucket DESC) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM per
+"""
+
 
 DEDUP_JACCARD_DF_ORACLE = f"""
 WITH {_SHINGLES_SQL.strip()},
@@ -1309,6 +1354,8 @@ SPECS: dict[str, QuerySpec] = {
                                    DEDUP_CONTAINMENT_ORACLE),
     "corpus_dup_stats": QuerySpec(corpus_dup_stats,
                                   CORPUS_DUP_STATS_ORACLE),
+    "corpus_dedup_threshold_curve": QuerySpec(
+        corpus_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_ORACLE),
     "dedup_jaccard_df_cutoff": QuerySpec(dedup_jaccard_df_cutoff,
                                          DEDUP_JACCARD_DF_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
