@@ -715,6 +715,37 @@ FROM agg
 MW_TYPE_A, MW_TYPE_B = "signup", "error"
 
 
+def with_cumulative_tv(counts: DataFrame,
+                       bucket_width: int = KS_BUCKET) -> DataFrame:
+    """Adds the inclusive cumulative sum ``cum`` of column ``tv`` in
+    ``q`` order — the distributed-ECDF prefix sum (per-bucket windows,
+    parallel across fixed value-range buckets, plus a |buckets|-row
+    offset window as the only serial step).  Input columns are
+    preserved; the intermediate is lazily checkpointed because it feeds
+    both the window and the bucket-totals aggregate."""
+    c = counts.withColumn(
+        "bucket", F.expr(f"q div {bucket_width}")
+    ).localCheckpoint(eager=False)
+    win = (
+        Window.partitionBy("bucket").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = c.withColumn("lt", F.sum("tv").over(win))
+    btot = c.groupBy("bucket").agg(F.sum("tv").alias("tt"))
+    bwin = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = btot.select(
+        "bucket", F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot")
+    )
+    return (
+        local.join(F.broadcast(boffs), "bucket")
+        .withColumn("cum", F.col("ot") + F.col("lt"))
+        .drop("bucket", "lt", "ot")
+    )
+
+
 def rank_sum_stats(counts: DataFrame,
                    bucket_width: int = KS_BUCKET) -> DataFrame:
     """Distributed rank-sum core shared by the Mann–Whitney test and the
@@ -732,35 +763,16 @@ def rank_sum_stats(counts: DataFrame,
     shape) — ranks never exist per row, the only serial step scans one
     row per fixed value-range bucket.
     """
-    counts = (
-        counts.withColumn("tv", F.col("cp") + F.col("cn"))
-        .withColumn("bucket", F.expr(f"q div {bucket_width}"))
-        # feeds the per-bucket window, the bucket totals, and the
-        # class-size scalar; materialize the upstream groupBy once.
-        .localCheckpoint(eager=False)
-    )
-    win = (
-        Window.partitionBy("bucket").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = counts.select(
-        "q", "bucket", "cp", "tv", F.sum("tv").over(win).alias("lt")
-    )
-    btot = counts.groupBy("bucket").agg(F.sum("tv").alias("tt"))
-    bwin = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boffs = btot.select(
-        "bucket", F.coalesce(F.sum("tt").over(bwin), F.lit(0)).alias("ot")
-    )
-    n = counts.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
+    cum = with_cumulative_tv(
+        counts.withColumn("tv", F.col("cp") + F.col("cn")),
+        bucket_width,
+    ).localCheckpoint(eager=False)  # feeds per-value sums + class sizes
+    n = cum.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
     two_avg = (
-        F.lit(2) * (F.col("ot") + F.col("lt")) - F.col("tv") + F.lit(1)
+        F.lit(2) * F.col("cum") - F.col("tv") + F.lit(1)
     )
     per_value = (
-        local.join(F.broadcast(boffs), "bucket")
-        .crossJoin(F.broadcast(n))
+        cum.crossJoin(F.broadcast(n))
         .select(
             "np", "nn",
             (F.col("cp").cast("decimal(38,0)")
@@ -882,8 +894,119 @@ FROM zval
 """
 
 
+def _avg_rank2_table(per: DataFrame, qcol: str,
+                     bucket_width: int) -> DataFrame:
+    """(value → 2·average-rank) lookup for one variable: per-distinct-
+    value counts, distributed prefix sum, ``2·avg = 2·cum − tv + 1``."""
+    counts = per.groupBy(F.col(qcol).alias("q")).agg(
+        F.count(F.lit(1)).alias("tv")
+    )
+    return with_cumulative_tv(counts, bucket_width).select(
+        F.col("q").alias(qcol),
+        (F.lit(2) * F.col("cum") - F.col("tv") + F.lit(1))
+        .alias(f"r2_{qcol}"),
+    )
+
+
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's total price and its
+    line count — the monotone-association check run when Pearson is
+    distorted by heavy tails (as prices are).
+
+    Exactness: per-row ranks are never floats.  Twice the average rank
+    of a value is the integer ``2·cum − tv + 1`` from the distributed
+    prefix sum, and with ``Σ 2R = n(n+1)`` the correlation reduces to
+    three exact DECIMAL sums of rank products:
+
+        ρ = (Sxy − n(n+1)²) / sqrt((Sxx − n(n+1)²)(Syy − n(n+1)²))
+
+    computed with one identical double expression per engine, floored
+    at 6 decimals.  (This is the tie-aware Pearson-on-ranks form — the
+    d²-difference shortcut is biased under ties.)
+
+    Scale shape: two per-distinct-value rank tables built via the
+    shared prefix-sum core (no global row sort); each joins back to the
+    fact on its value key (the y table — line counts — is tiny and
+    broadcasts; the x table shuffles on price quanta); one final
+    partial-aggregated scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("qy")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint").alias("qx"),
+    )
+    per = o.join(li, o.o_orderkey == li.l_orderkey).select("qx", "qy") \
+        .localCheckpoint(eager=False)  # feeds both rank tables + join
+    rx = _avg_rank2_table(per, "qx", KS_BUCKET)
+    ry = _avg_rank2_table(per, "qy", 64)
+    ranked = (
+        per.join(rx, "qx")
+        .join(F.broadcast(ry), "qy")
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("r2_qx").cast(d38) * F.col("r2_qy"))).alias("sxy"),
+        F.sum((F.col("r2_qx").cast(d38) * F.col("r2_qx"))).alias("sxx"),
+        F.sum((F.col("r2_qy").cast(d38) * F.col("r2_qy"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    center = nd * (nd + 1.0) * (nd + 1.0)
+    rho = (
+        (F.col("sxy").cast("double") - center)
+        / F.sqrt((F.col("sxx").cast("double") - center)
+                 * (F.col("syy").cast("double") - center))
+    )
+    return agg.select(
+        "n",
+        (F.floor(rho * 1000000.0) / 1000000.0).alias("rho"),
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH per AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS qx,
+         l.qy
+  FROM orders
+  JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS qy
+        FROM lineitem GROUP BY 1) l
+    ON o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY qx)
+           + count(*) OVER (PARTITION BY qx) - 1 AS r2x,
+         2 * rank() OVER (ORDER BY qy)
+           + count(*) OVER (PARTITION BY qy) - 1 AS r2y
+  FROM per
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(r2x * r2y) AS sxy,
+         sum(r2x * r2x) AS sxx,
+         sum(r2y * r2y) AS syy
+  FROM ranked
+)
+SELECT n,
+       floor((CAST(sxy AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                * (CAST(n AS DOUBLE) + 1.0))
+             / sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                       * (CAST(n AS DOUBLE) + 1.0))
+                    * (CAST(syy AS DOUBLE)
+                       - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                         * (CAST(n AS DOUBLE) + 1.0)))
+             * 1000000.0) / 1000000.0 AS rho
+FROM sums
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
+    "stats_spearman_corr": QuerySpec(stats_spearman_corr, SPEARMAN_ORACLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
                                      MANNWHITNEY_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),

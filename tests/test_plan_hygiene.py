@@ -119,6 +119,7 @@ SP_ALLOWED = {
     "corpus_token_budget_plan",  # one-row integer-total scalar
     "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
     "profile_join_key_skew",    # one-row fact-count scalar
+    "stats_spearman_corr",      # bucket-offset windows (rank tables)
     "corpus_dedup_threshold_curve",  # cum window over <=9 bucket rows
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
@@ -140,6 +141,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_mannwhitney_u",  # |CDF buckets| rows (fixed bucket count)
     "stats_auc_quality_lang",  # |CDF buckets| rows (fixed bucket count)
     "corpus_dedup_threshold_curve",  # <=9 threshold-bucket rows
+    "stats_spearman_corr",  # |CDF buckets| rows (fixed bucket count)
 }
 
 

@@ -368,3 +368,29 @@ def test_auc_matches_rank_recompute(spark):
     auc = (wins + 0.5 * ties) / (len(s_pos) * len(s_neg))
     assert row.n_pos == len(s_pos) and row.n_neg == len(s_neg)
     assert abs(row.auc - auc) < 2e-6
+
+
+def test_spearman_matches_scipy_style_recompute(spark):
+    """rho recomputed with numpy average ranks (tie-aware
+    Pearson-on-ranks definition)."""
+    from data_ingestion_worker_spark.operators.stats import (
+        stats_spearman_corr,
+    )
+
+    row = stats_spearman_corr(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet") \
+        .selectExpr("o_orderkey", "CAST(o_totalprice AS DOUBLE) p") \
+        .toPandas()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+        .groupBy("l_orderkey").count().toPandas()
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+
+    def avg_ranks(v):
+        import pandas as pd
+        return pd.Series(v).rank(method="average").values
+
+    rx = avg_ranks(np.round(m.p.values * 100))
+    ry = avg_ranks(m["count"].values)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert row.n == len(m)
+    assert abs(row.rho - rho) < 2e-6
