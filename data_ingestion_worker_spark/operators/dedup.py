@@ -250,6 +250,33 @@ def corpus_dedup_threshold_curve(spark: SparkSession,
     )
 
 
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every (source, source) pair,
+    how many near-dup document pairs straddle it — the provenance
+    diagnostic that shows which feeds mirror each other (and how much
+    of a source is internal boilerplate, on the diagonal).
+
+    Built on the existing sub-quadratic pair table; sources attach via
+    two joins on doc_id and the pair is canonicalized (least, greatest)
+    so the matrix is upper-triangular regardless of pair orientation.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1, s2 = d.alias("s1"), d.alias("s2")
+    tagged = (
+        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            F.least(F.col("s1.source"), F.col("s2.source")).alias("src_a"),
+            F.greatest(F.col("s1.source"), F.col("s2.source"))
+            .alias("src_b"),
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     # The shingle table feeds both the size aggregate and the posting
     # buckets; materialize the tokenize+explode once (the multi-consumer
@@ -332,6 +359,21 @@ SELECT CAST(bucket AS DOUBLE) / 10.0 AS threshold,
        CAST(sum(n_bucket) OVER (ORDER BY bucket DESC) AS BIGINT)
          AS n_pairs_at_or_above
 FROM per
+"""
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH tagged AS (
+  SELECT least(s1.source, s2.source) AS src_a,
+         greatest(s1.source, s2.source) AS src_b
+  FROM (
+    WITH {_SHINGLES_SQL.strip()},{_jaccard_oracle_body('shingles')}
+  ) jac
+  JOIN documents s1 ON jac.d1 = s1.doc_id
+  JOIN documents s2 ON jac.d2 = s2.doc_id
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM tagged GROUP BY 1, 2
 """
 
 
@@ -1356,6 +1398,8 @@ SPECS: dict[str, QuerySpec] = {
                                   CORPUS_DUP_STATS_ORACLE),
     "corpus_dedup_threshold_curve": QuerySpec(
         corpus_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_ORACLE),
+    "corpus_source_overlap": QuerySpec(corpus_source_overlap,
+                                       SOURCE_OVERLAP_ORACLE),
     "dedup_jaccard_df_cutoff": QuerySpec(dedup_jaccard_df_cutoff,
                                          DEDUP_JACCARD_DF_ORACLE),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),

@@ -728,6 +728,76 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def ev_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the view→purchase conversion delay: per user,
+    seconds from first view to the first purchase strictly after it;
+    exact p25/p50/p90 over converting users — the latency half of the
+    funnel story (``ev_funnel_stages`` gives rates, this gives how
+    long).
+
+    One partitioning of events by user (two conditional min-windows
+    chained, same shape as the funnel); delays are integer epoch-second
+    differences, the percentiles exact order statistics, so both
+    engines agree bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = e.withColumn("t_view", t_view).withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    delays = (
+        staged.groupBy("user_id")
+        .agg(
+            F.first(_epoch_s(F.col("t_view"))).alias("v_s"),
+            F.first(_epoch_s(F.col("t_purchase"))).alias("p_s"),
+        )
+        .filter(F.col("p_s").isNotNull())
+        .select((F.col("p_s") - F.col("v_s")).alias("delay_s"))
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delay_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(delay_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(delay_s, 0.9)").alias("p90_s"),
+    )
+
+
+CONVERSION_TIME_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT s.user_id,
+         date_diff('second', s.t_view, min(e.ts)) AS delay_s
+  FROM staged s
+  JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > s.t_view
+  GROUP BY s.user_id, s.t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(CAST(delay_s AS DOUBLE), 0.25) AS p25_s,
+       quantile_cont(CAST(delay_s AS DOUBLE), 0.5) AS p50_s,
+       quantile_cont(CAST(delay_s AS DOUBLE), 0.9) AS p90_s
+FROM conv
+"""
+
+
 def ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users, rolling-7-day active users, and the DAU/WAU
     stickiness ratio — the engagement KPI of every product dashboard.
@@ -804,6 +874,8 @@ SPECS: dict[str, QuerySpec] = {
                                        MARKOV_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
                                    DAU_STICKINESS_ORACLE),
+    "ev_conversion_time": QuerySpec(ev_conversion_time,
+                                    CONVERSION_TIME_ORACLE),
     "ev_windowed_topk": QuerySpec(ev_windowed_topk, WINDOWED_TOPK_ORACLE),
     "ev_seasonal_profile": QuerySpec(ev_seasonal_profile, SEASONAL_ORACLE),
     "win_time_range_sum": QuerySpec(win_time_range_sum, TIME_RANGE_ORACLE),

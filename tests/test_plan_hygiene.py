@@ -120,6 +120,7 @@ SP_ALLOWED = {
     "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
     "profile_join_key_skew",    # one-row fact-count scalar
     "stats_spearman_corr",      # bucket-offset windows (rank tables)
+    "ev_conversion_time",       # one-row delay-quantile scalar
     "corpus_dedup_threshold_curve",  # cum window over <=9 bucket rows
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
