@@ -32,7 +32,7 @@ Production at real scale would swap ``localCheckpoint`` for reliable
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
@@ -494,8 +494,107 @@ FROM {prev}
 LPA_ORACLE = _lpa_oracle()
 
 
+#: Hub cutoff for common-neighbor similarity: customers linked to more
+#: than this many suppliers are dropped before pairing (the graph twin
+#: of the shingle DF cutoff — a hub's pair expansion is O(deg²) and its
+#: similarity signal is near zero).
+CN_HUB_CUTOFF = 64
+CN_TOP_K = 50
+
+
+def graph_common_neighbors_topk(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by shared-customer Jaccard — neighborhood
+    similarity on the bipartite graph, the standard link-prediction /
+    substitute-detection signal.
+
+    Same sub-quadratic shape as the document Jaccard: customers are the
+    posting lists (sorted supplier lists per customer, hub customers
+    cut at ``CN_HUB_CUTOFF``), pairs expand locally inside each bucket,
+    and degrees (post-cutoff, so the score is consistent with the
+    candidates) come from one aggregate.  Ties at the top-k boundary
+    break on (supplier, supplier), and the ranking compiles to
+    TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)   # feeds buckets + degrees
+    )
+    kept = (
+        cs.withColumn(
+            "cdeg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
+        .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
+        .select("c", "s")
+        .localCheckpoint(eager=False)
+    )
+    deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    buckets = (
+        kept.groupBy("c")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    from .dedup import _TRIANGLE
+
+    pairs = (
+        buckets.select(F.explode(
+            F.expr(_TRIANGLE.format(ids="ids"))
+        ).alias("p"))
+        .groupBy(F.col("p.d1").alias("s1"), F.col("p.d2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    jac = F.col("inter").cast("double") / (
+        F.col("da.n") + F.col("db.n") - F.col("inter")
+    )
+    return (
+        pairs.join(da, F.col("s1") == F.col("da.s"))
+        .join(db, F.col("s2") == F.col("db.s"))
+        .select("s1", "s2", "inter",
+                (F.floor(jac * 10000.0) / 10000.0).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(CN_TOP_K)
+    )
+
+
+COMMON_NEIGHBORS_ORACLE = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+kept AS (
+  SELECT c, s FROM (
+    SELECT c, s, count(*) OVER (PARTITION BY c) AS cdeg FROM cs
+  ) WHERE cdeg <= {CN_HUB_CUTOFF}
+),
+deg AS (SELECT s, count(*) AS n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS inter
+  FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, inter,
+       floor(CAST(inter AS DOUBLE) / (da.n + db.n - inter) * 10000.0)
+         / 10000.0 AS jaccard
+FROM pairs
+JOIN deg da ON s1 = da.s
+JOIN deg db ON s2 = db.s
+ORDER BY jaccard DESC, s1, s2
+LIMIT {CN_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
+    "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
+                                             COMMON_NEIGHBORS_ORACLE),
     "graph_label_propagation": QuerySpec(graph_label_propagation,
                                          LPA_ORACLE),
     "graph_pagerank_adaptive": QuerySpec(graph_pagerank_adaptive,
