@@ -169,6 +169,103 @@ WHERE (n * c - sx) * (n * c - sx) > 4 * (n * sxx - sx * sx) AND n > 1
 """
 
 
+#: CUSUM alarm threshold in per-type count standard deviations.
+CUSUM_H_SIGMA = 3
+
+
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-CUSUM change-point detection on hourly event counts.
+
+    The textbook CUSUM recursion ``S_t = max(0, S_{t-1} + (x_t - mean))``
+    looks inherently sequential, but one-sided CUSUM has a closed form:
+    ``S_t = P_t - min_{j<=t} P_j`` where ``P`` is the prefix sum of the
+    deviations — so the whole detector is two ordered window functions
+    over the (tiny) hourly aggregate, never a sequential scan.  All
+    deviations are pre-scaled by ``n`` (``d_t = n*c_t - sx``) so ``P``
+    and the running min stay exact BIGINTs; the alarm
+    ``S > H*sigma_scaled`` and the reported sigma-units value divide
+    identical integer operands, so both engines agree bit-for-bit.
+
+    Scale shape: one partial-aggregated shuffle of events into hourly
+    buckets; the per-type power sums and both ordered windows run over
+    that bounded frame (|types| x |hours| rows), so the fact table is
+    scanned exactly once — same single-scan contract as
+    :func:`ev_anomaly_zscore`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    st = hourly.select(
+        "event_type", "hour", "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sxx"),
+    )
+    d = F.col("n") * F.col("c") - F.col("sx")
+    pre = st.select(
+        "event_type", "hour", "c", "n", "sx", "sxx",
+        F.sum(d).over(wo).alias("p"),
+    )
+    # S_t = P_t - min(0, min_{j<=t} P_j): the 0 term is the empty prefix
+    # (S_0 = 0), without which an immediately-positive drift would be
+    # absorbed into the baseline instead of raising the statistic.
+    run = pre.select(
+        "event_type", "hour", "c", "n", "sxx", "sx",
+        (F.col("p")
+         - F.least(F.lit(0).cast("bigint"), F.min("p").over(wo))).alias("s"),
+    )
+    rad = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sigma = F.sqrt(rad.cast("double"))
+    return run.filter(rad > 0).select(
+        "event_type", "hour", F.col("c").alias("hour_count"),
+        F.col("s").cast("bigint").alias("cusum_scaled"),
+        F.round(F.col("s").cast("double") / sigma, 6).alias("cusum_sigma"),
+        (F.col("s").cast("double")
+         > F.lit(float(CUSUM_H_SIGMA)) * sigma).alias("alarm"),
+    )
+
+
+CUSUM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, hour, c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS sx,
+         CAST(sum(c * c) OVER w AS BIGINT) AS sxx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+pre AS (
+  SELECT event_type, hour, c, n, sx, sxx,
+         CAST(sum(n * c - sx) OVER wo AS BIGINT) AS p
+  FROM st
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hour)
+),
+run AS (
+  SELECT event_type, hour, c, n, sx, sxx,
+         p - least(CAST(0 AS BIGINT), min(p) OVER wo) AS s
+  FROM pre
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour, c AS hour_count,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       round(CAST(s AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS cusum_sigma,
+       CAST(s AS DOUBLE) > {float(CUSUM_H_SIGMA)}
+         * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS alarm
+FROM run
+WHERE n * sxx - sx * sx > 0
+"""
+
+
 #: Join-key columns profiled for skew, and heavy-hitter depth.
 SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 SKEW_TOP_K = 3
@@ -250,4 +347,5 @@ SPECS: dict[str, QuerySpec] = {
     "profile_join_key_skew": QuerySpec(profile_join_key_skew,
                                        SKEW_PROFILE_ORACLE),
     "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),
+    "ev_cusum_changepoint": QuerySpec(ev_cusum_changepoint, CUSUM_ORACLE),
 }

@@ -801,6 +801,322 @@ FROM {last} a LEFT JOIN dropped d USING (vec_id)
 
 DEDUP_SEMANTIC_ORACLE = _semantic_oracle()
 
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the vector-compression half of a production
+# ANN index (IVF-PQ).  The 64-d space is split into PQ_M orthogonal
+# subspaces; each subspace gets its own PQ_K-codeword L2 codebook (seeded
+# + one Lloyd refinement — the same deterministic-k-means recipe as the
+# coarse quantizer, but per-subspace), and every vector is stored as
+# PQ_M small codes.  At 100 TB this is what makes the index fit in
+# memory: 64 floats -> 4 bytes per vector, and search becomes integer
+# LUT lookups (see ``ann_pq_adc_topk``).
+# --------------------------------------------------------------------------
+
+#: Narrow subspaces (4 dims) with a wider codebook are the classic PQ
+#: regime (Jégou et al. 2011 use 8 bits over 4-8 dims): on this corpus
+#: 16x4-d/32 codes reaches ~0.4 ADC recall@5 where 4x16-d/8 codes gave
+#: 0.04 — measured with an independent numpy mirror of the training.
+PQ_M = 16     # subspaces
+PQ_SUB = 4    # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 32     # codewords per subspace
+
+#: Codeword-distance score (lower = closer): with centroid kept as the
+#: exact integer member-sum ``s`` over ``cnt`` members, the L2 distance
+#: to the *mean* centroid decomposes as ``||v||² + ns/cnt² - 2·dot/cnt``;
+#: the rank-relevant part below uses only the two division terms (the
+#: ``||v||²`` offset is constant per vector-subspace).  Every operand is
+#: an exact integer, so the two divisions and one subtraction produce
+#: bit-identical doubles on both engines.
+_PQ_SCORE = ("CAST(ns AS DOUBLE) / CAST(cnt * cnt AS DOUBLE) "
+             "- 2.0 * CAST(dot AS DOUBLE) / CAST(cnt AS DOUBLE)")
+
+
+def _pq_state(spark: SparkSession, sf_dir: str):
+    """Train the per-subspace codebooks; return the final state.
+
+    Returns ``(dims, vnorm, cent, msize, assign)`` where ``assign`` is
+    the final (vec_id, m, code, score) assignment and ``cent``/``msize``
+    are the codebook it was computed against (needed by the ADC LUT).
+
+    Scale shape: codebooks are PQ_M x PQ_K rows and always broadcast;
+    each training round is one broadcast join + one partial-agg shuffle
+    of (vec_id, m, code) candidates — the corpus never self-joins, and
+    the exploded dim table is checkpointed once and reused by every
+    round (and by both PQ operators' downstream joins).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv0")
+    )
+    dims = e.select(
+        "vec_id", F.posexplode("qv0").alias("d", "v")
+    ).select(
+        "vec_id", (F.col("d") / PQ_SUB).cast("int").alias("m"), "d", "v"
+    ).localCheckpoint(eager=True)
+    vnorm = dims.groupBy("vec_id", "m").agg(
+        F.sum(F.col("v") * F.col("v")).alias("nv")
+    )
+    seed_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+    ws = Window.orderBy(F.col("sh").asc(), F.col("vec_id"))
+    seeds = (
+        e.select("vec_id", seed_h.alias("sh"))
+        .orderBy(F.col("sh").asc(), F.col("vec_id"))
+        .limit(PQ_K)
+        .withColumn("code", (F.row_number().over(ws) - 1).cast("int"))
+        .select("vec_id", "code")
+    )
+    # Round-0 codebook: the seed vectors themselves (each code has
+    # exactly one member per subspace; cnt derives from the PQ_SUB rows
+    # each member contributes, so the count algebra is uniform across
+    # rounds).
+    cent = dims.join(F.broadcast(seeds), "vec_id").select(
+        "m", "code", "d", F.col("v").alias("s")
+    )
+    msize = cent.groupBy("m", "code").agg(
+        (F.count(F.lit(1)) / PQ_SUB).cast("bigint").alias("cnt")
+    )
+    assign = None
+    for it in range(2):
+        cnorm = cent.groupBy("m", "code").agg(
+            F.sum(F.col("s") * F.col("s")).alias("ns")
+        )
+        dots = (
+            dims.join(F.broadcast(cent), ["m", "d"])
+            .groupBy("vec_id", "m", "code")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+        )
+        sc = (
+            dots.join(F.broadcast(cnorm), ["m", "code"])
+            .join(F.broadcast(msize), ["m", "code"])
+            .withColumn("score", F.expr(_PQ_SCORE))
+        )
+        wa = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("score").asc(), F.col("code")
+        )
+        assign = (
+            sc.withColumn("r", F.row_number().over(wa))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "m", "code", "score", "dot", "ns", "cnt")
+        )
+        if it == 0:
+            assign = assign.localCheckpoint(eager=False)
+            cent = (
+                dims.join(assign.select("vec_id", "m", "code"),
+                          ["vec_id", "m"])
+                .groupBy("m", "code", "d")
+                .agg(F.sum("v").alias("s"))
+            )
+            msize = assign.groupBy("m", "code").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            )
+    return dims, vnorm, cent, msize, assign
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ codes + per-subspace quantization distortion.
+
+    One row per (vector, subspace): the assigned codeword, its cluster
+    size, and the distortion as the EXACT integer numerator of the L2²
+    distance to the mean centroid scaled by cnt²
+    (``nv·cnt² + ns − 2·dot·cnt`` — always ≥ 0); dividing by the
+    returned ``cnt²`` recovers the real-unit value.  Kept integral
+    because a 6-decimal rounding of the ~1e7-magnitude double hits the
+    engines' differing decimal-rounding implementations at the 14th
+    significant digit.  The distortion is the index-quality metric a
+    pipeline tracks when tuning PQ_M/PQ_K.
+    """
+    dims, vnorm, cent, msize, assign = _pq_state(spark, sf_dir)
+    dist_num = (F.col("nv") * F.col("cnt") * F.col("cnt") + F.col("ns")
+                - 2 * F.col("dot") * F.col("cnt"))
+    return (
+        assign.join(vnorm, ["vec_id", "m"])
+        .select(
+            "vec_id", F.col("m").alias("subspace"), "code", "cnt",
+            dist_num.cast("bigint").alias("dist_num"),
+        )
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC).
+
+    For each query, the exact distance from the query subvector to every
+    codeword is precomputed into a PQ_M x PQ_K lookup table (quantized
+    to integer milli-units — the LUT-quantization used by SIMD PQ
+    implementations, and what makes the per-candidate sum an exact
+    integer, immune to float accumulation order).  A candidate's
+    approximate distance is then the sum of PQ_M LUT entries — no
+    vector math touches the corpus at query time.
+
+    Scale shape: the LUT is |queries| x PQ_M x PQ_K rows and broadcast;
+    the scan side is the *codes* table (PQ_M small ints per vector, not
+    the embeddings), one broadcast join + one partial-agg shuffle, then
+    a per-query top-k window.  This is exactly the IVF-PQ query path of
+    a production vector index, minus the cell pruning already modeled by
+    ``ann_ivf_topk``.
+    """
+    dims, vnorm, cent, msize, assign = _pq_state(spark, sf_dir)
+    cnorm = cent.groupBy("m", "code").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ns")
+    )
+    qd = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "d", "v"
+    )
+    qdots = (
+        qd.join(F.broadcast(cent), ["m", "d"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+    )
+    qn = vnorm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("nv").alias("nq")
+    )
+    lut = (
+        qdots.join(F.broadcast(cnorm), ["m", "code"])
+        .join(F.broadcast(msize), ["m", "code"])
+        .join(F.broadcast(qn), ["query_id", "m"])
+        .withColumn(
+            "lut_milli",
+            F.expr(f"CAST(round((CAST(nq AS DOUBLE) + {_PQ_SCORE}) "
+                   "* 1000.0) AS BIGINT)"),
+        )
+        .select("query_id", "m", "code", "lut_milli")
+    )
+    adc = (
+        assign.select("vec_id", "m", "code")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_milli").alias("adc_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_milli").asc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "adc_milli")
+    )
+
+
+def _pq_ctes() -> str:
+    """The WITH-body training the PQ codebooks (mirrors ``_pq_state``)."""
+    score = _PQ_SCORE
+    return f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, CAST((d - 1) // {PQ_SUB} AS INT) AS m, d, v FROM raw
+),
+vnorm AS (SELECT vec_id, m, sum(v * v) AS nv FROM dims GROUP BY 1, 2),
+seeds AS (
+  SELECT vec_id, CAST(r - 1 AS INT) AS code FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY {hash64_sql("'pq:' || CAST(vec_id AS VARCHAR)")}, vec_id
+    ) AS r FROM embeddings
+  ) WHERE r <= {PQ_K}
+),
+cent0 AS (
+  SELECT d.m, s.code, d.d, d.v AS s
+  FROM seeds s JOIN dims d USING (vec_id)
+),
+msize0 AS (
+  SELECT m, code, CAST(count(*) // {PQ_SUB} AS BIGINT) AS cnt
+  FROM cent0 GROUP BY 1, 2
+),
+cnorm0 AS (SELECT m, code, sum(s * s) AS ns FROM cent0 GROUP BY 1, 2),
+dots0 AS (
+  SELECT q.vec_id, q.m, c.code, sum(q.v * c.s) AS dot
+  FROM dims q JOIN cent0 c ON q.m = c.m AND q.d = c.d
+  GROUP BY 1, 2, 3
+),
+assign0 AS (
+  SELECT vec_id, m, code, score, dot, ns, cnt FROM (
+    SELECT d.vec_id, d.m, d.code, {score} AS score, dot, ns, cnt,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY {score}, d.code) AS r
+    FROM dots0 d
+    JOIN cnorm0 USING (m, code)
+    JOIN msize0 USING (m, code)
+  ) WHERE r = 1
+),
+cent1 AS (
+  SELECT a.m, a.code, d.d, sum(d.v) AS s
+  FROM assign0 a JOIN dims d ON a.vec_id = d.vec_id AND a.m = d.m
+  GROUP BY 1, 2, 3
+),
+msize1 AS (
+  SELECT m, code, CAST(count(*) AS BIGINT) AS cnt FROM assign0 GROUP BY 1, 2
+),
+cnorm1 AS (SELECT m, code, sum(s * s) AS ns FROM cent1 GROUP BY 1, 2),
+dots1 AS (
+  SELECT q.vec_id, q.m, c.code, sum(q.v * c.s) AS dot
+  FROM dims q JOIN cent1 c ON q.m = c.m AND q.d = c.d
+  GROUP BY 1, 2, 3
+),
+assign1 AS (
+  SELECT vec_id, m, code, score, dot, ns, cnt FROM (
+    SELECT d.vec_id, d.m, d.code, {score} AS score, dot, ns, cnt,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY {score}, d.code) AS r
+    FROM dots1 d
+    JOIN cnorm1 USING (m, code)
+    JOIN msize1 USING (m, code)
+  ) WHERE r = 1
+)"""
+
+
+EMB_PQ_CODES_ORACLE = _pq_ctes() + """
+SELECT a.vec_id, a.m AS subspace, a.code, a.cnt,
+       CAST(nv * a.cnt * a.cnt + a.ns - 2 * a.dot * a.cnt AS BIGINT)
+         AS dist_num
+FROM assign1 a JOIN vnorm n ON a.vec_id = n.vec_id AND a.m = n.m
+"""
+
+
+ANN_PQ_ADC_ORACLE = _pq_ctes() + f""",
+qd AS (
+  SELECT vec_id AS query_id, m, d, v FROM dims WHERE vec_id < {N_QUERIES}
+),
+qdots AS (
+  SELECT q.query_id, q.m, c.code, sum(q.v * c.s) AS dot
+  FROM qd q JOIN cent1 c ON q.m = c.m AND q.d = c.d
+  GROUP BY 1, 2, 3
+),
+qn AS (
+  SELECT vec_id AS query_id, m, nv AS nq
+  FROM vnorm WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT query_id, m, code,
+         CAST(round((CAST(nq AS DOUBLE) + {_PQ_SCORE}) * 1000.0) AS BIGINT)
+           AS lut_milli
+  FROM qdots
+  JOIN cnorm1 USING (m, code)
+  JOIN msize1 USING (m, code)
+  JOIN qn USING (query_id, m)
+),
+adc AS (
+  SELECT l.query_id, a.vec_id, CAST(sum(l.lut_milli) AS BIGINT) AS adc_milli
+  FROM assign1 a JOIN lut l ON a.m = l.m AND a.code = l.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, CAST(r AS INT) AS rank, adc_milli FROM (
+  SELECT query_id, vec_id, adc_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_milli, vec_id) AS r
+  FROM adc
+) WHERE r <= {TOP_K}
+"""
+
 HYBRID_QUERY_VEC = 0  # the query embedding: vec_id 0 (ANN-query idiom)
 
 
@@ -868,6 +1184,60 @@ JOIN qry q ON q.d = a.d
 JOIN hn na ON na.vec_id = c.doc_id
 CROSS JOIN qn
 GROUP BY 1, 2
+"""
+
+
+#: Reciprocal-rank-fusion damping constant (the published RRF default).
+RRF_K = 60
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and semantic rankings.
+
+    Takes the hybrid candidate set (:func:`hybrid_search_rerank` — BM25
+    top-k joined to integer-exact cosine) and fuses the two orderings
+    with the standard RRF score ``1/(K+r_bm25) + 1/(K+r_cos)`` — the
+    score-free fusion used when the two retrievers' scores aren't
+    calibrated against each other (Cormack et al., SIGIR 2009).  Ranks
+    are integers with pinned tie-breaks, so the fused score is a fixed
+    two-term double expression — deterministic on both engines.
+
+    Scale shape: both rank windows run over the ≤ BM25_TOPK candidate
+    rows (a constant — the gather stage of the scatter/gather top-k),
+    never the corpus; all the heavy lifting happened in the candidate
+    generators.
+    """
+    scored = hybrid_search_rerank(spark, sf_dir)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    wc = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(wb).alias("bm25_rank"),
+        F.row_number().over(wc).alias("cos_rank"),
+    )
+    rrf = (F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank"))
+           + F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")))
+    return ranked.select(
+        "doc_id", "bm25_rank", "cos_rank",
+        F.round(rrf, 6).alias("rrf"),
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH scored AS ({_hybrid_oracle()}),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS bm25_rank,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+           AS cos_rank
+  FROM scored
+)
+SELECT doc_id, bm25_rank, cos_rank,
+       round(1.0 / ({RRF_K} + bm25_rank)
+             + 1.0 / ({RRF_K} + cos_rank), 6) AS rrf
+FROM ranked
 """
 
 
@@ -1085,4 +1455,8 @@ SPECS: dict[str, QuerySpec] = {
                                        EMB_MATRYOSHKA_ORACLE),
     "hybrid_search_rerank": QuerySpec(hybrid_search_rerank,
                                       _hybrid_oracle()),
+    "hybrid_search_rrf": QuerySpec(hybrid_search_rrf,
+                                   _hybrid_rrf_oracle()),
+    "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
+    "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
 }

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
+    "hybrid_search_rrf",   # inherits the rerank stage's query-vector cross
     "emb_matryoshka_recall",  # K query vectors broadcast (twice per dim)
     "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
     "sketch_hll_union",    # one-row merged-registers x one-row exact count
@@ -112,6 +113,7 @@ SP_ALLOWED = {
     "graph_pagerank",           # one-row |V| + per-iteration mass scalars
     "graph_pagerank_adaptive",  # same scalars, convergence-capped loop
     "hybrid_search_rerank",     # BM25 stage's (N, Σdl) scalar + qvec row
+    "hybrid_search_rrf",        # same, + rank windows over <=k candidates
     "stats_chi2_independence",  # one-row grand-total scalar
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
@@ -128,6 +130,9 @@ SP_ALLOWED = {
     "corpus_mix_sample",        # one-row min over the k-language agg
     "sketch_hll_union",         # two one-row scalars (registers, exact)
     "pipeline_filter_stats",    # survival window over the per-reason agg
+    "ann_pq_adc_topk",          # Spark-injected runtime bloom-filter
+                                # subquery: partial sketch buffers merged
+                                # at one row (constant size, not data)
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -143,6 +148,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_auc_quality_lang",  # |CDF buckets| rows (fixed bucket count)
     "corpus_dedup_threshold_curve",  # <=9 threshold-bucket rows
     "stats_spearman_corr",  # |CDF buckets| rows (fixed bucket count)
+    "hybrid_search_rrf",    # <= BM25_TOPK candidate rows (constant k)
 }
 
 

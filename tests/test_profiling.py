@@ -91,3 +91,36 @@ def test_salient_terms_topk_contract(spark, sf_dir):
         assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
         weights = [r["tf"] * n_docs / r["df"] for r in rs]
         assert all(a >= b - 1e-9 for a, b in zip(weights, weights[1:]))
+
+
+def test_cusum_matches_sequential_recursion_and_single_scan(spark, sf_dir):
+    """The windowed closed form (prefix sum minus running min, with the
+    empty-prefix 0) must equal the textbook sequential recursion
+    ``S_t = max(0, S_{t-1} + d_t)`` exactly, and events is scanned once."""
+    from data_ingestion_worker_spark.operators.profiling import (
+        CUSUM_H_SIGMA,
+        ev_cusum_changepoint,
+    )
+
+    df = ev_cusum_changepoint(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = df.collect()
+    assert rows, "no CUSUM rows produced"
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour)
+        n = len(rs)
+        sx = sum(r.hour_count for r in rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + n * r.hour_count - sx)
+            assert r.cusum_scaled == s, (et, r.hour)
+        # alarm flag is exactly the H-sigma exceedance
+        sxx = sum(r.hour_count ** 2 for r in rs)
+        import math
+        sigma = math.sqrt(n * sxx - sx * sx)
+        for r in rs:
+            assert r.alarm == (r.cusum_scaled > CUSUM_H_SIGMA * sigma), r

@@ -213,3 +213,101 @@ def test_corpus_mix_sample_is_deterministic_hash_gate(spark, sf_dir):
     assert got_by_lang[min(n_by_lang, key=n_by_lang.get)] == min_docs
     for lang, n in got_by_lang.items():
         assert n <= n_by_lang[lang]
+
+
+def test_pq_codes_cover_every_vector_and_subspace(spark, sf_dir):
+    """One code per (vector, subspace); codes in range; cluster sizes
+    consistent with the assignment; distortion numerators non-negative."""
+    from data_ingestion_worker_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        emb_pq_codes,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = emb_pq_codes(spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec * PQ_M
+    seen = {(r.vec_id, r.subspace) for r in rows}
+    assert len(seen) == len(rows), "duplicate (vector, subspace) code"
+    for r in rows:
+        assert 0 <= r.code < PQ_K
+        assert 0 <= r.subspace < PQ_M
+        assert r.dist_num >= 0, "negative squared distortion"
+        # cnt is the codebook cluster size from the training round (the
+        # denominator of the distance algebra) — positive and bounded
+        assert 1 <= r.cnt <= n_vec, r
+    # a (subspace, code) cell reports one consistent codebook size
+    cell_cnt = {(r.subspace, r.code): r.cnt for r in rows}
+    for r in rows:
+        assert r.cnt == cell_cnt[(r.subspace, r.code)], r
+
+
+def test_pq_adc_topk_recall_and_ordering(spark, sf_dir):
+    """ADC search returns a well-formed per-query top-k whose mean
+    recall against the exact quantized-L2 top-k clears a floor — the
+    operator must approximate the metric, not just run."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        N_QUERIES,
+        QUANT,
+        TOP_K,
+        ann_pq_adc_topk,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = ann_pq_adc_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.query_id, "self-match leaked into top-k"
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r.adc_milli for r in rs]
+        assert dists == sorted(dists), "ADC distance not monotone in rank"
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([np.round(np.array(r.embedding, dtype=np.float64) * QUANT)
+                  for r in emb])
+    recalls = []
+    for q in range(N_QUERIES):
+        qv = V[ids == q][0]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))
+        exact = {ids[i] for i in order if ids[i] != q}
+        exact = set(list(sorted(exact, key=lambda v: (
+            d2[np.where(ids == v)[0][0]], v)))[:TOP_K])
+        approx = {r.vec_id for r in by_q[q]}
+        recalls.append(len(exact & approx) / TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_rrf_is_a_fusion_of_the_rerank_rankings(spark, sf_dir):
+    """RRF output covers exactly the rerank candidate set, both rank
+    columns are permutations of 1..n consistent with the underlying
+    scores, and the fused value is the two-term reciprocal sum."""
+    from data_ingestion_worker_spark.operators.similarity import (
+        RRF_K,
+        hybrid_search_rrf,
+    )
+
+    scored = hybrid_search_rerank(spark, sf_dir).collect()
+    fused = hybrid_search_rrf(spark, sf_dir).collect()
+    assert {r.doc_id for r in fused} == {r.doc_id for r in scored}
+    n = len(fused)
+    assert sorted(r.bm25_rank for r in fused) == list(range(1, n + 1))
+    assert sorted(r.cos_rank for r in fused) == list(range(1, n + 1))
+    bm25_order = [r.doc_id for r in sorted(
+        scored, key=lambda r: (-r.bm25, r.doc_id))]
+    cos_order = [r.doc_id for r in sorted(
+        scored, key=lambda r: (-r.cosine, r.doc_id))]
+    for r in fused:
+        assert bm25_order[r.bm25_rank - 1] == r.doc_id
+        assert cos_order[r.cos_rank - 1] == r.doc_id
+        expect = 1.0 / (RRF_K + r.bm25_rank) + 1.0 / (RRF_K + r.cos_rank)
+        assert abs(r.rrf - expect) < 1e-6
