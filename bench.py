@@ -67,6 +67,10 @@ HEADLINE = [
     "emb_gram_matrix",
     "dedup_jaccard_prefix_filter",
     "dedup_cluster_representative",
+    # Round-5 (cont. 4) additions: the PQ index build + ADC search path
+    # (codebook training is the measured cost; search itself is a
+    # broadcast-LUT join over the codes table).
+    "ann_pq_adc_topk",
 ]
 
 

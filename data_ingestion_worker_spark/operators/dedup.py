@@ -434,6 +434,77 @@ FROM sized GROUP BY 1
 """
 
 
+def corpus_dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-by-duplication cross diagnostic: mean quality score per
+    *near-dup* cluster-size bucket — the "is dedup removing template
+    junk, or deleting good content?" question a curation owner asks
+    before committing a dedup pass.  Composes the LSH + connected-
+    components clustering (``dedup_connected_components``) with the
+    pinned quality formula (``operators/text._quality_raw``) — both
+    single-sourced, so this diagnostic can never drift from the
+    operators it audits.  (Exact-fingerprint clusters would be the
+    cheaper grouping, but this corpus — like most crawls — duplicates
+    at the near-dup level, where exact buckets are degenerate.)
+
+    Determinism: quality is floored to an integer at 1e4 scale per doc,
+    so per-bucket means are exact integer divisions (``sum div n``) —
+    no float accumulation anywhere.  Scale shape: the CC cost dominates
+    (documented there); on top of it, one window per cluster for sizes
+    and a partial-agg shuffle of |buckets| (≤4) rows.
+    """
+    from .text import _quality_raw
+
+    cc = dedup_connected_components(spark, sf_dir)
+    qd = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id",
+                F.floor(_quality_raw() * 10000.0).cast("bigint").alias("q"))
+    )
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    bucket = (
+        F.when(F.col("size") == 1, F.lit("unique"))
+        .when(F.col("size") == 2, F.lit("pair"))
+        .when(F.col("size") <= 4, F.lit("small"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        cc.withColumn("size", size)
+        .join(qd, "doc_id")
+        .select(bucket.alias("size_bucket"), "cluster_id", "q")
+        .groupBy("size_bucket")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(q) div count(1)").alias("mean_q"),
+        )
+    )
+
+
+def _dup_quality_oracle() -> str:
+    from .text import _QUALITY_RAW_SQL
+
+    return f"""
+{_CC_ORACLE_WITH}
+, qd AS (
+  SELECT doc_id, CAST(floor({_QUALITY_RAW_SQL} * 10000.0) AS BIGINT) AS q
+  FROM documents WHERE length(text) > 0
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS size
+  FROM labels
+)
+SELECT CASE WHEN size = 1 THEN 'unique' WHEN size = 2 THEN 'pair'
+            WHEN size <= 4 THEN 'small' ELSE 'large' END AS size_bucket,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q) // count(*) AS BIGINT) AS mean_q
+FROM sized JOIN qd USING (doc_id)
+GROUP BY 1
+"""
+
+
 CONTAIN_CUTOFF = 0.5
 
 
@@ -1396,6 +1467,8 @@ SPECS: dict[str, QuerySpec] = {
                                    DEDUP_CONTAINMENT_ORACLE),
     "corpus_dup_stats": QuerySpec(corpus_dup_stats,
                                   CORPUS_DUP_STATS_ORACLE),
+    "corpus_dup_quality_profile": QuerySpec(corpus_dup_quality_profile,
+                                            _dup_quality_oracle()),
     "corpus_dedup_threshold_curve": QuerySpec(
         corpus_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_ORACLE),
     "corpus_source_overlap": QuerySpec(corpus_source_overlap,

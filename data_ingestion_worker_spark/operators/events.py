@@ -490,6 +490,111 @@ FROM pairs
 """
 
 
+#: Stationary-distribution mass scale and power-iteration count.
+MS_SCALE = 1_000_000_000_000
+MS_ITERS = 4
+
+
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state event-type mix of the first-order Markov chain —
+    the long-run behavioural equilibrium implied by the transition
+    matrix (``ev_markov_transitions``), via MS_ITERS power-iteration
+    steps from the uniform distribution.
+
+    Determinism: mass is a BIGINT scaled by 10¹² and every step is
+    ``(mass · count) div row_total`` summed as integers — the PageRank
+    idiom — so shuffle order cannot perturb a bit.  The chain is closed
+    on the states that have outgoing transitions (transitions into a
+    state that never transitions out are dropped) so mass only leaks
+    through integer truncation.
+
+    Scale shape: one scan of events builds the pair counts (a lead()
+    window per user, then a partial-agg shuffle of |types|² rows);
+    every iteration joins bounded |types|-sized frames — the fact table
+    is never touched again.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    states = raw.select(F.col("from_type").alias("t")).distinct() \
+        .localCheckpoint(eager=False)
+    c = raw.join(
+        states.withColumnRenamed("t", "to_type"), "to_type", "left_semi"
+    ).localCheckpoint(eager=False)
+    r = c.groupBy("from_type").agg(F.sum("n").alias("r")) \
+        .localCheckpoint(eager=False)
+    k = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "t", F.expr(f"{MS_SCALE} div k").alias("mass")
+    )
+    for _ in range(MS_ITERS):
+        pi = (
+            pi.join(c, pi.t == c.from_type)
+            .join(F.broadcast(r), "from_type")
+            .select(F.col("to_type").alias("t"),
+                    F.expr("(mass * n) div r").alias("term"))
+            .groupBy("t")
+            .agg(F.sum("term").alias("mass"))
+        )
+    return pi.select(
+        F.col("t").alias("event_type"),
+        F.col("mass").alias("pi_scaled"),
+        F.round(F.col("mass").cast("double") / MS_SCALE, 6).alias("pi"),
+    )
+
+
+def _markov_stationary_oracle() -> str:
+    iters = []
+    prev = "pi0"
+    for i in range(1, MS_ITERS + 1):
+        iters.append(f""",
+pi{i} AS MATERIALIZED (
+  SELECT c.to_type AS t, CAST(sum((p.mass * c.n) // r.r) AS BIGINT) AS mass
+  FROM {prev} p JOIN c ON p.t = c.from_type
+  JOIN r ON c.from_type = r.from_type
+  GROUP BY 1
+)""")
+        prev = f"pi{i}"
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  )
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+states AS MATERIALIZED (SELECT DISTINCT from_type AS t FROM raw),
+c AS MATERIALIZED (
+  SELECT from_type, to_type, n FROM raw
+  WHERE to_type IN (SELECT t FROM states)
+),
+r AS MATERIALIZED (SELECT from_type, sum(n) AS r FROM c GROUP BY 1),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+pi0 AS (
+  SELECT t, CAST({MS_SCALE} // k AS BIGINT) AS mass
+  FROM states CROSS JOIN k
+){"".join(iters)}
+SELECT t AS event_type, mass AS pi_scaled,
+       round(CAST(mass AS DOUBLE) / {MS_SCALE}, 6) AS pi
+FROM {prev}
+"""
+
+
+MARKOV_STATIONARY_ORACLE = _markov_stationary_oracle()
+
+
 def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) user segmentation over
     purchase events — the standard marketing-analytics cut.
@@ -872,6 +977,8 @@ FROM dau JOIN wau ON dau.day = wau.tday
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
+    "ev_markov_stationary": QuerySpec(ev_markov_stationary,
+                                      MARKOV_STATIONARY_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
                                    DAU_STICKINESS_ORACLE),
     "ev_conversion_time": QuerySpec(ev_conversion_time,

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "emb_matryoshka_recall",  # K query vectors broadcast (twice per dim)
     "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
     "sketch_hll_union",    # one-row merged-registers x one-row exact count
+    "ev_markov_stationary",  # one-row state-count broadcast cross join
 }
 
 
@@ -133,6 +134,8 @@ SP_ALLOWED = {
     "ann_pq_adc_topk",          # Spark-injected runtime bloom-filter
                                 # subquery: partial sketch buffers merged
                                 # at one row (constant size, not data)
+    "corpus_dup_quality_profile",  # same injected bloom-filter subquery
+    "ev_markov_stationary",     # one-row state-count scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

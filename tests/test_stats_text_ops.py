@@ -394,3 +394,65 @@ def test_spearman_matches_scipy_style_recompute(spark):
     rho = np.corrcoef(rx, ry)[0, 1]
     assert row.n == len(m)
     assert abs(row.rho - rho) < 2e-6
+
+
+def test_markov_stationary_matches_python_power_iteration(spark, sf_dir):
+    """The integer-scaled power iteration must be reproducible exactly
+    from the transition counts with plain Python bigint arithmetic —
+    the operator's determinism claim, checked end to end."""
+    from data_ingestion_worker_spark.operators.events import (
+        MS_ITERS,
+        MS_SCALE,
+        ev_markov_stationary,
+        ev_markov_transitions,
+    )
+
+    trans = ev_markov_transitions(spark, sf_dir).collect()
+    states = sorted({r.from_type for r in trans})
+    sset = set(states)
+    c = {(r.from_type, r.to_type): r.n for r in trans if r.to_type in sset}
+    r_tot = {s: sum(n for (f, _), n in c.items() if f == s) for s in states}
+    pi = {s: MS_SCALE // len(states) for s in states}
+    for _ in range(MS_ITERS):
+        nxt: dict[str, int] = {}
+        for (f, t), n in c.items():
+            nxt[t] = nxt.get(t, 0) + (pi.get(f, 0) * n) // r_tot[f]
+        pi = nxt
+    got = {r.event_type: r.pi_scaled
+           for r in ev_markov_stationary(spark, sf_dir).collect()}
+    assert got == {s: m for s, m in pi.items() if s in got or m != 0}
+    # mass is conserved up to integer truncation (never created)
+    assert sum(got.values()) <= MS_SCALE
+    assert sum(got.values()) >= MS_SCALE - MS_ITERS * len(states) * len(states)
+
+
+def test_dup_quality_profile_buckets_partition_the_corpus(spark, sf_dir):
+    """Bucket doc counts must add up to the scored corpus, cluster
+    counts must agree with the underlying components, and each bucket's
+    mean must lie within the per-doc quality range."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.dedup import (
+        corpus_dup_quality_profile,
+        dedup_connected_components,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    prof = {r.size_bucket: r for r in
+            corpus_dup_quality_profile(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.length("text") > 0)
+    assert sum(r.n_docs for r in prof.values()) == docs.count()
+    cc = dedup_connected_components(spark, sf_dir).collect()
+    sizes = Counter(r.cluster_id for r in cc)
+
+    def bucket(n: int) -> str:
+        return ("unique" if n == 1 else "pair" if n == 2
+                else "small" if n <= 4 else "large")
+
+    expect = Counter(bucket(n) for n in sizes.values())
+    assert {b: r.n_clusters for b, r in prof.items()} == dict(expect)
+    for r in prof.values():
+        assert 0 <= r.mean_q <= 10000  # quality formula is bounded by 1.0
