@@ -481,6 +481,50 @@ def corpus_dup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word-3-grams whose
+    FIRST corpus occurrence (min doc_id over the shingle) is this doc —
+    the "how much new content does each document contribute" signal used
+    to spot mirrored feeds and stale re-crawls during corpus growth.
+
+    Shares the engine-wide shingle core (one explode, one shuffle on
+    the shingle); first-occurrence is a min window partitioned by
+    shingle — the same key the shuffle already established — then one
+    partial-agg shuffle back to doc granularity.  The ratio divides two
+    exact integers and floors at 6 (the engine-stable _floor idiom).
+    """
+    sh = _shingles(spark, sf_dir)
+    per = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    novel = F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint"))
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+    ).select(
+        "doc_id", "n_shingles", "n_novel",
+        (F.floor(F.col("n_novel").cast("double")
+                 / F.col("n_shingles") * 1000000.0) / 1000000.0)
+        .alias("novelty"),
+    )
+
+
+DOC_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+firsts AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM shingles
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       floor(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 1000000.0) / 1000000.0 AS novelty
+FROM firsts GROUP BY 1
+"""
+
+
 def _dup_quality_oracle() -> str:
     from .text import _QUALITY_RAW_SQL
 
@@ -1469,6 +1513,7 @@ SPECS: dict[str, QuerySpec] = {
                                   CORPUS_DUP_STATS_ORACLE),
     "corpus_dup_quality_profile": QuerySpec(corpus_dup_quality_profile,
                                             _dup_quality_oracle()),
+    "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_ORACLE),
     "corpus_dedup_threshold_curve": QuerySpec(
         corpus_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_ORACLE),
     "corpus_source_overlap": QuerySpec(corpus_source_overlap,

@@ -1004,8 +1004,84 @@ FROM sums
 """
 
 
+#: Benford first-digit expectations log10(1 + 1/d), rounded to 6 by
+#: Python ONCE and embedded as identical literals in both engines (a
+#: runtime log10 could differ by one ulp between libm implementations).
+import math as _math  # noqa: E402
+
+BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance of order totals —
+    the classic synthetic-data / fraud / unit-mixup smell test a data
+    contract runs on money columns.
+
+    The leading digit comes from the DECIMAL(18,2) string rendering
+    (no log10 on data — float log at power-of-ten boundaries is an
+    engine-dependent coin flip).  Shares divide exact integers and
+    floor at 6; the expected shares are Python-precomputed literals, so
+    ``delta`` subtracts two identical doubles on both engines.
+
+    Scale shape: one scan partial-aggregated to ≤9 digit rows; the
+    total rides a window over that bounded frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    share = F.floor(F.col("n").cast("double") / F.col("total")
+                    * 1000000.0) / 1000000.0
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for d, e in BENFORD.items()
+                       for x in (d, e)]),
+        F.col("digit"),
+    )
+    return (
+        counts.withColumn("total", total)
+        .select(
+            "digit", "n",
+            share.alias("share"),
+            expected.alias("benford"),
+            F.round(share - expected, 6).alias("delta"),
+        )
+    )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {e}" for d, e in BENFORD.items()) + " END"
+
+BENFORD_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY 1
+),
+tot AS (
+  SELECT digit, n, sum(n) OVER () AS total
+  FROM counts WHERE digit BETWEEN 1 AND 9
+)
+SELECT digit, n,
+       floor(CAST(n AS DOUBLE) / total * 1000000.0) / 1000000.0 AS share,
+       CAST({_BENFORD_CASE} AS DOUBLE) AS benford,
+       round(floor(CAST(n AS DOUBLE) / total * 1000000.0) / 1000000.0
+             - CAST({_BENFORD_CASE} AS DOUBLE), 6) AS delta
+FROM tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
+    "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
     "stats_spearman_corr": QuerySpec(stats_spearman_corr, SPEARMAN_ORACLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
                                      MANNWHITNEY_ORACLE),

@@ -136,6 +136,7 @@ SP_ALLOWED = {
                                 # at one row (constant size, not data)
     "corpus_dup_quality_profile",  # same injected bloom-filter subquery
     "ev_markov_stationary",     # one-row state-count scalar
+    "stats_benford",            # total window over the <=9-digit agg
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -152,6 +153,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "corpus_dedup_threshold_curve",  # <=9 threshold-bucket rows
     "stats_spearman_corr",  # |CDF buckets| rows (fixed bucket count)
     "hybrid_search_rrf",    # <= BM25_TOPK candidate rows (constant k)
+    "stats_benford",        # <=9 first-digit rows (fixed digit domain)
 }
 
 

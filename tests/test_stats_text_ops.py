@@ -456,3 +456,52 @@ def test_dup_quality_profile_buckets_partition_the_corpus(spark, sf_dir):
     assert {b: r.n_clusters for b, r in prof.items()} == dict(expect)
     for r in prof.values():
         assert 0 <= r.mean_q <= 10000  # quality formula is bounded by 1.0
+
+
+def test_benford_shares_sum_and_digit_extraction(spark, sf_dir):
+    """Digit shares must cover every order exactly once and the digit
+    must equal the leading digit of the formatted total; expectations
+    are the Benford constants."""
+    import math
+
+    from data_ingestion_worker_spark.operators.stats import (
+        BENFORD,
+        stats_benford,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = {r.digit: r for r in stats_benford(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice") \
+        .collect()
+    from collections import Counter
+    expect = Counter(str(round(r.o_totalprice, 2))[0] for r in orders)
+    for d, r in rows.items():
+        assert r.n == expect[str(d)], d
+        assert abs(r.benford - round(math.log10(1 + 1 / d), 6)) < 1e-12
+        assert abs(r.delta - round(r.share - r.benford, 6)) < 1e-12
+    assert sum(r.n for r in rows.values()) == len(orders)
+
+
+def test_ngram_novelty_first_doc_claims_everything(spark, sf_dir):
+    """The smallest doc_id (first corpus doc with >=3 tokens) is 100%
+    novel; every novelty is in [0, 1]; novel counts never exceed the
+    shingle counts; and summing n_novel over docs equals the number of
+    distinct shingles in the corpus (each shingle is novel exactly
+    once)."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        _shingles,
+        doc_ngram_novelty,
+    )
+
+    rows = doc_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    first = min(r.doc_id for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[first].n_novel == by_id[first].n_shingles
+    assert by_id[first].novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty <= 1.0
+    n_distinct = _shingles(spark, sf_dir).select("shingle") \
+        .distinct().count()
+    assert sum(r.n_novel for r in rows) == n_distinct
