@@ -549,8 +549,150 @@ SELECT doc_id, CAST(r AS INT) AS sample_rank FROM (
 """
 
 
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity *from the sketches alone* — KMV set
+    algebra (Beyer et al., SIGMOD 2007): for each source pair, merge
+    the two bottom-K sketches into the union sketch, count how many of
+    its members live in BOTH input sketches (``cnt``), and estimate
+    Jaccard = cnt/K and |A∩B| = cnt·|A∪B|_est/K.  This is what makes
+    sketches a *algebra* rather than a counter: at 100 TB the per-source
+    sketches are built once (the bounded two-phase of
+    ``sketch_kmv_distinct``) and every pairwise comparison afterwards
+    touches only K-sized arrays — no re-scan, no shingle self-join.
+    The exact intersection is computed alongside purely as the error
+    report (the sketch path never needs it).
+
+    Determinism: sketches are k-minima of a keyed hash — grouping-
+    invariant; all array ops are sorted-integer manipulations; the two
+    estimates divide/floor exact integers.
+    """
+    sh = _src_shingles(spark, sf_dir)
+    hashed = sh.select("source", hash64(F.col("shingle")).alias("h")) \
+        .localCheckpoint(eager=False)   # sketch build + both exact sides
+    mins = (
+        hashed.groupBy("source", F.spark_partition_id().alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K)
+            .alias("mins"),
+        )
+    )
+    sk = (
+        mins.groupBy("source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
+                    1, KMV_K).alias("arr"),
+        )
+        .localCheckpoint(eager=False)   # consumed as both pair sides
+    )
+    a = sk.select(F.col("source").alias("s1"),
+                  F.col("arr").alias("arr1"), F.col("n").alias("n1"))
+    b = sk.select(F.col("source").alias("s2"),
+                  F.col("arr").alias("arr2"), F.col("n").alias("n2"))
+    pairs = a.join(F.broadcast(b), F.col("s1") < F.col("s2")) \
+        .withColumn(
+            "merged",
+            F.expr(f"slice(array_sort(array_union(arr1, arr2)), "
+                   f"1, {KMV_K})"),
+        )
+    hk_u = F.element_at(F.col("merged"), KMV_K)
+    cnt = F.size(F.array_intersect(
+        F.array_intersect(F.col("merged"), F.col("arr1")), F.col("arr2")
+    ))
+    union_est = F.floor(
+        F.lit(float(KMV_K - 1) * _TWO60) / hk_u.cast("double")
+    ).cast("bigint")
+    x = hashed.select(F.col("source").alias("s1"), "h")
+    y = hashed.select(F.col("source").alias("s2"), F.col("h").alias("h2"))
+    ex = (
+        x.join(y, (F.col("h") == F.col("h2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    scored = (
+        pairs.filter(hk_u.isNotNull())
+        .select("s1", "s2", "n1", "n2",
+                cnt.alias("cnt"), union_est.alias("union_est"))
+        .join(ex, ["s1", "s2"], "left")
+        .withColumn("exact_inter",
+                    F.coalesce(F.col("exact_inter"), F.lit(0))
+                    .cast("bigint"))
+    )
+    return scored.select(
+        "s1", "s2", "n1", "n2", "exact_inter",
+        (F.floor(F.col("exact_inter").cast("double")
+                 / (F.col("n1") + F.col("n2") - F.col("exact_inter"))
+                 * 1000000.0) / 1000000.0).alias("exact_jaccard"),
+        (F.floor(F.col("cnt").cast("double") / KMV_K * 1000000.0)
+         / 1000000.0).alias("kmv_jaccard"),
+        F.expr(f"(cnt * union_est) div {KMV_K}").alias("kmv_inter_est"),
+    )
+
+
+KMV_JACCARD_ORACLE = f"""
+WITH {_SRC_SHINGLES_SQL.strip()},
+hashed AS (
+  SELECT source, {hash64_sql('shingle')} AS h FROM sh
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hashed GROUP BY 1),
+rk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= {KMV_K}
+),
+prs AS (
+  SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+  FROM sz a JOIN sz b ON a.source < b.source
+),
+uh AS (
+  SELECT DISTINCT p.s1, p.s2, s.h
+  FROM prs p JOIN rk s ON s.source = p.s1 OR s.source = p.s2
+),
+uk AS (
+  SELECT s1, s2, h FROM (
+    SELECT s1, s2, h,
+           row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
+    FROM uh
+  ) WHERE r <= {KMV_K}
+),
+ust AS (
+  SELECT u.s1, u.s2, max(u.h) AS hk_u, count(*) AS m,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM uk u
+  LEFT JOIN rk a ON a.source = u.s1 AND a.h = u.h
+  LEFT JOIN rk b ON b.source = u.s2 AND b.h = u.h
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT x.source AS s1, y.source AS s2, CAST(count(*) AS BIGINT)
+           AS exact_inter
+  FROM hashed x JOIN hashed y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2, p.n1, p.n2,
+       COALESCE(ex.exact_inter, 0) AS exact_inter,
+       floor(CAST(COALESCE(ex.exact_inter, 0) AS DOUBLE)
+             / (p.n1 + p.n2 - COALESCE(ex.exact_inter, 0))
+             * 1000000.0) / 1000000.0 AS exact_jaccard,
+       floor(CAST(cnt AS DOUBLE) / {KMV_K} * 1000000.0) / 1000000.0
+         AS kmv_jaccard,
+       CAST((cnt * CAST(floor({float(KMV_K - 1)} * {_TWO60}
+                              / CAST(hk_u AS DOUBLE)) AS BIGINT))
+            // {KMV_K} AS BIGINT) AS kmv_inter_est
+FROM prs p
+JOIN ust ON ust.s1 = p.s1 AND ust.s2 = p.s2
+LEFT JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
+WHERE m >= {KMV_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(sketch_kmv_distinct, KMV_ORACLE),
+    "sketch_kmv_jaccard": QuerySpec(sketch_kmv_jaccard, KMV_JACCARD_ORACLE),
     "sketch_hll_distinct": QuerySpec(sketch_hll_distinct, HLL_ORACLE),
     "sketch_hll_union": QuerySpec(sketch_hll_union, HLL_UNION_ORACLE),
     "sketch_countmin_tokens": QuerySpec(sketch_countmin_tokens, CMS_ORACLE),

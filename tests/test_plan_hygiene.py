@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
     "sketch_hll_union",    # one-row merged-registers x one-row exact count
     "ev_markov_stationary",  # one-row state-count broadcast cross join
+    "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
 }
 
 

@@ -137,3 +137,31 @@ def test_hll_union_merge_is_lossless_and_estimates_union(spark, sf_dir):
     z = direct.z_present + (HLL_M - direct.n_buckets) * (1 << HLL_REST_BITS)
     import math
     assert row.hll_est == math.floor(HLL_ALPHA_NUM / float(z))
+
+
+def test_kmv_jaccard_estimates_track_exact_overlap(spark, sf_dir):
+    """The sketch-only Jaccard must be a probability, agree with the
+    exact value within the KMV error regime, be symmetric-complete
+    (every source pair present once, s1 < s2), and its intersection
+    estimate must be 0 exactly when the sketch overlap count is 0."""
+    from data_ingestion_worker_spark.operators.sketches import (
+        KMV_K,
+        sketch_kmv_jaccard,
+    )
+
+    rows = sketch_kmv_jaccard(spark, sf_dir).collect()
+    assert rows
+    seen = {(r.s1, r.s2) for r in rows}
+    assert all(s1 < s2 for s1, s2 in seen)
+    srcs = sorted({s for p in seen for s in p})
+    assert len(seen) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.kmv_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert (r.kmv_inter_est == 0) == (r.kmv_jaccard == 0.0)
+        # KMV error: union-sketch overlap count is Binomial(K, J); allow
+        # 4 sigma plus the estimator's own 1/K resolution.
+        import math
+        sigma = math.sqrt(max(r.exact_jaccard * (1 - r.exact_jaccard), 1e-9)
+                          / KMV_K)
+        assert abs(r.kmv_jaccard - r.exact_jaccard) <= 4 * sigma + 1.0 / KMV_K, r
