@@ -525,6 +525,75 @@ FROM firsts GROUP BY 1
 """
 
 
+def corpus_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: new distinct shingles contributed by
+    each doc-id decile of the corpus, plus the cumulative vocabulary —
+    the curve a corpus owner reads to see whether further crawling still
+    buys new content or only re-collects what's already there.
+
+    Each shingle is attributed to its FIRST document (min doc_id over
+    the shingle — one shuffle on the shingle key, shared shape with
+    ``doc_ngram_novelty``); deciles cut the doc-id range with integer
+    division against a one-row max scalar, and the cumulative sum rides
+    an ordered window over the ≤10 bucket rows.
+    """
+    sh = _shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.least(
+        F.lit(9), F.expr("(doc_id * 10) div (mx + 1)")
+    ).cast("int")
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    vocab = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("vocab_added"))
+    )
+    docs = (
+        d.crossJoin(F.broadcast(mx))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.join(vocab, "bucket", "left")
+        .withColumn("vocab_added",
+                    F.coalesce(F.col("vocab_added"), F.lit(0))
+                    .cast("bigint"))
+        .select("bucket", "n_docs", "vocab_added",
+                F.sum("vocab_added").over(w).alias("vocab_cum"))
+    )
+
+
+GROWTH_CURVE_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+mx AS (SELECT max(doc_id) AS mx FROM documents),
+firsts AS (
+  SELECT shingle, min(doc_id) AS doc_id FROM shingles GROUP BY 1
+),
+vocab AS (
+  SELECT least(9, (doc_id * 10) // (mx + 1)) AS bucket,
+         CAST(count(*) AS BIGINT) AS vocab_added
+  FROM firsts CROSS JOIN mx GROUP BY 1
+),
+docs AS (
+  SELECT least(9, (doc_id * 10) // (mx + 1)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents CROSS JOIN mx GROUP BY 1
+)
+SELECT CAST(d.bucket AS INT) AS bucket, d.n_docs,
+       COALESCE(v.vocab_added, 0) AS vocab_added,
+       CAST(sum(COALESCE(v.vocab_added, 0))
+            OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_cum
+FROM docs d LEFT JOIN vocab v ON d.bucket = v.bucket
+"""
+
+
 def _dup_quality_oracle() -> str:
     from .text import _QUALITY_RAW_SQL
 
@@ -1514,6 +1583,8 @@ SPECS: dict[str, QuerySpec] = {
     "corpus_dup_quality_profile": QuerySpec(corpus_dup_quality_profile,
                                             _dup_quality_oracle()),
     "doc_ngram_novelty": QuerySpec(doc_ngram_novelty, DOC_NOVELTY_ORACLE),
+    "corpus_growth_curve": QuerySpec(corpus_growth_curve,
+                                     GROWTH_CURVE_ORACLE),
     "corpus_dedup_threshold_curve": QuerySpec(
         corpus_dedup_threshold_curve, DEDUP_THRESHOLD_CURVE_ORACLE),
     "corpus_source_overlap": QuerySpec(corpus_source_overlap,

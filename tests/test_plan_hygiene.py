@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "sketch_hll_union",    # one-row merged-registers x one-row exact count
     "ev_markov_stationary",  # one-row state-count broadcast cross join
     "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
+    "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
 }
 
 
@@ -138,6 +139,8 @@ SP_ALLOWED = {
     "corpus_dup_quality_profile",  # same injected bloom-filter subquery
     "ev_markov_stationary",     # one-row state-count scalar
     "stats_benford",            # total window over the <=9-digit agg
+    "corpus_growth_curve",      # one-row max-id scalar + cum window over
+                                # the <=10 decile rows
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -155,6 +158,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_spearman_corr",  # |CDF buckets| rows (fixed bucket count)
     "hybrid_search_rrf",    # <= BM25_TOPK candidate rows (constant k)
     "stats_benford",        # <=9 first-digit rows (fixed digit domain)
+    "corpus_growth_curve",  # <=10 decile rows (fixed bucket count)
 }
 
 

@@ -505,3 +505,34 @@ def test_ngram_novelty_first_doc_claims_everything(spark, sf_dir):
     n_distinct = _shingles(spark, sf_dir).select("shingle") \
         .distinct().count()
     assert sum(r.n_novel for r in rows) == n_distinct
+
+
+def test_growth_curve_buckets_and_totals(spark, sf_dir):
+    """Deciles partition the corpus; the final cumulative vocabulary is
+    exactly the distinct shingle count; per-bucket vocab agrees with the
+    novelty operator's first-occurrence attribution."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        _shingles,
+        corpus_growth_curve,
+        doc_ngram_novelty,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = sorted(corpus_growth_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(10))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    n_shingles = _shingles(spark, sf_dir).select("shingle") \
+        .distinct().count()
+    assert rows[-1].vocab_cum == n_shingles
+    assert sum(r.vocab_added for r in rows) == n_shingles
+    cum = 0
+    for r in rows:
+        cum += r.vocab_added
+        assert r.vocab_cum == cum
+    # cross-check one bucket against the novelty attribution
+    mx = max(d.doc_id for d in docs)
+    nov = doc_ngram_novelty(spark, sf_dir).collect()
+    b0 = sum(r.n_novel for r in nov if (r.doc_id * 10) // (mx + 1) == 0)
+    assert rows[0].vocab_added == b0
