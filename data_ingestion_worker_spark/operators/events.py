@@ -595,6 +595,90 @@ FROM {prev}
 MARKOV_STATIONARY_ORACLE = _markov_stationary_oracle()
 
 
+def ev_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast per event type: OLS trend over the
+    daily counts, extrapolated one day past the observed range — the
+    capacity-planning number an ingest owner reads every morning.
+
+    Determinism: day index and count are exact integers, so all five
+    OLS accumulators are integer sums; slope/intercept/forecast are a
+    fixed chain of IEEE divisions over identical operands (the
+    ``stats_linreg_exact`` recipe on the time axis).  Scale shape: one
+    partial-agg shuffle of events into (type, day) buckets; the index
+    windows and the per-type regression run over that bounded frame —
+    the fact table is scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 day").getField("start").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "c",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint")
+        .alias("x"),
+    )
+    agg = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("c")).alias("sxy"),
+        F.max("x").alias("mx"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) / n.cast("double")
+    forecast = intercept + slope * (F.col("mx") + 1).cast("double")
+    return agg.filter(den > 0).select(
+        "event_type", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(forecast, 4).alias("forecast_next"),
+    )
+
+
+FORECAST_LINEAR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+                        day) AS BIGINT) AS x
+  FROM daily
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(c) AS sy,
+         sum(x * x) AS sxx, sum(x * c) AS sxy, max(x) AS mx
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             + (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * CAST(mx + 1 AS DOUBLE), 4) AS forecast_next
+FROM agg
+WHERE n * sxx - sx * sx > 0
+"""
+
+
 def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) user segmentation over
     purchase events — the standard marketing-analytics cut.
@@ -979,6 +1063,8 @@ SPECS: dict[str, QuerySpec] = {
                                        MARKOV_ORACLE),
     "ev_markov_stationary": QuerySpec(ev_markov_stationary,
                                       MARKOV_STATIONARY_ORACLE),
+    "ev_forecast_linear": QuerySpec(ev_forecast_linear,
+                                    FORECAST_LINEAR_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
                                    DAU_STICKINESS_ORACLE),
     "ev_conversion_time": QuerySpec(ev_conversion_time,

@@ -536,3 +536,43 @@ def test_growth_curve_buckets_and_totals(spark, sf_dir):
     nov = doc_ngram_novelty(spark, sf_dir).collect()
     b0 = sum(r.n_novel for r in nov if (r.doc_id * 10) // (mx + 1) == 0)
     assert rows[0].vocab_added == b0
+
+
+def test_forecast_linear_matches_numpy_ols(spark, sf_dir):
+    """Slope/intercept/forecast must match an independent numpy
+    polyfit-free OLS on the collected daily counts."""
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_forecast_linear,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = {r.event_type: r for r in
+            ev_forecast_linear(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts").collect()
+    daily: Counter = Counter((r.event_type, r.ts.date()) for r in ev)
+    by_type: dict[str, dict] = {}
+    for (et, day), c in daily.items():
+        by_type.setdefault(et, {})[day] = c
+    for et, m in by_type.items():
+        days = sorted(m)
+        xs = [(d - days[0]).days for d in days]
+        ys = [m[d] for d in days]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        if den <= 0:
+            assert et not in rows
+            continue
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        r = rows[et]
+        assert abs(r.slope - slope) < 1e-4, et
+        assert abs(r.intercept - intercept) < 1e-2, et
+        assert abs(r.forecast_next
+                   - (intercept + slope * (max(xs) + 1))) < 1e-2, et
