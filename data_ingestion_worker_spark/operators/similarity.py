@@ -1003,6 +1003,38 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC search vs the exact quantized-L2 ground
+    truth — the harness that prices the 64-floats→16-codes compression
+    in accuracy (mirror of ``ann_ivf_recall`` for the PQ index).
+
+    The ground truth is ALL-INTEGER: L2² = ‖a‖² + ‖b‖² − 2·a·b over the
+    quantized vectors, so the exact top-k needs no float tolerance at
+    all; the ADC side is the operator under test.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES) \
+        .withColumnRenamed("vec_id", "query_id").withColumnRenamed("qv", "qq")
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr("aggregate(zip_with(qq, qv, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(qq, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("vec_id"))
+    exact = (
+        pairs.select("query_id", "vec_id", (na + nb - 2 * dot).alias("dist2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    adc = ann_pq_adc_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(exact, [(TOP_K, adc)], "k")
+
+
 def _pq_ctes() -> str:
     """The WITH-body training the PQ codebooks (mirrors ``_pq_state``)."""
     score = _PQ_SCORE
@@ -1115,6 +1147,67 @@ SELECT query_id, vec_id, CAST(r AS INT) AS rank, adc_milli FROM (
                             ORDER BY adc_milli, vec_id) AS r
   FROM adc
 ) WHERE r <= {TOP_K}
+"""
+
+
+ANN_PQ_RECALL_ORACLE = _pq_ctes() + f""",
+qd AS (
+  SELECT vec_id AS query_id, m, d, v FROM dims WHERE vec_id < {N_QUERIES}
+),
+qdots AS (
+  SELECT q.query_id, q.m, c.code, sum(q.v * c.s) AS dot
+  FROM qd q JOIN cent1 c ON q.m = c.m AND q.d = c.d
+  GROUP BY 1, 2, 3
+),
+qn AS (
+  SELECT vec_id AS query_id, m, nv AS nq
+  FROM vnorm WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT query_id, m, code,
+         CAST(round((CAST(nq AS DOUBLE) + {_PQ_SCORE}) * 1000.0) AS BIGINT)
+           AS lut_milli
+  FROM qdots
+  JOIN cnorm1 USING (m, code)
+  JOIN msize1 USING (m, code)
+  JOIN qn USING (query_id, m)
+),
+adc AS (
+  SELECT l.query_id, a.vec_id, CAST(sum(l.lut_milli) AS BIGINT) AS adc_milli
+  FROM assign1 a JOIN lut l ON a.m = l.m AND a.code = l.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+adck AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_milli, vec_id) AS r
+    FROM adc
+  ) WHERE r <= {TOP_K}
+),
+tot AS (SELECT vec_id, sum(nv) AS nv FROM vnorm GROUP BY 1),
+dotsq AS (
+  SELECT q.query_id, a.vec_id, sum(q.v * a.v) AS dot
+  FROM qd q JOIN dims a ON q.d = a.d AND a.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT d.query_id, d.vec_id,
+           row_number() OVER (PARTITION BY d.query_id
+             ORDER BY tq.nv + ta.nv - 2 * d.dot, d.vec_id) AS r
+    FROM dotsq d
+    JOIN tot tq ON tq.vec_id = d.query_id
+    JOIN tot ta ON ta.vec_id = d.vec_id
+  ) WHERE r <= {TOP_K}
+)
+SELECT e.query_id, CAST({TOP_K} AS INT) AS k,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(t.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM exact e
+LEFT JOIN adck t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+GROUP BY 1
 """
 
 HYBRID_QUERY_VEC = 0  # the query embedding: vec_id 0 (ANN-query idiom)
@@ -1459,4 +1552,5 @@ SPECS: dict[str, QuerySpec] = {
                                    _hybrid_rrf_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
+    "ann_pq_recall": QuerySpec(ann_pq_recall, ANN_PQ_RECALL_ORACLE),
 }

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "ev_markov_stationary",  # one-row state-count broadcast cross join
     "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
+    "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
 }
 
 
@@ -141,6 +142,7 @@ SP_ALLOWED = {
     "stats_benford",            # total window over the <=9-digit agg
     "corpus_growth_curve",      # one-row max-id scalar + cum window over
                                 # the <=10 decile rows
+    "ann_pq_recall",            # inherits the ADC bloom-filter subquery
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
