@@ -69,8 +69,13 @@ HEADLINE = [
     "dedup_cluster_representative",
     # Round-5 (cont. 4) additions: the PQ index build + ADC search path
     # (codebook training is the measured cost; search itself is a
-    # broadcast-LUT join over the codes table).
+    # broadcast-LUT join over the codes table), the shingle-attribution
+    # novelty scorer (the corpus-growth shuffle shape), and the
+    # dedup-vs-quality audit (LSH + connected components + quality
+    # formula composed into one diagnostic).
     "ann_pq_adc_topk",
+    "doc_ngram_novelty",
+    "corpus_dup_quality_profile",
 ]
 
 

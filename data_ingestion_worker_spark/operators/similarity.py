@@ -738,12 +738,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns one row per vector: (vec_id, cluster, kept).
     """
+    # The k-means result feeds THREE consumers (both pair sides and the
+    # final labeling); without the checkpoint Catalyst re-executes the
+    # whole two-round training per consumer (measured: 45 exchanges in
+    # the executed plan vs 13 after — the PERF.md §8 rule).
     assign = cluster_kmeans_embeddings(spark, sf_dir) \
-        .select("vec_id", "cluster")
+        .select("vec_id", "cluster").localCheckpoint(eager=False)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QVEC).alias("qv")
     )
-    member = e.join(assign, "vec_id")
+    member = e.join(assign, "vec_id").localCheckpoint(eager=False)
     a = member.select("cluster", F.col("vec_id").alias("v1"),
                       F.col("qv").alias("qa"))
     b = member.select("cluster", F.col("vec_id").alias("v2"),
@@ -895,25 +899,39 @@ def _pq_state(spark: SparkSession, sf_dir: str):
             .join(F.broadcast(msize), ["m", "code"])
             .withColumn("score", F.expr(_PQ_SCORE))
         )
-        wa = Window.partitionBy("vec_id", "m").orderBy(
-            F.col("score").asc(), F.col("code")
-        )
+        # argmin as min(struct(score, code, ...)) — a hash aggregate
+        # with map-side combine instead of a sort window over the
+        # N x M x K candidate rows; the struct's lexicographic order IS
+        # the (score ASC, code ASC) tie-break, bit-for-bit.
         assign = (
-            sc.withColumn("r", F.row_number().over(wa))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "m", "code", "score", "dot", "ns", "cnt")
+            sc.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("score", "code", "dot", "ns", "cnt"))
+                 .alias("b"))
+            .select("vec_id", "m",
+                    F.col("b.code").alias("code"),
+                    F.col("b.score").alias("score"),
+                    F.col("b.dot").alias("dot"),
+                    F.col("b.ns").alias("ns"),
+                    F.col("b.cnt").alias("cnt"))
         )
         if it == 0:
             assign = assign.localCheckpoint(eager=False)
+            # cent1 carries the member count per (m, code, d) row (each
+            # member contributes exactly one row per dim), so msize1
+            # derives from cent1's tiny frame — no second shuffle over
+            # the assignment.
             cent = (
                 dims.join(assign.select("vec_id", "m", "code"),
                           ["vec_id", "m"])
                 .groupBy("m", "code", "d")
-                .agg(F.sum("v").alias("s"))
+                .agg(F.sum("v").alias("s"),
+                     F.count(F.lit(1)).alias("cnt_d"))
+                .localCheckpoint(eager=False)
             )
-            msize = assign.groupBy("m", "code").agg(
-                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            msize = cent.groupBy("m", "code").agg(
+                F.max("cnt_d").cast("bigint").alias("cnt")
             )
+            cent = cent.select("m", "code", "d", "s")
     return dims, vnorm, cent, msize, assign
 
 
