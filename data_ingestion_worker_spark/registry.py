@@ -27,9 +27,15 @@ from .spec import QuerySpec
 #: the composed curation funnel (``pipeline_curation_e2e``), and — late
 #: round 5 — the dedup endgame (``dedup_cluster_representative``:
 #: connected components + the keep-longest decision, subsuming the plain
-#: CC row).  The displaced rows (``mm_decode_stub``,
-#: ``dedup_ngram_jaccard``, ``doc_lang_id``, ``dedup_simhash``) stay
-#: covered by the full local sweep.
+#: CC row), the PQ index + ADC search (``ann_pq_adc_topk``, the stronger
+#: vector-compression story than plain int8 quantization), KMV set
+#: algebra (``sketch_kmv_jaccard``, which builds the sketches AND does
+#: pairwise estimation), and CUSUM change-point detection
+#: (``ev_cusum_changepoint``; ``pipeline_pretrain_filter`` is already
+#: exercised inside the graded e2e funnel).  The displaced rows
+#: (``mm_decode_stub``, ``dedup_ngram_jaccard``, ``doc_lang_id``,
+#: ``dedup_simhash``, ``emb_int8_quantize``, ``sketch_kmv_distinct``,
+#: ``pipeline_pretrain_filter``) stay covered by the full local sweep.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -44,14 +50,14 @@ PRIORITY_AFTER_RELATIONAL = [
     "ann_ivf_topk",
     "cluster_kmeans_embeddings",
     "sketch_hll_distinct",
-    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
     "doc_token_stats",
     "doc_quality_score",
     "pipeline_curation_e2e",
-    "pipeline_pretrain_filter",
+    "ev_cusum_changepoint",
     "split_train_holdout",
     "pack_sequences",
-    "emb_int8_quantize",
+    "ann_pq_adc_topk",
     "graph_pagerank",
     "profile_columns",
     "mm_roundtrip_bmp",
