@@ -921,7 +921,69 @@ FROM p ORDER BY s_raw DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
 
+BPE_TOP_K = 50
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates for the first BPE round: corpus-weighted
+    adjacent character-pair counts — the counting step of byte-pair-
+    encoding tokenizer training (Sennrich et al. 2016).
+
+    The scale trick is the one every real BPE trainer uses: aggregate
+    to DISTINCT words with their corpus frequencies first (Zipf makes
+    the distinct-word table orders of magnitude smaller than the token
+    stream), then expand each word once into its character pairs and
+    weight by the word frequency.  Pair extraction is substring-based
+    (``substr(word, i, 2)``) so both engines share exact semantics; the
+    top-k compiles to TakeOrderedAndProject — per-partition heads, no
+    global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_MERGES_ORACLE = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+    SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, gs.i, 2) AS pair, wf
+  FROM words, unnest(range(1, length(word))) AS gs(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(wf) AS BIGINT) AS merge_count
+FROM pairs GROUP BY 1
+ORDER BY merge_count DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,
                                     INVERTED_INDEX_ORACLE),

@@ -576,3 +576,28 @@ def test_forecast_linear_matches_numpy_ols(spark, sf_dir):
         assert abs(r.intercept - intercept) < 1e-2, et
         assert abs(r.forecast_next
                    - (intercept + slope * (max(xs) + 1))) < 1e-2, et
+
+
+def test_bpe_merges_match_python_counter(spark, sf_dir):
+    """The top merge-candidate counts must equal a plain-Python counter
+    over the token stream (pair count weighted by word frequency), with
+    the (count DESC, pair ASC) cutoff."""
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.text import (
+        BPE_TOP_K,
+        corpus_bpe_merges,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    pair_counts: Counter = Counter()
+    for r in docs:
+        for w in (r.text or "").strip().lower().split():
+            for i in range(len(w) - 1):
+                pair_counts[w[i:i + 2]] += 1
+    expect = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = expect[:BPE_TOP_K]
+    got = [(r.pair, r.merge_count)
+           for r in corpus_bpe_merges(spark, sf_dir).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
