@@ -1053,6 +1053,136 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(exact, [(TOP_K, adc)], "k")
 
 
+#: Coreset size for the maxmin (farthest-point / k-center) traversal.
+CORESET_K = 8
+
+
+def emb_coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point coreset: CORESET_K maximally-diverse
+    representatives, each chosen as the vector farthest (quantized L2)
+    from everything already selected — the classic 2-approximation for
+    k-center, and the diversity-sampling primitive of data curation
+    (pick the spanning exemplars of an embedding space before labeling
+    / fine-tuning).
+
+    Determinism: distances are exact integers (norm + dot sums of
+    quantized components), the seed is the smallest keyed hash, and
+    every argmax breaks ties on vec_id — no float anywhere.  Scale
+    shape: each of the K-1 rounds is one broadcast of the single new
+    center, one map-side distance update, and one scalar argmax — the
+    corpus is never self-joined, and the running min-distance column
+    rides a lazily checkpointed frame (K passes total, the textbook
+    distributed maxmin).
+
+    Output: (sel_order, vec_id, d2_sel) — d2_sel is the squared
+    distance to the previously-selected set at the moment of selection
+    (NULL for the seed), i.e. the k-center radius ladder.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv")
+    )
+    nv = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    base = e.select("vec_id", "qv", nv.alias("nv")) \
+        .localCheckpoint(eager=True)
+    seed_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("coreset:"),
+                           F.col("vec_id").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("bigint")
+    seed = base.select("vec_id", "qv", "nv", seed_h.alias("sh")) \
+        .orderBy("sh", "vec_id").limit(1) \
+        .select("vec_id", "qv", "nv")
+    picked_rows = [seed.select(
+        F.lit(0).alias("sel_order"), "vec_id",
+        F.lit(None).cast("bigint").alias("d2_sel"),
+    )]
+    center = seed
+    rem = base
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    for i in range(1, CORESET_K):
+        c = center.select(F.col("vec_id").alias("cid"),
+                          F.col("qv").alias("cv"),
+                          F.col("nv").alias("cnv"))
+        d2 = F.col("nv") + F.col("cnv") - 2 * dot
+        upd = (
+            rem.crossJoin(F.broadcast(c))
+            .filter(F.col("vec_id") != F.col("cid"))
+            .select("vec_id", "qv", "nv",
+                    (F.least(F.col("dm"), d2) if i > 1 else d2)
+                    .alias("dm"))
+            .localCheckpoint(eager=False)
+        )
+        far = upd.agg(
+            F.max(F.struct(F.col("dm"), (-F.col("vec_id")).alias("nid")))
+            .alias("m")
+        ).select(F.col("m.dm").alias("d2_sel"),
+                 (-F.col("m.nid")).cast("bigint").alias("vec_id"))
+        center = upd.join(F.broadcast(far.select("vec_id")), "vec_id") \
+            .select("vec_id", "qv", "nv")
+        picked_rows.append(far.select(
+            F.lit(i).alias("sel_order"), "vec_id", "d2_sel"))
+        rem = upd
+    out = picked_rows[0]
+    for p in picked_rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _coreset_oracle() -> str:
+    qv = (f"CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) "
+          "AS BIGINT)")
+    parts = [f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d, {qv} AS v
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT vec_id, sum(v * v) AS nv FROM dims GROUP BY 1),
+seed AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY {hash64_sql("'coreset:' || CAST(vec_id AS VARCHAR)")},
+               vec_id
+    ) AS r FROM embeddings
+  ) WHERE r = 1
+)"""]
+    prev_c = "seed"
+    for i in range(1, CORESET_K):
+        base_expr = "na.nv + c.cnv - 2 * t.dot"
+        dm_expr = f"least(p.dm, {base_expr})" if i > 1 else base_expr
+        join_prev = (f"JOIN d{i - 1} p ON p.vec_id = t.vec_id"
+                     if i > 1 else "")
+        parts.append(f""",
+dt{i} AS MATERIALIZED (
+  SELECT a.vec_id, sum(a.v * b.v) AS dot
+  FROM dims a
+  JOIN {prev_c} s ON a.vec_id <> s.vec_id
+  JOIN dims b ON b.vec_id = s.vec_id AND b.d = a.d
+  GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT t.vec_id, {dm_expr} AS dm
+  FROM dt{i} t
+  JOIN nrm na ON na.vec_id = t.vec_id
+  CROSS JOIN (SELECT n.nv AS cnv FROM nrm n
+              JOIN {prev_c} s ON n.vec_id = s.vec_id) c
+  {join_prev}
+),
+c{i} AS (
+  SELECT vec_id, dm FROM d{i} ORDER BY dm DESC, vec_id LIMIT 1
+)""")
+        prev_c = f"c{i}"
+    sel = ["SELECT CAST(0 AS INT) AS sel_order, vec_id, "
+           "CAST(NULL AS BIGINT) AS d2_sel FROM seed"]
+    for i in range(1, CORESET_K):
+        sel.append(f"SELECT CAST({i} AS INT), vec_id, CAST(dm AS BIGINT) "
+                   f"FROM c{i}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def _pq_ctes() -> str:
     """The WITH-body training the PQ codebooks (mirrors ``_pq_state``)."""
     score = _PQ_SCORE
@@ -1571,4 +1701,5 @@ SPECS: dict[str, QuerySpec] = {
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_pq_recall": QuerySpec(ann_pq_recall, ANN_PQ_RECALL_ORACLE),
+    "emb_coreset_maxmin": QuerySpec(emb_coreset_maxmin, _coreset_oracle()),
 }

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
+    "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
 }
 
 
@@ -143,6 +144,7 @@ SP_ALLOWED = {
     "corpus_growth_curve",      # one-row max-id scalar + cum window over
                                 # the <=10 decile rows
     "ann_pq_recall",            # inherits the ADC bloom-filter subquery
+    "emb_coreset_maxmin",       # per-round one-row argmax scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

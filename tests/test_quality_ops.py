@@ -311,3 +311,53 @@ def test_rrf_is_a_fusion_of_the_rerank_rankings(spark, sf_dir):
         assert cos_order[r.cos_rank - 1] == r.doc_id
         expect = 1.0 / (RRF_K + r.bm25_rank) + 1.0 / (RRF_K + r.cos_rank)
         assert abs(r.rrf - expect) < 1e-6
+
+
+def test_coreset_maxmin_matches_numpy_greedy(spark, sf_dir):
+    """The selection order and radius ladder must match an independent
+    numpy farthest-point traversal, and the ladder must be
+    non-increasing (the k-center property)."""
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        CORESET_K,
+        QUANT,
+        emb_coreset_maxmin,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = sorted(emb_coreset_maxmin(spark, sf_dir).collect(),
+                  key=lambda r: r.sel_order)
+    assert len(rows) == CORESET_K
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([np.round(np.array(r.embedding, dtype=np.float64) * QUANT)
+                  for r in emb])
+
+    def h(v):
+        return int(hashlib.md5(f"coreset:{v}".encode()).hexdigest()[:15], 16)
+
+    seed = min(ids, key=lambda v: (h(v), v))
+    chosen = [seed]
+    dm = {int(v): None for v in ids}
+    ladder = [None]
+    for _ in range(1, CORESET_K):
+        c = V[ids == chosen[-1]][0]
+        for v in ids:
+            if int(v) in (int(x) for x in chosen):
+                continue
+            d2 = int(((V[ids == v][0] - c) ** 2).sum())
+            cur = dm[int(v)]
+            dm[int(v)] = d2 if cur is None else min(cur, d2)
+        cands = [(int(v), dm[int(v)]) for v in ids
+                 if int(v) not in (int(x) for x in chosen)]
+        nxt = max(cands, key=lambda t: (t[1], -t[0]))
+        chosen.append(nxt[0])
+        ladder.append(nxt[1])
+    assert [r.vec_id for r in rows] == [int(c) for c in chosen]
+    assert [r.d2_sel for r in rows] == ladder
+    radii = [r.d2_sel for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
