@@ -595,6 +595,59 @@ FROM {prev}
 MARKOV_STATIONARY_ORACLE = _markov_stationary_oracle()
 
 
+def ev_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as the
+    corpus-wide distribution (streak length → user count) — the
+    engagement metric behind retention dashboards, and the canonical
+    *gaps-and-islands* SQL pattern: consecutive days collapse to one
+    island key via ``day − row_number`` (consecutive days advance both
+    by 1, so their difference is constant), turning streak detection
+    into two plain groupBys.
+
+    All arithmetic is dates and integers — no floats anywhere.  Scale
+    shape: distinct (user, day) is one shuffle; the row_number window
+    partitions by user (parallel across users); the two follow-up
+    aggregations shrink monotonically; the final distribution is
+    |streak lengths| rows, bounded by the time range, not the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("streak_len"))
+    return longest.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+USER_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
+),
+longest AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS streak_len
+  FROM streaks GROUP BY 1
+)
+SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY 1
+"""
+
+
 def ev_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day volume forecast per event type: OLS trend over the
     daily counts, extrapolated one day past the observed range — the
@@ -1065,6 +1118,7 @@ SPECS: dict[str, QuerySpec] = {
                                       MARKOV_STATIONARY_ORACLE),
     "ev_forecast_linear": QuerySpec(ev_forecast_linear,
                                     FORECAST_LINEAR_ORACLE),
+    "ev_user_streaks": QuerySpec(ev_user_streaks, USER_STREAKS_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
                                    DAU_STICKINESS_ORACLE),
     "ev_conversion_time": QuerySpec(ev_conversion_time,

@@ -601,3 +601,36 @@ def test_bpe_merges_match_python_counter(spark, sf_dir):
     got = [(r.pair, r.merge_count)
            for r in corpus_bpe_merges(spark, sf_dir).collect()]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_user_streaks_match_python_islands(spark, sf_dir):
+    """The streak-length distribution must equal a plain-Python
+    consecutive-day scan, and user counts must cover every active
+    user exactly once."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from data_ingestion_worker_spark.operators.events import ev_user_streaks
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.streak_len: r.n_users
+           for r in ev_user_streaks(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts").collect()
+    days_by_user: dict[int, set] = {}
+    for r in ev:
+        days_by_user.setdefault(r.user_id, set()).add(r.ts.date())
+    expect: Counter = Counter()
+    for days in days_by_user.values():
+        best = cur = 1
+        prev = None
+        for d in sorted(days):
+            if prev is not None and d - prev == timedelta(days=1):
+                cur += 1
+            else:
+                cur = 1
+            best = max(best, cur)
+            prev = d
+        expect[best] += 1
+    assert got == dict(expect)
+    assert sum(got.values()) == len(days_by_user)
