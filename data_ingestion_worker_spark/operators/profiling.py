@@ -266,6 +266,110 @@ WHERE n * sxx - sx * sx > 0
 """
 
 
+#: Wald–Wolfowitz z-statistic from integer run/sign counts.  ONE shared
+#: SQL fragment evaluated verbatim by both engines: identical expression
+#: tree → identical IEEE doubles (the cross-engine float contract).
+_RUNS_Z = (
+    "(CAST(r AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " / CAST(n1 + n2 AS DOUBLE) + 1.0))"
+    " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " - CAST(n1 + n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    " * CAST(n1 + n2 - 1 AS DOUBLE)))"
+)
+
+
+def ev_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: are the hourly
+    above/below-mean deviations randomly ordered, or do they clump
+    (trend / regime shifts)?  The nonparametric companion to
+    ``ev_anomaly_zscore`` (pointwise outliers) and
+    ``ev_cusum_changepoint`` (cumulative drift): a too-small run count
+    says the series is autocorrelated even when no single point alarms.
+
+    Signs come from the integer inequality ``n·c − sx > 0`` (exact-mean
+    crossing, zeros excluded); runs are counted with one lag window
+    over the hourly aggregate; the z-statistic evaluates ONE shared SQL
+    fragment from the three integer counts on both engines.  Single
+    scan of events, everything after the hourly groupBy is bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    st = hourly.select(
+        "event_type", "hour", "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+    )
+    signed = st.filter(F.col("n") * F.col("c") != F.col("sx")).select(
+        "event_type", "hour",
+        (F.col("n") * F.col("c") > F.col("sx")).alias("pos"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    lagged = signed.select(
+        "event_type", "pos",
+        F.lag("pos").over(wo).alias("prev"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum(F.col("pos").cast("bigint")).alias("n1"),
+        F.sum((~F.col("pos")).cast("bigint")).alias("n2"),
+        (F.lit(1) + F.sum(
+            F.when(F.col("prev").isNull(), 0)
+            .when(F.col("pos") != F.col("prev"), 1)
+            .otherwise(0)
+        )).cast("bigint").alias("r"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)
+                      & (F.col("n1") + F.col("n2") > 1)).select(
+        "event_type",
+        F.col("n1").alias("n_pos"), F.col("n2").alias("n_neg"),
+        F.col("r").alias("n_runs"),
+        F.round(F.expr(_RUNS_Z), 6).alias("z"),
+    )
+
+
+RUNS_TEST_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, hour, c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS sx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+signed AS (
+  SELECT event_type, hour, n * c > sx AS pos
+  FROM st WHERE n * c <> sx
+),
+lagged AS (
+  SELECT event_type, pos,
+         lag(pos) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+  FROM signed
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN prev IS NULL THEN 0
+                           WHEN pos <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n1 AS n_pos, n2 AS n_neg, r AS n_runs,
+       round({_RUNS_Z}, 6) AS z
+FROM agg
+WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+"""
+
+
 #: Join-key columns profiled for skew, and heavy-hitter depth.
 SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 SKEW_TOP_K = 3
@@ -348,4 +452,5 @@ SPECS: dict[str, QuerySpec] = {
                                        SKEW_PROFILE_ORACLE),
     "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),
     "ev_cusum_changepoint": QuerySpec(ev_cusum_changepoint, CUSUM_ORACLE),
+    "ev_runs_test": QuerySpec(ev_runs_test, RUNS_TEST_ORACLE),
 }

@@ -124,3 +124,41 @@ def test_cusum_matches_sequential_recursion_and_single_scan(spark, sf_dir):
         sigma = math.sqrt(n * sxx - sx * sx)
         for r in rs:
             assert r.alarm == (r.cusum_scaled > CUSUM_H_SIGMA * sigma), r
+
+
+def test_runs_test_counts_match_python_scan(spark, sf_dir):
+    """Run/sign counts recomputed with a plain-Python scan over the
+    hourly series, and the z against the scipy-free closed form."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.profiling import ev_runs_test
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r for r in ev_runs_test(spark, sf_dir).collect()}
+    assert got
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts").collect()
+    hourly: Counter = Counter(
+        (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in ev)
+    by_type: dict[str, dict] = {}
+    for (et, h), c in hourly.items():
+        by_type.setdefault(et, {})[h] = c
+    for et, m in by_type.items():
+        n = len(m)
+        sx = sum(m.values())
+        signs = [n * c > sx for _, c in sorted(m.items())
+                 if n * c != sx]
+        n1 = sum(signs)
+        n2 = len(signs) - n1
+        runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+        if not (n1 > 0 and n2 > 0 and n1 + n2 > 1):
+            assert et not in got
+            continue
+        r = got[et]
+        assert (r.n_pos, r.n_neg, r.n_runs) == (n1, n2, runs), et
+        nn = n1 + n2
+        mu = 2 * n1 * n2 / nn + 1
+        var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+        assert abs(r.z - (runs - mu) / math.sqrt(var)) < 1e-5, et
