@@ -25,6 +25,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _TS = T.TimestampType()
@@ -290,6 +291,42 @@ class ControlStore:
         kept = target.join(updates.select(keys), keys, "left_anti")
         merged = kept.unionByName(updates.select(cols))
         self.overwrite(table, merged, operation="merge")
+
+    def diff(self, table: str, from_version: str,
+             to_version: str | None = None) -> DataFrame:
+        """Change-data-feed between two retained versions (Delta
+        ``table_changes``): one row per changed primary key with
+        ``_change_type`` ∈ {insert, delete, update_postimage}.
+
+        Computed as two key anti-joins (inserts / deletes) plus an
+        inner join filtered to value inequality (updates) — each a
+        hash join on the primary key, so the diff cost scales with the
+        snapshots, never with history length.  The update check
+        compares the full non-key column tuple with null-safe equality
+        (``eqNullSafe``), so NULL→value transitions are real updates.
+        """
+        keys = KEYS[table]
+        cols = [f.name for f in SCHEMAS[table].fields]
+        vals = [c for c in cols if c not in keys]
+        old = self.read(table, from_version)
+        new = self.read(table, to_version)
+        inserts = new.join(old.select(keys), keys, "left_anti") \
+            .select(cols).withColumn("_change_type", F.lit("insert"))
+        deletes = old.join(new.select(keys), keys, "left_anti") \
+            .select(cols).withColumn("_change_type", F.lit("delete"))
+        o = old.select(keys + [F.col(c).alias(f"_old_{c}") for c in vals])
+        changed_pred = None
+        for c in vals:
+            ne = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+            changed_pred = ne if changed_pred is None else (changed_pred | ne)
+        updates = new.join(o, keys)
+        if changed_pred is not None:
+            updates = updates.filter(changed_pred)
+        else:  # key-only table: no value columns can change
+            updates = updates.filter(F.lit(False))
+        updates = updates.select(cols) \
+            .withColumn("_change_type", F.lit("update_postimage"))
+        return inserts.unionByName(deletes).unionByName(updates)
 
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key

@@ -295,3 +295,33 @@ def test_store_log_resilience_and_prelog_vacuum_order(spark, tmp_path):
     # both logged versions survive (current + keep_last=1)
     for e in hist:
         assert os.path.isdir(os.path.join(tdir, e["version"]))
+
+
+def test_store_diff_change_data_feed(spark, tmp_path):
+    """diff(v_from, v_to) classifies keys into insert / delete /
+    update_postimage, with null-safe value comparison and no phantom
+    updates for untouched rows."""
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+
+    def row(job_id, user, status):
+        return (job_id, None, user, None, None, status, None, None,
+                None, None, None, None)
+
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "u1", "PENDING"), row(2, "u2", "PENDING"),
+         row(3, None, "PENDING")], schema))
+    v0 = store.history("jobs")[-1]["version"]
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "u1", "PENDING"),        # untouched
+         row(3, "u3", "PENDING"),        # NULL -> value update
+         row(4, "u4", "RUNNING")],       # insert; 2 deleted
+        schema))
+    changes = {(r.job_id, r._change_type)
+               for r in store.diff("jobs", v0).collect()}
+    assert changes == {(4, "insert"), (2, "delete"),
+                       (3, "update_postimage")}
+    # diffing a version against itself is empty
+    assert store.diff("jobs", v0, v0).count() == 0
