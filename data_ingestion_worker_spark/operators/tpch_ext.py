@@ -635,8 +635,88 @@ WHERE NOT EXISTS (
 """
 
 
+#: Market-basket thresholds: minimum pair support and report depth.
+MBA_MIN_PAIR = 2
+MBA_TOP_K = 50
+
+
+def mba_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over parts co-ordered in the
+    same order: support, confidence and lift for the top pairs — the
+    classic frequent-itemset/affinity workload (bought-together
+    recommendations, assortment planning).
+
+    Scale shape: the distinct (order, part) projection self-joins on
+    the order key only (pairs within an order — the same bounded
+    fan-out as the triangle counter's edge build, never all-pairs);
+    item counts broadcast back onto the pair aggregate; the single
+    order-count scalar attaches via a one-row broadcast cross join.
+    Ratios divide exact integers and floor at 6 — lift's engines-agree
+    contract.  Reported pairs are canonical (pa < pb) with a
+    (lift DESC, pa, pb) top-k cutoff that compiles to
+    TakeOrderedAndProject.
+    """
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint(eager=False)
+    n = lo.select("ok").distinct().agg(F.count(F.lit(1)).alias("n"))
+    items = lo.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = lo.alias("a"), lo.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .filter(F.col("cp") >= MBA_MIN_PAIR)
+    )
+    ca = items.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    cb = items.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n))
+    )
+    f6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    lift = (F.col("cp").cast("double") * F.col("n")
+            / (F.col("ca").cast("double") * F.col("cb")))
+    return scored.select(
+        "pa", "pb", "cp",
+        f6(F.col("cp").cast("double") / F.col("n")).alias("support"),
+        f6(F.col("cp").cast("double") / F.col("ca")).alias("confidence"),
+        f6(lift).alias("lift"),
+    ).orderBy(F.desc("lift"), "pa", "pb").limit(MBA_TOP_K)
+
+
+MBA_ORACLE = f"""
+WITH lo AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM lo),
+items AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM lo GROUP BY 1),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cp
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {MBA_MIN_PAIR}
+)
+SELECT pa, pb, cp,
+       floor(CAST(cp AS DOUBLE) / n * 1000000.0) / 1000000.0 AS support,
+       floor(CAST(cp AS DOUBLE) / ca.c * 1000000.0) / 1000000.0
+         AS confidence,
+       floor(CAST(cp AS DOUBLE) * n / (CAST(ca.c AS DOUBLE) * cb.c)
+             * 1000000.0) / 1000000.0 AS lift
+FROM pairs
+JOIN items ca ON ca.p = pairs.pa
+JOIN items cb ON cb.p = pairs.pb
+CROSS JOIN n
+ORDER BY lift DESC, pa, pb
+LIMIT {MBA_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "skyline_pareto": QuerySpec(skyline_pareto, SKYLINE_ORACLE),
+    "mba_part_lift": QuerySpec(mba_part_lift, MBA_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_ORACLE),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_ORACLE),
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),

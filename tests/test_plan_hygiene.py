@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
     "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
+    "mba_part_lift",       # one-row order-count broadcast cross join
 }
 
 
@@ -145,6 +146,7 @@ SP_ALLOWED = {
                                 # the <=10 decile rows
     "ann_pq_recall",            # inherits the ADC bloom-filter subquery
     "emb_coreset_maxmin",       # per-round one-row argmax scalar
+    "mba_part_lift",            # one-row order-count scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -634,3 +634,46 @@ def test_user_streaks_match_python_islands(spark, sf_dir):
         expect[best] += 1
     assert got == dict(expect)
     assert sum(got.values()) == len(days_by_user)
+
+
+def test_mba_lift_matches_python_counter(spark, sf_dir):
+    """Support/confidence/lift recomputed with plain-Python counters
+    over the distinct (order, part) pairs, including the floor-6 and
+    the (lift DESC, pa, pb) cutoff."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.tpch_ext import (
+        MBA_MIN_PAIR,
+        MBA_TOP_K,
+        mba_part_lift,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    lo = {(r.l_orderkey, r.l_partkey)
+          for r in load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").collect()}
+    by_order: dict[int, list[int]] = {}
+    for ok, p in lo:
+        by_order.setdefault(ok, []).append(p)
+    n = len(by_order)
+    item: Counter = Counter(p for _, p in lo)
+    pair: Counter = Counter()
+    for parts in by_order.values():
+        parts.sort()
+        for i, pa in enumerate(parts):
+            for pb in parts[i + 1:]:
+                pair[(pa, pb)] += 1
+
+    def f6(x: float) -> float:
+        return math.floor(x * 1e6) / 1e6
+
+    expect = sorted(
+        ((pa, pb, cp, f6(cp / n), f6(cp / item[pa]),
+          f6(cp * n / (item[pa] * item[pb])))
+         for (pa, pb), cp in pair.items() if cp >= MBA_MIN_PAIR),
+        key=lambda t: (-t[5], t[0], t[1]),
+    )[:MBA_TOP_K]
+    got = [(r.pa, r.pb, r.cp, r.support, r.confidence, r.lift)
+           for r in mba_part_lift(spark, sf_dir).collect()]
+    assert sorted(got, key=lambda t: (-t[5], t[0], t[1])) == expect
