@@ -591,6 +591,87 @@ LIMIT {CN_TOP_K}
 """
 
 
+#: Assortativity z-expression over exact integer power sums — ONE SQL
+#: fragment shared verbatim by both engines.
+_ASSORT_R = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE))"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE))"
+)
+
+
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer–supplier graph: the Pearson
+    correlation of endpoint degrees over all (directed-both-ways)
+    edges — negative means hubs attach to leaves (the usual shape of
+    bipartite commerce graphs), positive means rich-club clustering.
+    The one-number structural diagnostic read before choosing graph
+    partitioning / skew strategies.
+
+    All five moments are exact BIGINT sums over the edge list (degrees
+    are integers), so the single correlation expression — one shared
+    SQL fragment — is bit-identical on both engines.  Scale shape: the
+    degree table joins the edge list twice (src, dst) on already-
+    shuffled keys; the moments collapse in one partial aggregate to a
+    single row.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    j = edges.join(ds, "src").join(dd, "dst")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        F.col("n").alias("n_edges"),
+        F.round(F.expr(_ASSORT_R), 6).alias("assortativity"),
+    )
+
+
+ASSORTATIVITY_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.deg) AS BIGINT) AS sx,
+         CAST(sum(b.deg) AS BIGINT) AS sy,
+         CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+         CAST(sum(b.deg * b.deg) AS BIGINT) AS syy,
+         CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy
+  FROM edges e
+  JOIN deg a ON a.node = e.src
+  JOIN deg b ON b.node = e.dst
+)
+SELECT n AS n_edges, round({_ASSORT_R}, 6) AS assortativity
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
@@ -602,4 +683,6 @@ SPECS: dict[str, QuerySpec] = {
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),
     "graph_triangle_count": QuerySpec(graph_triangle_count,
                                       TRIANGLE_ORACLE),
+    "graph_degree_assortativity": QuerySpec(graph_degree_assortativity,
+                                            ASSORTATIVITY_ORACLE),
 }

@@ -1004,6 +1004,64 @@ FROM sums
 """
 
 
+def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per nation:
+    HHI = Σ (supplier share)² over each nation's suppliers — the
+    standard market-concentration read (1/n_suppliers = perfectly
+    even, 1.0 = monopoly).
+
+    Exactness: per-supplier revenues are DECIMAL sums; the identity
+    ``Σ(rᵢ/T)² = Σrᵢ² / T²`` lets both the numerator (Σ of DECIMAL
+    squares) and denominator stay exact until ONE double division of
+    identical operands.  Scale shape: lineitem aggregates once by
+    (nation, supplier) — supplier→nation broadcast — then |nations|
+    rows collapse the shares; no window, no self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey) \
+        .select("s_suppkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)")
+    per = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev).alias("r"))
+    )
+    agg = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,4)")).alias("num"),
+        F.sum("r").alias("tot"),
+    )
+    hhi = (F.col("num").cast("double")
+           / (F.col("tot").cast("double") * F.col("tot").cast("double")))
+    return agg.select(
+        "n_name", "n_suppliers", F.round(hhi, 6).alias("hhi")
+    )
+
+
+HHI_ORACLE = """
+WITH per AS (
+  SELECT n_name, s_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(CAST(r * r AS DECIMAL(38,4))) AS num,
+         sum(r) AS tot
+  FROM per GROUP BY 1
+)
+SELECT n_name, n_suppliers,
+       round(CAST(num AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+FROM agg
+"""
+
+
 #: Benford first-digit expectations log10(1 + 1/d), rounded to 6 by
 #: Python ONCE and embedded as identical literals in both engines (a
 #: runtime log10 could differ by one ulp between libm implementations).
@@ -1082,6 +1140,8 @@ FROM tot
 SPECS: dict[str, QuerySpec] = {
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
+    "stats_hhi_concentration": QuerySpec(stats_hhi_concentration,
+                                         HHI_ORACLE),
     "stats_spearman_corr": QuerySpec(stats_spearman_corr, SPEARMAN_ORACLE),
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
                                      MANNWHITNEY_ORACLE),

@@ -167,3 +167,34 @@ def test_windowed_topk_is_bounded_per_hour(spark, sf_dir):
                 rs[0].total_value == rs[1].total_value
                 and rs[0].event_type < rs[1].event_type
             )
+
+
+def test_assortativity_matches_python_pearson(spark, sf_dir):
+    """The assortativity recomputed from the collected edge list with
+    exact Python integers must match, and lie in [-1, 1]."""
+    import math
+
+    from data_ingestion_worker_spark.operators.graph import (
+        _edges,
+        graph_degree_assortativity,
+    )
+
+    r = graph_degree_assortativity(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    edges = [(e.src, e.dst) for e in _edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in edges]
+    ys = [deg[d] for s, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert r.n_edges == n
+    assert abs(r.assortativity - expect) < 1e-5
+    assert -1.0 <= r.assortativity <= 1.0

@@ -147,6 +147,7 @@ SP_ALLOWED = {
     "ann_pq_recall",            # inherits the ADC bloom-filter subquery
     "emb_coreset_maxmin",       # per-round one-row argmax scalar
     "mba_part_lift",            # one-row order-count scalar
+    "graph_degree_assortativity",  # one-row five-moment scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -677,3 +677,39 @@ def test_mba_lift_matches_python_counter(spark, sf_dir):
     got = [(r.pa, r.pb, r.cp, r.support, r.confidence, r.lift)
            for r in mba_part_lift(spark, sf_dir).collect()]
     assert sorted(got, key=lambda t: (-t[5], t[0], t[1])) == expect
+
+
+def test_hhi_bounds_and_python_mirror(spark, sf_dir):
+    """Each nation's HHI must equal the Python-exact share-squares sum
+    and respect the 1/n..1 bounds."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_worker_spark.operators.stats import (
+        stats_hhi_concentration,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.n_name: r for r in
+           stats_hhi_concentration(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_suppkey", "l_extendedprice").collect()
+    sup = {r.s_suppkey: r.s_nationkey for r in
+           load_table(spark, sf_dir, "supplier").collect()}
+    nat = {r.n_nationkey: r.n_name for r in
+           load_table(spark, sf_dir, "nation").collect()}
+    rev: dict = defaultdict(Decimal)
+    for r in li:
+        key = (nat[sup[r.l_suppkey]], r.l_suppkey)
+        rev[key] += Decimal(str(round(r.l_extendedprice, 2)))
+    by_nation: dict = defaultdict(list)
+    for (nm, _), v in rev.items():
+        by_nation[nm].append(v)
+    assert set(got) == set(by_nation)
+    for nm, vals in by_nation.items():
+        tot = sum(vals)
+        expect = float(sum(v * v for v in vals)) / float(tot * tot)
+        r = got[nm]
+        assert r.n_suppliers == len(vals)
+        assert abs(r.hhi - expect) < 1e-5, nm
+        assert 1.0 / len(vals) - 1e-9 <= r.hhi <= 1.0 + 1e-9
