@@ -648,6 +648,83 @@ FROM longest GROUP BY 1
 """
 
 
+#: Gini from grouped (value, frequency) rows — ONE shared SQL fragment:
+#: G = 2S/(N·W) − (N+1)/N, every input an exact integer.
+_GINI_EXPR = (
+    "CAST(2 * s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(w AS DOUBLE))"
+    " - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)"
+)
+
+
+def ev_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity, per event type — how
+    concentrated each behaviour is in its heaviest users (0 = everyone
+    equal, →1 = a handful of users generate everything).  The
+    power-user / bot-screening inequality read.
+
+    Exact at any scale WITHOUT a per-user global sort: users collapse
+    to a (count value, frequency) table — bounded by the activity
+    range, not the user count — and the grouped-data rank identity
+    ``Σᵢ i·xᵢ = Σ_groups c·(f·R + f(f+1)/2)`` (R = users below the
+    group) turns the Lorenz sum into integer window arithmetic over
+    that tiny frame.  One shared SQL fragment computes G from the
+    three integer totals on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vf = per.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("f"))
+    wo = Window.partitionBy("event_type").orderBy("c") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vf.select(
+        "event_type", "c", "f",
+        F.coalesce(F.sum("f").over(wo), F.lit(0)).alias("r0"),
+    )
+    term = F.col("c") * (F.col("f") * F.col("r0")
+                         + F.expr("(f * (f + 1)) div 2"))
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(term).alias("s"),
+        F.sum("f").alias("n"),
+        F.sum(F.col("c") * F.col("f")).alias("w"),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        F.col("event_type"),
+        F.col("n").alias("n_users"),
+        F.col("w").alias("n_events"),
+        F.round(F.expr(_GINI_EXPR), 6).alias("gini"),
+    )
+
+
+GINI_ORACLE = f"""
+WITH per AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+vf AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
+  FROM per GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, c, f,
+         CAST(COALESCE(sum(f) OVER (PARTITION BY event_type ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS r0
+  FROM vf
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(c * (f * r0 + (f * (f + 1)) // 2)) AS BIGINT) AS s,
+         CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(c * f) AS BIGINT) AS w
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n AS n_users, w AS n_events,
+       round({_GINI_EXPR}, 6) AS gini
+FROM agg WHERE n > 0
+"""
+
+
 def ev_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day volume forecast per event type: OLS trend over the
     daily counts, extrapolated one day past the observed range — the
@@ -1119,6 +1196,7 @@ SPECS: dict[str, QuerySpec] = {
     "ev_forecast_linear": QuerySpec(ev_forecast_linear,
                                     FORECAST_LINEAR_ORACLE),
     "ev_user_streaks": QuerySpec(ev_user_streaks, USER_STREAKS_ORACLE),
+    "ev_gini_user_activity": QuerySpec(ev_gini_user_activity, GINI_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,
                                    DAU_STICKINESS_ORACLE),
     "ev_conversion_time": QuerySpec(ev_conversion_time,

@@ -713,3 +713,33 @@ def test_hhi_bounds_and_python_mirror(spark, sf_dir):
         assert r.n_suppliers == len(vals)
         assert abs(r.hhi - expect) < 1e-5, nm
         assert 1.0 / len(vals) - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_gini_matches_sorted_python_formula(spark, sf_dir):
+    """Per-type Gini recomputed from the individually-sorted per-user
+    counts with the classic rank formula; bounds respected."""
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_gini_user_activity,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r for r in
+           ev_gini_user_activity(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "user_id").collect()
+    per: Counter = Counter((r.event_type, r.user_id) for r in ev)
+    by_type: dict[str, list[int]] = {}
+    for (et, _), c in per.items():
+        by_type.setdefault(et, []).append(c)
+    assert set(got) == set(by_type)
+    for et, xs in by_type.items():
+        xs.sort()
+        n, w = len(xs), sum(xs)
+        s = sum(i * x for i, x in enumerate(xs, start=1))
+        expect = 2 * s / (n * w) - (n + 1) / n
+        r = got[et]
+        assert (r.n_users, r.n_events) == (n, w)
+        assert abs(r.gini - expect) < 1e-5, et
+        assert 0.0 - 1e-9 <= r.gini < 1.0
