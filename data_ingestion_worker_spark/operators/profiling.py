@@ -370,6 +370,80 @@ WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
 """
 
 
+#: Pearson-from-integer-power-sums fragment shared by both engines.
+_PEARSON_R = (
+    "(CAST(n * sxy - sx * sy AS DOUBLE))"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE))"
+)
+
+
+def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    persistence number that completes the time-series family (z-score:
+    pointwise, CUSUM: drift, runs test: randomness, forecast: trend).
+    High positive autocorrelation says load clusters hour-to-hour
+    (capacity must follow the wave); near zero says hours are
+    independent.
+
+    One lag window pairs each hour with its successor; the five
+    Pearson moments are exact BIGINT sums over those integer pairs,
+    and the correlation evaluates one shared SQL fragment.  Single
+    scan; everything after the hourly groupBy is bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    pairs = hourly.select(
+        "event_type",
+        F.lag("c").over(wo).alias("x"),
+        F.col("c").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        "event_type", F.col("n").alias("n_pairs"),
+        F.round(F.expr(_PEARSON_R), 6).alias("autocorr"),
+    )
+
+
+AUTOCORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type,
+         lag(c) OVER (PARTITION BY event_type ORDER BY hour) AS x,
+         c AS y
+  FROM hourly
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_pairs, round({_PEARSON_R}, 6) AS autocorr
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 #: Join-key columns profiled for skew, and heavy-hitter depth.
 SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 SKEW_TOP_K = 3
@@ -453,4 +527,5 @@ SPECS: dict[str, QuerySpec] = {
     "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),
     "ev_cusum_changepoint": QuerySpec(ev_cusum_changepoint, CUSUM_ORACLE),
     "ev_runs_test": QuerySpec(ev_runs_test, RUNS_TEST_ORACLE),
+    "ev_autocorr_lag1": QuerySpec(ev_autocorr_lag1, AUTOCORR_ORACLE),
 }

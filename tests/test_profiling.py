@@ -162,3 +162,43 @@ def test_runs_test_counts_match_python_scan(spark, sf_dir):
         mu = 2 * n1 * n2 / nn + 1
         var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
         assert abs(r.z - (runs - mu) / math.sqrt(var)) < 1e-5, et
+
+
+def test_autocorr_matches_python_pearson(spark, sf_dir):
+    """Lag-1 autocorrelation recomputed from the collected hourly
+    series with exact Python integers; bounded to [-1, 1]."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.profiling import (
+        ev_autocorr_lag1,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r for r in
+           ev_autocorr_lag1(spark, sf_dir).collect()}
+    assert got
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts").collect()
+    hourly: Counter = Counter(
+        (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in ev)
+    series: dict[str, list[int]] = {}
+    for (et, h), c in sorted(hourly.items()):
+        series.setdefault(et, []).append(c)
+    for et, ys in series.items():
+        xs, zs = ys[:-1], ys[1:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(zs)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in zs)
+        sxy = sum(a * b for a, b in zip(xs, zs))
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den <= 0:
+            assert et not in got
+            continue
+        expect = (n * sxy - sx * sy) / math.sqrt(den)
+        r = got[et]
+        assert r.n_pairs == n
+        assert abs(r.autocorr - expect) < 1e-5, et
+        assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9
