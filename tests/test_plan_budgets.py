@@ -1,0 +1,61 @@
+"""Exchange-count budgets for the heavy queries.
+
+PERF.md §8's lesson, turned into a tripwire: Catalyst never forms a
+ReusedExchange across differently-aliased references to one frame, so a
+dropped ``localCheckpoint`` on a multi-consumer intermediate silently
+re-executes its whole subtree per consumer.  That failure mode is
+invisible to oracle parity (results stay correct) and easy to miss in a
+noisy benchmark — but it always shows up as extra shuffles.  This test
+pins an upper bound on the shuffle count of every expensive query
+(current count + slack); a regression like the 45-exchange
+``dedup_semantic`` (vs 4 after checkpointing, caught by the round-5
+scale audit) now fails CI instead of waiting for the next manual audit.
+
+Budgets are spacious on purpose: they should only move when the
+operator's algorithm deliberately changes shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_worker_spark.registry import all_specs
+
+#: query -> max allowed exchanges (hash + range + single-partition).
+BUDGETS = {
+    "contacts_validation": 4,
+    "dedup_minhash_lsh": 5,
+    "dedup_jaccard_prefix_filter": 10,
+    "dedup_cluster_representative": 8,
+    "dedup_semantic": 6,                # was 45 before the §8 fix
+    "pipeline_curation_e2e": 9,
+    "graph_pagerank": 16,
+    "graph_triangle_count": 8,
+    "graph_common_neighbors_topk": 8,
+    "ann_ivf_topk": 9,
+    "ann_ivf_recall": 24,
+    "ann_pq_adc_topk": 18,
+    "ann_pq_recall": 24,
+    "emb_pq_codes": 9,
+    "sketch_kmv_distinct": 5,
+    "sketch_kmv_jaccard": 5,
+    "profile_columns": 4,
+}
+
+
+def _n_exchanges(plan: str) -> int:
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"))
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    plan = all_specs()[name].fn(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n = _n_exchanges(plan)
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]} — a "
+        "multi-consumer frame probably lost its localCheckpoint "
+        "(see PERF.md §8)"
+    )
