@@ -370,6 +370,70 @@ WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
 """
 
 
+def ev_anomaly_seasonal_zscore(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour is z-scored
+    against the SAME hour-of-day's historical distribution for its
+    event type (3 am compares with other 3 ams), so the daily cycle —
+    which plain ``ev_anomaly_zscore`` reports as 24 recurring false
+    alarms — is absorbed into the baseline and only true deviations
+    from the seasonal pattern surface.
+
+    Same exact-integer machinery as the flat z-score (power sums per
+    (type, hour-of-day) group; the |z| > 2 cut is an integer
+    inequality), one extra grouping key.  Single scan; everything
+    after the hourly groupBy is bounded by |types| x 24 x |days|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type", F.hour("hour"))
+    st = hourly.select(
+        "event_type", "hour", "c",
+        F.hour("hour").alias("hod"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sxx"),
+    )
+    num = F.col("n") * F.col("c") - F.col("sx")
+    rad = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        st.filter((num * num > 4 * rad) & (F.col("n") > 1) & (rad > 0))
+        .select(
+            "event_type", "hour", F.col("hod").cast("int").alias("hod"),
+            F.col("c").alias("hour_count"),
+            F.round(num.cast("double") / F.sqrt(rad.cast("double")), 6)
+            .alias("zscore"),
+        )
+    )
+
+
+SEASONAL_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, hour, c,
+         CAST(hour(hour) AS INT) AS hod,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS sx,
+         CAST(sum(c * c) OVER w AS BIGINT) AS sxx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour(hour))
+)
+SELECT event_type, hour, hod, c AS hour_count,
+       round(CAST(n * c - sx AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zscore
+FROM st
+WHERE (n * c - sx) * (n * c - sx) > 4 * (n * sxx - sx * sx)
+  AND n > 1 AND n * sxx - sx * sx > 0
+"""
+
+
 #: Pearson-from-integer-power-sums fragment shared by both engines.
 _PEARSON_R = (
     "(CAST(n * sxy - sx * sy AS DOUBLE))"
@@ -528,4 +592,6 @@ SPECS: dict[str, QuerySpec] = {
     "ev_cusum_changepoint": QuerySpec(ev_cusum_changepoint, CUSUM_ORACLE),
     "ev_runs_test": QuerySpec(ev_runs_test, RUNS_TEST_ORACLE),
     "ev_autocorr_lag1": QuerySpec(ev_autocorr_lag1, AUTOCORR_ORACLE),
+    "ev_anomaly_seasonal_zscore": QuerySpec(ev_anomaly_seasonal_zscore,
+                                            SEASONAL_ANOMALY_ORACLE),
 }

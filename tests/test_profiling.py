@@ -202,3 +202,33 @@ def test_autocorr_matches_python_pearson(spark, sf_dir):
         assert r.n_pairs == n
         assert abs(r.autocorr - expect) < 1e-5, et
         assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9
+
+
+def test_seasonal_zscore_within_hod_groups(spark, sf_dir):
+    """Every reported anomaly really exceeds |z| > 2 within its own
+    (type, hour-of-day) peer group, recomputed in Python."""
+    from collections import Counter, defaultdict
+
+    from data_ingestion_worker_spark.operators.profiling import (
+        ev_anomaly_seasonal_zscore,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = ev_anomaly_seasonal_zscore(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "ts").collect()
+    hourly: Counter = Counter(
+        (r.event_type, r.ts.replace(minute=0, second=0, microsecond=0))
+        for r in ev)
+    groups: dict = defaultdict(list)
+    for (et, h), c in hourly.items():
+        groups[(et, h.hour)].append(c)
+    for r in rows:
+        peers = groups[(r.event_type, r.hod)]
+        n = len(peers)
+        sx, sxx = sum(peers), sum(c * c for c in peers)
+        num = n * r.hour_count - sx
+        rad = n * sxx - sx * sx
+        assert num * num > 4 * rad and n > 1 and rad > 0, r
+        assert abs(r.zscore) > 2.0 - 1e-6
