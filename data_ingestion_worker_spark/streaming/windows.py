@@ -209,3 +209,77 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: the batch change-point detector
+# (operators/profiling.ev_cusum_changepoint) deployed on a live stream.
+# ---------------------------------------------------------------------------
+
+#: Input contract: finalized hourly counts, e.g. the append-mode output
+#: of a watermarked ``windowed_counts`` stage (append mode emits each
+#: window once, in watermark order per key — the in-order assumption the
+#: prefix-sum state relies on).
+HOURLY_SCHEMA = "event_type string, hour timestamp, c bigint"
+
+_CUSUM_STATE_SCHEMA = "p bigint, minp bigint"
+_CUSUM_OUT_SCHEMA = ("event_type string, hour timestamp, "
+                     "hour_count bigint, cusum_scaled bigint, alarm boolean")
+
+
+def _cusum_alarm_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    p, minp = state.get if state.exists else (0, 0)
+    frames = list(pdfs)
+    out: list[tuple] = []
+    if frames:
+        rows = pd.concat(frames).sort_values("hour")
+        for r in rows.itertuples():
+            d = int(r.n) * int(r.c) - int(r.sx)
+            p += d
+            minp = min(minp, p)
+            s = p - min(0, minp)
+            sigma = math.sqrt(float(int(r.n) * int(r.sxx)
+                                    - int(r.sx) * int(r.sx)))
+            out.append((key[0], r.hour, int(r.c), int(s),
+                        float(s) > 3.0 * sigma))
+    state.update((int(p), int(minp)))
+    yield pd.DataFrame(
+        out, columns=["event_type", "hour", "hour_count",
+                      "cusum_scaled", "alarm"])
+
+
+def cusum_alarms_stream(hourly: DataFrame,
+                        baseline: DataFrame) -> DataFrame:
+    """Streaming upper-CUSUM alarms over finalized hourly counts.
+
+    The batch twin (``ev_cusum_changepoint``) computes
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` with two windows; on a stream
+    the same statistic needs only TWO integers of per-key state — the
+    prefix sum and its running min — carried across microbatches by
+    ``applyInPandasWithState``.  The baseline power sums (n, sx, sxx
+    per type, from the batch profile of the reference period) arrive as
+    a static frame via a stream-static broadcast join, so every
+    incoming row is self-contained; types with zero variance are
+    filtered out exactly as the batch twin does.
+
+    State is 2 bigints per event type — independent of stream length;
+    a crash replays the microbatch into the same state (the T2/T5
+    exactly-once story applied to a detector).
+    """
+    rad_ok = baseline.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    )
+    joined = hourly.join(F.broadcast(rad_ok), "event_type")
+    return joined.groupBy("event_type").applyInPandasWithState(
+        _cusum_alarm_fn,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

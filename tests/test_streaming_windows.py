@@ -296,3 +296,65 @@ def test_dedup_on_arrival_drops_corpus_and_instream_dups(spark, tmp_path):
     ])
     drain()
     assert sorted(r["doc_id"] for r in _rows(spark, out)) == [2, 4, 6]
+
+
+def test_cusum_alarms_stream_matches_recursion_across_restart(
+    spark, tmp_path
+):
+    """The streaming CUSUM must equal the textbook recursion computed in
+    Python over the full series, with the prefix/min state surviving a
+    drain boundary; a zero-variance type is filtered like the batch
+    twin."""
+    from data_ingestion_worker_spark.streaming.windows import (
+        HOURLY_SCHEMA,
+        cusum_alarms_stream,
+    )
+
+    series = {"click": [5, 5, 12, 12, 12], "view": [3, 3, 3, 3, 3]}
+    hours = [f"2026-01-01 {h:02d}:00:00" for h in range(10, 15)]
+    base_rows = []
+    for et, xs in series.items():
+        n, sx = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        base_rows.append((et, n, sx, sxx))
+    baseline = spark.createDataFrame(
+        base_rows, "event_type string, n bigint, sx bigint, sxx bigint")
+
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_hourly(name, idxs):
+        rows = [{"event_type": et, "hour": hours[i], "c": series[et][i]}
+                for et in series for i in idxs]
+        _write_events(inbox, name, rows)
+
+    def drain(out_dir):
+        stream = spark.readStream.schema(HOURLY_SCHEMA).json(inbox)
+        q = (cusum_alarms_stream(stream, baseline).writeStream
+             .foreachBatch(
+                 lambda b, _e: b.write.mode("append").parquet(out_dir))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    write_hourly("b1.json", [0, 1, 2])
+    drain(out)
+    write_hourly("b2.json", [3, 4])   # state must carry p/minp across
+    drain(out)
+
+    got = {(r.event_type, r.hour.hour): r for r in _rows(spark, out)}
+    assert not any(et == "view" for et, _ in got)   # zero variance
+    import math
+    xs = series["click"]
+    n, sx = len(xs), sum(xs)
+    sxx = sum(x * x for x in xs)
+    sigma = math.sqrt(n * sxx - sx * sx)
+    s = 0
+    for i, c in enumerate(xs):
+        s = max(0, s + n * c - sx)
+        r = got[("click", 10 + i)]
+        assert r.cusum_scaled == s, i
+        assert r.hour_count == c
+        assert r.alarm == (s > 3.0 * sigma)
