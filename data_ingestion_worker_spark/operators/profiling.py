@@ -370,6 +370,87 @@ WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
 """
 
 
+def ev_cusum_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower-CUSUM: cumulative detection of volume DROPS — the outage /
+    broken-producer alarm (operationally the more urgent direction than
+    the spike detector ``ev_cusum_changepoint`` mirrors).
+
+    Closed form of the mirror recursion
+    ``S⁻_t = max(0, S⁻_{t-1} − d_t)``:
+    ``S⁻_t = max(0, max_{j≤t} P_j) − P_t`` — the running MAX replacing
+    the running min.  Same integer-exact machinery, same single scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    st = hourly.select(
+        "event_type", "hour", "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("sx"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sxx"),
+    )
+    d = F.col("n") * F.col("c") - F.col("sx")
+    pre = st.select(
+        "event_type", "hour", "c", "n", "sx", "sxx",
+        F.sum(d).over(wo).alias("p"),
+    )
+    run = pre.select(
+        "event_type", "hour", "c", "n", "sxx", "sx",
+        (F.greatest(F.lit(0).cast("bigint"), F.max("p").over(wo))
+         - F.col("p")).alias("s"),
+    )
+    rad = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sigma = F.sqrt(rad.cast("double"))
+    return run.filter(rad > 0).select(
+        "event_type", "hour", F.col("c").alias("hour_count"),
+        F.col("s").cast("bigint").alias("cusum_scaled"),
+        F.round(F.col("s").cast("double") / sigma, 6).alias("cusum_sigma"),
+        (F.col("s").cast("double")
+         > F.lit(float(CUSUM_H_SIGMA)) * sigma).alias("alarm"),
+    )
+
+
+CUSUM_DROP_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, hour, c,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS sx,
+         CAST(sum(c * c) OVER w AS BIGINT) AS sxx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+pre AS (
+  SELECT event_type, hour, c, n, sx, sxx,
+         CAST(sum(n * c - sx) OVER wo AS BIGINT) AS p
+  FROM st
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hour)
+),
+run AS (
+  SELECT event_type, hour, c, n, sx, sxx,
+         greatest(CAST(0 AS BIGINT), max(p) OVER wo) - p AS s
+  FROM pre
+  WINDOW wo AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT event_type, hour, c AS hour_count,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       round(CAST(s AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS cusum_sigma,
+       CAST(s AS DOUBLE) > {float(CUSUM_H_SIGMA)}
+         * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS alarm
+FROM run
+WHERE n * sxx - sx * sx > 0
+"""
+
+
 def ev_anomaly_seasonal_zscore(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly detection: each hour is z-scored
@@ -594,4 +675,5 @@ SPECS: dict[str, QuerySpec] = {
     "ev_autocorr_lag1": QuerySpec(ev_autocorr_lag1, AUTOCORR_ORACLE),
     "ev_anomaly_seasonal_zscore": QuerySpec(ev_anomaly_seasonal_zscore,
                                             SEASONAL_ANOMALY_ORACLE),
+    "ev_cusum_drop": QuerySpec(ev_cusum_drop, CUSUM_DROP_ORACLE),
 }

@@ -232,3 +232,25 @@ def test_seasonal_zscore_within_hod_groups(spark, sf_dir):
         rad = n * sxx - sx * sx
         assert num * num > 4 * rad and n > 1 and rad > 0, r
         assert abs(r.zscore) > 2.0 - 1e-6
+
+
+def test_cusum_drop_matches_mirror_recursion(spark, sf_dir):
+    """The lower CUSUM closed form must equal the mirror recursion
+    ``S = max(0, S - d)`` exactly."""
+    from data_ingestion_worker_spark.operators.profiling import (
+        ev_cusum_drop,
+    )
+
+    rows = ev_cusum_drop(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour)
+        n = len(rs)
+        sx = sum(r.hour_count for r in rs)
+        s = 0
+        for r in rs:
+            s = max(0, s - (n * r.hour_count - sx))
+            assert r.cusum_scaled == s, (et, r.hour)
