@@ -205,8 +205,101 @@ class ControlStore:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
+        self._build_manifest(table, path)
         self._flip_pointer(table, version)
         self._append_log(table, version, operation)
+
+    def _build_manifest(self, table: str, path: str) -> None:
+        """File-level min/max manifest on the leading primary-key column
+        present in the data files — the data-skipping half of a
+        lakehouse table format (Delta/Iceberg file statistics), built
+        from parquet FOOTERS only (no data read).  Stored as
+        ``_manifest.json`` inside the version directory: Spark's
+        parquet reader ignores ``_``-prefixed files, and vacuum removes
+        it with its version.  Best-effort — any file without usable
+        stats is recorded as unprunable (always read)."""
+        import glob as _glob
+        import json
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # manifest is an optimization, never required
+            return
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                                  recursive=True))
+        if not files:
+            return
+        try:
+            names = list(pq.ParquetFile(files[0]).schema_arrow.names)
+        except Exception:  # noqa: BLE001
+            return
+        col = next((k for k in KEYS[table] if k in names), None)
+        if col is None:  # leading keys all live in partition directories
+            return
+        entries: dict[str, list | None] = {}
+        for f in files:
+            rng: list | None = None
+            try:
+                md = pq.ParquetFile(f).metadata
+                colnames = [md.schema.column(i).name
+                            for i in range(md.num_columns)]
+                ci = colnames.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    lo, hi = min(mins), max(maxs)
+                    if isinstance(lo, bytes):
+                        raise TypeError("non-JSON stats")
+                    rng = [lo, hi]
+            except Exception:  # noqa: BLE001 — unprunable, not fatal
+                rng = None
+            entries[os.path.relpath(f, path)] = rng
+        tmp = os.path.join(path, "._manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"column": col, "files": entries}, fh)
+        os.replace(tmp, os.path.join(path, "_manifest.json"))
+
+    def read_where(self, table: str, lo, hi,
+                   version: str | None = None) -> DataFrame:
+        """Range read on the manifest column with FILE-LEVEL SKIPPING:
+        only parquet files whose [min, max] intersects [lo, hi] are
+        listed to the reader (Delta/Iceberg data skipping; the
+        complement of the directory-level partition pruning the layout
+        already provides).  Falls back to a plain filtered read when no
+        manifest exists; the residual filter always applies, so results
+        never depend on the manifest being right — only the I/O does."""
+        import json
+
+        if version is None:
+            version = self._current_version(table)
+        if version is None:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        path = os.path.join(self.root, table, version)
+        mpath = os.path.join(path, "_manifest.json")
+        if not os.path.isfile(mpath):
+            col = KEYS[table][0]
+            return self.read(table, version).filter(
+                F.col(col).between(lo, hi))
+        with open(mpath) as fh:
+            m = json.load(fh)
+        col = m["column"]
+        pred = F.col(col).between(lo, hi)
+        keep = [os.path.join(path, rel) for rel, rng in m["files"].items()
+                if rng is None or not (rng[1] < lo or rng[0] > hi)]
+        if not keep:
+            return self.read(table, version).filter(pred).limit(0)
+        return (
+            self.spark.read.schema(SCHEMAS[table])
+            .option("basePath", path)
+            .parquet(*keep)
+            .filter(pred)
+        )
 
     def restore(self, table: str, version: str) -> None:
         """Flip the table back to a retained prior version (Delta

@@ -325,3 +325,26 @@ def test_store_diff_change_data_feed(spark, tmp_path):
                        (3, "update_postimage")}
     # diffing a version against itself is empty
     assert store.diff("jobs", v0, v0).count() == 0
+
+
+def test_store_read_where_skips_files_by_manifest(spark, tmp_path):
+    """Range reads list only the parquet files whose footer min/max
+    intersects the range (file-level data skipping), and return exactly
+    the rows a full-scan filter would."""
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+    rows = [(i, None, f"u{i}", None, None, "PENDING", None, None,
+             None, None, None, None) for i in range(400)]
+    df = spark.createDataFrame(rows, schema).repartitionByRange(8, "job_id")
+    store.overwrite("jobs", df)
+
+    pruned = store.read_where("jobs", 100, 140)
+    full = store.read("jobs")
+    expect = sorted(r.job_id for r in full.collect() if 100 <= r.job_id <= 140)
+    assert sorted(r.job_id for r in pruned.collect()) == expect
+    # the manifest must actually cut the file list, not just filter rows
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # an empty range reads nothing but keeps the schema
+    assert store.read_where("jobs", 10_000, 10_001).count() == 0
