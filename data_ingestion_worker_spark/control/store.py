@@ -13,6 +13,17 @@ flows actually need:
   union the updates, publish — one write per table per batch, never the
   reference's per-row commit+refresh (staging_repository.py:105-107,
   SURVEY.md §4 anti-patterns).
+- **optimistic concurrency between writers** (Delta's commit protocol,
+  scaled down): a publish must atomically claim the next slot in a
+  monotonically numbered commit log (``_commits/NNNNNNNN.json``, claimed
+  via hard-link — create-with-content-or-fail).  Read-modify-write ops
+  (``upsert``/``delete``) record the commit sequence they derived from
+  and only claim ``base+1``; losing the claim means another writer
+  committed in between, so the merge is re-derived from the new current
+  and retried — a concurrent writer can never silently overwrite another
+  writer's rows (no lost updates).  The latest commit record, not the
+  pointer file, is authoritative for "current": a crash between claim
+  and pointer flip heals on the next read.
 
 On a real deployment this class is swapped for Delta `MERGE INTO` /
 Iceberg row-level ops; every caller goes through read/overwrite/upsert so
@@ -118,6 +129,12 @@ PARTITIONING: dict[str, list[str]] = {
 }
 
 
+#: Bound on merge re-derivations under writer contention.  Control-plane
+#: writers are per-job microbatches (a handful at a time), so a conflict
+#: chain this long means something is structurally wrong — fail loudly.
+_OCC_RETRIES = 8
+
+
 class ControlStore:
     """Five control tables under one root directory."""
 
@@ -134,7 +151,63 @@ class ControlStore:
     def _log_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_LOG")
 
+    def _commits_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_commits")
+
+    def _latest_commit(self, table: str) -> tuple[int, str | None]:
+        """Highest claimed commit ``(seq, version)``; ``(0, None)`` for a
+        table with no commit records yet (empty or pre-OCC layout)."""
+        import json
+
+        try:
+            names = os.listdir(self._commits_dir(table))
+        except FileNotFoundError:
+            return (0, None)
+        seq, name = 0, None
+        for n in names:
+            if not n.endswith(".json"):
+                continue
+            try:
+                s = int(n[: -len(".json")])
+            except ValueError:
+                continue
+            if s > seq:
+                seq, name = s, n
+        if name is None:
+            return (0, None)
+        with open(os.path.join(self._commits_dir(table), name)) as f:
+            return (seq, json.load(f)["version"])
+
+    def _claim_commit(self, table: str, seq: int, version: str,
+                      operation: str) -> bool:
+        """Atomically claim commit slot ``seq`` for ``version``.
+
+        The claim is a hard-link of a fully written temp record onto the
+        slot name: link either succeeds (record appears complete, no torn
+        reads) or raises ``FileExistsError`` (another writer owns the
+        slot).  This is the single serialization point between writers.
+        """
+        import json
+        import time
+
+        cdir = self._commits_dir(table)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": version, "operation": operation,
+                                "ts": time.time()}))
+        try:
+            os.link(tmp, os.path.join(cdir, f"{seq:08d}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
     def _current_version(self, table: str) -> str | None:
+        _, committed = self._latest_commit(table)
+        if committed is not None:
+            return committed
         try:
             with open(self._pointer(table)) as f:
                 return f.read().strip() or None
@@ -196,7 +269,24 @@ class ControlStore:
 
     def overwrite(self, table: str, df: DataFrame,
                   operation: str = "overwrite") -> None:
-        """Publish a new immutable version of the table (atomic pointer flip)."""
+        """Publish a new immutable version of the table (atomic pointer flip).
+
+        A blind write: it does not depend on the current contents, so a
+        commit-slot collision just re-claims the next slot — never a
+        conflict.
+        """
+        self._publish(table, df, operation)
+
+    def _publish(self, table: str, df: DataFrame, operation: str,
+                 expected_seq: int | None = None) -> bool:
+        """Write a new immutable version directory, then claim a commit slot.
+
+        With ``expected_seq`` (read-modify-write callers): claim exactly
+        that slot; on collision the just-written orphan version is removed
+        and False returned so the caller re-derives from the new current.
+        Without it (blind writes): retry the claim at the then-latest slot
+        until it lands.
+        """
         cols = [f.name for f in SCHEMAS[table].fields]
         version = f"v-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, table, version)
@@ -206,8 +296,18 @@ class ControlStore:
             writer = writer.partitionBy(*parts)
         writer.parquet(path)
         self._build_manifest(table, path)
-        self._flip_pointer(table, version)
-        self._append_log(table, version, operation)
+        while True:
+            seq = (self._latest_commit(table)[0] + 1
+                   if expected_seq is None else expected_seq)
+            if self._claim_commit(table, seq, version, operation):
+                self._flip_pointer(table, version)
+                self._append_log(table, version, operation)
+                return True
+            if expected_seq is not None:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                return False
 
     def _build_manifest(self, table: str, path: str) -> None:
         """File-level min/max manifest on the leading primary-key column
@@ -311,6 +411,11 @@ class ControlStore:
             raise FileNotFoundError(
                 f"{table}@{version}: version unknown or vacuumed"
             )
+        # A restore is a blind pointer move, but it still serializes
+        # through the commit log so a concurrent merge can detect it.
+        while not self._claim_commit(table, self._latest_commit(table)[0] + 1,
+                                     version, "restore"):
+            pass
         self._flip_pointer(table, version)
         self._append_log(table, version, "restore")
 
@@ -372,18 +477,26 @@ class ControlStore:
         (``WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT``).
         """
         keys = KEYS[table]
-        target = self.read(table)
         cols = [f.name for f in SCHEMAS[table].fields]
-        if insert_only:
-            fresh = updates.select(cols).join(
-                target.select(keys), keys, "left_anti"
-            )
-            merged = target.unionByName(fresh)
-            self.overwrite(table, merged, operation="merge-insert-only")
-            return
-        kept = target.join(updates.select(keys), keys, "left_anti")
-        merged = kept.unionByName(updates.select(cols))
-        self.overwrite(table, merged, operation="merge")
+        for _ in range(_OCC_RETRIES):
+            base_seq, _ = self._latest_commit(table)
+            target = self.read(table)
+            if insert_only:
+                fresh = updates.select(cols).join(
+                    target.select(keys), keys, "left_anti"
+                )
+                merged = target.unionByName(fresh)
+                op = "merge-insert-only"
+            else:
+                kept = target.join(updates.select(keys), keys, "left_anti")
+                merged = kept.unionByName(updates.select(cols))
+                op = "merge"
+            if self._publish(table, merged, op, expected_seq=base_seq + 1):
+                return
+        raise RuntimeError(
+            f"{table}: optimistic-concurrency conflict persisted across "
+            f"{_OCC_RETRIES} retries — writer contention too high"
+        )
 
     def diff(self, table: str, from_version: str,
              to_version: str | None = None) -> DataFrame:
@@ -423,9 +536,17 @@ class ControlStore:
 
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
-        appears in ``keys_df`` (anti-join + republish)."""
+        appears in ``keys_df`` (anti-join + republish).  Read-modify-write,
+        so it carries the same OCC retry loop as :meth:`upsert`."""
         keys = KEYS[table]
-        target = self.read(table)
-        self.overwrite(table, target.join(keys_df.select(keys), keys,
-                                          "left_anti"),
-                       operation="delete")
+        for _ in range(_OCC_RETRIES):
+            base_seq, _ = self._latest_commit(table)
+            target = self.read(table)
+            pruned = target.join(keys_df.select(keys), keys, "left_anti")
+            if self._publish(table, pruned, "delete",
+                             expected_seq=base_seq + 1):
+                return
+        raise RuntimeError(
+            f"{table}: optimistic-concurrency conflict persisted across "
+            f"{_OCC_RETRIES} retries — writer contention too high"
+        )

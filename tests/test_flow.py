@@ -348,3 +348,81 @@ def test_store_read_where_skips_files_by_manifest(spark, tmp_path):
     assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
     # an empty range reads nothing but keeps the schema
     assert store.read_where("jobs", 10_000, 10_001).count() == 0
+
+
+def test_store_occ_conflicting_upsert_retries_no_lost_update(
+        spark, tmp_path, monkeypatch):
+    """Two writers merging from the same base version must both land:
+    the second claim of commit slot base+1 fails, and the loser
+    re-derives its merge from the winner's version (Delta-style
+    optimistic concurrency — no lost update, no silent overwrite)."""
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store_a = ControlStore(spark, str(tmp_path / "ctl"))
+    store_b = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store_a.read("jobs").schema
+
+    def df(job_id, user):
+        return spark.createDataFrame(
+            [(job_id, None, user, None, None, "PENDING", None, None,
+              None, None, None, None)], schema)
+
+    store_a.overwrite("jobs", df(1, "base"))
+    base_seq, _ = store_a._latest_commit("jobs")
+
+    real_claim = ControlStore._claim_commit
+    raced = {"done": False}
+
+    def racy_claim(self, table, seq, version, operation):
+        # Writer B lands its own commit in A's read->claim window, once.
+        if not raced["done"]:
+            raced["done"] = True
+            store_b.upsert("jobs", df(2, "from_b"))
+        return real_claim(self, table, seq, version, operation)
+
+    monkeypatch.setattr(ControlStore, "_claim_commit", racy_claim)
+    store_a.upsert("jobs", df(3, "from_a"))
+
+    got = {(r.job_id, r.job_user_id) for r in store_a.read("jobs").collect()}
+    assert got == {(1, "base"), (2, "from_b"), (3, "from_a")}
+    # B claimed base+1, A retried into base+2 — exactly one extra slot
+    assert store_a._latest_commit("jobs")[0] == base_seq + 2
+    # the orphaned loser version was cleaned up: every v- dir is committed
+    import json as _json
+    import os as _os
+    cdir = store_a._commits_dir("jobs")
+    committed = set()
+    for n in _os.listdir(cdir):
+        if n.endswith(".json"):
+            with open(_os.path.join(cdir, n)) as f:
+                committed.add(_json.load(f)["version"])
+    on_disk = {d for d in _os.listdir(_os.path.join(store_a.root, "jobs"))
+               if d.startswith("v-")}
+    assert on_disk == committed
+
+
+def test_store_commit_record_authoritative_over_stale_pointer(
+        spark, tmp_path):
+    """A crash between commit-claim and pointer flip must heal on the
+    next read: the latest commit record, not _CURRENT, defines the
+    current version."""
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+
+    def df(user):
+        return spark.createDataFrame(
+            [(1, None, user, None, None, "PENDING", None, None,
+              None, None, None, None)], schema)
+
+    store.overwrite("jobs", df("old"))
+    old_version = store._current_version("jobs")
+    store.overwrite("jobs", df("new"))
+    # simulate the crash window: pointer rolled back, commit record kept
+    with open(store._pointer("jobs"), "w") as f:
+        f.write(old_version)
+    assert store.read("jobs").collect()[0].job_user_id == "new"
+    # and a fresh store instance over the same root agrees
+    fresh = ControlStore(spark, str(tmp_path / "ctl"))
+    assert fresh.read("jobs").collect()[0].job_user_id == "new"
