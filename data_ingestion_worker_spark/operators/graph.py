@@ -672,6 +672,189 @@ WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
 
 
+#: Fixed peeling rounds for the k-core operator (and unrolled oracle).
+KCORE_ROUNDS = 3
+
+
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling: iteratively drop nodes of degree < k.
+
+    k-core decomposition is the classic graph-quality filter (web-graph
+    curation keeps the dense core and sheds spammy low-degree fringe).
+    ``k`` adapts to the graph instead of being a magic constant: half
+    the integer mean degree, ``Σdeg div 2V`` — a one-row scalar both
+    engines compute identically (the full mean over-peels: this graph's
+    degree distribution is hub-skewed, so most nodes sit below the
+    mean and the core collapses to empty at small scale).  ``KCORE_ROUNDS`` peel rounds run regardless of
+    convergence (fixed iteration count keeps the DuckDB oracle an exact
+    unrolled mirror, the PageRank pattern); the output is every node
+    still carrying an edge plus its degree inside the peeled subgraph.
+
+    Scale: each round is one partial-agg shuffle (degrees) and two
+    shuffled semi-joins (endpoint filter) — no per-node state on the
+    driver, nothing quadratic; survivors shrink monotonically so rounds
+    get cheaper.  Edge/keep frames are lazily localCheckpoint-ed because
+    each is consumed by multiple joins in the next round.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg0 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    kv = deg0.agg(
+        F.expr("sum(deg) div (count(1) * 2)").cast("long").alias("k")
+    )
+    e = edges
+    deg = deg0
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            deg.crossJoin(F.broadcast(kv))
+            .filter(F.col("deg") >= F.col("k"))
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    return deg.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("deg").alias("core_deg"),
+    )
+
+
+def _kcore_oracle(rounds: int = KCORE_ROUNDS) -> str:
+    parts = []
+    prev_e, prev_d = "edges", "deg0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+keep{i} AS (
+  SELECT node FROM {prev_d} CROSS JOIN kv WHERE deg >= k
+),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev_e} e
+  JOIN keep{i} a ON e.src = a.node
+  JOIN keep{i} b ON e.dst = b.node
+),
+deg{i} AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM e{i} GROUP BY 1
+)""")
+        prev_e, prev_d = f"e{i}", f"deg{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg0 AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+kv AS (SELECT CAST(sum(deg) // (count(*) * 2) AS BIGINT) AS k FROM deg0),{",".join(parts)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, deg AS core_deg
+FROM {prev_d}
+"""
+
+
+KCORE_ORACLE = _kcore_oracle()
+
+#: BFS hop bound (and the unrolled-oracle depth).
+BFS_MAX_HOPS = 3
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS: min hop distance from a pinned seed node.
+
+    The seed is the supplier with the smallest key (a deterministic
+    one-row scalar), encoded onto the shared node axis.  Frontier
+    expansion is the relational Pregel step: join the frontier to the
+    edge list, dedup, anti-join out already-visited nodes, stamp the hop
+    number.  ``BFS_MAX_HOPS`` bounds the unrolled oracle; nodes farther
+    than the bound (or disconnected) are absent from the result.
+
+    Scale: per hop one shuffle join (frontier ⋈ edges) + one distinct +
+    one anti-join against visited — frontier and visited are node-id
+    sets, never edge-sized; visited is lazily localCheckpoint-ed since
+    hop ``d+1`` consumes it twice (anti-join + union).
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    supplier = load_table(spark, sf_dir, "supplier")
+    seeds = supplier.agg(F.min("s_suppkey").alias("k")).select(
+        (F.col("k") * 2 + 1).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    visited = seeds.localCheckpoint(eager=False)
+    frontier = visited
+    for d in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(reached).localCheckpoint(eager=False)
+        frontier = reached
+    return visited.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        "dist",
+    )
+
+
+def _bfs_oracle(hops: int = BFS_MAX_HOPS) -> str:
+    parts = []
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, hops + 1):
+        parts.append(f"""
+f{d} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  JOIN {prev_f} f ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} x WHERE x.node = e.dst)
+),
+v{d} AS MATERIALIZED (
+  SELECT node, dist FROM {prev_v}
+  UNION ALL
+  SELECT node, CAST({d} AS BIGINT) AS dist FROM f{d}
+)""")
+        prev_v, prev_f = f"v{d}", f"f{d}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+v0 AS (
+  SELECT CAST(min(s_suppkey) * 2 + 1 AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM supplier
+),{",".join(parts)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, dist
+FROM {prev_v}
+"""
+
+
+BFS_ORACLE = _bfs_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
@@ -685,4 +868,6 @@ SPECS: dict[str, QuerySpec] = {
                                       TRIANGLE_ORACLE),
     "graph_degree_assortativity": QuerySpec(graph_degree_assortativity,
                                             ASSORTATIVITY_ORACLE),
+    "graph_k_core": QuerySpec(graph_k_core, KCORE_ORACLE),
+    "graph_bfs_distance": QuerySpec(graph_bfs_distance, BFS_ORACLE),
 }

@@ -198,3 +198,79 @@ def test_assortativity_matches_python_pearson(spark, sf_dir):
     assert r.n_edges == n
     assert abs(r.assortativity - expect) < 1e-5
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_k_core_matches_python_peeling(spark):
+    """graph_k_core equals a pure-Python mirror of the same bounded
+    peeling (k = half the integer mean degree, KCORE_ROUNDS rounds),
+    node for node and degree for degree."""
+    from data_ingestion_worker_spark.operators.graph import (
+        KCORE_ROUNDS,
+        graph_k_core,
+    )
+
+    pairs = _pairs(spark)
+    edges = set()
+    for p in pairs:
+        c, s = p.o_custkey * 2, p.l_suppkey * 2 + 1
+        edges.add((c, s))
+        edges.add((s, c))
+
+    def degrees(es):
+        d: dict[int, int] = {}
+        for src, _ in es:
+            d[src] = d.get(src, 0) + 1
+        return d
+
+    deg0 = degrees(edges)
+    k = sum(deg0.values()) // (len(deg0) * 2)
+    es = edges
+    deg = deg0
+    for _ in range(KCORE_ROUNDS):
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(s, t) for s, t in es if s in keep and t in keep}
+        deg = degrees(es)
+
+    got = {(r.kind, r.key): r.core_deg
+           for r in graph_k_core(spark, SF_DIR).collect()}
+    want = {("customer" if n % 2 == 0 else "supplier", n // 2): d
+            for n, d in deg.items()}
+    assert got == want
+    assert 0 < len(got) < len(deg0), "peeling must bite but not collapse"
+
+
+def test_bfs_distance_matches_python_bfs(spark):
+    """graph_bfs_distance equals a pure-Python BFS from the same seed,
+    truncated at BFS_MAX_HOPS."""
+    from collections import deque
+
+    from data_ingestion_worker_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        graph_bfs_distance,
+    )
+
+    pairs = _pairs(spark)
+    adj: dict[int, set[int]] = {}
+    for p in pairs:
+        c, s = p.o_custkey * 2, p.l_suppkey * 2 + 1
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    seed = min(r.s_suppkey for r in spark.read.parquet(
+        f"{SF_DIR}/supplier.parquet").select("s_suppkey").collect()) * 2 + 1
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        n = q.popleft()
+        if dist[n] == BFS_MAX_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+
+    got = {(r.kind, r.key): r.dist
+           for r in graph_bfs_distance(spark, SF_DIR).collect()}
+    want = {("customer" if n % 2 == 0 else "supplier", n // 2): d
+            for n, d in dist.items()}
+    assert got == want
+    assert got[("supplier", seed // 2)] == 0

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
     "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
     "mba_part_lift",       # one-row order-count broadcast cross join
+    "graph_k_core",        # one-row k-threshold broadcast cross join
 }
 
 
@@ -148,6 +149,8 @@ SP_ALLOWED = {
     "emb_coreset_maxmin",       # per-round one-row argmax scalar
     "mba_part_lift",            # one-row order-count scalar
     "graph_degree_assortativity",  # one-row five-moment scalar
+    "graph_k_core",             # one-row k-threshold scalar
+    "graph_bfs_distance",       # one-row seed-node scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
