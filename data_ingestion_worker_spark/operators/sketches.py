@@ -690,6 +690,140 @@ WHERE m >= {KMV_K}
 """
 
 
+#: Sliding-window width in hours (window = this hour + the 2 before it).
+HLL_WIN_HOURS = 3
+
+
+def ev_sliding_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-hour distinct users per hour via HLL register merge.
+
+    Windowed COUNT(DISTINCT) is the canonical 100 TB streaming killer:
+    exact distinct state grows with the key universe and every slide
+    re-scans overlapping data.  The sketch plan is O(1) per window
+    instead — build the 256-register HLL of each hour ONCE (one partial
+    agg), then every sliding window is a register-wise max-merge of the
+    ≤3 hourly sketches it spans.  Register replication uses the same
+    offset trick as Spark's own sliding ``F.window``: each hour's
+    registers are fanned to the ≤3 window anchors they serve (bounded
+    ×3 blowup of the tiny register table, never of the events).
+
+    The exact distinct per window is also computed (same offset fan-out
+    of the deduped (hour, user) pairs) purely as the verification
+    yardstick for ``rel_err`` at test scale — at production scale one
+    runs only the register half.  Windows are anchored at hours that
+    exist in the data.
+
+    Determinism: identical to ``sketch_hll_distinct`` — integer rho /
+    harmonic sums, one final double division, floor-quantized rel_err.
+    """
+    from .events import _epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        (_epoch_s(F.col("ts")) / F.lit(3600)).cast("long").alias("hour_id"),
+        hash64(F.col("user_id").cast("string")).alias("h"),
+    )
+    buckets = _hll_rho_buckets(e, "hour_id")
+    regs = buckets.groupBy("hour_id", "bucket").agg(
+        F.max("rho").alias("r")
+    ).localCheckpoint(eager=False)  # reused: fan-out + anchor set
+    hours = regs.select("hour_id").distinct().localCheckpoint(eager=False)
+    offs = spark.range(HLL_WIN_HOURS).select(F.col("id").alias("off"))
+
+    def _fan(df: DataFrame, *cols: str) -> DataFrame:
+        fanned = df.crossJoin(F.broadcast(offs)).select(
+            (F.col("hour_id") + F.col("off")).alias("win_hour"), *cols
+        )
+        return fanned.join(
+            hours.withColumnRenamed("hour_id", "win_hour"),
+            "win_hour", "left_semi",
+        )
+
+    merged = _fan(regs, "bucket", "r").groupBy("win_hour", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    per_win = merged.groupBy("win_hour").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        _hll_z_present().alias("z"),
+    )
+    exact = _fan(e.distinct(), "h").groupBy("win_hour").agg(
+        F.count_distinct("h").alias("exact_uniques")
+    )
+    n_hours = _fan(hours, "hour_id").groupBy("win_hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours")
+    )
+    est = _hll_estimate(F.col("z"), F.col("n_buckets"))
+    return (
+        per_win.join(exact, "win_hour").join(n_hours, "win_hour")
+        .select(
+            "win_hour", "n_hours", "exact_uniques",
+            est.alias("hll_est"),
+            (F.floor(
+                F.abs(est.cast("double") - F.col("exact_uniques"))
+                / F.col("exact_uniques") * 10000.0
+            ) / 10000.0).alias("rel_err"),
+        )
+    )
+
+
+EV_SLIDING_HLL_ORACLE = f"""
+WITH e AS MATERIALIZED (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 3600
+           AS hour_id,
+         {hash64_sql('CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+buckets AS (
+  SELECT hour_id, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+         END AS rho
+  FROM e
+),
+regs AS MATERIALIZED (
+  SELECT hour_id, bucket, max(rho) AS r FROM buckets GROUP BY 1, 2
+),
+hours AS MATERIALIZED (SELECT DISTINCT hour_id FROM regs),
+offs AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(off)),
+merged AS (
+  SELECT g.hour_id + o.off AS win_hour, g.bucket, max(g.r) AS r
+  FROM regs g CROSS JOIN offs o
+  WHERE EXISTS (SELECT 1 FROM hours x WHERE x.hour_id = g.hour_id + o.off)
+  GROUP BY 1, 2
+),
+per_win AS (
+  SELECT win_hour, count(*) AS n_buckets,
+         sum(1::BIGINT << ({HLL_REST_BITS} - r)) AS z
+  FROM merged GROUP BY 1
+),
+uexact AS (
+  SELECT u.hour_id + o.off AS win_hour,
+         CAST(count(DISTINCT u.h) AS BIGINT) AS exact_uniques
+  FROM (SELECT DISTINCT hour_id, h FROM e) u CROSS JOIN offs o
+  WHERE EXISTS (SELECT 1 FROM hours x WHERE x.hour_id = u.hour_id + o.off)
+  GROUP BY 1
+),
+nh AS (
+  SELECT hh.hour_id + o.off AS win_hour, CAST(count(*) AS BIGINT) AS n_hours
+  FROM hours hh CROSS JOIN offs o
+  WHERE EXISTS (SELECT 1 FROM hours x WHERE x.hour_id = hh.hour_id + o.off)
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.win_hour, nh.n_hours, u.exact_uniques,
+         CAST(floor({HLL_ALPHA_NUM!r} / CAST(p.z
+              + ({HLL_M} - p.n_buckets) * (1::BIGINT << {HLL_REST_BITS})
+              AS DOUBLE)) AS BIGINT) AS hll_est
+  FROM per_win p
+  JOIN uexact u ON u.win_hour = p.win_hour
+  JOIN nh ON nh.win_hour = p.win_hour
+)
+SELECT win_hour, n_hours, exact_uniques, hll_est,
+       floor(abs(CAST(hll_est AS DOUBLE) - exact_uniques)
+             / exact_uniques * 10000.0) / 10000.0 AS rel_err
+FROM scored
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "sketch_kmv_distinct": QuerySpec(sketch_kmv_distinct, KMV_ORACLE),
     "sketch_kmv_jaccard": QuerySpec(sketch_kmv_jaccard, KMV_JACCARD_ORACLE),
@@ -699,4 +833,6 @@ SPECS: dict[str, QuerySpec] = {
     "sketch_bloom_membership": QuerySpec(sketch_bloom_membership,
                                          BLOOM_ORACLE),
     "sample_hash_bottomk": QuerySpec(sample_hash_bottomk, SAMPLE_ORACLE),
+    "ev_sliding_uniques_hll": QuerySpec(ev_sliding_uniques_hll,
+                                        EV_SLIDING_HLL_ORACLE),
 }

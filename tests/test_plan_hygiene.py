@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
+    "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
 }
 
 

@@ -165,3 +165,60 @@ def test_kmv_jaccard_estimates_track_exact_overlap(spark, sf_dir):
         sigma = math.sqrt(max(r.exact_jaccard * (1 - r.exact_jaccard), 1e-9)
                           / KMV_K)
         assert abs(r.kmv_jaccard - r.exact_jaccard) <= 4 * sigma + 1.0 / KMV_K, r
+
+
+def test_sliding_hll_matches_python_mirror(spark, sf_dir):
+    """ev_sliding_uniques_hll equals a pure-Python recomputation of the
+    same md5-derived registers, window for window — pinning both halves:
+    the exact sliding distinct AND the register max-merge (merging
+    hourly sketches must equal sketching the merged hours; max-merge is
+    lossless for HLL)."""
+    import hashlib
+    import math
+
+    from data_ingestion_worker_spark.operators.sketches import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_REST_BITS,
+        HLL_WIN_HOURS,
+        ev_sliding_uniques_hll,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("long").alias("sec"), "user_id"
+    ).collect()
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_hour: dict[int, set[int]] = {}
+    for r in rows:
+        by_hour.setdefault(r.sec // 3600, set()).add(h64(str(r.user_id)))
+    hours = set(by_hour)
+
+    want = {}
+    for w in hours:
+        span = [hh for hh in range(w - HLL_WIN_HOURS + 1, w + 1)
+                if hh in hours]
+        users = set().union(*(by_hour[hh] for hh in span))
+        regs: dict[int, int] = {}
+        for h in users:
+            bucket, rest = h % HLL_M, h // HLL_M
+            rho = HLL_REST_BITS + 1 - (rest.bit_length() if rest else 0)
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        z = sum(1 << (HLL_REST_BITS - r) for r in regs.values()) \
+            + (HLL_M - len(regs)) * (1 << HLL_REST_BITS)
+        want[w] = (len(span), len(users),
+                   math.floor(HLL_ALPHA_NUM / float(z)))
+
+    got = {r.win_hour: (r.n_hours, r.exact_uniques, r.hll_est)
+           for r in ev_sliding_uniques_hll(spark, sf_dir).collect()}
+    assert got == want
+    # Estimate tolerance applies only in the raw-estimator regime
+    # (n >> m); the linear-counting correction for tiny windows is
+    # deliberately omitted (see sketch_hll_distinct's docstring), so
+    # small-n windows are exempt — they exist only at toy SFs.
+    for _, exact, est in got.values():
+        if exact >= 3 * HLL_M:
+            assert abs(est - exact) / exact < 0.25
