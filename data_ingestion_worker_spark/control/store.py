@@ -499,10 +499,14 @@ class ControlStore:
         )
 
     def diff(self, table: str, from_version: str,
-             to_version: str | None = None) -> DataFrame:
+             to_version: str | None = None,
+             include_preimages: bool = False) -> DataFrame:
         """Change-data-feed between two retained versions (Delta
         ``table_changes``): one row per changed primary key with
-        ``_change_type`` ∈ {insert, delete, update_postimage}.
+        ``_change_type`` ∈ {insert, delete, update_postimage}, plus
+        ``update_preimage`` rows (the old values of updated keys) when
+        ``include_preimages`` is set — the form downstream *incremental*
+        consumers need (see :func:`maintain_aggregate`).
 
         Computed as two key anti-joins (inserts / deletes) plus an
         inner join filtered to value inequality (updates) — each a
@@ -530,9 +534,19 @@ class ControlStore:
             updates = updates.filter(changed_pred)
         else:  # key-only table: no value columns can change
             updates = updates.filter(F.lit(False))
-        updates = updates.select(cols) \
+        out = inserts.unionByName(deletes).unionByName(
+            updates.select(cols)
             .withColumn("_change_type", F.lit("update_postimage"))
-        return inserts.unionByName(deletes).unionByName(updates)
+        )
+        if include_preimages:
+            pre = updates.select(
+                *keys,
+                *[F.col(f"_old_{c}").alias(c) for c in vals],
+            ).select(cols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            out = out.unionByName(pre)
+        return out
 
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
@@ -550,3 +564,52 @@ class ControlStore:
             f"{table}: optimistic-concurrency conflict persisted across "
             f"{_OCC_RETRIES} retries — writer contention too high"
         )
+
+
+def compute_aggregate(df: DataFrame, keys: list[str],
+                      sum_cols: list[str]) -> DataFrame:
+    """Batch twin of :func:`maintain_aggregate`: grouped row count plus
+    null-safe sums.  Single codification of the aggregate's semantics so
+    the incremental path can never drift from the full recompute."""
+    return df.groupBy(keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long")
+          .alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def maintain_aggregate(prev_agg: DataFrame, changes: DataFrame,
+                       keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Incremental view maintenance: roll a CDF diff into a grouped
+    count/sum aggregate instead of recomputing it from the snapshot.
+
+    ``changes`` is :meth:`ControlStore.diff` WITH preimages: inserts and
+    update postimages add with sign +1, deletes and update preimages
+    subtract with sign -1 — the classic delta-propagation rule for
+    distributive aggregates.  The merge is a union + re-aggregate (not a
+    key join), so NULL group keys group correctly; groups whose count
+    reaches zero vanish, exactly as in the full recompute.
+
+    Scale: cost is O(|changes|) + one shuffle over (|prev groups| +
+    |changed groups|) — independent of the snapshot size, which is the
+    entire point at 100 TB: a thousand-row commit maintains a
+    billion-row table's rollup for the price of the thousand rows.
+    """
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = changes.groupBy(keys).agg(
+        F.sum(sign).cast("long").alias("n_rows"),
+        *[F.sum(sign * F.coalesce(F.col(c), F.lit(0))).cast("long")
+          .alias(f"sum_{c}") for c in sum_cols],
+    )
+    return (
+        prev_agg.unionByName(delta)
+        .groupBy(keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            *[F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+              for c in sum_cols],
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -426,3 +426,51 @@ def test_store_commit_record_authoritative_over_stale_pointer(
     # and a fresh store instance over the same root agrees
     fresh = ControlStore(spark, str(tmp_path / "ctl"))
     assert fresh.read("jobs").collect()[0].job_user_id == "new"
+
+
+def test_incremental_aggregate_maintenance_matches_recompute(
+        spark, tmp_path):
+    """maintain_aggregate(prev_agg, diff-with-preimages) must equal the
+    full recompute on the new snapshot — inserts/updates/deletes, NULL
+    group keys and vanished groups included (incremental view
+    maintenance: rollup cost scales with the commit, not the table)."""
+    from data_ingestion_worker_spark.control.store import (
+        ControlStore,
+        compute_aggregate,
+        maintain_aggregate,
+    )
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+
+    def row(job_id, status, total):
+        return (job_id, None, "u", None, None, status, total, None,
+                None, None, None, None)
+
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "PENDING", 10), row(2, "PENDING", 20),
+         row(3, "DONE", 5), row(4, None, 7), row(5, "DONE", None)],
+        schema))
+    v0 = store.history("jobs")[-1]["version"]
+    keys, sums = ["job_status"], ["job_total_rows"]
+    agg0 = compute_aggregate(store.read("jobs", v0), keys, sums)
+
+    # update (2: PENDING->DONE, total 20->25), delete (3), insert (6),
+    # and the only NULL-status row (4) deleted -> that group vanishes
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "PENDING", 10), row(2, "DONE", 25),
+         row(5, "DONE", None), row(6, "NEW", 1)], schema))
+    v1 = store.history("jobs")[-1]["version"]
+
+    changes = store.diff("jobs", v0, v1, include_preimages=True)
+    pre = changes.filter("_change_type = 'update_preimage'").collect()
+    assert [(r.job_id, r.job_status, r.job_total_rows) for r in pre] \
+        == [(2, "PENDING", 20)]
+
+    got = {tuple(r) for r in
+           maintain_aggregate(agg0, changes, keys, sums).collect()}
+    want = {tuple(r) for r in
+            compute_aggregate(store.read("jobs", v1), keys, sums).collect()}
+    assert got == want
+    assert ("NEW", 1, 1) in {(r[0], r[1], r[2]) for r in got}
+    assert None not in {r[0] for r in got}, "emptied NULL group must vanish"
