@@ -76,6 +76,13 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "doc_ngram_novelty",
     "corpus_dup_quality_profile",
+    # Round-5 (cont. 5) additions: bounded k-core peeling (three
+    # degree-shuffle + endpoint-semi-join rounds — the graph curation
+    # filter) and the sliding 3-hour distinct-users HLL merge (register
+    # fan-out replaces windowed COUNT(DISTINCT) re-scans; the exact
+    # yardstick half dominates the measured cost by design).
+    "graph_k_core",
+    "ev_sliding_uniques_hll",
 ]
 
 
