@@ -13,6 +13,10 @@ the optimizer hook at 100 TB:
   standing fix for the staging⋈issue_items⋈contacts join family.
 - **dynamic partition overwrite** -> idempotent backfills: re-running a
   day replaces exactly that day's directories, never the whole table.
+- **z-order (Morton) clustering** -> multi-column file skipping: range
+  predicates on ANY ordered column prune parquet footers, not just the
+  one sort column (Delta ``OPTIMIZE ZORDER BY``, re-expressed as a
+  bit-interleave + repartitionByRange).
 """
 
 from __future__ import annotations
@@ -213,3 +217,59 @@ def compact_dir(spark: SparkSession, path: str,
     os.rename(tmp, root)
     shutil.rmtree(old)
     return files
+
+
+def zorder_key(cols: list[str], bits: int = 8) -> F.Column:
+    """Morton (Z-order) key: interleave the top ``bits`` bits of each
+    rank-scaled column.  Expects companion ``_min_<c>`` / ``_max_<c>``
+    scalar columns on the row (attached by :func:`write_zordered`)."""
+    k = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+        rng = (hi - lo).cast("long")
+        v = (F.col(c).cast("long") - lo.cast("long"))
+        scaled.append(
+            F.when(rng > 0, (v * ((1 << bits) - 1)).cast("long") / rng)
+            .otherwise(F.lit(0)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)),
+                            i * k + j)
+            )
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int, bits: int = 8) -> None:
+    """Z-ordered parquet layout: multi-column data skipping.
+
+    Range-partitioning on ONE column gives perfect file-level min/max
+    skipping on that column and none on any other; interleaving the bit
+    patterns of k columns (Morton order — Delta's ``OPTIMIZE ZORDER BY``)
+    makes each file a k-dimensional tile, so a range predicate on ANY of
+    the ordered columns intersects only ~N^((k-1)/k) of N files instead
+    of all of them.  This is pure layout: scan-time skipping comes from
+    the parquet footer min/max stats every reader already consults.
+
+    Numeric columns only; each is scaled onto ``bits`` bits by its
+    global min/max (one scalar aggregate, broadcast back).  Files are
+    ranged on the interleaved key and sorted within, keeping per-file
+    footer ranges tight on every dimension.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_z", zorder_key(cols, bits=bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_min_{c}" for c in cols],
+              *[f"_max_{c}" for c in cols])
+        .write.mode("overwrite").parquet(path)
+    )

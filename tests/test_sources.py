@@ -347,3 +347,56 @@ def test_tar_shards_are_byte_deterministic(spark, tmp_path):
     da, db = digest(a), digest(b)
     assert da and da == db
     assert not any(name.endswith(".tmp") for name in da)
+
+
+def test_zorder_layout_skips_files_on_every_ordered_column(
+        spark, tmp_path):
+    """A z-ordered layout makes each file a 2-D tile: a range predicate
+    on EITHER ordered column intersects only a minority of the parquet
+    footers' min/max ranges, while a single-column range layout skips
+    only on its own sort column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_worker_spark.sources.writers import write_zordered
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 2654435761) % 139).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+        .write.mode("overwrite").parquet(lpath)
+
+    def intersecting(path: str, col: str, lo: int, hi: int) -> tuple:
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        hit = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index(col)
+            md = pf.metadata
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, len(files)
+
+    # a ~7%-wide slab on each dimension
+    zx, zn = intersecting(zpath, "x", 0, 9)
+    zy, _ = intersecting(zpath, "y", 0, 9)
+    lx, ln = intersecting(lpath, "x", 0, 9)
+    ly, _ = intersecting(lpath, "y", 0, 9)
+    assert zx <= zn // 2 and zy <= zn // 2, \
+        f"z-order must skip on both dims (x {zx}/{zn}, y {zy}/{zn})"
+    assert lx <= 2, "range layout skips on its own sort column"
+    assert ly == ln, "range layout cannot skip on the other column"
+    # layout changes bytes on disk, never rows
+    assert spark.read.parquet(zpath).count() == 20_000
+    got = spark.read.parquet(zpath).filter("y BETWEEN 0 AND 9").count()
+    want = df.filter("y BETWEEN 0 AND 9").count()
+    assert got == want
