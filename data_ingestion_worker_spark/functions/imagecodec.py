@@ -11,6 +11,10 @@ simple enough to decode correctly in pure Python with zero dependencies:
   interchange format.
 - **PPM** (``P6`` binary Portable Pixmap, maxval <= 255) — the simplest
   raster format in existence.
+- **PNG** (8-bit non-interlaced; gray/RGB/palette/RGBA, all five
+  scanline filters) lives in the sibling ``pngcodec`` module —
+  DEFLATE comes from the stdlib ``zlib``, so it is dependency-free
+  too; ``sniff_format``/``decode_builtin`` route it here.
 
 Decoders return header metadata plus fully decoded top-to-bottom RGB
 pixel bytes, and raise ``ValueError`` on malformed input (callers treat
@@ -44,11 +48,14 @@ class DecodedImage:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'BMP' / 'PPM' when the magic matches a builtin codec."""
+    """Return 'BMP' / 'PPM' / 'PNG' when the magic matches a builtin
+    codec."""
     if payload[:2] == b"BM":
         return "BMP"
     if payload[:2] == b"P6":
         return "PPM"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "PNG"
     return None
 
 
@@ -215,4 +222,8 @@ def decode_builtin(payload: bytes) -> DecodedImage:
         return decode_bmp(payload)
     if fmt == "PPM":
         return decode_ppm(payload)
-    raise ValueError("no builtin codec for payload (not BMP/PPM)")
+    if fmt == "PNG":
+        from .pngcodec import decode_png  # deferred: pngcodec imports us
+
+        return decode_png(payload)
+    raise ValueError("no builtin codec for payload (not BMP/PPM/PNG)")

@@ -311,6 +311,61 @@ FROM h
 """
 
 
+def png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL compressed-codec work per payload: derive WxH RGB pixels
+    from the payload hash, ``encode_png`` them (DEFLATE + chunk CRCs),
+    then decode through the ``decode_builtin`` dispatch — so magic
+    sniffing, CRC verification, inflation and scanline unfiltering are
+    all on the gated path.  Unlike BMP/PPM this exercises a genuinely
+    *compressed* format end to end with stdlib zlib only.
+    """
+    from ..functions.imagecodec import decode_builtin
+    from ..functions.pngcodec import encode_png
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 3
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_builtin(encode_png(w, h, raw))
+        return (img.width, img.height, img.mode, img.format,
+                img.pixels.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+            "pixel_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real PNG encode/decode round-trip -> metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(png_roundtrip, ROUNDTRIP_SCHEMA)
+
+
+#: Same algebraic-recompute gate as the BMP oracle: the pixels Spark
+#: must produce THROUGH deflate/inflate + unfiltering are the leading
+#: sha256 bytes, in hex.
+MM_PNG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id,
+       CAST(1 + h64 % 3 AS INT) AS width,
+       CAST(1 + h64 % 3 AS INT) AS height,
+       'RGB' AS mode, 'PNG' AS format,
+       substr(sha_hex, 1, CAST((1 + h64 % 3) * (1 + h64 % 3) * 6 AS INT))
+         AS pixel_hex
+FROM h
+"""
+
+
 WAV_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
               "n_frames int, duration_us bigint, pcm_hex string")
 
@@ -746,6 +801,7 @@ SPECS: dict[str, QuerySpec] = {
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
+    "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
     "mm_roundtrip_avi": QuerySpec(mm_roundtrip_avi, MM_AVI_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),

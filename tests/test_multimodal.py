@@ -118,8 +118,13 @@ def test_codec_roundtrip_property():
         w = data.draw(st.integers(1, 8))
         h = data.draw(st.integers(1, 8))
         rgb = data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        from data_ingestion_worker_spark.functions.pngcodec import (
+            decode_png,
+            encode_png,
+        )
         for enc, dec in ((encode_bmp, decode_bmp),
-                         (encode_ppm, decode_ppm)):
+                         (encode_ppm, decode_ppm),
+                         (encode_png, decode_png)):
             img = dec(enc(w, h, rgb))
             assert (img.width, img.height, img.pixels) == (w, h, rgb)
 
@@ -206,19 +211,32 @@ def test_pillow_seam_executes_with_monkeypatched_module(monkeypatch):
     assert by_id.loc[3, "format"] is None
 
 
+def test_real_decode_reads_png_builtin(spark):
+    """A genuinely compressed PNG decodes through the seam with NO
+    Pillow: the builtin zlib-backed codec owns the format in-container
+    (sniff-first routing sends it there even when Pillow exists)."""
+    from data_ingestion_worker_spark.functions.pngcodec import encode_png
+
+    df = spark.createDataFrame([(1, bytearray(encode_png(2, 3, RGB_2X3)))],
+                               "doc_id bigint, payload binary")
+    out = mm_decode_real(spark, df).collect()[0]
+    assert (out["width"], out["height"], out["format"]) == (2, 3, "PNG")
+
+
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
-def test_real_decode_reads_png_via_pillow(spark):
-    """With Pillow present the seam also covers compressed formats."""
+def test_real_decode_reads_jpeg_via_pillow(spark):
+    """With Pillow present the seam covers formats with no builtin
+    codec (JPEG — DEFLATE-free, so stdlib zlib cannot help)."""
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.new("RGB", (2, 3)).save(buf, format="PNG")
+    Image.new("RGB", (2, 3)).save(buf, format="JPEG")
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
                                "doc_id bigint, payload binary")
     out = mm_decode_real(spark, df).collect()[0]
-    assert (out["width"], out["height"], out["format"]) == (2, 3, "PNG")
+    assert (out["width"], out["height"], out["format"]) == (2, 3, "JPEG")
 
 
 def test_stub_oracle_path_unchanged(spark, sf_dir):
@@ -357,3 +375,127 @@ def test_avi_rejects_malformed():
                 good[:12]):                                 # no chunks
         with _pytest.raises(ValueError):
             decode_avi(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (functions/pngcodec.py)
+
+
+def _png_raw(ihdr_fields, idat_scanlines, plte=None):
+    """Hand-assemble a PNG from raw IHDR fields + pre-filtered scanline
+    bytes — lets tests drive every filter type and color type directly."""
+    import struct
+    import zlib
+
+    from data_ingestion_worker_spark.functions.pngcodec import (
+        PNG_SIG,
+        _chunk,
+    )
+
+    out = PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(idat_scanlines)) \
+        + _chunk(b"IEND", b"")
+
+
+def test_png_all_filter_types_unfilter_per_spec():
+    """Decode must invert the spec's FORWARD filter definitions: the
+    test filters known pixels itself (Sub/Up/Average/Paeth as RFC 2083
+    writes them) and asserts the decoder recovers the original bytes."""
+    from data_ingestion_worker_spark.functions.pngcodec import decode_png
+
+    w, h, bpp = 4, 5, 3
+    stride = w * bpp
+    rgb = bytes((r * stride + i) * 37 % 256
+                for r in range(h) for i in range(stride))
+    rows = [rgb[r * stride:(r + 1) * stride] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    for r, row in enumerate(rows):
+        ft = r % 5  # one of each filter type across the 5 rows
+        prev = rows[r - 1] if r else bytes(stride)
+        filtered.append(ft)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: left, 2: up,
+                    3: (left + up) >> 1, 4: paeth(left, up, ul)}[ft]
+            filtered.append((row[i] - pred) & 0xFF)
+
+    img = decode_png(_png_raw((w, h, 8, 2, 0, 0, 0), bytes(filtered)))
+    assert (img.width, img.height, img.mode, img.format) == (w, h, "RGB",
+                                                             "PNG")
+    assert img.pixels == rgb
+
+
+def test_png_gray_palette_rgba_color_types():
+    from data_ingestion_worker_spark.functions.pngcodec import decode_png
+
+    # grayscale 2x2 expands each sample to RGB
+    gray = decode_png(_png_raw((2, 2, 8, 0, 0, 0, 0),
+                               b"\x00\x10\x20" + b"\x00\x30\x40"))
+    assert gray.mode == "L"
+    assert gray.pixels == bytes((0x10,) * 3 + (0x20,) * 3
+                                + (0x30,) * 3 + (0x40,) * 3)
+    # palette 2x1 resolves indices through PLTE
+    pal = decode_png(_png_raw((2, 1, 8, 3, 0, 0, 0), b"\x00\x01\x00",
+                              plte=b"\x01\x02\x03\x0a\x0b\x0c"))
+    assert pal.mode == "P"
+    assert pal.pixels == b"\x0a\x0b\x0c\x01\x02\x03"
+    # RGBA 1x1 passes alpha through
+    rgba = decode_png(_png_raw((1, 1, 8, 6, 0, 0, 0), b"\x00\x01\x02\x03\x7f"))
+    assert rgba.mode == "RGBA"
+    assert (rgba.pixels, rgba.bytes_per_pixel) == (b"\x01\x02\x03\x7f", 4)
+
+
+def test_png_rejects_malformed():
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.functions.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(2, 2, bytes(range(12)))
+    corrupt_crc = good[:-5] + bytes([good[-5] ^ 0xFF]) + good[-4:]
+    cases = [
+        b"\x89PNG\r\n\x1a\nXX",                      # truncated chunks
+        good[:20],                                    # cut mid-IHDR
+        corrupt_crc,                                  # IEND CRC flipped
+        _png_raw((2, 1, 8, 2, 0, 0, 0), b"\x07" + bytes(6)),   # filter 7
+        _png_raw((2, 1, 8, 2, 0, 0, 1), b"\x00" + bytes(6)),   # interlaced
+        _png_raw((2, 1, 16, 2, 0, 0, 0), b"\x00" + bytes(12)),  # 16-bit
+        _png_raw((2, 1, 8, 3, 0, 0, 0), b"\x00\x05\x00",
+                 plte=b"\x01\x02\x03"),               # palette idx OOR
+        _png_raw((2, 1, 8, 2, 0, 0, 0), bytes(3)),    # bad inflate size
+    ]
+    for bad in cases:
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+    # and a flipped byte inside IDAT breaks the chunk CRC
+    idat_at = good.index(b"IDAT") + 4
+    broken = good[:idat_at] + bytes([good[idat_at] ^ 0xFF]) \
+        + good[idat_at + 1:]
+    with _pytest.raises(ValueError):
+        decode_png(broken)
+
+
+def test_png_routes_through_builtin_sniff():
+    from data_ingestion_worker_spark.functions.imagecodec import (
+        decode_builtin,
+        sniff_format,
+    )
+    from data_ingestion_worker_spark.functions.pngcodec import encode_png
+
+    payload = encode_png(2, 3, RGB_2X3)
+    assert sniff_format(payload) == "PNG"
+    img = decode_builtin(payload)
+    assert (img.width, img.height, img.format, img.pixels) == (2, 3, "PNG",
+                                                               RGB_2X3)
