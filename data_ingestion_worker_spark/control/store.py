@@ -463,9 +463,55 @@ class ControlStore:
             for v in versions[keep_last:]:
                 shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
                 removed += 1
+            self._vacuum_commits(t)
         return removed
 
+    def _vacuum_commits(self, table: str) -> None:
+        """Drop commit records whose version directory is gone, keeping
+        the latest record (authoritative "current") regardless — the
+        Delta-log-checkpoint analogue.  Without this, _commits/ grows one
+        file per historical publish forever and every read pays an
+        O(total-commits) listdir in ``_latest_commit``."""
+        import json
+
+        cdir = self._commits_dir(table)
+        try:
+            names = [n for n in os.listdir(cdir) if n.endswith(".json")]
+        except FileNotFoundError:
+            return
+        if not names:
+            return
+        latest = max(names, key=lambda n: int(n[: -len(".json")]))
+        for n in names:
+            if n == latest:
+                continue
+            try:
+                with open(os.path.join(cdir, n)) as f:
+                    version = json.load(f)["version"]
+            except (ValueError, OSError):
+                continue
+            if not os.path.isdir(os.path.join(self.root, table, version)):
+                try:
+                    os.unlink(os.path.join(cdir, n))
+                except OSError:
+                    pass
+
     # -- MERGE --------------------------------------------------------------
+
+    def _read_modify_write(self, table: str, derive, operation: str) -> None:
+        """OCC retry loop shared by every read-modify-write op:
+        re-derive ``derive(current_snapshot)`` from the then-current
+        version until the commit claim of ``base+1`` lands."""
+        for _ in range(_OCC_RETRIES):
+            base_seq, _ = self._latest_commit(table)
+            merged, op = derive(self.read(table))
+            if self._publish(table, merged, op or operation,
+                             expected_seq=base_seq + 1):
+                return
+        raise RuntimeError(
+            f"{table}: optimistic-concurrency conflict persisted across "
+            f"{_OCC_RETRIES} retries — writer contention too high"
+        )
 
     def upsert(self, table: str, updates: DataFrame,
                insert_only: bool = False) -> None:
@@ -478,35 +524,29 @@ class ControlStore:
         """
         keys = KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
-        for _ in range(_OCC_RETRIES):
-            base_seq, _ = self._latest_commit(table)
-            target = self.read(table)
+
+        def derive(target: DataFrame):
             if insert_only:
                 fresh = updates.select(cols).join(
                     target.select(keys), keys, "left_anti"
                 )
-                merged = target.unionByName(fresh)
-                op = "merge-insert-only"
-            else:
-                kept = target.join(updates.select(keys), keys, "left_anti")
-                merged = kept.unionByName(updates.select(cols))
-                op = "merge"
-            if self._publish(table, merged, op, expected_seq=base_seq + 1):
-                return
-        raise RuntimeError(
-            f"{table}: optimistic-concurrency conflict persisted across "
-            f"{_OCC_RETRIES} retries — writer contention too high"
-        )
+                return target.unionByName(fresh), "merge-insert-only"
+            kept = target.join(updates.select(keys), keys, "left_anti")
+            return kept.unionByName(updates.select(cols)), "merge"
+
+        self._read_modify_write(table, derive, "merge")
 
     def diff(self, table: str, from_version: str,
              to_version: str | None = None,
-             include_preimages: bool = False) -> DataFrame:
+             include_preimages: bool = True) -> DataFrame:
         """Change-data-feed between two retained versions (Delta
         ``table_changes``): one row per changed primary key with
-        ``_change_type`` ∈ {insert, delete, update_postimage}, plus
-        ``update_preimage`` rows (the old values of updated keys) when
-        ``include_preimages`` is set — the form downstream *incremental*
-        consumers need (see :func:`maintain_aggregate`).
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} — Delta's CDF shape, preimages included by
+        default because downstream *incremental* consumers are wrong
+        without them (a postimage-only feed double-counts updates in
+        :func:`maintain_aggregate`).  ``include_preimages=False`` gives
+        the postimage-only report view.
 
         Computed as two key anti-joins (inserts / deletes) plus an
         inner join filtered to value inequality (updates) — each a
@@ -551,18 +591,14 @@ class ControlStore:
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
         appears in ``keys_df`` (anti-join + republish).  Read-modify-write,
-        so it carries the same OCC retry loop as :meth:`upsert`."""
+        so it shares :meth:`upsert`'s OCC retry loop."""
         keys = KEYS[table]
-        for _ in range(_OCC_RETRIES):
-            base_seq, _ = self._latest_commit(table)
-            target = self.read(table)
-            pruned = target.join(keys_df.select(keys), keys, "left_anti")
-            if self._publish(table, pruned, "delete",
-                             expected_seq=base_seq + 1):
-                return
-        raise RuntimeError(
-            f"{table}: optimistic-concurrency conflict persisted across "
-            f"{_OCC_RETRIES} retries — writer contention too high"
+        self._read_modify_write(
+            table,
+            lambda target: (
+                target.join(keys_df.select(keys), keys, "left_anti"), None
+            ),
+            "delete",
         )
 
 

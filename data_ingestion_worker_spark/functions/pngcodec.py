@@ -30,6 +30,12 @@ from .imagecodec import DecodedImage
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Decompression-bomb guard (the Pillow MAX_IMAGE_PIXELS idea): a tiny
+#: payload may not declare a multi-gigabyte geometry and have the
+#: executor allocate it.  64M pixels ≈ 256 MB RGBA — beyond any sane
+#: per-row media payload in a mapInPandas batch.
+MAX_PIXELS = 1 << 26
+
 #: color type -> bytes per pixel in the filtered scanlines
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 _MODES = {0: "L", 2: "RGB", 3: "P", 6: "RGBA"}
@@ -87,6 +93,8 @@ def decode_png(payload: bytes) -> DecodedImage:
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError("PNG: bad dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError("PNG: declared geometry exceeds MAX_PIXELS")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("PNG: unsupported profile")
     if ctype_n not in _CHANNELS:
@@ -94,11 +102,17 @@ def decode_png(payload: bytes) -> DecodedImage:
 
     bpp = _CHANNELS[ctype_n]
     stride = w * bpp
+    expected = h * (stride + 1)
+    # Bound the inflate to the declared geometry BEFORE allocating: a
+    # crafted tiny payload must not be able to balloon to gigabytes
+    # inside an executor (decompression bomb) — it fails the length
+    # check as a ValueError like any other corrupt row.
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"PNG: bad IDAT stream ({e})") from e
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG: decompressed size != h*(1+stride)")
 
     prev = bytearray(stride)

@@ -102,9 +102,13 @@ def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """Real image decode, same batch loop as the stub.
 
     Codec selection is per payload, sniff first: magic bytes route
-    BMP/PPM to the dependency-free builtin codecs
-    (``functions.imagecodec`` — real bytes-to-pixels work, not a stub);
-    anything else falls through to Pillow when the environment has it.
+    BMP/PPM/PNG to the dependency-free builtin codecs
+    (``functions.imagecodec`` / ``pngcodec`` — real bytes-to-pixels
+    work, not a stub); anything else falls through to Pillow when the
+    environment has it.  A payload the builtin codec REJECTS (e.g. a
+    valid PNG profile outside the builtin's support: Adam7 interlace,
+    16-bit depth) also falls through to Pillow — the builtin owning a
+    magic must never shrink coverage below what Pillow alone gave.
     Both seams therefore execute whenever their format appears — neither
     is a dead branch gated on the other's presence.  Undecodable or
     malformed payloads (bad bytes, wrong type, ``None``) yield NULL
@@ -119,8 +123,13 @@ def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         try:
             raw = bytes(b)
             if sniff_format(raw) is not None:
-                img = decode_builtin(raw)
-                return (img.width, img.height, img.mode, img.format)
+                try:
+                    img = decode_builtin(raw)
+                    return (img.width, img.height, img.mode, img.format)
+                except ValueError:
+                    if pil_meta is None:
+                        return (None, None, None, None)
+                    # fall through: Pillow may support this profile
             if pil_meta is not None:
                 return pil_meta(raw)
         except Exception:  # noqa: BLE001 — corrupt payload, not a bug

@@ -264,6 +264,15 @@ def test_store_time_travel_history_restore_vacuum(spark, tmp_path):
     assert store.read("jobs", version=v2).collect()[0].job_id == 102
     with _pytest.raises(FileNotFoundError):
         store.read("jobs", version=hist[1]["version"])
+    # commit records of vacuumed versions are pruned too (minus the
+    # always-kept latest record); current still resolves correctly
+    import os as _os
+    live = {d for d in _os.listdir(_os.path.join(store.root, "jobs"))
+            if d.startswith("v-")}
+    n_commits = len([n for n in _os.listdir(store._commits_dir("jobs"))
+                     if n.endswith(".json")])
+    assert n_commits <= len(live) + 1
+    assert store._current_version("jobs") == v0
 
 
 def test_store_log_resilience_and_prelog_vacuum_order(spark, tmp_path):
@@ -322,7 +331,16 @@ def test_store_diff_change_data_feed(spark, tmp_path):
     changes = {(r.job_id, r._change_type)
                for r in store.diff("jobs", v0).collect()}
     assert changes == {(4, "insert"), (2, "delete"),
-                       (3, "update_postimage")}
+                       (3, "update_preimage"), (3, "update_postimage")}
+    # the preimage carries the OLD values (Delta CDF shape)
+    pre = [r for r in store.diff("jobs", v0).collect()
+           if r._change_type == "update_preimage"]
+    assert [(r.job_id, r.job_user_id) for r in pre] == [(3, None)]
+    # postimage-only report view on request
+    assert {r._change_type
+            for r in store.diff("jobs", v0,
+                                include_preimages=False).collect()} \
+        == {"insert", "delete", "update_postimage"}
     # diffing a version against itself is empty
     assert store.diff("jobs", v0, v0).count() == 0
 

@@ -499,3 +499,24 @@ def test_png_routes_through_builtin_sniff():
     img = decode_builtin(payload)
     assert (img.width, img.height, img.format, img.pixels) == (2, 3, "PNG",
                                                                RGB_2X3)
+
+
+def test_unsupported_builtin_profile_falls_through_to_pillow(monkeypatch):
+    """A valid-but-exotic PNG the builtin codec rejects (Adam7
+    interlace) must still reach Pillow when present — owning the magic
+    may not shrink coverage below Pillow-alone."""
+    import pandas as pd
+
+    from data_ingestion_worker_spark.operators import multimodal as mm
+
+    interlaced = _png_raw((2, 1, 8, 2, 0, 0, 1), b"\x00" + bytes(6))
+    opened: list[bytes] = []
+    _fake_pil(monkeypatch, opened)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    batch = pd.DataFrame({"doc_id": [1], "payload": [interlaced]})
+    out = next(mm.decode_image_real(iter([batch])))
+    assert out.loc[0, "format"] == "PNG" and opened == [interlaced]
+    # and without Pillow the same payload NULLs out instead of raising
+    monkeypatch.setattr(mm, "HAS_PIL", False)
+    out2 = next(mm.decode_image_real(iter([batch])))
+    assert out2.loc[0, "width"] is None or pd.isna(out2.loc[0, "width"])
