@@ -22,8 +22,11 @@ from .spec import QuerySpec
 #: category (dedup, ANN/clustering, sketches, text analysis, curation,
 #: graph, profiling, multimodal) gets a driver-graded correctness row.
 #: Round 5 promoted the strongest member of each category into the graded
-#: set: the REAL BMP codec round-trip (``mm_roundtrip_bmp``, not the hash
-#: stub), the production incremental-dedup shape (``dedup_incremental``),
+#: set: the REAL codec round-trip (``mm_roundtrip_png`` — the compressed
+#: PNG path gates DEFLATE + chunk CRCs + scanline unfiltering, strictly
+#: stronger evidence than the uncompressed BMP stride walk it replaced;
+#: both stay in the local sweep), the production incremental-dedup shape
+#: (``dedup_incremental``),
 #: the composed curation funnel (``pipeline_curation_e2e``), and — late
 #: round 5 — the dedup endgame (``dedup_cluster_representative``:
 #: connected components + the keep-longest decision, subsuming the plain
@@ -60,7 +63,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "ann_pq_adc_topk",
     "graph_pagerank",
     "profile_columns",
-    "mm_roundtrip_bmp",
+    "mm_roundtrip_png",
 ]
 
 
