@@ -492,3 +492,54 @@ def test_incremental_aggregate_maintenance_matches_recompute(
     assert got == want
     assert ("NEW", 1, 1) in {(r[0], r[1], r[2]) for r in got}
     assert None not in {r[0] for r in got}, "emptied NULL group must vanish"
+
+
+def test_store_occ_parallel_writers_all_land(spark, tmp_path):
+    """Three genuinely concurrent writer threads, two merges each, no
+    orchestration: every row lands (no lost updates) and the commit log
+    is a gapless serialization of all six publishes.  Retry-budget
+    safety: a writer loses a claim only when another writer commits, so
+    with five competing commits total no writer can need more than six
+    attempts (< _OCC_RETRIES)."""
+    import threading
+
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    root = str(tmp_path / "ctl")
+    base = ControlStore(spark, root)
+    schema = base.read("jobs").schema
+    base.overwrite("jobs", spark.createDataFrame(
+        [(0, None, "base", None, None, "PENDING", None, None,
+          None, None, None, None)], schema))
+    start_seq, _ = base._latest_commit("jobs")
+
+    errors = []
+
+    def writer(tid: int):
+        try:
+            store = ControlStore(spark, root)
+            for j in range(2):
+                job_id = 10 * (tid + 1) + j
+                store.upsert("jobs", spark.createDataFrame(
+                    [(job_id, None, f"t{tid}", None, None, "PENDING",
+                      None, None, None, None, None, None)], schema))
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = {r.job_id for r in base.read("jobs").collect()}
+    assert got == {0, 10, 11, 20, 21, 30, 31}
+    end_seq, _ = base._latest_commit("jobs")
+    assert end_seq == start_seq + 6
+    # the commit log is gapless: every slot from 1..end was claimed
+    import os as _os
+    claimed = sorted(int(n[:-5])
+                     for n in _os.listdir(base._commits_dir("jobs"))
+                     if n.endswith(".json"))
+    assert claimed == list(range(1, end_seq + 1))
