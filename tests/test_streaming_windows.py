@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
 
 from data_ingestion_worker_spark.streaming.windows import (
     EVENT_SCHEMA,
@@ -358,3 +359,63 @@ def test_cusum_alarms_stream_matches_recursion_across_restart(
         assert r.cusum_scaled == s, i
         assert r.hour_count == c
         assert r.alarm == (s > 3.0 * sigma)
+
+
+def test_streaming_rollup_incremental_and_exactly_once(spark, tmp_path):
+    """RollupSink maintains a grouped count/sum rollup per microbatch
+    (streaming materialized view): across a restart the rollup equals
+    the full recompute over everything ingested, and a replayed batch id
+    is a no-op (at-least-once delivery -> exactly-once contents)."""
+    from data_ingestion_worker_spark.control.store import compute_aggregate
+    from data_ingestion_worker_spark.streaming.rollup import RollupSink
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    sink = RollupSink(spark, str(tmp_path / "rollup"),
+                      keys=["event_type"], sum_cols=["value_cents"])
+
+    def to_cents(stream):
+        return stream.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+
+    def drain():
+        q = (
+            to_cents(spark.readStream.schema(EVENT_SCHEMA).json(inbox))
+            .writeStream.foreachBatch(sink.apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_events(inbox, "a.json", [
+        _ev(1, "2024-01-01T00:00:01", 1, "view", 1.25),
+        _ev(2, "2024-01-01T00:00:02", 1, "view", 2.50),
+        _ev(3, "2024-01-01T00:00:03", 2, "cart", 10.00),
+    ])
+    drain()
+    _write_events(inbox, "b.json", [
+        _ev(4, "2024-01-01T00:10:00", 3, "view", 0.25),
+        _ev(5, "2024-01-01T00:11:00", 3, "purchase", 99.99),
+    ])
+    drain()   # restart: new query, same checkpoint
+
+    got = {(r.event_type, r.n_rows, r.sum_value_cents)
+           for r in sink.read().collect()}
+    everything = spark.read.schema(EVENT_SCHEMA).json(inbox)
+    want = {(r.event_type, r.n_rows, r.sum_value_cents)
+            for r in compute_aggregate(
+                to_cents(everything), ["event_type"], ["value_cents"]
+            ).collect()}
+    assert got == want == {("view", 3, 400), ("cart", 1, 1000),
+                           ("purchase", 1, 9999)}
+    # replayed epoch: same (or older) batch_id must change nothing
+    last = sink.last_batch_id()
+    replay = to_cents(everything)
+    sink.apply(replay, last)
+    assert {(r.event_type, r.n_rows, r.sum_value_cents)
+            for r in sink.read().collect()} == want
+    assert sink.last_batch_id() == last
