@@ -543,3 +543,46 @@ def test_store_occ_parallel_writers_all_land(spark, tmp_path):
                      for n in _os.listdir(base._commits_dir("jobs"))
                      if n.endswith(".json"))
     assert claimed == list(range(1, end_seq + 1))
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_incremental_aggregate_random_change_mixes(spark, tmp_path, seed):
+    """maintain_aggregate == full recompute across randomized
+    insert/update/delete mixes, including NULL sums, NULL group keys and
+    whole-group churn (seeded, so failures reproduce)."""
+    import random
+
+    from data_ingestion_worker_spark.control.store import (
+        ControlStore,
+        compute_aggregate,
+        maintain_aggregate,
+    )
+
+    rng = random.Random(seed)
+    statuses = ["A", "B", "C", None]
+
+    def snapshot(ids):
+        return [(i, None, "u", None, None, rng.choice(statuses),
+                 rng.choice([None, rng.randrange(100)]), None,
+                 None, None, None, None) for i in sorted(ids)]
+
+    ids0 = set(rng.sample(range(60), 35))
+    # v1: drop some, keep some (values re-rolled -> updates or no-ops),
+    # insert some fresh
+    ids1 = {i for i in ids0 if rng.random() > 0.4} \
+        | set(rng.sample(range(60, 90), 12))
+
+    store = ControlStore(spark, str(tmp_path / f"ctl{seed}"))
+    schema = store.read("jobs").schema
+    store.overwrite("jobs", spark.createDataFrame(snapshot(ids0), schema))
+    v0 = store.history("jobs")[-1]["version"]
+    keys, sums = ["job_status"], ["job_total_rows"]
+    agg0 = compute_aggregate(store.read("jobs", v0), keys, sums)
+    store.overwrite("jobs", spark.createDataFrame(snapshot(ids1), schema))
+    v1 = store.history("jobs")[-1]["version"]
+
+    got = {tuple(r) for r in maintain_aggregate(
+        agg0, store.diff("jobs", v0, v1), keys, sums).collect()}
+    want = {tuple(r) for r in compute_aggregate(
+        store.read("jobs", v1), keys, sums).collect()}
+    assert got == want
