@@ -260,6 +260,142 @@ FROM scaled
 """
 
 
+RESIZE_REAL_SCHEMA = ("doc_id bigint, src_width int, src_height int, "
+                      "out_width int, out_height int, pixel_hex string")
+
+
+def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize: decode an actual PNG (built from the payload hash),
+    nearest-neighbor downsample the decoded pixel buffer by 2 (ceil
+    dims, sampling src pixel (2i, 2j)), and emit the resized bytes.
+
+    This upgrades the resize stage from dimension arithmetic
+    (``fake_resize``) to genuine pixel-buffer work through the real
+    compressed codec; the oracle recomputes every sampled pixel's bytes
+    algebraically, so a stride/order bug in the resampler breaks parity.
+    """
+    from ..functions.imagecodec import decode_builtin
+    from ..functions.pngcodec import encode_png
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 3
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_builtin(encode_png(w, h, raw))
+        ow, oh = (w + 1) // 2, (h + 1) // 2
+        out = bytearray()
+        for i in range(oh):
+            for j in range(ow):
+                src = (2 * i * img.width + 2 * j) * 3
+                out += img.pixels[src:src + 3]
+        return (img.width, img.height, ow, oh, bytes(out).hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "src_width": metas.map(lambda m: m[0]).astype("int32"),
+            "src_height": metas.map(lambda m: m[1]).astype("int32"),
+            "out_width": metas.map(lambda m: m[2]).astype("int32"),
+            "out_height": metas.map(lambda m: m[3]).astype("int32"),
+            "pixel_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> real PNG decode -> nearest-neighbor downsample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(real_resize, RESIZE_REAL_SCHEMA)
+
+
+#: Every output pixel is the sha256 bytes of its nearest-neighbor source
+#: position — recomputed per (i, j) via a correlated unnest, concatenated
+#: in row-major order.
+MM_RESIZE_REAL_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+dims AS (
+  SELECT doc_id, 1 + h64 % 3 AS w, 1 + h64 % 3 AS hh,
+         (1 + h64 % 3 + 1) // 2 AS ow, (1 + h64 % 3 + 1) // 2 AS oh,
+         sha_hex
+  FROM h
+),
+px AS (
+  SELECT d.doc_id, d.w, d.hh, d.ow, d.oh, i.i, j.j,
+         substr(d.sha_hex, ((2 * i.i) * d.w + 2 * j.j) * 6 + 1, 6) AS hexpx
+  FROM dims d
+  CROSS JOIN UNNEST(range(d.oh)) AS i(i)
+  CROSS JOIN UNNEST(range(d.ow)) AS j(j)
+)
+SELECT doc_id, CAST(w AS INT) AS src_width, CAST(hh AS INT) AS src_height,
+       CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+       string_agg(hexpx, '' ORDER BY i, j) AS pixel_hex
+FROM px
+GROUP BY doc_id, w, hh, ow, oh
+"""
+
+
+FRAME_SAMPLE_REAL_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+
+
+def real_frame_sample(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL frame sampling: build a multi-frame AVI from per-frame
+    hashes, decode it with the builtin RIFF walker, and emit every
+    SECOND decoded frame as its own row (1 media row -> N frame rows,
+    the explode shape of ``mm_frame_sample`` — but the frames exploded
+    here came out of an actual video decode)."""
+    from ..functions.videocodec import decode_avi, encode_avi
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        n_frames = 3 + h64 % 4
+        frames = [hashlib.sha256(b + str(i).encode()).digest()[:12]
+                  for i in range(n_frames)]
+        avi = decode_avi(encode_avi(2, 2, frames, fps=10))
+        return [(i, avi.frames[i].hex())
+                for i in range(0, avi.n_frames, 2)]
+
+    for pdf in batches:
+        ids, idxs, hexes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i, fx in _rt(payload):
+                ids.append(doc_id)
+                idxs.append(i)
+                hexes.append(fx)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int32"),
+            "frame_hex": pd.Series(hexes, dtype="object"),
+        })
+
+
+def mm_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> real AVI decode -> every-2nd-frame explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(real_frame_sample,
+                                          FRAME_SAMPLE_REAL_SCHEMA)
+
+
+#: Each sampled frame's bytes are the leading sha256 of (payload || idx)
+#: — Spark must reproduce them THROUGH the encoder + RIFF decode walk.
+MM_FRAME_REAL_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, text FROM documents
+),
+n AS (
+  SELECT doc_id, 3 + h64 % 4 AS nf, text FROM h
+)
+SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+       substr(sha256(text || CAST(i.i AS VARCHAR)), 1, 24) AS frame_hex
+FROM n CROSS JOIN UNNEST(range(n.nf)) AS i(i)
+WHERE i.i % 2 = 0
+"""
+
+
 ROUNDTRIP_SCHEMA = ("doc_id bigint, width int, height int, mode string, "
                     "format string, pixel_hex string")
 
@@ -809,6 +945,9 @@ SPECS: dict[str, QuerySpec] = {
     "mm_image_stats": QuerySpec(mm_image_stats, MM_IMAGE_STATS_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
+    "mm_resize_real": QuerySpec(mm_resize_real, MM_RESIZE_REAL_ORACLE),
+    "mm_frame_sample_real": QuerySpec(mm_frame_sample_real,
+                                      MM_FRAME_REAL_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
