@@ -4,24 +4,28 @@ The batch half lives in ``control.store``: ``maintain_aggregate`` rolls
 a change-feed into a grouped count/sum rollup for the price of the
 changes.  This module is the streaming half — on an append-only stream
 every microbatch IS a pure insert-delta, so the same delta-propagation
-rule maintains a continuously fresh rollup with per-batch cost
-O(|microbatch| + |touched groups|), never a re-aggregation of history.
-That is the production shape of a "streaming materialized view": the
-100 TB alternative — recomputing the rollup per trigger — re-scans the
-whole table every few seconds.
+rule maintains a continuously fresh rollup.  Per-trigger cost is
+O(|microbatch| + |rollup groups|) — the merge re-shuffles the (small)
+group table, never the event history; the 100 TB alternative —
+recomputing the rollup from the full table per trigger — re-scans
+everything every few seconds.
 
 Exactly-once: ``foreachBatch`` delivers batches at-least-once across
 restarts, with a monotonically increasing ``batch_id``.  The sink
 publishes each new rollup version with the batch id inside the pointer
-record (atomic tmp+rename), and ``apply`` is a no-op for any batch id
-at or below the last applied one — the canonical epoch-id dedup
-contract that upgrades replay to exactly-once.
+record (fsync'd tmp + atomic rename), and ``apply`` is a no-op for any
+batch id at or below the last applied one — the canonical epoch-id
+dedup contract that upgrades replay to exactly-once.  Superseded
+version directories are deleted after the pointer flips (one prior
+version is retained for in-flight readers), so disk usage is bounded
+at ~two rollup snapshots regardless of stream lifetime.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,13 +59,26 @@ class RollupSink:
         return os.path.join(self.path, "_CURRENT")
 
     def _state(self) -> tuple[str | None, int]:
-        """(current version dir, last applied batch_id)."""
+        """(current version dir, last applied batch_id).
+
+        Only a MISSING pointer means "no rollup yet".  A pointer that
+        exists but does not parse is corruption — treating it as
+        first-run would silently reseed an empty rollup and discard all
+        accumulated state, so it raises instead (the write path fsyncs
+        before the atomic rename precisely so this cannot happen from a
+        mere crash).
+        """
         try:
             with open(self._pointer()) as f:
                 rec = json.load(f)
-            return rec["version"], rec["batch_id"]
-        except (FileNotFoundError, ValueError, KeyError):
+        except FileNotFoundError:
             return None, -1
+        try:
+            return rec["version"], rec["batch_id"]
+        except (TypeError, KeyError) as e:
+            raise ValueError(
+                f"rollup pointer {self._pointer()} is corrupt: {rec!r}"
+            ) from e
 
     def read(self) -> DataFrame | None:
         """Current rollup snapshot, or None before the first batch."""
@@ -83,21 +100,20 @@ class RollupSink:
         never double-counts — at-least-once delivery + idempotent apply
         = exactly-once contents.
         """
-        version, last = self._state()
+        prev_version, last = self._state()
         if batch_id <= last:
             return
         inserts = batch.withColumn("_change_type", F.lit("insert"))
-        prev = self.read()
-        if prev is None:
+        if prev_version is None:
             # First batch: seed the rollup with an empty aggregate of
             # the right schema (maintain_aggregate handles the rest).
-            merged = maintain_aggregate(
-                _empty_like(batch, self.keys, self.sum_cols),
-                inserts, self.keys, self.sum_cols,
-            )
+            prev = _empty_like(batch, self.keys, self.sum_cols)
         else:
-            merged = maintain_aggregate(prev, inserts, self.keys,
-                                        self.sum_cols)
+            prev = self.spark.read.parquet(
+                os.path.join(self.path, prev_version)
+            )
+        merged = maintain_aggregate(prev, inserts, self.keys,
+                                    self.sum_cols)
         new_version = f"v-{uuid.uuid4().hex[:12]}"
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, new_version)
@@ -105,7 +121,27 @@ class RollupSink:
         tmp = self._pointer() + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump({"version": new_version, "batch_id": batch_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._pointer())
+        self._gc(keep={new_version, prev_version})
+
+    def _gc(self, keep: set) -> None:
+        """Delete superseded version dirs and stale pointer tmp files.
+
+        The just-superseded version stays (an in-flight reader may still
+        be scanning it); everything older goes — the sink's steady-state
+        footprint is two snapshots, not one per trigger.
+        """
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if name.startswith("v-") and name not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.endswith(".tmp"):
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
 
 
 def _empty_like(batch: DataFrame, keys: list[str],

@@ -419,3 +419,12 @@ def test_streaming_rollup_incremental_and_exactly_once(spark, tmp_path):
     assert {(r.event_type, r.n_rows, r.sum_value_cents)
             for r in sink.read().collect()} == want
     assert sink.last_batch_id() == last
+    # disk footprint is bounded: current + one superseded snapshot
+    versions = [d for d in os.listdir(sink.path) if d.startswith("v-")]
+    assert len(versions) <= 2
+    # a corrupt pointer must raise loudly, never reseed an empty rollup
+    with open(sink._pointer(), "w") as f:
+        f.write("{truncated")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sink.read()
