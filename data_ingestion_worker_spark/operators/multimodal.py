@@ -571,6 +571,79 @@ FROM h
 """
 
 
+RESAMPLE_SCHEMA = ("doc_id bigint, channels int, in_frames int, "
+                   "out_rate int, out_frames int, pcm_hex string")
+
+
+def real_audio_resample(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio resample: decode an actual PCM WAV and decimate by 2 —
+    keep every second FRAME (a frame is ``channels * 2`` bytes, so the
+    stride is channel-aware; byte-level decimation would interleave
+    channels wrongly on stereo).  The image-resize analogue for the
+    audio modality, parity-gated on the exact surviving PCM bytes."""
+    from ..functions.audiocodec import decode_wav, encode_wav
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        rate = 8000 * (1 + h64 % 3)
+        channels = 1 + h64 % 2
+        n_frames = 1 + h64 % 5
+        pcm = hashlib.sha256(b).digest()[: n_frames * channels * 2]
+        wav = decode_wav(encode_wav(rate, channels, pcm))
+        fsz = wav.channels * 2
+        frames = [wav.pcm[i * fsz:(i + 1) * fsz]
+                  for i in range(wav.n_frames)]
+        out = b"".join(frames[::2])
+        return (wav.channels, wav.n_frames, wav.sample_rate // 2,
+                (wav.n_frames + 1) // 2, out.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "channels": metas.map(lambda m: m[0]).astype("int32"),
+            "in_frames": metas.map(lambda m: m[1]).astype("int32"),
+            "out_rate": metas.map(lambda m: m[2]).astype("int32"),
+            "out_frames": metas.map(lambda m: m[3]).astype("int32"),
+            "pcm_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_audio_resample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> real WAV decode -> every-2nd-frame decimation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(real_audio_resample,
+                                          RESAMPLE_SCHEMA)
+
+
+#: Surviving PCM = the even frames' hex slices, concatenated in order —
+#: frame size is channel-dependent, so a stereo stride bug breaks parity.
+MM_AUDIO_RESAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+d AS (
+  SELECT doc_id, 1 + h64 % 2 AS ch, 1 + h64 % 5 AS nf,
+         8000 * (1 + h64 % 3) AS rate, sha_hex
+  FROM h
+),
+fr AS (
+  SELECT d.doc_id, d.ch, d.nf, d.rate, i.i,
+         substr(d.sha_hex, i.i * d.ch * 4 + 1, d.ch * 4) AS fx
+  FROM d CROSS JOIN UNNEST(range(d.nf)) AS i(i)
+  WHERE i.i % 2 = 0
+)
+SELECT doc_id, CAST(ch AS INT) AS channels, CAST(nf AS INT) AS in_frames,
+       CAST(rate // 2 AS INT) AS out_rate,
+       CAST((nf + 1) // 2 AS INT) AS out_frames,
+       string_agg(fx, '' ORDER BY i) AS pcm_hex
+FROM fr
+GROUP BY doc_id, ch, nf, rate
+"""
+
+
 AVI_SCHEMA = ("doc_id bigint, width int, height int, fps int, "
               "n_frames int, frames_hex string")
 
@@ -948,6 +1021,8 @@ SPECS: dict[str, QuerySpec] = {
     "mm_resize_real": QuerySpec(mm_resize_real, MM_RESIZE_REAL_ORACLE),
     "mm_frame_sample_real": QuerySpec(mm_frame_sample_real,
                                       MM_FRAME_REAL_ORACLE),
+    "mm_audio_resample_real": QuerySpec(mm_audio_resample_real,
+                                        MM_AUDIO_RESAMPLE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
