@@ -672,6 +672,114 @@ WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
 
 
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: edge weight = distinct co-orders on the link.
+
+    The unweighted walk treats a one-order supplier relationship the
+    same as a hundred-order one; here each node splits its rank over
+    incident edges proportionally to weight — contribution along an
+    edge is ``r * w div wdeg(src)`` (integer, so shuffle-order-exact
+    like the unweighted operator).  Same damping, same fixed-iteration
+    unrolled oracle; weighted degree replaces degree everywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count_distinct("l_orderkey").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    ).localCheckpoint(eager=False)
+    wdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("wdeg")
+    ).localCheckpoint(eager=False)
+    v = wdeg.agg(F.count(F.lit(1)).alias("v"))
+    ranks = wdeg.crossJoin(F.broadcast(v)).select(
+        "node", "wdeg", F.expr(f"{PR_SCALE} div v").alias("r")
+    )
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select("dst", F.expr("(r * w) div wdeg").alias("c"))
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            wdeg.join(incoming, "node")
+            .crossJoin(F.broadcast(v))
+            .select(
+                "node", "wdeg",
+                F.expr(
+                    f"(3 * {PR_SCALE}) div (20 * v) + (17 * s) div 20"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("r").alias("rank_scaled"),
+    )
+
+
+def _wpr_oracle(n_iterations: int = PR_ITERATIONS) -> str:
+    base = f"(3 * {PR_SCALE}) // (20 * v)"
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iterations + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, sum((r.r * e.w) // r.wdeg) AS s
+  FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY 1
+),
+r{i} AS (
+  SELECT d.node, d.wdeg,
+         CAST({base} + (17 * c{i}.s) // 20 AS BIGINT) AS r
+  FROM wdeg d JOIN c{i} ON d.node = c{i}.node CROSS JOIN v
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+),
+wdeg AS (
+  SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+  FROM edges GROUP BY 1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM wdeg),
+r0 AS (
+  SELECT node, wdeg, CAST({PR_SCALE} // v AS BIGINT) AS r
+  FROM wdeg CROSS JOIN v
+),{",".join(iters)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, r AS rank_scaled
+FROM {prev}
+"""
+
+
+PAGERANK_WEIGHTED_ORACLE = _wpr_oracle()
+
+
 #: Fixed peeling rounds for the k-core operator (and unrolled oracle).
 KCORE_ROUNDS = 3
 
@@ -870,4 +978,6 @@ SPECS: dict[str, QuerySpec] = {
                                             ASSORTATIVITY_ORACLE),
     "graph_k_core": QuerySpec(graph_k_core, KCORE_ORACLE),
     "graph_bfs_distance": QuerySpec(graph_bfs_distance, BFS_ORACLE),
+    "graph_pagerank_weighted": QuerySpec(graph_pagerank_weighted,
+                                         PAGERANK_WEIGHTED_ORACLE),
 }

@@ -274,3 +274,25 @@ def test_bfs_distance_matches_python_bfs(spark):
             for n, d in dist.items()}
     assert got == want
     assert got[("supplier", seed // 2)] == 0
+
+
+def test_weighted_pagerank_conserves_mass_and_differs_from_unweighted(
+        spark):
+    """Weighted PageRank keeps the integer-mass invariants of the
+    unweighted walk (same node set, bounded truncation loss) while the
+    co-order weights actually change the ranking — otherwise the weight
+    plumbing is dead."""
+    from data_ingestion_worker_spark.operators.graph import (
+        graph_pagerank_weighted,
+    )
+
+    wr = {(r.kind, r.key): r.rank_scaled
+          for r in graph_pagerank_weighted(spark, SF_DIR).collect()}
+    ur = {(r.kind, r.key): r.rank_scaled
+          for r in graph_pagerank(spark, SF_DIR).collect()}
+    assert set(wr) == set(ur)
+    total = sum(wr.values())
+    assert PR_SCALE * 0.99 <= total <= PR_SCALE
+    assert all(v > 0 for v in wr.values())
+    assert any(wr[k] != ur[k] for k in wr), \
+        "weights changed nothing — contribution split is ignoring them"
