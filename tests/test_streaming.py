@@ -224,3 +224,30 @@ def test_dead_letter_cleared_on_successful_retry(spark, tmp_path):
     assert store.read("dead_letters").count() == 0
     job = store.read("jobs").filter(F.col("job_id") == 21).collect()[0]
     assert job["job_status"] == "COMPLETED"
+
+
+def test_worker_entrypoint_drain_cycle(spark, tmp_path, monkeypatch):
+    """The deployable worker (reference main.py twin): a message put on
+    the queue is bridged to the inbox, processed through the full
+    routing/validation flow, and the job lands NEEDS_REVIEW/COMPLETED
+    in the control store — all wired purely from the environment."""
+    from data_ingestion_worker_spark.streaming.queue import job_message
+    from data_ingestion_worker_spark.worker import build_worker
+
+    monkeypatch.setenv("SPARK_INGEST_ROOT", str(tmp_path / "w"))
+    monkeypatch.setenv("SPARK_INGEST_USER_ID", "user-9")
+    csv_path = str(tmp_path / "clean.csv")
+    with open(csv_path, "wb") as f:
+        f.write(b"email,first_name,last_name,company\n"
+                b"a@x.com,A,Aa,Acme\n")
+
+    bridge, consumer = build_worker(spark)
+    bridge.client.send(job_message(1, csv_path))
+    assert bridge.drain_once(max_messages=1) == 1
+    consumer.start(available_now=True).awaitTermination(120)
+
+    jobs = consumer.store.read("jobs").collect()
+    assert [(r.job_id, r.job_status) for r in jobs] == [(1, "COMPLETED")]
+    contacts = consumer.store.read("contacts").collect()
+    assert [(r.contact_email, r.contacts_user_id) for r in contacts] \
+        == [("a@x.com", "user-9")]
