@@ -664,8 +664,99 @@ WHERE rank <= {SKEW_TOP_K}
 """
 
 
+def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ idea):
+    evaluate a fixed rule set over ``orders`` in one pass and report
+    one row per rule — metric value + pass/fail.
+
+    Rules: non-empty table, primary-key uniqueness, completeness of the
+    FK column, value-range checks on price and date, and referential
+    integrity against ``customer`` (orphan count).  The scan-side rules
+    compile to ONE stacked aggregate over a single table scan
+    (conditional counts — no per-rule passes); referential integrity is
+    one anti-join, the only second data touch.  At 100 TB this is the
+    ingestion gate you run before publishing a partition: cost = one
+    scan + one hash join, independent of rule count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    date_lo, date_hi = "1992-01-01", "1998-12-31"
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+         .alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+         .alias("neg_price"),
+        F.sum(F.when((F.col("o_orderdate") < date_lo)
+                     | (F.col("o_orderdate") > date_hi), 1).otherwise(0))
+         .alias("date_oob"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    s = agg.crossJoin(F.broadcast(orphans))
+    rules = [
+        ("non_empty", F.col("n"), F.col("n") > 0),
+        ("orderkey_unique", F.col("n") - F.col("n_keys"),
+         F.col("n") == F.col("n_keys")),
+        ("custkey_complete", F.col("null_cust"), F.col("null_cust") == 0),
+        ("price_non_negative", F.col("neg_price"), F.col("neg_price") == 0),
+        ("orderdate_in_range", F.col("date_oob"), F.col("date_oob") == 0),
+        ("custkey_references_customer", F.col("orphans"),
+         F.col("orphans") == 0),
+    ]
+    out = None
+    for name, metric, passed in rules:
+        row = s.select(
+            F.lit(name).alias("rule"),
+            metric.cast("long").alias("metric"),
+            passed.alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+DQ_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS n_keys,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+         sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                    OR o_orderdate > DATE '1998-12-31'
+                  THEN 1 ELSE 0 END) AS date_oob
+  FROM orders
+),
+orph AS (
+  SELECT count(*) AS orphans
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+),
+s AS (SELECT * FROM agg CROSS JOIN orph)
+SELECT 'non_empty' AS rule, CAST(n AS BIGINT) AS metric, n > 0 AS passed
+FROM s
+UNION ALL
+SELECT 'orderkey_unique', CAST(n - n_keys AS BIGINT), n = n_keys FROM s
+UNION ALL
+SELECT 'custkey_complete', CAST(null_cust AS BIGINT), null_cust = 0 FROM s
+UNION ALL
+SELECT 'price_non_negative', CAST(neg_price AS BIGINT), neg_price = 0
+FROM s
+UNION ALL
+SELECT 'orderdate_in_range', CAST(date_oob AS BIGINT), date_oob = 0 FROM s
+UNION ALL
+SELECT 'custkey_references_customer', CAST(orphans AS BIGINT),
+       orphans = 0
+FROM s
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
+    "dq_validate_orders": QuerySpec(dq_validate_orders, DQ_ORACLE),
     "sample_stratified": QuerySpec(sample_stratified, STRATIFIED_ORACLE),
     "profile_join_key_skew": QuerySpec(profile_join_key_skew,
                                        SKEW_PROFILE_ORACLE),

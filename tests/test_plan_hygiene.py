@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
+    "dq_validate_orders",  # one-row stats x one-row orphan-count cross
 }
 
 
@@ -154,6 +155,7 @@ SP_ALLOWED = {
     "graph_degree_assortativity",  # one-row five-moment scalar
     "graph_k_core",             # one-row k-threshold scalar
     "graph_bfs_distance",       # one-row seed-node scalar
+    "dq_validate_orders",       # one-row rule-metric scalars
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
