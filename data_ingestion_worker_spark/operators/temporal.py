@@ -325,10 +325,203 @@ FROM cand WHERE rn = 1
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event stream.
+
+    Treats each user's ``event_type`` as a slowly-changing state and
+    compresses the stream into validity intervals: keep only CHANGE rows
+    (lag-compare per user), then derive ``valid_from`` = change time,
+    ``valid_to`` = next change time (NULL = open), ``version`` = change
+    ordinal, ``is_current`` = open-interval flag.  This is the standard
+    warehouse history-table shape (Kimball SCD2) the reference's
+    Postgres-backed status columns flatten away (it keeps only the
+    latest status — SURVEY.md §2.1 S11); the interval form supports
+    point-in-time joins (see :func:`asof_join_purchase` for the
+    scalable PIT formulation).
+
+    Scale shape: one shuffle on user_id; the change filter runs on the
+    first window pass so the lead/row_number pass sees only the (much
+    smaller) change set.  Both windows share partitioning and order, so
+    Catalyst plans a single sort.  No self-join, no explode.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("event_type")))
+        .drop("_prev")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def ev_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation for the first N users.
+
+    The gap-filling sibling of :func:`ev_resample_ffill`: each spine
+    hour gets ``v_prev + (v_next - v_prev) * (h - t_prev)/(t_next -
+    t_prev)`` from its bracketing observations.  Hours outside the
+    observed range stay NULL; a spine hour landing exactly on an
+    observation returns that observation.  One tagged UNION carries all
+    four bracketing columns (prev/next value and time) through two
+    frames of the SAME (user, time) sort — forward ``last(...,
+    ignorenulls)`` and backward ``first(..., ignorenulls)`` — so the
+    whole operator is one shuffle and one sort, no self-join.
+
+    Determinism: bracketing times are truncated epoch seconds (the
+    established cross-engine grain) and the arithmetic is the same
+    IEEE-double expression on both engines, rounded to 6 dp.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < N_RESAMPLE_USERS
+    )
+    wo = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    obs = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(wo))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(t0, t1, interval 1 hour)"))
+            .alias("hour_ts"),
+        )
+    )
+    # Observations sort BEFORE the spine point at equal time (side 0 < 1)
+    # so the forward pass treats an on-the-hour observation as "at or
+    # before" — the exact-hit branch below then returns it verbatim.
+    tagged = obs.select(
+        "user_id", F.col("ts").alias("t"), F.lit(0).alias("side"), "value"
+    ).unionByName(spine.select(
+        "user_id", F.col("hour_ts").alias("t"), F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("value"),
+    ))
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_obs = F.col("side") == 0
+    obs_v = F.when(is_obs, F.col("value"))
+    obs_s = F.when(is_obs, _epoch_s(F.col("t")))
+    prev_v = F.last(obs_v, ignorenulls=True).over(fwd)
+    prev_s = F.last(obs_s, ignorenulls=True).over(fwd)
+    next_v = F.first(obs_v, ignorenulls=True).over(bwd)
+    next_s = F.first(obs_s, ignorenulls=True).over(bwd)
+    h_s = _epoch_s(F.col("t"))
+    frac = (h_s - F.col("_ps")).cast("double") / \
+        (F.col("_ns") - F.col("_ps")).cast("double")
+    interp = (
+        F.when(F.col("_ps") == h_s, F.col("_pv"))
+        .when(F.col("_ps").isNull() | F.col("_ns").isNull(),
+              F.lit(None).cast("double"))
+        .otherwise(F.round(
+            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac, 6))
+    )
+    return (
+        tagged
+        .withColumn("_pv", prev_v).withColumn("_ps", prev_s)
+        .withColumn("_nv", next_v).withColumn("_ns", next_s)
+        .filter(~is_obs)
+        .select("user_id", F.col("t").alias("hour_ts"),
+                interp.alias("interp_value"))
+    )
+
+
+INTERPOLATE_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) AS rn
+    FROM events WHERE user_id < {N_RESAMPLE_USERS}
+  ) WHERE rn = 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(
+           date_trunc('hour', tmin), date_trunc('hour', tmax),
+           INTERVAL 1 HOUR)) AS hour_ts
+  FROM (SELECT user_id, min(ts) AS tmin, max(ts) AS tmax
+        FROM events WHERE user_id < {N_RESAMPLE_USERS} GROUP BY user_id)
+),
+tagged AS (
+  SELECT user_id, ts AS t, 0 AS side, value FROM obs
+  UNION ALL
+  SELECT user_id, hour_ts AS t, 1 AS side, NULL AS value FROM spine
+),
+bracketed AS (
+  SELECT user_id, t, side,
+         last(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+           OVER wf AS pv,
+         last(CASE WHEN side = 0
+                   THEN CAST(floor(epoch(t)) AS BIGINT) END IGNORE NULLS)
+           OVER wf AS ps,
+         first(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+           OVER wb AS nv,
+         first(CASE WHEN side = 0
+                    THEN CAST(floor(epoch(t)) AS BIGINT) END IGNORE NULLS)
+           OVER wb AS ns
+  FROM tagged
+  WINDOW wf AS (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wb AS (PARTITION BY user_id ORDER BY t, side
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t AS hour_ts,
+       CASE WHEN ps = CAST(floor(epoch(t)) AS BIGINT) THEN pv
+            WHEN ps IS NULL OR ns IS NULL THEN NULL
+            ELSE round(pv + (nv - pv)
+                 * (CAST(CAST(floor(epoch(t)) AS BIGINT) - ps AS DOUBLE)
+                    / CAST(ns - ps AS DOUBLE)), 6)
+       END AS interp_value
+FROM bracketed WHERE side = 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "asof_join_purchase": QuerySpec(asof_join_purchase, ASOF_ORACLE),
     "asof_join_tolerance": QuerySpec(asof_join_tolerance,
                                      ASOF_TOLERANCE_ORACLE),
     "range_join_pairs": QuerySpec(range_join_pairs, RANGE_ORACLE),
     "ev_resample_ffill": QuerySpec(ev_resample_ffill, RESAMPLE_ORACLE),
+    "ev_resample_interpolate": QuerySpec(ev_resample_interpolate,
+                                         INTERPOLATE_ORACLE),
+    "scd2_user_state": QuerySpec(scd2_user_state, SCD2_ORACLE),
 }

@@ -1,0 +1,109 @@
+"""Semantic contracts for the SCD2 build and linear-interpolation resample
+(beyond the oracle-parity row/value match in test_oracle_parity.py).
+
+SCD2 (scd2_user_state): the interval set must be a well-formed history —
+versions consecutive from 1, exactly one open interval per user, each
+interval's valid_to equal to the next interval's valid_from, and no two
+consecutive intervals sharing a state (else the change compression
+failed).
+
+Interpolation (ev_resample_interpolate): every non-NULL spine value must
+lie within the [min, max] of the user's observed values (a convex
+combination cannot escape its bracket), and a spine hour that lands
+exactly on an observation must return that observation verbatim.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_worker_spark.operators.temporal import (
+    N_RESAMPLE_USERS,
+    ev_resample_interpolate,
+    scd2_user_state,
+)
+from data_ingestion_worker_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_form_a_wellformed_history(spark):
+    rows = scd2_user_state(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user, "SCD2 produced no intervals"
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from < a.valid_to
+            assert a.state != b.state, "adjacent intervals share a state"
+
+
+def test_scd2_covers_every_user_from_first_event(spark):
+    e = load_table(spark, SF_DIR, "events")
+    firsts = {
+        r.user_id: r.first_ts
+        for r in e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    opens = {r.user_id: r.valid_from
+             for r in scd2_user_state(spark, SF_DIR)
+             .filter("version = 1").collect()}
+    assert set(opens) == set(firsts)
+    for u, t in opens.items():
+        assert t == firsts[u]
+
+
+def test_interpolation_stays_inside_its_bracket(spark):
+    e = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") < N_RESAMPLE_USERS
+    )
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in e.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    out = ev_resample_interpolate(spark, SF_DIR).collect()
+    assert any(r.interp_value is not None for r in out)
+    for r in out:
+        if r.interp_value is None:
+            continue
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-6 <= r.interp_value <= hi + 1e-6
+
+
+def test_interpolation_exact_hit_returns_the_observation(spark):
+    # Deduped per (user, ts) with max-event_id-wins, same spec as the op.
+    e = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") < N_RESAMPLE_USERS
+    )
+    on_hour = (
+        e.filter(F.col("ts") == F.date_trunc("hour", F.col("ts")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts")
+                .orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    if not on_hour:
+        return  # no on-the-hour observation at this SF — nothing to pin
+    got = {
+        (r.user_id, r.hour_ts): r.interp_value
+        for r in ev_resample_interpolate(spark, SF_DIR).collect()
+    }
+    for r in on_hour:
+        assert got[(r.user_id, r.ts)] == r.value
