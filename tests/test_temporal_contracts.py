@@ -17,12 +17,15 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_ingestion_worker_spark.operators.temporal import (
     N_RESAMPLE_USERS,
+    _scd2_build,
     ev_resample_interpolate,
+    scd2_merge_batch,
     scd2_user_state,
 )
 from data_ingestion_worker_spark.tables import load_table
@@ -60,6 +63,43 @@ def test_scd2_covers_every_user_from_first_event(spark):
     assert set(opens) == set(firsts)
     for u, t in opens.items():
         assert t == firsts[u]
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("split", [
+    "2024-01-01 00:00:00",   # everything arrives as the batch
+    "2024-01-08 00:00:00",
+    "2024-01-16 00:00:00",
+    "2024-01-23 12:00:00",
+    "2024-02-01 00:00:00",   # empty batch — merge must be a no-op
+])
+def test_scd2_merge_equals_full_rebuild_at_any_split(spark, split):
+    e = load_table(spark, SF_DIR, "events")
+    cut = F.expr(f"TIMESTAMP_NTZ '{split}'")
+    merged = scd2_merge_batch(
+        _scd2_build(e.filter(F.col("ts") <= cut)),
+        e.filter(F.col("ts") > cut),
+    )
+    assert _canon(merged) == _canon(_scd2_build(e))
+
+
+def test_scd2_merge_repeated_state_batch_is_a_noop(spark):
+    e = load_table(spark, SF_DIR, "events")
+    dim = _scd2_build(e)
+    # A batch that replays every user's current state strictly later
+    # must change nothing but survive the merge unchanged.
+    replay = (
+        dim.filter("is_current")
+        .select(
+            "user_id", F.col("state").alias("event_type"),
+            F.expr("TIMESTAMP_NTZ '2024-03-01 00:00:00'").alias("ts"),
+            F.monotonically_increasing_id().alias("event_id"),
+        )
+    )
+    assert _canon(scd2_merge_batch(dim, replay)) == _canon(dim)
 
 
 def test_interpolation_stays_inside_its_bracket(spark):
