@@ -1,24 +1,33 @@
-"""Streaming materialized-view maintenance (incremental rollup sink).
+"""Streaming materialized-view maintenance (incremental snapshot sinks).
 
 The batch half lives in ``control.store``: ``maintain_aggregate`` rolls
 a change-feed into a grouped count/sum rollup for the price of the
 changes.  This module is the streaming half — on an append-only stream
 every microbatch IS a pure insert-delta, so the same delta-propagation
-rule maintains a continuously fresh rollup.  Per-trigger cost is
-O(|microbatch| + |rollup groups|) — the merge re-shuffles the (small)
-group table, never the event history; the 100 TB alternative —
-recomputing the rollup from the full table per trigger — re-scans
-everything every few seconds.
+rule maintains a continuously fresh snapshot.  Per-trigger cost is
+O(|microbatch| + |snapshot|) — the merge re-shuffles the (small)
+materialized table, never the event history; the 100 TB alternative —
+recomputing from the full table per trigger — re-scans everything every
+few seconds.
+
+Two sinks share the machinery:
+
+- :class:`RollupSink` — grouped count/sum rollup (streaming GROUP BY).
+- :class:`Scd2Sink` — SCD Type-2 dimension (streaming history table):
+  each microbatch folds in via ``operators.temporal.scd2_merge_batch``,
+  so the continuously-maintained dimension is pinned equal to the full
+  batch rebuild by the same merge the batch path grades against its
+  oracle.
 
 Exactly-once: ``foreachBatch`` delivers batches at-least-once across
 restarts, with a monotonically increasing ``batch_id``.  The sink
-publishes each new rollup version with the batch id inside the pointer
+publishes each new snapshot version with the batch id inside the pointer
 record (fsync'd tmp + atomic rename), and ``apply`` is a no-op for any
 batch id at or below the last applied one — the canonical epoch-id
 dedup contract that upgrades replay to exactly-once.  Superseded
 version directories are deleted after the pointer flips (one prior
 version is retained for in-flight readers), so disk usage is bounded
-at ~two rollup snapshots regardless of stream lifetime.
+at ~two snapshots regardless of stream lifetime.
 """
 
 from __future__ import annotations
@@ -32,25 +41,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..control.store import maintain_aggregate
+from ..operators.temporal import scd2_merge_batch
 
 
-class RollupSink:
-    """Versioned on-disk rollup maintained by ``foreachBatch``.
+class _VersionedSnapshotSink:
+    """Versioned on-disk snapshot maintained by ``foreachBatch``.
 
-    Usage::
-
-        sink = RollupSink(spark, path, keys=["event_type"],
-                          sum_cols=["value_cents"])
-        stream.writeStream.foreachBatch(sink.apply) \
-              .option("checkpointLocation", ckpt).start()
+    Subclasses provide ``_seed`` (zero-row snapshot of the right schema)
+    and ``_merge`` (fold one insert-only microbatch into the previous
+    snapshot); this base owns the pointer protocol, the epoch-id
+    idempotence guard, and snapshot GC.
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str],
-                 sum_cols: list[str]) -> None:
+    def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
-        self.keys = keys
-        self.sum_cols = sum_cols
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -61,12 +66,12 @@ class RollupSink:
     def _state(self) -> tuple[str | None, int]:
         """(current version dir, last applied batch_id).
 
-        Only a MISSING pointer means "no rollup yet".  A pointer that
+        Only a MISSING pointer means "no snapshot yet".  A pointer that
         exists but does not parse is corruption — treating it as
-        first-run would silently reseed an empty rollup and discard all
-        accumulated state, so it raises instead (the write path fsyncs
-        before the atomic rename precisely so this cannot happen from a
-        mere crash).
+        first-run would silently reseed an empty snapshot and discard
+        all accumulated state, so it raises instead (the write path
+        fsyncs before the atomic rename precisely so this cannot happen
+        from a mere crash).
         """
         try:
             with open(self._pointer()) as f:
@@ -77,11 +82,11 @@ class RollupSink:
             return rec["version"], rec["batch_id"]
         except (TypeError, KeyError) as e:
             raise ValueError(
-                f"rollup pointer {self._pointer()} is corrupt: {rec!r}"
+                f"snapshot pointer {self._pointer()} is corrupt: {rec!r}"
             ) from e
 
     def read(self) -> DataFrame | None:
-        """Current rollup snapshot, or None before the first batch."""
+        """Current snapshot, or None before the first batch."""
         version, _ = self._state()
         if version is None:
             return None
@@ -90,30 +95,34 @@ class RollupSink:
     def last_batch_id(self) -> int:
         return self._state()[1]
 
+    # -- subclass surface ---------------------------------------------------
+
+    def _seed(self, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _merge(self, prev: DataFrame, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
     # -- the foreachBatch body ----------------------------------------------
 
     def apply(self, batch: DataFrame, batch_id: int) -> None:
-        """Fold one microbatch into the rollup (idempotent per batch id).
+        """Fold one microbatch into the snapshot (idempotent per batch id).
 
         A replayed batch (crash after publish, before the streaming
-        checkpoint commit) is skipped by the id guard, so the rollup
+        checkpoint commit) is skipped by the id guard, so the snapshot
         never double-counts — at-least-once delivery + idempotent apply
         = exactly-once contents.
         """
         prev_version, last = self._state()
         if batch_id <= last:
             return
-        inserts = batch.withColumn("_change_type", F.lit("insert"))
         if prev_version is None:
-            # First batch: seed the rollup with an empty aggregate of
-            # the right schema (maintain_aggregate handles the rest).
-            prev = _empty_like(batch, self.keys, self.sum_cols)
+            prev = self._seed(batch)
         else:
             prev = self.spark.read.parquet(
                 os.path.join(self.path, prev_version)
             )
-        merged = maintain_aggregate(prev, inserts, self.keys,
-                                    self.sum_cols)
+        merged = self._merge(prev, batch)
         new_version = f"v-{uuid.uuid4().hex[:12]}"
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, new_version)
@@ -144,14 +153,67 @@ class RollupSink:
                     pass
 
 
-def _empty_like(batch: DataFrame, keys: list[str],
-                sum_cols: list[str]) -> DataFrame:
-    """Zero-row rollup frame with the aggregate's schema."""
-    return (
-        batch.select(
-            *keys,
-            F.lit(0).cast("long").alias("n_rows"),
-            *[F.lit(0).cast("long").alias(f"sum_{c}") for c in sum_cols],
+class RollupSink(_VersionedSnapshotSink):
+    """Grouped count/sum rollup maintained per microbatch.
+
+    Usage::
+
+        sink = RollupSink(spark, path, keys=["event_type"],
+                          sum_cols=["value_cents"])
+        stream.writeStream.foreachBatch(sink.apply) \
+              .option("checkpointLocation", ckpt).start()
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str],
+                 sum_cols: list[str]) -> None:
+        super().__init__(spark, path)
+        self.keys = keys
+        self.sum_cols = sum_cols
+
+    def _seed(self, batch: DataFrame) -> DataFrame:
+        """Zero-row rollup frame with the aggregate's schema."""
+        return (
+            batch.select(
+                *self.keys,
+                F.lit(0).cast("long").alias("n_rows"),
+                *[F.lit(0).cast("long").alias(f"sum_{c}")
+                  for c in self.sum_cols],
+            )
+            .limit(0)
         )
-        .limit(0)
-    )
+
+    def _merge(self, prev: DataFrame, batch: DataFrame) -> DataFrame:
+        inserts = batch.withColumn("_change_type", F.lit("insert"))
+        return maintain_aggregate(prev, inserts, self.keys, self.sum_cols)
+
+
+class Scd2Sink(_VersionedSnapshotSink):
+    """SCD Type-2 dimension maintained per microbatch (streaming history
+    table).
+
+    Expects microbatches of ``(user_id, event_type, ts, event_id)`` in
+    event-time order across batches (the ``scd2_merge_batch`` watermark
+    contract: each batch strictly newer than the folded history — an
+    out-of-order source needs a watermark-delayed emit upstream).  The
+    first batch merges into an empty dimension, which IS the full
+    build; every later batch costs O(|batch| + |open intervals|), never
+    a history rebuild.
+    """
+
+    def _seed(self, batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                "user_id",
+                F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"),
+                F.col("ts").alias("valid_to"),
+                F.lit(0).cast("int").alias("version"),
+                F.lit(True).alias("is_current"),
+            )
+            .limit(0)
+        )
+
+    def _merge(self, prev: DataFrame, batch: DataFrame) -> DataFrame:
+        return scd2_merge_batch(
+            prev, batch.select("user_id", "event_type", "ts", "event_id")
+        )
