@@ -83,6 +83,11 @@ HEADLINE = [
     # yardstick half dominates the measured cost by design).
     "graph_k_core",
     "ev_sliding_uniques_hll",
+    # Round-5 (cont. 6) addition: the incremental SCD2 maintenance path
+    # (change compression seeded by the open intervals + history
+    # close-out) — the per-batch history-table merge a production
+    # deployment runs instead of full rebuilds.
+    "scd2_incremental_merge",
 ]
 
 
