@@ -1188,6 +1188,95 @@ FROM dau JOIN wau ON dau.day = wau.tday
 """
 
 
+#: Users whose last event falls within this many days of the observation
+#: horizon are right-censored (still active), not churned.
+SURVIVAL_CENSOR_DAYS = 3
+
+
+def ev_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table of user lifetimes (churn analysis).
+
+    Lifetime = days between a user's first and last event; a user whose
+    last event is within :data:`SURVIVAL_CENSOR_DAYS` of the global
+    horizon (max event date) is right-censored — still active, so they
+    leave the risk set without counting as a death.  Output, per
+    lifetime day: the at-risk count (users with lifetime >= day, minus
+    earlier exits), deaths, censored exits, and the KM hazard
+    d_t / n_t.  The cumulative survival product is deliberately left to
+    the consumer: hazard and at-risk are integer-exact cross-engine,
+    while a 30-term float product is libm-dependent.
+
+    Scale shape: one shuffle to per-user extents, one to the per-day
+    table (bounded by the observation window, here <= 31 rows); the
+    horizon is a one-row broadcast scalar and the cumulative windows run
+    over the bounded day table only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = e.agg(F.max(F.to_date("ts")).alias("_h"))
+    marked = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("day"),
+        (F.datediff(F.col("_h"), F.col("last_day"))
+         >= SURVIVAL_CENSOR_DAYS).cast("long").alias("died"),
+    )
+    tbl = marked.groupBy("day").agg(
+        F.sum("died").alias("deaths"),
+        (F.count(F.lit(1)) - F.sum("died")).alias("censored"),
+    )
+    exits = F.col("deaths") + F.col("censored")
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = (F.sum(exits).over(w_all)
+               - F.coalesce(F.sum(exits).over(w_before), F.lit(0)))
+    hazard = F.floor(F.col("deaths").cast("double")
+                     / F.col("at_risk").cast("double") * 10000.0) / 10000.0
+    return (
+        tbl.withColumn("at_risk", at_risk)
+        .select("day", "at_risk", "deaths", "censored",
+                hazard.alias("hazard"))
+    )
+
+
+SURVIVAL_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+  FROM events GROUP BY 1
+),
+h AS (SELECT max(CAST(ts AS DATE)) AS hd FROM events),
+marked AS (
+  SELECT CAST(date_diff('day', fd, ld) AS INTEGER) AS day,
+         CASE WHEN date_diff('day', ld, hd) >= {SURVIVAL_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS died
+  FROM pu, h
+),
+tbl AS (
+  SELECT day, CAST(sum(died) AS BIGINT) AS deaths,
+         CAST(count(*) - sum(died) AS BIGINT) AS censored
+  FROM marked GROUP BY 1
+)
+SELECT day,
+       CAST(sum(deaths + censored) OVER ()
+            - coalesce(sum(deaths + censored)
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS at_risk,
+       deaths, censored,
+       floor(CAST(deaths AS DOUBLE)
+             / CAST(sum(deaths + censored) OVER ()
+                    - coalesce(sum(deaths + censored)
+                               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) * 10000.0) / 10000.0 AS hazard
+FROM tbl
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -1215,4 +1304,5 @@ SPECS: dict[str, QuerySpec] = {
     "ev_gap_seconds": QuerySpec(ev_gap_seconds, GAP_ORACLE),
     "ev_rfm_segmentation": QuerySpec(ev_rfm_segmentation, RFM_ORACLE),
     "ev_path_topk": QuerySpec(ev_path_topk, PATH_TOPK_ORACLE),
+    "ev_survival_curve": QuerySpec(ev_survival_curve, SURVIVAL_ORACLE),
 }

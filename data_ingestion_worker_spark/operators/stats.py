@@ -1137,7 +1137,134 @@ FROM tot
 """
 
 
+#: Pre/post boundary for the CUPED experiment readout (mid-range of the
+#: generated January 2024 event window at every SF).
+CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+def stats_cuped_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B uplift readout (variance-reduced experiment
+    analysis).
+
+    Treatment assignment is ``user_id % 2``; the pre-period covariate X
+    is each user's value sum before :data:`CUPED_SPLIT`, the outcome Y
+    their value sum after it.  CUPED (Deng et al., WSDM'13) replaces Y
+    with Y - θ·X where θ = cov(X,Y)/var(X) over all users pooled; the
+    group-mean difference of the adjusted outcome has variance reduced
+    by the squared X,Y correlation.  Both the raw and adjusted uplift
+    collapse to group-sum algebra — uplift_cuped = (Ȳ₁-Ȳ₀) -
+    θ·(X̄₁-X̄₀) — so the whole readout is ONE aggregation over the
+    per-user table: values quantized to milli-units, n/ΣX/ΣY per arm as
+    exact integers, ΣX²/ΣXY/ΣY² in DECIMAL(38), doubles only in the
+    final one-row expression (floor-truncated to 6 dp).
+
+    Scale shape: one shuffle to per-user sums, one partial-agg collapse
+    to a single row.  Nothing per-row happens after the first
+    aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    split = F.expr(f"TIMESTAMP_NTZ '{CUPED_SPLIT}'")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, q).otherwise(F.lit(0)))
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, q).otherwise(F.lit(0)))
+        .alias("y"),
+    ).select(
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"), "x", "y",
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    is_t = F.col("t") == 1
+    s = per_user.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(is_t, F.col("x")).otherwise(0)).alias("sx1"),
+        F.sum(F.when(~is_t, F.col("x")).otherwise(0)).alias("sx0"),
+        F.sum(F.when(is_t, F.col("y")).otherwise(0)).alias("sy1"),
+        F.sum(F.when(~is_t, F.col("y")).otherwise(0)).alias("sy0"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = (F.col("n1") + F.col("n0")).cast("decimal(38,0)")
+    sx = (F.col("sx1") + F.col("sx0")).cast("decimal(38,0)")
+    sy = (F.col("sy1") + F.col("sy0")).cast("decimal(38,0)")
+    cov_n = (n * F.col("sxy") - sx * sy).cast("double")
+    varx_n = (n * F.col("sxx") - sx * sx).cast("double")
+    vary_n = (n * F.col("syy") - sy * sy).cast("double")
+    theta = cov_n / varx_n
+    mean_dx = (F.col("sx1").cast("double") / F.col("n1").cast("double")
+               - F.col("sx0").cast("double") / F.col("n0").cast("double"))
+    mean_dy = (F.col("sy1").cast("double") / F.col("n1").cast("double")
+               - F.col("sy0").cast("double") / F.col("n0").cast("double"))
+
+    def _floor6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return s.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        _floor6(mean_dy / 1000.0).alias("uplift_raw"),
+        _floor6(theta).alias("theta"),
+        _floor6((mean_dy - theta * mean_dx) / 1000.0).alias("uplift_cuped"),
+        _floor6(cov_n * cov_n / (varx_n * vary_n)).alias("var_reduction"),
+    )
+
+
+CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+         sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(floor(value * 1000.0) AS BIGINT)
+                  ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(floor(value * 1000.0) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(sum(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM per_user
+),
+d AS (
+  SELECT n1, n0,
+         CAST(CAST(n1 + n0 AS DECIMAL(38,0)) * sxy
+              - CAST(sx1 + sx0 AS DECIMAL(38,0))
+                * CAST(sy1 + sy0 AS DECIMAL(38,0)) AS DOUBLE) AS cov_n,
+         CAST(CAST(n1 + n0 AS DECIMAL(38,0)) * sxx
+              - CAST(sx1 + sx0 AS DECIMAL(38,0))
+                * CAST(sx1 + sx0 AS DECIMAL(38,0)) AS DOUBLE) AS varx_n,
+         CAST(CAST(n1 + n0 AS DECIMAL(38,0)) * syy
+              - CAST(sy1 + sy0 AS DECIMAL(38,0))
+                * CAST(sy1 + sy0 AS DECIMAL(38,0)) AS DOUBLE) AS vary_n,
+         CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_dx,
+         CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_dy
+  FROM s
+)
+SELECT n1 AS n_treat, n0 AS n_ctrl,
+       floor(mean_dy / 1000.0 * 1000000.0) / 1000000.0 AS uplift_raw,
+       floor(cov_n / varx_n * 1000000.0) / 1000000.0 AS theta,
+       floor((mean_dy - cov_n / varx_n * mean_dx) / 1000.0 * 1000000.0)
+         / 1000000.0 AS uplift_cuped,
+       floor(cov_n * cov_n / (varx_n * vary_n) * 1000000.0) / 1000000.0
+         AS var_reduction
+FROM d
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
     "stats_hhi_concentration": QuerySpec(stats_hhi_concentration,

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "graph_k_core",        # one-row k-threshold broadcast cross join
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
+    "ev_survival_curve",   # one-row horizon-date broadcast cross join
 }
 
 
@@ -156,6 +157,9 @@ SP_ALLOWED = {
     "graph_k_core",             # one-row k-threshold scalar
     "graph_bfs_distance",       # one-row seed-node scalar
     "dq_validate_orders",       # one-row rule-metric scalars
+    "ev_survival_curve",        # one-row horizon scalar + cum windows
+                                # over the <=31-day lifetime agg
+    "stats_cuped_uplift",       # one-row pooled power-sum scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -174,6 +178,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "hybrid_search_rrf",    # <= BM25_TOPK candidate rows (constant k)
     "stats_benford",        # <=9 first-digit rows (fixed digit domain)
     "corpus_growth_curve",  # <=10 decile rows (fixed bucket count)
+    "ev_survival_curve",    # <=31 lifetime-day rows (observation window)
 }
 
 
