@@ -282,6 +282,43 @@ FROM orders GROUP BY 1
 """
 
 
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide status-count table back to long form.
+
+    The inverse of :func:`agg_pivot` — ``DataFrame.unpivot`` (Spark's
+    native melt; an Expand node, one pass, no shuffle beyond the
+    pivot's own aggregation) turns the per-status count columns into
+    (status, n_orders) rows.  Wide→long reshaping is a first-class
+    primitive in any reporting pipeline; round-tripping the engine's
+    own pivot output also pins that the two operators compose.
+    """
+    return agg_pivot(spark, sf_dir).unpivot(
+        ["priority"], ["n_f", "n_o", "n_p"], "status_col", "n_orders"
+    ).withColumn(
+        "status",
+        F.upper(F.substring(F.col("status_col"), 3, 1)),
+    ).select("priority", "status", "n_orders")
+
+
+UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority AS priority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_p
+  FROM orders GROUP BY 1
+)
+SELECT priority, 'F' AS status, n_f AS n_orders FROM w
+UNION ALL
+SELECT priority, 'O' AS status, n_o AS n_orders FROM w
+UNION ALL
+SELECT priority, 'P' AS status, n_p AS n_orders FROM w
+"""
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping-set combinations."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -327,6 +364,7 @@ FROM supplier GROUP BY 1
 SPECS: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "agg_pivot": QuerySpec(agg_pivot, PIVOT_ORACLE),
+    "agg_unpivot": QuerySpec(agg_unpivot, UNPIVOT_ORACLE),
     "agg_cube": QuerySpec(agg_cube, CUBE_ORACLE),
     "agg_collect_sorted": QuerySpec(agg_collect_sorted, COLLECT_ORACLE),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE),
