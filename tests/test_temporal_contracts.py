@@ -147,3 +147,41 @@ def test_interpolation_exact_hit_returns_the_observation(spark):
     }
     for r in on_hour:
         assert got[(r.user_id, r.ts)] == r.value
+
+
+@pytest.mark.parametrize("seed", [3, 41, 97])
+def test_scd2_multibatch_fold_equals_rebuild_random(spark, seed):
+    """Folding a random event stream through scd2_merge_batch in
+    multiple time-ordered batches equals the one-shot rebuild — the
+    associativity a per-microbatch deployment relies on (seeded, so
+    failures reproduce).  Includes same-timestamp ties and users
+    appearing first in a later batch."""
+    import random
+
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed)
+    base = datetime(2024, 6, 1)
+    rows = []
+    for eid in range(300):
+        rows.append((
+            eid,
+            base + timedelta(minutes=rng.randrange(0, 500)),
+            rng.randrange(12),
+            rng.choice(["a", "b", "c"]),
+        ))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string"
+    )
+    full = _canon(_scd2_build(df))
+
+    cuts = sorted(rng.sample(range(0, 500), 2))
+    bounds = [base + timedelta(minutes=m) for m in cuts]
+    b0 = df.filter(F.col("ts") <= bounds[0])
+    b1 = df.filter((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1]))
+    b2 = df.filter(F.col("ts") > bounds[1])
+    dim = _scd2_build(b0)
+    dim = scd2_merge_batch(dim, b1)
+    dim = scd2_merge_batch(dim, b2)
+    assert _canon(dim) == full
