@@ -401,6 +401,12 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     into ``dim`` (the caller's watermark contract, same as any
     incremental ingest).
     """
+    # dim feeds both the seed/version join and the close-out join, and
+    # `changes` below feeds both the new-interval window and the
+    # first-change aggregate; Catalyst does not reuse differently-
+    # parented subtrees (same finding as pagerank/triangle-count — §8 in
+    # PERF.md), so each multiply-referenced tier is materialized once.
+    dim = dim.localCheckpoint(eager=False)
     cur = dim.filter("is_current").select(
         "user_id", "state", "valid_from", "version"
     )
@@ -422,6 +428,7 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
                 & (F.col("_prev").isNull()
                    | (F.col("_prev") != F.col("state"))))
         .select("user_id", "state", "ts", "event_id")
+        .localCheckpoint(eager=False)
     )
     wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_rows = (
