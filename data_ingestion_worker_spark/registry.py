@@ -35,10 +35,15 @@ from .spec import QuerySpec
 #: algebra (``sketch_kmv_jaccard``, which builds the sketches AND does
 #: pairwise estimation), and CUSUM change-point detection
 #: (``ev_cusum_changepoint``; ``pipeline_pretrain_filter`` is already
-#: exercised inside the graded e2e funnel).  The displaced rows
+#: exercised inside the graded e2e funnel) — and, in the final
+#: continuation, ``scd2_incremental_merge`` (per-batch SCD2 history
+#: maintenance whose oracle IS the full rebuild, so the graded row
+#: proves incremental == full; it displaces ``doc_token_stats``, whose
+#: category stays graded via ``doc_quality_score``).  The displaced rows
 #: (``mm_decode_stub``, ``dedup_ngram_jaccard``, ``doc_lang_id``,
 #: ``dedup_simhash``, ``emb_int8_quantize``, ``sketch_kmv_distinct``,
-#: ``pipeline_pretrain_filter``) stay covered by the full local sweep.
+#: ``pipeline_pretrain_filter``, ``doc_token_stats``) stay covered by
+#: the full local sweep.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -54,7 +59,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "cluster_kmeans_embeddings",
     "sketch_hll_distinct",
     "sketch_kmv_jaccard",
-    "doc_token_stats",
+    "scd2_incremental_merge",
     "doc_quality_score",
     "pipeline_curation_e2e",
     "ev_cusum_changepoint",
