@@ -154,24 +154,13 @@ FROM events a JOIN events b
 N_RESAMPLE_USERS = 5
 
 
-def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly resample with forward fill for the first N users.
-
-    Gap-filling: build each user's hourly spine (sequence between the
-    hour-truncated min/max event times), then carry the last observed
-    value forward onto every spine point — the same tagged-UNION window
-    as the as-of join, so spine generation is the only new machinery.
-    Hours before the first observation stay NULL.
-
-    Scale shape: the spine explode is per-user and bounded by the time
-    range; the fill is one window over (user, time) — no self-join, no
-    per-row lookups.
-    """
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") < N_RESAMPLE_USERS
-    )
-    # One observation per (user, ts): max event_id wins (tie spec as in
-    # the as-of join).
+def _resample_tagged(e: DataFrame) -> DataFrame:
+    """Shared base of the hourly resamples: per-(user, ts) deduped
+    observations (side 0, max event_id wins — the as-of tie spec)
+    unioned with each user's hourly spine (side 1; sequence between the
+    hour-truncated min/max event times).  Observations sort BEFORE the
+    spine point at equal time (side 0 < 1), so a forward pass treats an
+    on-the-hour observation as "at or before"."""
     wo = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     obs = (
         e.select("user_id", "ts", "event_id", "value")
@@ -191,12 +180,31 @@ def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour_ts"),
         )
     )
-    tagged = obs.select(
+    return obs.select(
         "user_id", F.col("ts").alias("t"), F.lit(0).alias("side"), "value"
     ).unionByName(spine.select(
         "user_id", F.col("hour_ts").alias("t"), F.lit(1).alias("side"),
         F.lit(None).cast("double").alias("value"),
     ))
+
+
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill for the first N users.
+
+    Gap-filling: build each user's hourly spine (sequence between the
+    hour-truncated min/max event times), then carry the last observed
+    value forward onto every spine point — the same tagged-UNION window
+    as the as-of join, so spine generation is the only new machinery.
+    Hours before the first observation stay NULL.
+
+    Scale shape: the spine explode is per-user and bounded by the time
+    range; the fill is one window over (user, time) — no self-join, no
+    per-row lookups.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < N_RESAMPLE_USERS
+    )
+    tagged = _resample_tagged(e)
     w = (
         Window.partitionBy("user_id")
         .orderBy("t", "side")
@@ -348,9 +356,16 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scd2_build(e: DataFrame) -> DataFrame:
+    # A NULL state is "no observation", not a state: NULL-safe equality
+    # would make it a real interval, while plain lag-compare both drops
+    # the NULL row AND flags the repeat after it as a change (NULL !=
+    # 'a' is NULL, filtered) — breaking incremental == full.  Dropping
+    # NULLs up front (here AND in the merge's batch leg) keeps the two
+    # paths identical and the well-formed-history invariant intact.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
-        e.select("user_id", "event_type", "ts", "event_id")
+        e.filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
         .withColumn("_prev", F.lag("event_type").over(w))
         .filter(F.col("_prev").isNull()
                 | (F.col("_prev") != F.col("event_type")))
@@ -372,7 +387,7 @@ WITH changes AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS prev
-    FROM events
+    FROM events WHERE event_type IS NOT NULL
   ) WHERE prev IS NULL OR prev <> event_type
 )
 SELECT user_id, event_type AS state, ts AS valid_from,
@@ -417,10 +432,15 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     tagged = cur.select(
         "user_id", "state", F.col("valid_from").alias("ts"),
         F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("side"),
-    ).unionByName(batch.select(
-        "user_id", F.col("event_type").alias("state"), "ts", "event_id",
-        F.lit(1).alias("side"),
-    ))
+    ).unionByName(
+        # NULL states are non-observations, dropped exactly as in
+        # _scd2_build — a malformed stream record (e.g. bad JSON parsed
+        # to NULL event_type) must not corrupt the dimension.
+        batch.filter(F.col("event_type").isNotNull()).select(
+            "user_id", F.col("event_type").alias("state"), "ts",
+            "event_id", F.lit(1).alias("side"),
+        )
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "side", "event_id")
     changes = (
         tagged.withColumn("_prev", F.lag("state").over(w))
@@ -499,39 +519,14 @@ def ev_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: bracketing times are truncated epoch seconds (the
     established cross-engine grain) and the arithmetic is the same
-    IEEE-double expression on both engines, rounded to 6 dp.
+    IEEE-double expression on both engines, floor-truncated (never
+    round-half — Spark rounds the shortest decimal rendering, DuckDB
+    the binary value, and they disagree on ties) to 6 dp.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") < N_RESAMPLE_USERS
     )
-    wo = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
-    obs = (
-        e.select("user_id", "ts", "event_id", "value")
-        .withColumn("_rn", F.row_number().over(wo))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "event_id")
-    )
-    spine = (
-        e.groupBy("user_id")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("t0"),
-            F.date_trunc("hour", F.max("ts")).alias("t1"),
-        )
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(t0, t1, interval 1 hour)"))
-            .alias("hour_ts"),
-        )
-    )
-    # Observations sort BEFORE the spine point at equal time (side 0 < 1)
-    # so the forward pass treats an on-the-hour observation as "at or
-    # before" — the exact-hit branch below then returns it verbatim.
-    tagged = obs.select(
-        "user_id", F.col("ts").alias("t"), F.lit(0).alias("side"), "value"
-    ).unionByName(spine.select(
-        "user_id", F.col("hour_ts").alias("t"), F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("value"),
-    ))
+    tagged = _resample_tagged(e)
     fwd = (
         Window.partitionBy("user_id")
         .orderBy("t", "side")
@@ -556,8 +551,9 @@ def ev_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_ps") == h_s, F.col("_pv"))
         .when(F.col("_ps").isNull() | F.col("_ns").isNull(),
               F.lit(None).cast("double"))
-        .otherwise(F.round(
-            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac, 6))
+        .otherwise(F.floor(
+            (F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac)
+            * 1000000.0) / 1000000.0)
     )
     return (
         tagged
@@ -610,9 +606,9 @@ bracketed AS (
 SELECT user_id, t AS hour_ts,
        CASE WHEN ps = CAST(floor(epoch(t)) AS BIGINT) THEN pv
             WHEN ps IS NULL OR ns IS NULL THEN NULL
-            ELSE round(pv + (nv - pv)
+            ELSE floor((pv + (nv - pv)
                  * (CAST(CAST(floor(epoch(t)) AS BIGINT) - ps AS DOUBLE)
-                    / CAST(ns - ps AS DOUBLE)), 6)
+                    / CAST(ns - ps AS DOUBLE))) * 1000000.0) / 1000000.0
        END AS interp_value
 FROM bracketed WHERE side = 1
 """

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..control.store import maintain_aggregate
-from ..operators.temporal import scd2_merge_batch
+from ..operators.temporal import _scd2_build, scd2_merge_batch
 
 
 class _VersionedSnapshotSink:
@@ -201,17 +201,11 @@ class Scd2Sink(_VersionedSnapshotSink):
     """
 
     def _seed(self, batch: DataFrame) -> DataFrame:
-        return (
-            batch.select(
-                "user_id",
-                F.col("event_type").alias("state"),
-                F.col("ts").alias("valid_from"),
-                F.col("ts").alias("valid_to"),
-                F.lit(0).cast("int").alias("version"),
-                F.lit(True).alias("is_current"),
-            )
-            .limit(0)
-        )
+        # Derive the zero-row dimension from the build itself, so the
+        # seed schema cannot drift from the authoritative SCD2 shape.
+        return _scd2_build(
+            batch.select("user_id", "event_type", "ts", "event_id")
+        ).limit(0)
 
     def _merge(self, prev: DataFrame, batch: DataFrame) -> DataFrame:
         return scd2_merge_batch(

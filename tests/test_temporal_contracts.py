@@ -185,3 +185,35 @@ def test_scd2_multibatch_fold_equals_rebuild_random(spark, seed):
     dim = scd2_merge_batch(dim, b1)
     dim = scd2_merge_batch(dim, b2)
     assert _canon(dim) == full
+
+
+def test_scd2_null_states_are_non_observations(spark):
+    """A NULL event_type (e.g. a malformed stream record) is dropped,
+    not treated as a state: the interval set ignores it entirely and
+    incremental merge still equals the full rebuild around it."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 6, 1, 0, 0), 7, "a"),
+        (2, datetime(2024, 6, 1, 1, 0), 7, None),
+        (3, datetime(2024, 6, 1, 2, 0), 7, "a"),
+        (4, datetime(2024, 6, 1, 3, 0), 7, "b"),
+        (5, datetime(2024, 6, 1, 0, 30), 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string"
+    )
+    full = _scd2_build(df)
+    got = {(r.user_id, r.state, r.version, r.is_current)
+           for r in full.collect()}
+    # User 7: one 'a' interval (the NULL and the repeat collapse away)
+    # then 'b'; user 8 has only a NULL record -> no intervals at all.
+    assert got == {(7, "a", 1, False), (7, "b", 2, True)}
+    # Incremental around the NULL equals the rebuild.
+    cut = F.expr("TIMESTAMP_NTZ '2024-06-01 01:30:00'")
+    merged = scd2_merge_batch(
+        _scd2_build(df.filter(F.col("ts") <= cut)),
+        df.filter(F.col("ts") > cut),
+    )
+    assert _canon(merged) == _canon(full)
