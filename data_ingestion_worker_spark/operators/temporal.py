@@ -482,6 +482,59 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     return updated_old.unionByName(new_rows)
 
 
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each purchase
+    event gets the user's state valid AT that moment.
+
+    The consume half of the SCD2 story (build → maintain → PIT join —
+    the feature-store / audit-query shape).  The scalable formulation
+    is NOT the interval join the semantics suggest (``valid_from <= ts
+    < valid_to`` fans out per interval): because intervals partition
+    time, "the interval containing ts" is "the latest valid_from at or
+    before ts" — the as-of carry-forward.  One tagged UNION of interval
+    starts and events, one (user, time) window, no join at all.  The
+    oracle IS the interval join, so parity proves the rewrite.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = _scd2_build(e)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = dim.select(
+        "user_id", F.col("valid_from").alias("t"), F.lit(0).alias("side"),
+        "state", F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(purchases.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("state"), "event_id",
+    ))
+    # Interval starts sort before events at equal time (side 0 < 1), so
+    # an event at exactly valid_from lands in the NEW interval — the
+    # half-open [valid_from, valid_to) contract of the oracle join.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.when(F.col("side") == 0, F.col("state")),
+                     ignorenulls=True).over(w)
+    return (
+        tagged.withColumn("state_at", carried)
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("t").alias("ts"), "state_at")
+    )
+
+
+SCD2_PIT_ORACLE = f"""
+WITH dim AS ({SCD2_ORACLE})
+SELECT p.event_id, p.user_id, p.ts, d.state AS state_at
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN dim d
+  ON d.user_id = p.user_id AND p.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
 #: Batch boundary for the incremental-merge registry query (mid-range of
 #: the generated January 2024 event window at every SF).
 SCD2_SPLIT = "2024-01-16 00:00:00"
@@ -625,4 +678,5 @@ SPECS: dict[str, QuerySpec] = {
     "scd2_user_state": QuerySpec(scd2_user_state, SCD2_ORACLE),
     "scd2_incremental_merge": QuerySpec(scd2_incremental_merge,
                                         SCD2_ORACLE),
+    "scd2_point_in_time": QuerySpec(scd2_point_in_time, SCD2_PIT_ORACLE),
 }
