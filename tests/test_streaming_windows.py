@@ -490,3 +490,43 @@ def test_streaming_scd2_dimension_equals_batch_rebuild(spark, tmp_path):
     assert sink.last_batch_id() == last
     versions = [d for d in os.listdir(sink.path) if d.startswith("v-")]
     assert len(versions) <= 2
+
+
+def test_streaming_scd2_ignores_malformed_state_records(spark, tmp_path):
+    """A stream record whose event_type parses to NULL (malformed JSON
+    field) must be dropped as a non-observation — the maintained
+    dimension stays equal to the rebuild over the well-formed records
+    (row-level error isolation on the dimension path)."""
+    from data_ingestion_worker_spark.operators.temporal import _scd2_build
+    from data_ingestion_worker_spark.streaming.rollup import Scd2Sink
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    sink = Scd2Sink(spark, str(tmp_path / "dim"))
+
+    _write_events(inbox, "a.json", [
+        _ev(1, "2024-01-01T00:00:01", 1, "view", 0.0),
+        {"event_id": 2, "ts": "2024-01-01T00:00:02", "user_id": 1,
+         "value": 0.0},                      # missing event_type -> NULL
+        _ev(3, "2024-01-01T00:00:03", 1, "view", 0.0),
+        _ev(4, "2024-01-01T00:00:04", 1, "cart", 0.0),
+    ])
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA).json(inbox)
+        .writeStream.foreachBatch(sink.apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(tuple(r) for r in sink.read().collect())
+    clean = spark.read.schema(EVENT_SCHEMA).json(inbox) \
+        .filter(F.col("event_type").isNotNull())
+    assert rows == sorted(tuple(r) for r in _scd2_build(clean).collect())
+    # The NULL record neither created an interval nor broke the 'view'
+    # run: exactly view -> cart for user 1.
+    states = [(r.state, r.version) for r in sorted(
+        sink.read().collect(), key=lambda r: r.version)]
+    assert states == [("view", 1), ("cart", 2)]
