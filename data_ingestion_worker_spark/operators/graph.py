@@ -426,13 +426,26 @@ def graph_label_propagation(spark: SparkSession,
     (iterative-lineage rule).
     """
     edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = _lpa_labels(edges)
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        F.col("label").alias("community"),
+    )
+
+
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """Deterministic synchronous label propagation over a checkpointed
+    edge list; returns the (node, label) table after the fixed rounds
+    (shared by the community listing and the modularity score)."""
+    from pyspark.sql import Window
+
     labels = (
         edges.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .localCheckpoint(eager=False)
     )
-    from pyspark.sql import Window
-
     for _ in range(LPA_ITERATIONS):
         cnt = (
             edges.join(labels, edges.dst == labels.node)
@@ -446,15 +459,14 @@ def graph_label_propagation(spark: SparkSession,
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=False)
         )
-    return labels.select(
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier")).alias("kind"),
-        F.expr("node div 2").alias("key"),
-        F.col("label").alias("community"),
-    )
+    return labels
 
 
-def _lpa_oracle(n_iterations: int = LPA_ITERATIONS) -> str:
+def _lpa_oracle(n_iterations: int = LPA_ITERATIONS,
+                tail: str | None = None) -> str:
+    """Unrolled LPA CTE chain; ``tail`` (with a ``{prev}`` placeholder
+    for the final label table) overrides the default community listing —
+    the modularity oracle builds its scoring on the same chain."""
     iters = []
     prev = "l0"
     for i in range(1, n_iterations + 1):
@@ -485,6 +497,11 @@ l0 AS (
   SELECT DISTINCT src AS node, src AS label FROM edges
 ),
 {','.join(iters)}
+{(tail or DEFAULT_LPA_TAIL).format(prev=prev)}
+"""
+
+
+DEFAULT_LPA_TAIL = """
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
        node // 2 AS key, label AS community
 FROM {prev}
@@ -492,6 +509,90 @@ FROM {prev}
 
 
 LPA_ORACLE = _lpa_oracle()
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities, per community.
+
+    The quality metric that tells a pipeline owner whether the detected
+    communities are real structure or noise: each community contributes
+    ``e_c/m − (d_c/2m)²`` (intra-edge share minus the share expected
+    under random wiring at the same degrees).  Emitted per community —
+    community id, node count, degree sum d_c, intra-edge count e_c and
+    the contribution — so the global Q is the consumer's one-line sum
+    and weak communities are directly rankable.
+
+    Determinism: with the directed edge representation (2m rows), every
+    term is an exact integer (d_c = directed edges leaving c, intra_dir
+    = 2·e_c, D = 2m) and the contribution is (D·intra_dir − d_c²)/D² —
+    DECIMAL(38)-exact numerator, one double division, floor-truncated
+    to 6 dp.  Scale shape: the LPA rounds dominate; scoring adds one
+    edges⋈labels⋈labels join (shuffle on node), a per-community
+    aggregate, and a one-row D scalar broadcast.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = _lpa_labels(edges)
+    lu, lv = labels.alias("lu"), labels.alias("lv")
+    joined = (
+        edges.join(lu, edges.src == F.col("lu.node"))
+        .join(lv, edges.dst == F.col("lv.node"))
+        .select(
+            F.col("lu.label").alias("community"),
+            (F.col("lu.label") == F.col("lv.label")).cast("long")
+            .alias("intra"),
+        )
+    )
+    pc = joined.groupBy("community").agg(
+        F.count(F.lit(1)).alias("degree_sum"),
+        F.sum("intra").alias("intra_dir"),
+    )
+    nn = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    d_tot = pc.agg(F.sum("degree_sum").alias("_d"))
+    dd = F.col("_d").cast("decimal(38,0)")
+    ds = F.col("degree_sum").cast("decimal(38,0)")
+    num = (dd * F.col("intra_dir").cast("decimal(38,0)")
+           - ds * ds).cast("double")
+    q = num / (dd * dd).cast("double")
+    return (
+        pc.join(nn, "community")
+        .crossJoin(F.broadcast(d_tot))
+        .select(
+            "community", "n_nodes", "degree_sum",
+            F.expr("intra_dir div 2").alias("intra_edges"),
+            (F.floor(q * 1000000.0) / 1000000.0).alias("q_contrib"),
+        )
+    )
+
+
+MODULARITY_TAIL = """
+, nodes AS (SELECT node, label FROM {prev}),
+joined AS (
+  SELECT lu.label AS community,
+         CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END AS intra
+  FROM edges e JOIN nodes lu ON e.src = lu.node
+               JOIN nodes lv ON e.dst = lv.node
+),
+pc AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS degree_sum,
+         CAST(sum(intra) AS BIGINT) AS intra_dir
+  FROM joined GROUP BY 1
+),
+nn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM nodes GROUP BY 1),
+d AS (SELECT CAST(sum(degree_sum) AS DECIMAL(38,0)) AS dd FROM pc)
+SELECT pc.community, nn.n_nodes, pc.degree_sum,
+       CAST(pc.intra_dir // 2 AS BIGINT) AS intra_edges,
+       floor(CAST(d.dd * CAST(pc.intra_dir AS DECIMAL(38,0))
+                  - CAST(pc.degree_sum AS DECIMAL(38,0))
+                    * CAST(pc.degree_sum AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(d.dd * d.dd AS DOUBLE) * 1000000.0) / 1000000.0
+         AS q_contrib
+FROM pc JOIN nn ON pc.community = nn.community CROSS JOIN d
+"""
+
+MODULARITY_ORACLE = _lpa_oracle(tail=MODULARITY_TAIL)
 
 
 #: Hub cutoff for common-neighbor similarity: customers linked to more
@@ -969,6 +1070,7 @@ SPECS: dict[str, QuerySpec] = {
                                              COMMON_NEIGHBORS_ORACLE),
     "graph_label_propagation": QuerySpec(graph_label_propagation,
                                          LPA_ORACLE),
+    "graph_modularity": QuerySpec(graph_modularity, MODULARITY_ORACLE),
     "graph_pagerank_adaptive": QuerySpec(graph_pagerank_adaptive,
                                          PAGERANK_ADAPTIVE_ORACLE),
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),

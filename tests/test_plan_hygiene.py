@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
     "ev_survival_curve",   # one-row horizon-date broadcast cross join
+    "graph_modularity",    # one-row total-degree (2m) broadcast cross
 }
 
 
@@ -160,6 +161,7 @@ SP_ALLOWED = {
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
+    "graph_modularity",         # one-row total-degree (2m) scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
