@@ -1188,6 +1188,86 @@ FROM dau JOIN wau ON dau.day = wau.tday
 """
 
 
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative value per user by acquisition cohort and age — the
+    LTV curve behind every retention-payback decision.
+
+    Users are cohorted by first-event date; each event lands at
+    ``age_day`` = days since the cohort date; per (cohort, age) the
+    day's DECIMAL value sum accumulates into a running total, divided
+    by the cohort's user count for the per-user LTV (floor-truncated
+    to 4 dp).  The cumulative window partitions by cohort (bounded by
+    the observation window, never by table size), so the plan is two
+    shuffles — user extents, then the (cohort, age) rollup — plus a
+    per-cohort window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    aged = (
+        e.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day"))
+            .alias("age_day"),
+            _val().alias("v"),
+        )
+    )
+    daily = aged.groupBy("cohort_day", "age_day").agg(
+        F.sum("v").alias("day_value")
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = (
+        Window.partitionBy("cohort_day").orderBy("age_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("day_value").over(w)
+    ltv = F.floor(cum.cast("double") / F.col("n_users").cast("double")
+                  * 10000.0) / 10000.0
+    return (
+        daily.join(sizes, "cohort_day")
+        .select(
+            "cohort_day", "age_day", "n_users",
+            cum.cast("double").alias("cum_value"),
+            ltv.alias("ltv_per_user"),
+        )
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+aged AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+              AS INTEGER) AS age_day,
+         CAST(e.value AS DECIMAL(14,2)) AS v
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+),
+daily AS (
+  SELECT cohort_day, age_day, sum(v) AS day_value
+  FROM aged GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+  FROM cohorts GROUP BY 1
+)
+SELECT d.cohort_day, d.age_day, s.n_users,
+       CAST(sum(d.day_value) OVER w AS DOUBLE) AS cum_value,
+       floor(CAST(sum(d.day_value) OVER w AS DOUBLE)
+             / CAST(s.n_users AS DOUBLE) * 10000.0) / 10000.0
+         AS ltv_per_user
+FROM daily d JOIN sizes s ON d.cohort_day = s.cohort_day
+WINDOW w AS (PARTITION BY d.cohort_day ORDER BY d.age_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 #: Users whose last event falls within this many days of the observation
 #: horizon are right-censored (still active), not churned.
 SURVIVAL_CENSOR_DAYS = 3
@@ -1305,4 +1385,5 @@ SPECS: dict[str, QuerySpec] = {
     "ev_rfm_segmentation": QuerySpec(ev_rfm_segmentation, RFM_ORACLE),
     "ev_path_topk": QuerySpec(ev_path_topk, PATH_TOPK_ORACLE),
     "ev_survival_curve": QuerySpec(ev_survival_curve, SURVIVAL_ORACLE),
+    "ev_cohort_ltv": QuerySpec(ev_cohort_ltv, COHORT_LTV_ORACLE),
 }
