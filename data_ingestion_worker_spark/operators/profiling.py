@@ -754,9 +754,88 @@ FROM s
 """
 
 
+#: Language domain the corpus gate accepts.
+DQ_LANGS = ("en", "zh", "fr", "es", "de")
+
+
+def dq_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ingestion twin of :func:`dq_validate_orders`: the
+    expectation suite a training-data pipeline gates document batches
+    on, adding the rule classes the orders suite lacks —
+    cross-column CONSISTENCY (``n_chars`` must equal the text length
+    the loader claims to have counted) and PATTERN/DOMAIN membership
+    (language whitelist, source-id format).  All six rules stack into
+    one aggregate over a single scan — rule count never adds passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("n_keys"),
+        F.sum(F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+              .otherwise(0)).alias("empty_text"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1)
+              .otherwise(0)).alias("nchars_bad"),
+        F.sum(F.when(~F.col("lang").isin(*DQ_LANGS), 1).otherwise(0))
+         .alias("lang_oob"),
+        F.sum(F.when(~F.col("source").rlike("^src[0-9]+$"), 1)
+              .otherwise(0)).alias("src_bad"),
+    )
+    rules = [
+        ("non_empty", F.col("n"), F.col("n") > 0),
+        ("doc_id_unique", F.col("n") - F.col("n_keys"),
+         F.col("n") == F.col("n_keys")),
+        ("text_complete", F.col("empty_text"), F.col("empty_text") == 0),
+        ("n_chars_consistent", F.col("nchars_bad"),
+         F.col("nchars_bad") == 0),
+        ("lang_in_domain", F.col("lang_oob"), F.col("lang_oob") == 0),
+        ("source_id_format", F.col("src_bad"), F.col("src_bad") == 0),
+    ]
+    out = None
+    for name, metric, passed in rules:
+        row = s.select(
+            F.lit(name).alias("rule"),
+            metric.cast("long").alias("metric"),
+            passed.alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+DQ_DOCS_ORACLE = f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         count(DISTINCT doc_id) AS n_keys,
+         sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+           AS empty_text,
+         sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+           AS nchars_bad,
+         sum(CASE WHEN lang NOT IN {DQ_LANGS!r} THEN 1 ELSE 0 END)
+           AS lang_oob,
+         sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$')
+                  THEN 1 ELSE 0 END) AS src_bad
+  FROM documents
+)
+SELECT 'non_empty' AS rule, CAST(n AS BIGINT) AS metric, n > 0 AS passed
+FROM s
+UNION ALL
+SELECT 'doc_id_unique', CAST(n - n_keys AS BIGINT), n = n_keys FROM s
+UNION ALL
+SELECT 'text_complete', CAST(empty_text AS BIGINT), empty_text = 0 FROM s
+UNION ALL
+SELECT 'n_chars_consistent', CAST(nchars_bad AS BIGINT), nchars_bad = 0
+FROM s
+UNION ALL
+SELECT 'lang_in_domain', CAST(lang_oob AS BIGINT), lang_oob = 0 FROM s
+UNION ALL
+SELECT 'source_id_format', CAST(src_bad AS BIGINT), src_bad = 0 FROM s
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
     "dq_validate_orders": QuerySpec(dq_validate_orders, DQ_ORACLE),
+    "dq_validate_documents": QuerySpec(dq_validate_documents,
+                                       DQ_DOCS_ORACLE),
     "sample_stratified": QuerySpec(sample_stratified, STRATIFIED_ORACLE),
     "profile_join_key_skew": QuerySpec(profile_join_key_skew,
                                        SKEW_PROFILE_ORACLE),

@@ -158,6 +158,7 @@ SP_ALLOWED = {
     "graph_k_core",             # one-row k-threshold scalar
     "graph_bfs_distance",       # one-row seed-node scalar
     "dq_validate_orders",       # one-row rule-metric scalars
+    "dq_validate_documents",    # one-row rule-metric scalars
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
