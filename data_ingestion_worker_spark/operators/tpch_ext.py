@@ -714,7 +714,110 @@ LIMIT {MBA_TOP_K}
 """
 
 
+#: Range partitions for the ABC two-phase cumulative sum.  The offset
+#: table is bounded by this constant, never by part count.
+ABC_PARTITIONS = 64
+
+
+def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: every part ranked by
+    revenue with its cumulative share and class — A while the running
+    share is under 80%, B under 95%, C after.
+
+    The scale story is the *global cumulative sum without a global
+    window*: a plain ``Window.orderBy`` funnels the whole relation
+    through one task (the banned SinglePartition shape), so this uses
+    the two-phase form — range-repartition on (revenue DESC, partkey),
+    per-partition sorted windows, and per-partition offsets (a
+    :data:`ABC_PARTITIONS`-row table) broadcast back.  Spark's range
+    exchange samples split points, but the result depends only on the
+    total order, which the (rev DESC, partkey) tie-break pins.  Class
+    boundaries compare DECIMAL-exact integers (5·start < 4·total for
+    80%, 20·start < 19·total for 95%) — no float thresholds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_rev()).cast("decimal(38,4)").alias("rev"))
+    )
+    srt = (
+        rev.repartitionByRange(ABC_PARTITIONS, F.col("rev").desc(),
+                               F.col("l_partkey"))
+        .sortWithinPartitions(F.col("rev").desc(), "l_partkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)   # feeds offsets AND the final pass
+    )
+    psums = srt.groupBy("_pid").agg(
+        F.sum("rev").cast("decimal(38,4)").alias("_ps"),
+        F.count(F.lit(1)).alias("_pc"),
+    )
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "_pid",
+        F.coalesce(F.sum("_ps").over(wo),
+                   F.lit(0).cast("decimal(38,4)")).alias("_roff"),
+        F.coalesce(F.sum("_pc").over(wo), F.lit(0)).alias("_coff"),
+    )
+    total = psums.agg(F.sum("_ps").cast("decimal(38,4)").alias("_tot"))
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("rev").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_roff") + F.sum("rev").over(win)).cast("decimal(38,4)")
+    rank = F.col("_coff") + F.row_number().over(win)
+    start = (cum - F.col("rev")).cast("decimal(38,4)")
+    cls = (
+        F.when(start * 5 < F.col("_tot") * 4, "A")
+        .when(start * 20 < F.col("_tot") * 19, "B")
+        .otherwise("C")
+    )
+    share = F.floor(cum.cast("double") / F.col("_tot").cast("double")
+                    * 1000000.0) / 1000000.0
+    return (
+        srt.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            rank.alias("revenue_rank"),
+            F.col("rev").cast("double").alias("revenue"),
+            share.alias("cum_share"),
+            cls.alias("abc_class"),
+        )
+    )
+
+
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))))
+              AS DECIMAL(38,4)) AS rev
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(rev) AS DECIMAL(38,4)) AS tot FROM rev),
+r AS (
+  SELECT l_partkey, rev,
+         CAST(row_number() OVER w AS BIGINT) AS revenue_rank,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DECIMAL(38,4)) AS cum
+  FROM rev
+  WINDOW w AS (ORDER BY rev DESC, l_partkey)
+)
+SELECT r.l_partkey, r.revenue_rank,
+       CAST(r.rev AS DOUBLE) AS revenue,
+       floor(CAST(r.cum AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS cum_share,
+       CASE WHEN (r.cum - r.rev) * 5 < t.tot * 4 THEN 'A'
+            WHEN (r.cum - r.rev) * 20 < t.tot * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r CROSS JOIN t
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "abc_revenue_classes": QuerySpec(abc_revenue_classes, ABC_ORACLE),
     "skyline_pareto": QuerySpec(skyline_pareto, SKYLINE_ORACLE),
     "mba_part_lift": QuerySpec(mba_part_lift, MBA_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_ORACLE),

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
     "ev_survival_curve",   # one-row horizon-date broadcast cross join
+    "abc_revenue_classes",  # one-row revenue-total broadcast cross join
     "graph_modularity",    # one-row total-degree (2m) broadcast cross
 }
 
@@ -162,6 +163,8 @@ SP_ALLOWED = {
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
+    "abc_revenue_classes",      # one-row total + offset windows over the
+                                # ABC_PARTITIONS-row (constant) pid agg
     "graph_modularity",         # one-row total-degree (2m) scalar
 }
 
@@ -182,6 +185,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_benford",        # <=9 first-digit rows (fixed digit domain)
     "corpus_growth_curve",  # <=10 decile rows (fixed bucket count)
     "ev_survival_curve",    # <=31 lifetime-day rows (observation window)
+    "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
 }
 
 
