@@ -83,11 +83,14 @@ HEADLINE = [
     # yardstick half dominates the measured cost by design).
     "graph_k_core",
     "ev_sliding_uniques_hll",
-    # Round-5 (cont. 6) addition: the incremental SCD2 maintenance path
+    # Round-5 (cont. 6) additions: the incremental SCD2 maintenance path
     # (change compression seeded by the open intervals + history
     # close-out) — the per-batch history-table merge a production
-    # deployment runs instead of full rebuilds.
+    # deployment runs instead of full rebuilds — and the ABC Pareto
+    # classification (two-phase range-partitioned global cumsum, the
+    # no-SinglePartition global-ranking pattern).
     "scd2_incremental_merge",
+    "abc_revenue_classes",
 ]
 
 
