@@ -588,6 +588,16 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor cluster — the iteration count is fixed and small, and
     each iteration is one shuffle of (vec_id, cluster) pairs.
     """
+    scores, assign = _kmeans_pipeline(spark, sf_dir)
+    return assign.select(
+        "vec_id", "cluster",
+        (F.floor(F.col("cosd") * 10000.0) / 10000.0).alias("cos_q"),
+    )
+
+
+def _kmeans_pipeline(spark: SparkSession, sf_dir: str):
+    """Quantized dims + seed centroids + the fixed rounds; returns
+    (final-round scores, final assignment)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QVEC).alias("qv0")
     ).localCheckpoint(eager=True)
@@ -616,7 +626,16 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.join(F.broadcast(seeds), "vec_id")
         .select("cluster", "d", F.col("v").alias("s"))
     )
-    assign = None
+    return _kmeans_scores_and_assign(dims, vnorm, cent)
+
+
+def _kmeans_scores_and_assign(dims, vnorm, cent):
+    """Run the fixed k-means rounds; return (final-round scores, final
+    assignment).  ``scores`` is the full (vec_id, cluster, cosd) table
+    against the LAST round's centroids — the assignment is its per-vec
+    argmax, and the cluster-quality margin reads the runner-up from the
+    same table."""
+    scores, assign = None, None
     for it in range(KM_ITERS):
         cnorm = cent.groupBy("cluster").agg(
             F.sum(F.col("s") * F.col("s")).alias("ns")
@@ -634,10 +653,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         wa = Window.partitionBy("vec_id").orderBy(
             F.col("cosd").desc(), F.col("cluster")
         )
-        assign = (
+        scores = (
             dots.join(F.broadcast(cnorm), "cluster")
             .join(vnorm, "vec_id")
             .select("vec_id", "cluster", cosd.alias("cosd"))
+        )
+        assign = (
+            scores
             .withColumn("r", F.row_number().over(wa))
             .filter(F.col("r") == 1)
             .drop("r")
@@ -648,10 +670,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cluster", "d")
                 .agg(F.sum("v").alias("s"))
             )
-    return assign.select(
-        "vec_id", "cluster",
-        (F.floor(F.col("cosd") * 10000.0) / 10000.0).alias("cos_q"),
-    )
+    return scores, assign
 
 
 def _kmeans_iter_ctes(i: int, cent: str) -> str:
@@ -718,6 +737,78 @@ FROM assign{KM_ITERS - 1}
 
 
 CLUSTER_KMEANS_ORACLE = _kmeans_oracle()
+
+
+def emb_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality margins for the k-means result — the silhouette-
+    style readout that tells an index owner whether the coarse
+    quantizer's cells are separated or mushy.
+
+    Per vector, margin = cos(own centroid) − cos(best OTHER centroid),
+    read from the SAME final-round score table the assignment argmaxes
+    over (no recomputation).  Per cluster: size, mean margin, and the
+    weakest member's margin — a near-zero min flags boundary vectors
+    that IVF probing must compensate for (nprobe>1).
+
+    Determinism: the cosines are the k-means expressions verbatim;
+    each margin is floor-quantized to 1e-6 BEFORE aggregation, so the
+    per-cluster mean is an exact integer sum divided once — float
+    summation order never matters.
+    """
+    scores, assign = _kmeans_pipeline(spark, sf_dir)
+    scores = scores.localCheckpoint(eager=False)   # argmax + runner-up
+    a = assign.select("vec_id", F.col("cluster").alias("_ac"),
+                      F.col("cosd").alias("_a"))
+    b = (
+        scores.join(a.select("vec_id", "_ac"), "vec_id")
+        .filter(F.col("cluster") != F.col("_ac"))
+        .groupBy("vec_id")
+        .agg(F.max("cosd").alias("_b"))
+    )
+    q = F.floor((F.col("_a") - F.col("_b")) * 1000000.0).cast("long")
+    per_vec = a.join(b, "vec_id").select(
+        F.col("_ac").alias("cluster"), q.alias("q")
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.floor(F.sum("q").cast("double") / F.count(F.lit(1))
+                 .cast("double") / 100.0) / 10000.0).alias("mean_margin"),
+        (F.floor(F.min("q").cast("double") / 100.0) / 10000.0)
+        .alias("min_margin"),
+    )
+
+
+def _cluster_margin_oracle() -> str:
+    last = KM_ITERS - 1
+    cosd = ("CAST(dot AS DOUBLE) / (sqrt(CAST(nv AS DOUBLE)) "
+            "* sqrt(CAST(ns AS DOUBLE)))")
+    return _kmeans_assign_ctes() + f""",
+scores AS (
+  SELECT d.vec_id, d.cluster, {cosd} AS cosd
+  FROM dots{last} d
+  JOIN vnorm USING (vec_id)
+  JOIN cnorm{last} USING (cluster)
+),
+bb AS (
+  SELECT s.vec_id, max(s.cosd) AS b
+  FROM scores s JOIN assign{last} a
+    ON s.vec_id = a.vec_id AND s.cluster <> a.cluster
+  GROUP BY 1
+),
+mm AS (
+  SELECT a.cluster,
+         CAST(floor((a.cosd - bb.b) * 1000000.0) AS BIGINT) AS q
+  FROM assign{last} a JOIN bb USING (vec_id)
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0)
+         / 10000.0 AS mean_margin,
+       floor(CAST(min(q) AS DOUBLE) / 100.0) / 10000.0 AS min_margin
+FROM mm GROUP BY 1
+"""
+
+
+CLUSTER_MARGIN_ORACLE = _cluster_margin_oracle()
 
 SEM_TAU = 0.35  # within-cluster near-dup cosine (synthetic corpus max ~0.51)
 
@@ -1691,6 +1782,8 @@ SPECS: dict[str, QuerySpec] = {
                                         EMB_CENTROID_ORACLE),
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings,
                                            CLUSTER_KMEANS_ORACLE),
+    "emb_cluster_margin": QuerySpec(emb_cluster_margin,
+                                    CLUSTER_MARGIN_ORACLE),
     "dedup_semantic": QuerySpec(dedup_semantic, DEDUP_SEMANTIC_ORACLE),
     "emb_matryoshka_recall": QuerySpec(emb_matryoshka_recall,
                                        EMB_MATRYOSHKA_ORACLE),
