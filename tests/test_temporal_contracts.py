@@ -217,3 +217,15 @@ def test_scd2_null_states_are_non_observations(spark):
         df.filter(F.col("ts") > cut),
     )
     assert _canon(merged) == _canon(full)
+
+
+def test_abc_two_phase_is_partition_count_invariant(spark, monkeypatch):
+    """The ABC classification depends only on the (revenue DESC,
+    partkey) total order — re-running with a radically different range
+    partition count must produce identical rows (the offsets, not the
+    partitioning, carry the global cumsum)."""
+    from data_ingestion_worker_spark.operators import tpch_ext
+
+    base = _canon(tpch_ext.abc_revenue_classes(spark, SF_DIR))
+    monkeypatch.setattr(tpch_ext, "ABC_PARTITIONS", 3)
+    assert _canon(tpch_ext.abc_revenue_classes(spark, SF_DIR)) == base
