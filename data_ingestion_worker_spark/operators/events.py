@@ -1268,6 +1268,78 @@ WINDOW w AS (PARTITION BY d.cohort_day ORDER BY d.age_day
 """
 
 
+#: Range partitions for the concurrency sweep's two-phase running sum.
+CONC_PARTITIONS = 64
+
+
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning sweep.
+
+    Each session (30-min-gap windows from :func:`ev_sessionize`)
+    becomes +1 at its start and −1 at its end; the running sum of the
+    time-ordered deltas is the live concurrency, and the hourly max of
+    that level is the peak (hours containing at least one boundary).
+    Starts sort before ends at equal timestamps, so back-to-back
+    sessions overlap at the boundary instant.
+
+    The global running sum uses the ABC two-phase form (range
+    repartition + constant-size partition offsets) instead of the
+    banned SinglePartition window.  Tie-groups of identical
+    (t, delta) rows produce the same *set* of prefix values under any
+    internal order — and range boundaries may split a tie-group — so
+    the hourly max is order- and partitioning-invariant.
+    """
+    sess = ev_sessionize(spark, sf_dir)
+    deltas = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(
+        F.col("session_end").alias("t"), F.lit(-1).alias("delta")
+    ))
+    srt = (
+        deltas.repartitionByRange(CONC_PARTITIONS, F.col("t"),
+                                  F.col("delta").desc())
+        .sortWithinPartitions("t", F.col("delta").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)   # offsets + the running pass
+    )
+    psums = srt.groupBy("_pid").agg(F.sum("delta").alias("_ps"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "_pid", F.coalesce(F.sum("_ps").over(wo), F.lit(0)).alias("_off")
+    )
+    win = (
+        Window.partitionBy("_pid").orderBy("t", F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    level = (F.col("_off") + F.sum("delta").over(win)).cast("long")
+    return (
+        srt.join(F.broadcast(offs), "_pid")
+        .select(F.date_trunc("hour", F.col("t")).alias("hour_ts"),
+                level.alias("c"))
+        .groupBy("hour_ts")
+        .agg(F.max("c").alias("peak_concurrency"))
+    )
+
+
+PEAK_CONCURRENCY_ORACLE = """
+WITH sess AS ({session_oracle}),
+deltas AS (
+  SELECT session_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT session_end AS t, -1 AS delta FROM sess
+),
+run AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+  FROM deltas
+)
+SELECT date_trunc('hour', t) AS hour_ts,
+       CAST(max(c) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY 1
+"""
+
+
 #: Users whose last event falls within this many days of the observation
 #: horizon are right-censored (still active), not churned.
 SURVIVAL_CENSOR_DAYS = 3
@@ -1386,4 +1458,8 @@ SPECS: dict[str, QuerySpec] = {
     "ev_path_topk": QuerySpec(ev_path_topk, PATH_TOPK_ORACLE),
     "ev_survival_curve": QuerySpec(ev_survival_curve, SURVIVAL_ORACLE),
     "ev_cohort_ltv": QuerySpec(ev_cohort_ltv, COHORT_LTV_ORACLE),
+    "ev_peak_concurrency": QuerySpec(
+        ev_peak_concurrency,
+        PEAK_CONCURRENCY_ORACLE.format(session_oracle=SESSION_ORACLE),
+    ),
 }

@@ -165,6 +165,8 @@ SP_ALLOWED = {
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
     "abc_revenue_classes",      # one-row total + offset windows over the
                                 # ABC_PARTITIONS-row (constant) pid agg
+    "ev_peak_concurrency",      # offset window over the CONC_PARTITIONS-
+                                # row (constant) pid agg
     "graph_modularity",         # one-row total-degree (2m) scalar
 }
 
@@ -186,6 +188,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "corpus_growth_curve",  # <=10 decile rows (fixed bucket count)
     "ev_survival_curve",    # <=31 lifetime-day rows (observation window)
     "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
+    "ev_peak_concurrency",  # CONC_PARTITIONS-row offset agg (constant)
 }
 
 
