@@ -810,6 +810,104 @@ FROM mm GROUP BY 1
 
 CLUSTER_MARGIN_ORACLE = _cluster_margin_oracle()
 
+
+def emb_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External cluster validation: Adjusted Rand Index and purity of
+    the k-means clusters against the embeddings' ground-truth labels.
+
+    ARI is pure pair combinatorics over the (cluster × label)
+    contingency table — Σ C(n_ij,2) vs the chance-expected agreement —
+    so with the identity scaled through by 2·C(n,2) every term is an
+    exact integer:  ARI = (2C·S_ij − 2·S_a·S_b) / (C·(S_a+S_b) −
+    2·S_a·S_b), DECIMAL(38) products, one double division, floor6.
+    Purity = Σ_clusters max_j n_ij / n, same discipline.  One row out.
+
+    Scale shape: the contingency table is |clusters|×|labels| (tiny);
+    everything after the assignment join is constant-size aggregation.
+    """
+    _, assign = _kmeans_pipeline(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ct = (
+        assign.select("vec_id", "cluster").join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=False)   # feeds three aggregates
+    )
+
+    s = ct.agg(
+        F.sum(F.expr("(nij * (nij - 1)) div 2")).alias("s_ij"),
+        F.sum("nij").alias("n"),
+    )
+    sa = (
+        ct.groupBy("cluster").agg(F.sum("nij").alias("a"))
+        .agg(F.sum(F.expr("(a * (a - 1)) div 2")).alias("s_a"),
+             F.count(F.lit(1)).alias("k_clusters"))
+    )
+    sb = (
+        ct.groupBy("label").agg(F.sum("nij").alias("b"))
+        .agg(F.sum(F.expr("(b * (b - 1)) div 2")).alias("s_b"),
+             F.count(F.lit(1)).alias("k_labels"))
+    )
+    pur = (
+        ct.groupBy("cluster").agg(F.max("nij").alias("m"))
+        .agg(F.sum("m").alias("maj"))
+    )
+    j = (
+        s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(pur))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cn2 = F.expr("(n * (n - 1)) div 2").cast("decimal(38,0)")
+    num = (2 * cn2 * d38("s_ij") - 2 * d38("s_a") * d38("s_b"))
+    den = (cn2 * (d38("s_a") + d38("s_b")) - 2 * d38("s_a") * d38("s_b"))
+    floor6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    return j.select(
+        F.col("n").alias("n_vecs"),
+        F.col("k_clusters").alias("n_clusters"),
+        F.col("k_labels").alias("n_labels"),
+        floor6(num.cast("double") / den.cast("double")).alias("ari"),
+        floor6(F.col("maj").cast("double") / F.col("n").cast("double"))
+        .alias("purity"),
+    )
+
+
+def _cluster_ari_oracle() -> str:
+    last = KM_ITERS - 1
+    return _kmeans_assign_ctes() + f""",
+ct AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS nij
+  FROM assign{last} a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+s AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS s_ij,
+             CAST(sum(nij) AS BIGINT) AS n FROM ct),
+sa AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS s_a,
+              CAST(count(*) AS BIGINT) AS k_clusters
+       FROM (SELECT cluster, sum(nij) AS a FROM ct GROUP BY 1)),
+sb AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS s_b,
+              CAST(count(*) AS BIGINT) AS k_labels
+       FROM (SELECT label, sum(nij) AS b FROM ct GROUP BY 1)),
+pur AS (SELECT CAST(sum(m) AS BIGINT) AS maj
+        FROM (SELECT cluster, max(nij) AS m FROM ct GROUP BY 1))
+SELECT s.n AS n_vecs, sa.k_clusters AS n_clusters, sb.k_labels AS n_labels,
+       floor(CAST(2 * CAST((n * (n - 1)) // 2 AS DECIMAL(38,0))
+                      * CAST(s_ij AS DECIMAL(38,0))
+                  - 2 * CAST(s_a AS DECIMAL(38,0))
+                      * CAST(s_b AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST((n * (n - 1)) // 2 AS DECIMAL(38,0))
+                      * (CAST(s_a AS DECIMAL(38,0))
+                         + CAST(s_b AS DECIMAL(38,0)))
+                  - 2 * CAST(s_a AS DECIMAL(38,0))
+                      * CAST(s_b AS DECIMAL(38,0)) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS ari,
+       floor(CAST(maj AS DOUBLE) / CAST(s.n AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS purity
+FROM s CROSS JOIN sa CROSS JOIN sb CROSS JOIN pur
+"""
+
+
+CLUSTER_ARI_ORACLE = _cluster_ari_oracle()
+
 SEM_TAU = 0.35  # within-cluster near-dup cosine (synthetic corpus max ~0.51)
 
 
@@ -1784,6 +1882,7 @@ SPECS: dict[str, QuerySpec] = {
                                            CLUSTER_KMEANS_ORACLE),
     "emb_cluster_margin": QuerySpec(emb_cluster_margin,
                                     CLUSTER_MARGIN_ORACLE),
+    "emb_cluster_ari": QuerySpec(emb_cluster_ari, CLUSTER_ARI_ORACLE),
     "dedup_semantic": QuerySpec(dedup_semantic, DEDUP_SEMANTIC_ORACLE),
     "emb_matryoshka_recall": QuerySpec(emb_matryoshka_recall,
                                        EMB_MATRYOSHKA_ORACLE),

@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "ev_survival_curve",   # one-row horizon-date broadcast cross join
     "abc_revenue_classes",  # one-row revenue-total broadcast cross join
     "graph_modularity",    # one-row total-degree (2m) broadcast cross
+    "emb_cluster_ari",     # four one-row contingency-sum scalars crossed
 }
 
 
@@ -165,6 +166,7 @@ SP_ALLOWED = {
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
     "abc_revenue_classes",      # one-row total + offset windows over the
                                 # ABC_PARTITIONS-row (constant) pid agg
+    "emb_cluster_ari",          # one-row contingency-sum scalars
     "ev_peak_concurrency",      # offset window over the CONC_PARTITIONS-
                                 # row (constant) pid agg
     "graph_modularity",         # one-row total-degree (2m) scalar
