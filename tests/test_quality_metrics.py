@@ -1,0 +1,50 @@
+"""Contracts for the evaluation-metric operators (modularity, cluster
+margins, ARI/purity) — bounds and internal-consistency checks beyond the
+oracle row/value parity.
+"""
+
+from __future__ import annotations
+
+from data_ingestion_worker_spark.operators.graph import graph_modularity
+from data_ingestion_worker_spark.operators.similarity import (
+    cluster_kmeans_embeddings,
+    emb_cluster_ari,
+    emb_cluster_margin,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_modularity_contributions_are_bounded(spark):
+    rows = graph_modularity(spark, SF_DIR).collect()
+    assert rows
+    total_q = sum(r.q_contrib for r in rows)
+    # Global modularity is bounded by (-0.5, 1); each community's
+    # intra-edge count cannot exceed half its degree sum.
+    assert -0.5 <= total_q <= 1.0
+    for r in rows:
+        assert 0 <= r.intra_edges * 2 <= r.degree_sum
+        assert r.n_nodes >= 1
+
+
+def test_cluster_margins_match_assignment_confidence(spark):
+    margins = {r.cluster: r for r in emb_cluster_margin(spark, SF_DIR)
+               .collect()}
+    sizes = {}
+    for r in cluster_kmeans_embeddings(spark, SF_DIR).collect():
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    # Same clusters, same sizes as the assignment itself.
+    assert {c: m.n_vecs for c, m in margins.items()} == sizes
+    for m in margins.values():
+        # The argmax margin is non-negative by construction; cosine
+        # differences live in [-2, 2].
+        assert 0 <= m.min_margin <= m.mean_margin <= 2.0
+
+
+def test_ari_and_purity_bounds(spark):
+    row = emb_cluster_ari(spark, SF_DIR).collect()[0]
+    assert row.n_vecs > 0
+    assert -1.0 <= row.ari <= 1.0
+    # Purity is at least 1/k_labels (majority >= uniform share) and at
+    # most 1.
+    assert 1.0 / row.n_labels <= row.purity <= 1.0
