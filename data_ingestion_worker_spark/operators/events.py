@@ -1429,6 +1429,250 @@ FROM tbl
 """
 
 
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's click/view touches in the preceding 24
+    hours; touchless purchases credit a ``direct`` channel in full — the
+    marketing-mix readout behind channel budgeting.
+
+    Money determinism: the purchase value becomes integer cents via
+    DECIMAL(14,2) before any split, and the per-touch credit is floor
+    division (``cents div n``), so both engines assign identical integer
+    credits regardless of summation order (the sub-cent remainder is
+    deliberately dropped, never redistributed — documented lossy floor).
+
+    Scale shape: purchases ⋈ touches is an equi join on ``user_id`` with
+    the 24 h band as a post-join filter — per-user partitions are bounded
+    by user activity, never by table size.  The touch count per purchase
+    is a window over one purchase's 24 h touch set (bounded by a user's
+    daily activity), and the final rollup is a 3-row channel aggregate
+    with map-side partial combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (_val() * 100).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    n = F.count("channel").over(Window.partitionBy("p_id"))
+    credited = j.withColumn("n", n).select(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        F.when(F.col("channel").isNull(), F.col("cents"))
+        .otherwise(F.expr("cents div n")).alias("credit_cents"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_cents").alias("attributed_cents"),
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.channel
+  FROM p LEFT JOIN t
+    ON t.t_user = p.p_user
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS
+),
+c AS (
+  SELECT p_id, cents, channel,
+         count(channel) OVER (PARTITION BY p_id) AS n
+  FROM j
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(CASE WHEN channel IS NULL THEN cents
+                     ELSE cents // n END) AS BIGINT) AS attributed_cents
+FROM c GROUP BY 1
+"""
+
+
+#: Entropy terms are floor-quantized to integer micro-nats-of-log2 BEFORE
+#: summation (summation order can never matter); the Gini–Simpson column
+#: is exact integer arithmetic end to end.
+_ENTROPY_TERM_SQL = (
+    "CAST(floor(-1000000.0 * (CAST(c AS DOUBLE) / n)"
+    " * log2(CAST(c AS DOUBLE) / n)) AS BIGINT)"
+)
+
+
+def ev_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (bits) of the
+    user's event-type mix, plus the exact-rational Gini–Simpson index —
+    the standard engagement-breadth features for churn/segmentation
+    models.
+
+    Determinism: each ``-p·log₂p`` term is floor-quantized to 1e-6 on its
+    own row before the per-user sum (micro-bit grain; a 1-ulp libm
+    disagreement moves a term by ~1e-10 of a quantum — see
+    ``token_bigram_pmi`` for the precedent), and Gini–Simpson is computed
+    entirely in BIGINT: ``(10⁶·(n² − Σc²)) div n²``.
+
+    Scale shape: one shuffle to (user, type) counts; the per-user total
+    is a window over ≤|event types| rows; the final per-user rollup
+    reuses the same partitioning.  Nothing funnels to one task.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ct = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = ct.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    return u.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.expr(_ENTROPY_TERM_SQL)).alias("entropy_microbits"),
+        F.expr(
+            "(1000000 * (max(n) * max(n) - sum(c * c)))"
+            " div (max(n) * max(n))"
+        ).alias("simpson_micro"),
+    )
+
+
+USER_ENTROPY_ORACLE = f"""
+WITH ct AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM ct
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum({_ENTROPY_TERM_SQL}) AS BIGINT) AS entropy_microbits,
+       CAST((1000000 * (max(n) * max(n) - sum(c * c)))
+            // (max(n) * max(n)) AS BIGINT) AS simpson_micro
+FROM u GROUP BY 1
+"""
+
+
+#: EWMA lookback: 8 daily lags with half-life-one-day weights 2^(7-k) —
+#: powers of two, so the weighted sum is exact in BIGINT.
+EWMA_LAGS = 8
+
+
+def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily event volume per type (half-life =
+    1 day, 8-lag truncation) over a *dense* day spine — the smoothed
+    trend line behind anomaly thresholds and capacity planning.
+
+    Missing days must count as zero, so the series is completed against
+    a generated ``sequence(min_day, max_day)`` spine crossed with the
+    event-type domain before the lag windows run.  Weights are powers of
+    two (2⁷ for today … 2⁰ for 7 days back) making the numerator an
+    exact BIGINT; the reported ``ewma_milli`` is floor-scaled by the sum
+    of *available* lag weights, so series-start rows normalize by what
+    they can actually see.
+
+    Scale shape: the spine is |days|×|types| — bounded by the calendar
+    and the type domain, not by table size; the one-row (min,max) day
+    scalar broadcasts.  Lag windows partition by type over day-ordered
+    rows (bounded partitions).  The only table-sized work is the initial
+    daily groupBy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    dense = (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type",
+                F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = sum(
+        F.coalesce(F.lag("n", k).over(w), F.lit(0))
+        * F.lit(2 ** (EWMA_LAGS - 1 - k))
+        for k in range(EWMA_LAGS)
+    )
+    den = sum(
+        F.when(F.lag("n", k).over(w).isNotNull() | F.lit(k == 0),
+               F.lit(2 ** (EWMA_LAGS - 1 - k))).otherwise(F.lit(0))
+        for k in range(EWMA_LAGS)
+    )
+    return (
+        dense.withColumn("num", num).withColumn("den", den)
+        .select(
+            "day", "event_type", "n",
+            F.expr("(1000 * num) div den").alias("ewma_milli"),
+        )
+    )
+
+
+def _ewma_oracle() -> str:
+    num_terms = " + ".join(
+        f"coalesce(lag(n, {k}) OVER w, 0) * {2 ** (EWMA_LAGS - 1 - k)}"
+        for k in range(EWMA_LAGS)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag(n, {k}) OVER w IS NOT NULL OR {str(k == 0).upper()}"
+        f" THEN {2 ** (EWMA_LAGS - 1 - k)} ELSE 0 END"
+        for k in range(EWMA_LAGS)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+dense AS (
+  SELECT days.day, t.event_type, coalesce(daily.n, 0) AS n
+  FROM days
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN daily ON daily.day = days.day
+                 AND daily.event_type = t.event_type
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n,
+       CAST((1000 * ({num_terms})) // ({den_terms}) AS BIGINT)
+         AS ewma_milli
+FROM dense
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+EWMA_ORACLE = _ewma_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -1462,4 +1706,8 @@ SPECS: dict[str, QuerySpec] = {
         ev_peak_concurrency,
         PEAK_CONCURRENCY_ORACLE.format(session_oracle=SESSION_ORACLE),
     ),
+    "ev_attribution_linear": QuerySpec(ev_attribution_linear,
+                                       ATTRIBUTION_ORACLE),
+    "ev_user_entropy": QuerySpec(ev_user_entropy, USER_ENTROPY_ORACLE),
+    "ev_ewma_daily": QuerySpec(ev_ewma_daily, EWMA_ORACLE),
 }

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "abc_revenue_classes",  # one-row revenue-total broadcast cross join
     "graph_modularity",    # one-row total-degree (2m) broadcast cross
     "emb_cluster_ari",     # four one-row contingency-sum scalars crossed
+    "ev_ewma_daily",       # |days|-row spine × |types|-row domain cross
 }
 
 
@@ -170,6 +171,8 @@ SP_ALLOWED = {
     "ev_peak_concurrency",      # offset window over the CONC_PARTITIONS-
                                 # row (constant) pid agg
     "graph_modularity",         # one-row total-degree (2m) scalar
+    "ev_ewma_daily",            # one-row (min,max)-day span scalar; lag
+                                # windows partition by the type domain
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -743,3 +743,118 @@ def test_gini_matches_sorted_python_formula(spark, sf_dir):
         assert (r.n_users, r.n_events) == (n, w)
         assert abs(r.gini - expect) < 1e-5, et
         assert 0.0 - 1e-9 <= r.gini < 1.0
+
+
+def test_attribution_conserves_value_and_mirrors_python(spark, sf_dir):
+    """Linear attribution recomputed with a plain-Python 24 h scan; the
+    credited total must equal the purchase total minus only the
+    documented per-touch floor loss (< 1 cent per credited touch)."""
+    from collections import defaultdict
+    from datetime import timedelta
+    from decimal import Decimal
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_attribution_linear,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.channel: (r.n_credits, r.attributed_cents)
+           for r in ev_attribution_linear(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type", "value").collect()
+    touches = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("click", "view"):
+            touches[r.user_id].append((r.ts, r.event_type))
+    expect: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    total_cents = 0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cents = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        total_cents += cents
+        hits = [ch for (ts, ch) in touches[r.user_id]
+                if ts < r.ts and ts >= r.ts - timedelta(hours=24)]
+        if not hits:
+            expect["direct"][0] += 1
+            expect["direct"][1] += cents
+            continue
+        for ch in hits:
+            expect[ch][0] += 1
+            expect[ch][1] += cents // len(hits)
+    assert got == {ch: tuple(v) for ch, v in expect.items()}
+    credited = sum(v[1] for v in got.values())
+    touched_credits = sum(v[0] for ch, v in got.items() if ch != "direct")
+    assert credited <= total_cents
+    assert total_cents - credited < max(touched_credits, 1)
+
+
+def test_user_entropy_bounds_and_python_mirror(spark, sf_dir):
+    """Entropy/Simpson recomputed row-by-row with the same quantization;
+    single-type users sit at exactly zero on both measures and every
+    entropy is within the log2(n_types) ceiling."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.events import ev_user_entropy
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.user_id: r for r in ev_user_entropy(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type").collect()
+    counts: Counter = Counter((r.user_id, r.event_type) for r in ev)
+    by_user: dict[int, list[int]] = {}
+    for (u, _), c in counts.items():
+        by_user.setdefault(u, []).append(c)
+    assert set(got) == set(by_user)
+    for u, cs in by_user.items():
+        n = sum(cs)
+        ent = sum(math.floor(-1e6 * (c / n) * math.log2(c / n))
+                  for c in cs)
+        simpson = (1_000_000 * (n * n - sum(c * c for c in cs))) \
+            // (n * n)
+        r = got[u]
+        assert (r.n_events, r.n_types) == (n, len(cs))
+        assert r.entropy_microbits == ent
+        assert r.simpson_micro == simpson
+        if len(cs) == 1:
+            assert r.entropy_microbits == 0 and r.simpson_micro == 0
+        assert r.entropy_microbits <= math.log2(len(cs)) * 1e6 + len(cs)
+
+
+def test_ewma_daily_matches_python_recursion(spark, sf_dir):
+    """The truncated power-of-two EWMA must equal a plain-Python lag sum
+    over the dense calendar, and a constant series must be flat at
+    1000·n once the 8-lag window is full."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from data_ingestion_worker_spark.operators.events import (
+        EWMA_LAGS, ev_ewma_daily,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = ev_ewma_daily(spark, sf_dir).collect()
+    got = {(r.day, r.event_type): (r.n, r.ewma_milli) for r in rows}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "event_type").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.ts.date(), r.event_type)] += 1
+    d0 = min(k[0] for k in daily)
+    d1 = max(k[0] for k in daily)
+    types = sorted({k[1] for k in daily})
+    n_days = (d1 - d0).days + 1
+    assert len(got) == n_days * len(types)
+    for et in types:
+        series = [daily.get((d0 + timedelta(days=i), et), 0)
+                  for i in range(n_days)]
+        for i in range(n_days):
+            num = den = 0
+            for k in range(EWMA_LAGS):
+                w = 2 ** (EWMA_LAGS - 1 - k)
+                if i - k >= 0:
+                    num += series[i - k] * w
+                    den += w
+            key = (d0 + timedelta(days=i), et)
+            assert got[key] == (series[i], (1000 * num) // den), key
