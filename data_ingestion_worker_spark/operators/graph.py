@@ -692,6 +692,87 @@ LIMIT {CN_TOP_K}
 """
 
 
+#: Resource-allocation contributions carried as ``RA_SCALE div deg``
+#: integers — the sum is exact BIGINT, immune to shuffle order.
+RA_SCALE = 1_000_000_000
+
+
+def graph_link_prediction_ra(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by Resource-Allocation index —
+    ``RA(s1,s2) = Σ_{c ∈ Γ(s1)∩Γ(s2)} 1/deg(c)`` — the link-prediction
+    score that, unlike raw common-neighbor counts, discounts shared
+    customers by how promiscuous they are (Zhou/Lü/Zhang 2009's RA
+    index; the strongest of the classic local similarity indices).
+
+    Determinism: each shared customer contributes the *integer*
+    ``RA_SCALE div deg(c)``, so the pair score is an exact BIGINT sum.
+    Same sub-quadratic posting-list shape as
+    :func:`graph_common_neighbors_topk` — customers are buckets (hubs
+    cut at ``CN_HUB_CUTOFF``), pairs expand locally, and because the
+    hub cutoff is applied per customer, ``deg(c) == size(bucket)`` is
+    available for free inside the bucket (no degree join at all).  The
+    top-k compiles to TakeOrderedAndProject with (score, s1, s2)
+    tie-breaks.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    kept = (
+        cs.withColumn(
+            "cdeg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
+        .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
+        .select("c", "s")
+    )
+    buckets = (
+        kept.groupBy("c")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    from .dedup import _TRIANGLE
+
+    weighted = buckets.select(
+        F.explode(F.expr(_TRIANGLE.format(ids="ids"))).alias("p"),
+        F.expr(f"{RA_SCALE} div size(ids)").alias("w"),
+    )
+    return (
+        weighted.groupBy(F.col("p.d1").alias("s1"),
+                         F.col("p.d2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.sum("w").alias("ra_scaled"))
+        .orderBy(F.desc("ra_scaled"), "s1", "s2")
+        .limit(CN_TOP_K)
+    )
+
+
+LINK_PREDICTION_RA_ORACLE = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+kept AS (
+  SELECT c, s, cdeg FROM (
+    SELECT c, s, count(*) OVER (PARTITION BY c) AS cdeg FROM cs
+  ) WHERE cdeg <= {CN_HUB_CUTOFF}
+)
+SELECT a.s AS s1, b.s AS s2,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum({RA_SCALE} // a.cdeg) AS BIGINT) AS ra_scaled
+FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY ra_scaled DESC, s1, s2
+LIMIT {CN_TOP_K}
+"""
+
+
 #: Assortativity z-expression over exact integer power sums — ONE SQL
 #: fragment shared verbatim by both engines.
 _ASSORT_R = (
@@ -1068,6 +1149,8 @@ SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
                                              COMMON_NEIGHBORS_ORACLE),
+    "graph_link_prediction_ra": QuerySpec(graph_link_prediction_ra,
+                                          LINK_PREDICTION_RA_ORACLE),
     "graph_label_propagation": QuerySpec(graph_label_propagation,
                                          LPA_ORACLE),
     "graph_modularity": QuerySpec(graph_modularity, MODULARITY_ORACLE),
