@@ -1865,10 +1865,132 @@ def _pca_power_kernel(batches):
                         "loading": [float(x) for x in v]})
 
 
+#: kNN classifier: the first KNN_N_QUERIES vectors are the held-out
+#: queries; the rest are the labeled corpus they vote from.
+KNN_N_QUERIES = 50
+KNN_K = 9
+
+
+def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification of held-out embeddings: each of the
+    first ``KNN_N_QUERIES`` vectors is classified by majority vote of
+    its ``KNN_K`` nearest labeled neighbors (cosine over the quantized
+    vectors) — the standard embedding-quality eval (a kNN probe) a
+    training-data pipeline runs after producing an embedding table.
+
+    Determinism: cosine is the same integer-dot/round-6 score as
+    :func:`ann_cosine_topk` with (cosine desc, vec_id) neighbor
+    tie-break; the vote picks (max votes, then smallest label) via a
+    single ``max(struct(votes, -label))`` aggregate — no window needed.
+
+    Scale shape: the query side is a constant ``KNN_N_QUERIES``-row
+    broadcast against one corpus scan (the deliberate BNLJ of the ANN
+    family); the per-query top-k is a rank window over KNN_N_QUERIES
+    partitions, and everything after operates on ≤ queries × k rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_QVEC).alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qq"),
+    )
+    c = e.filter(F.col("vec_id") >= KNN_N_QUERIES)
+    pairs = c.crossJoin(F.broadcast(q))
+    dot = F.expr(
+        "aggregate(zip_with(qq, qv, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    n1 = F.expr("aggregate(transform(qq, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    n2 = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    cos = F.round(
+        dot.cast("double")
+        / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    topk = (
+        pairs.select("query_id", "true_label", "vec_id", "label",
+                     cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy("query_id", "true_label").agg(
+        F.max(F.struct(
+            F.col("votes"),
+            (-F.col("label")).alias("neg_label"),
+        )).alias("m")
+    )
+    return best.select(
+        "query_id", "true_label",
+        (-F.col("m.neg_label")).cast("int").alias("predicted_label"),
+        F.col("m.votes").alias("votes"),
+        F.when(-F.col("m.neg_label") == F.col("true_label"), 1)
+        .otherwise(0).cast("bigint").alias("correct"),
+    )
+
+
+KNN_LABEL_VOTE_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+labels AS (SELECT vec_id, label FROM embeddings),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d
+  WHERE a.vec_id < {KNN_N_QUERIES} AND b.vec_id >= {KNN_N_QUERIES}
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY dots.query_id
+             ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))),
+               6) DESC, dots.vec_id) AS rank
+    FROM dots
+    JOIN norms nq ON nq.vec_id = dots.query_id
+    JOIN norms nv ON nv.vec_id = dots.vec_id
+  ) WHERE rank <= {KNN_K}
+),
+votes AS (
+  SELECT t.query_id, l.label, count(*) AS votes
+  FROM topk t JOIN labels l ON l.vec_id = t.vec_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY votes DESC, label) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT b.query_id, ql.label AS true_label,
+       CAST(b.predicted_label AS INTEGER) AS predicted_label,
+       CAST(b.votes AS BIGINT) AS votes,
+       CAST(CASE WHEN b.predicted_label = ql.label THEN 1 ELSE 0 END
+            AS BIGINT) AS correct
+FROM best b JOIN labels ql ON ql.vec_id = b.query_id
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "emb_gram_matrix": QuerySpec(emb_gram_matrix, EMB_GRAM_ORACLE),
     "emb_pca_top_component": QuerySpec(emb_pca_top_component, None),
+    "emb_knn_label_vote": QuerySpec(emb_knn_label_vote,
+                                    KNN_LABEL_VOTE_ORACLE),
     "emb_norm_stats": QuerySpec(emb_norm_stats, EMB_NORM_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,

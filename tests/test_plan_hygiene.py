@@ -22,6 +22,7 @@ from data_ingestion_worker_spark.registry import all_specs
 #: Queries whose algorithm is a deliberate broadcast cross join.
 BNLJ_ALLOWED = {
     "ann_cosine_topk",     # K query vectors broadcast against the corpus
+    "emb_knn_label_vote",  # KNN_N_QUERIES query rows broadcast × corpus
     "ann_ivf_recall",      # IVF results × brute-force results comparison
     "q22_idle_rich_customers",  # scalar subquery attached to every row
     "q15_top_supplier",    # one-row max-revenue broadcast cross join

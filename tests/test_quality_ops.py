@@ -361,3 +361,44 @@ def test_coreset_maxmin_matches_numpy_greedy(spark, sf_dir):
     assert [r.d2_sel for r in rows] == ladder
     radii = [r.d2_sel for r in rows[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_knn_label_vote_matches_numpy_probe(spark, sf_dir):
+    """The kNN probe recomputed with numpy: same quantized cosine,
+    same (cosine desc, vec_id) neighbor order, same (votes desc,
+    label asc) vote tie-break — predictions must match exactly."""
+    from collections import Counter
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        KNN_K, KNN_N_QUERIES, QUANT, emb_knn_label_vote,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.query_id: (r.true_label, r.predicted_label, r.votes,
+                        r.correct)
+           for r in emb_knn_label_vote(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64)
+                               * QUANT).astype(np.int64)
+            for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    corpus = sorted(v for v in vecs if v >= KNN_N_QUERIES)
+    assert set(got) == set(v for v in vecs if v < KNN_N_QUERIES)
+    for qid, (true_label, pred, votes, correct) in got.items():
+        qq = vecs[qid]
+        scored = []
+        for cid in corpus:
+            cv = vecs[cid]
+            cos = round(float(qq @ cv)
+                        / (float(np.sqrt(qq @ qq))
+                           * float(np.sqrt(cv @ cv))), 6)
+            scored.append((-cos, cid))
+        scored.sort()
+        top = [cid for _, cid in scored[:KNN_K]]
+        counts = Counter(labels[c] for c in top)
+        exp_pred = min(counts, key=lambda lb: (-counts[lb], lb))
+        assert true_label == labels[qid]
+        assert (pred, votes) == (exp_pred, counts[exp_pred]), qid
+        assert correct == int(pred == true_label)
