@@ -1263,8 +1263,103 @@ FROM d
 """
 
 
+#: Poisson(1) bootstrap: replicate count and the inverse-CDF thresholds
+#: on the 60-bit hash-uniform (floor(CDF(k) · 2⁶⁰), k = 0..5, capped at
+#: 6).  Constants are computed once here and embedded verbatim in BOTH
+#: engines' expressions, so every (row, replicate) weight is identical.
+B_RESAMPLES = 32
+_H_SPACE = 1 << 60
+
+
+def _poisson1_thresholds() -> list[int]:
+    from math import exp, factorial
+
+    cdf, out = 0.0, []
+    for k in range(6):
+        cdf += exp(-1.0) / factorial(k)
+        out.append(int(cdf * _H_SPACE))
+    return out
+
+
+_POISSON1_T = _poisson1_thresholds()
+
+
+def _poisson_weight_case(h_expr: str) -> str:
+    """SQL CASE mapping a 60-bit hash to its Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {h_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_T)
+    )
+    return f"(CASE {arms} ELSE 6 END)"
+
+
+def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: ``B_RESAMPLES``
+    replicates, each reweighting every order by an independent
+    Poisson(1) draw — the streaming-friendly bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams") that needs no
+    global resample pass, so it scales to any corpus.
+
+    Determinism: the draw is a pure function of ``md5(b, o_orderkey)``
+    through fixed integer CDF thresholds; the replicate mean is exact
+    integer arithmetic — ``(10⁶·Σ w·cents) div Σw`` — so the 32 output
+    rows are bit-stable under any shuffle order.  The spread of
+    ``mean_microcents`` across replicates IS the standard error readout.
+
+    Scale shape: one scan fans out ×B via ``explode(sequence(...))``;
+    map-side partial aggregation collapses each partition to ≤B rows
+    before the (tiny, B-key) shuffle.  No driver-side loop, no global
+    sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("bigint").alias("cents"),
+    )
+    r = o.select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(B_RESAMPLES))).alias("b"),
+    )
+    h = ("conv(substring(md5(concat('boot:', cast(b as string), ':', "
+         "cast(o_orderkey as string))), 1, 15), 16, 10)")
+    weighted = r.withColumn(
+        "w", F.expr(_poisson_weight_case(f"cast({h} as bigint)"))
+    )
+    return weighted.groupBy("b").agg(
+        F.sum("w").alias("n_eff"),
+        F.expr("(1000000 * sum(w * cents)) div sum(w)")
+        .alias("mean_microcents"),
+    )
+
+
+_BOOT_H_SQL = ("(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
+               "|| CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)")
+
+BOOTSTRAP_MEANS_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, cents, CAST(unnest(range(1, {B_RESAMPLES} + 1))
+         AS INT) AS b
+  FROM o
+),
+weighted AS (
+  SELECT b, cents, {_poisson_weight_case(_BOOT_H_SQL)} AS w FROM r
+)
+SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST((1000000 * sum(w * cents)) // sum(w) AS BIGINT)
+         AS mean_microcents
+FROM weighted GROUP BY b
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
+    "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,
+                                       BOOTSTRAP_MEANS_ORACLE),
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
     "stats_hhi_concentration": QuerySpec(stats_hhi_concentration,

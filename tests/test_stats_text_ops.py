@@ -858,3 +858,41 @@ def test_ewma_daily_matches_python_recursion(spark, sf_dir):
                     den += w
             key = (d0 + timedelta(days=i), et)
             assert got[key] == (series[i], (1000 * num) // den), key
+
+
+def test_bootstrap_means_python_mirror_and_concentration(spark, sf_dir):
+    """One full replicate recomputed with hashlib (same md5 path, same
+    thresholds, same floor mean) plus distributional sanity: every
+    replicate's effective N stays within 5σ of the row count."""
+    import hashlib
+    from decimal import Decimal
+
+    from data_ingestion_worker_spark.operators.stats import (
+        B_RESAMPLES, _POISSON1_T, stats_bootstrap_means,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.b: (r.n_eff, r.mean_microcents)
+           for r in stats_bootstrap_means(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, B_RESAMPLES + 1))
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice").collect()
+    n = len(orders)
+    # Poisson(1): Var(n_eff) = n — a 5σ band is a ~1e-6 false-alarm test
+    for b, (n_eff, _) in got.items():
+        assert abs(n_eff - n) <= 5 * max(n, 1) ** 0.5, (b, n_eff, n)
+    for b in (1, B_RESAMPLES):
+        sw = swc = 0
+        for r in orders:
+            cents = int(Decimal(str(r.o_totalprice))
+                        .quantize(Decimal("0.01")) * 100)
+            h = int(hashlib.md5(
+                f"boot:{b}:{r.o_orderkey}".encode()).hexdigest()[:15], 16)
+            w = 6
+            for k, t in enumerate(_POISSON1_T):
+                if h < t:
+                    w = k
+                    break
+            sw += w
+            swc += w * cents
+        assert got[b] == (sw, (1_000_000 * swc) // sw), b
