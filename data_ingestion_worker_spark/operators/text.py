@@ -982,7 +982,112 @@ LIMIT {BPE_TOP_K}
 """
 
 
+#: Zipf fit: top-N vocabulary slice and the per-row log quantum.  With
+#: N = 500 and 1e4 quantization every power sum stays below 2⁵³, so the
+#: BIGINT (Spark) and HUGEINT (DuckDB) sums cast to *identical* doubles.
+ZIPF_TOP = 500
+_ZIPF_QUANT = 10000
+
+#: Final OLS arithmetic over the exact integer power sums — ONE SQL
+#: fragment string shared verbatim by both engines, so every double
+#: operation happens in the same order with the same operands.
+#: (``CAST(k AS DOUBLE)`` instead of a ``k.0`` literal: Spark parses
+#: ``1000000.0`` as DECIMAL, so ``floor(..)/1000000.0`` would come back
+#: DECIMAL-typed and hash-mismatch DuckDB's DOUBLE.)
+_ZIPF_SLOPE = (
+    "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+    " / CAST(1000000 AS DOUBLE)"
+)
+_ZIPF_INTERCEPT = (
+    "floor((CAST(sy AS DOUBLE)"
+    " - CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+    f" / CAST({_ZIPF_QUANT} AS DOUBLE) * CAST(10000 AS DOUBLE))"
+    " / CAST(10000 AS DOUBLE)"
+)
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of log-freq
+    against log-rank over the top-``ZIPF_TOP`` tokens — the companion
+    diagnostic to ``corpus_growth_curve``'s Heaps law (natural text
+    sits near slope −1; a far-off slope flags boilerplate-heavy or
+    synthetic corpora before they enter a training mix).
+
+    Determinism: rank is pinned by (freq desc, token); each log is
+    floor-quantized to 1e-4 on its own row; the five power sums are
+    exact integers and the final slope/intercept are computed by one
+    shared SQL fragment (identical double-op sequence in both engines).
+
+    Scale shape: the vocabulary pass is the one table-sized stage
+    (explode + map-side-combined hash agg); the top-N compiles to
+    TakeOrderedAndProject and everything after runs on a constant 500
+    rows (the bounded rank window and one-row scalar are allowlisted).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freqs.orderBy(F.desc("freq"), "token").limit(ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "token")),
+    )
+    q = ranked.select(
+        F.expr(f"cast(floor({_ZIPF_QUANT}.0 * ln(cast(rank as double)))"
+               " as bigint)").alias("xq"),
+        F.expr(f"cast(floor({_ZIPF_QUANT}.0 * ln(cast(freq as double)))"
+               " as bigint)").alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("xq * xq")).alias("sxx"),
+        F.sum(F.expr("xq * yq")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.expr(_ZIPF_SLOPE).alias("slope"),
+        F.expr(_ZIPF_INTERCEPT).alias("intercept_ln"),
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH freqs AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM freqs ORDER BY freq DESC, token LIMIT {ZIPF_TOP}
+),
+q AS (
+  SELECT CAST(floor({_ZIPF_QUANT}.0 * ln(CAST(rank AS DOUBLE)))
+              AS BIGINT) AS xq,
+         CAST(floor({_ZIPF_QUANT}.0 * ln(CAST(freq AS DOUBLE)))
+              AS BIGINT) AS yq
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+         sum(xq * xq) AS sxx, sum(xq * yq) AS sxy
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       {_ZIPF_SLOPE} AS slope,
+       {_ZIPF_INTERCEPT} AS intercept_ln
+FROM s
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,

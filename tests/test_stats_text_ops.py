@@ -896,3 +896,35 @@ def test_bootstrap_means_python_mirror_and_concentration(spark, sf_dir):
             sw += w
             swc += w * cents
         assert got[b] == (sw, (1_000_000 * swc) // sw), b
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Slope/intercept recomputed with numpy lstsq over the same
+    quantized log points (quantization bias < 1e-4 per point, so the
+    fits agree to ~1e-3); ranking and count must match exactly."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.text import (
+        ZIPF_TOP, _ZIPF_QUANT, corpus_zipf_fit,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    row = corpus_zipf_fit(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freqs: Counter = Counter()
+    for r in docs:
+        freqs.update(r.text.strip().lower().split())
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    assert row.n_tokens == len(top)
+    xq = np.array([math.floor(_ZIPF_QUANT * math.log(i + 1))
+                   for i in range(len(top))], dtype=np.int64)
+    yq = np.array([math.floor(_ZIPF_QUANT * math.log(f))
+                   for _, f in top], dtype=np.int64)
+    a = np.vstack([xq, np.ones_like(xq)]).T.astype(np.float64)
+    slope, icpt = np.linalg.lstsq(a, yq.astype(np.float64), rcond=None)[0]
+    assert abs(row.slope - slope) < 1e-3
+    assert abs(row.intercept_ln - icpt / _ZIPF_QUANT) < 1e-3
+    assert row.slope < 0  # frequency must fall with rank
