@@ -91,6 +91,12 @@ HEADLINE = [
     # no-SinglePartition global-ranking pattern).
     "scd2_incremental_merge",
     "abc_revenue_classes",
+    # Round-5 (cont. 7) additions: the B×-fan-out Poisson bootstrap
+    # (md5 draw per (row, replicate) — the uncertainty-readout cost
+    # model) and the kNN label probe (broadcast query block × corpus
+    # scan + vote, the standard embedding-quality eval).
+    "stats_bootstrap_means",
+    "emb_knn_label_vote",
 ]
 
 
