@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
 from ..tables import load_table
+from .events import _epoch_s
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,10 +1357,115 @@ FROM weighted GROUP BY b
 """
 
 
+#: PSI: decile buckets cut from the reference half's exact percentiles.
+PSI_BUCKETS = 10
+
+#: Bucket assignment from the 9 broadcast cut columns — strict ``>`` so
+#: boundary values land in the lower band in both engines (RFM rule).
+_PSI_BUCKET = "1 + " + " + ".join(
+    f"CAST(cents > c{k} AS INT)" for k in range(1, PSI_BUCKETS)
+)
+
+#: Per-bucket PSI term over (n_ref, n_cur, tr, tc) — ONE fragment shared
+#: verbatim by both engines; empty buckets take the standard 1e-6 floor
+#: so the log stays finite, and the term is floor-quantized to micro
+#: units on its own row before any summation by the consumer.
+_PSI_P = ("(CASE WHEN n_ref = 0 THEN CAST(0.000001 AS DOUBLE) "
+          "ELSE CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) END)")
+_PSI_Q = ("(CASE WHEN n_cur = 0 THEN CAST(0.000001 AS DOUBLE) "
+          "ELSE CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END)")
+_PSI_TERM = (f"CAST(floor(CAST(1000000 AS DOUBLE) * ({_PSI_Q} - {_PSI_P})"
+             f" * ln({_PSI_Q} / {_PSI_P})) AS BIGINT)")
+
+
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    second half of the observation window vs the first — THE model-
+    monitoring drift metric (PSI < 0.1 stable, > 0.25 action).
+
+    The reference half's exact deciles become one 9-column scalar row
+    broadcast back for bucket assignment (the RFM no-ntile pattern);
+    each bucket's ``(q−p)·ln(q/p)`` term is floor-quantized to 1e-6 on
+    its own row, so the reported per-bucket terms are bit-stable and
+    their sum is the PSI at micro grain.
+
+    Scale shape: one fact scan feeds the split + bucket assignment
+    (pre-split epoch bounds and the decile row are one-row broadcast
+    scalars); the distribution compare runs on PSI_BUCKETS rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("bigint").alias("cents"),
+        _epoch_s(F.col("ts")).alias("s"),
+    )
+    span = e.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
+    tagged = e.crossJoin(F.broadcast(span)).select(
+        "cents",
+        F.expr("CASE WHEN 2 * s < s0 + s1 THEN 'ref' ELSE 'cur' END")
+        .alias("half"),
+    ).localCheckpoint(eager=False)   # feeds the cut row + the assign
+    cuts = tagged.filter(F.col("half") == "ref").agg(
+        *[F.expr(f"percentile(cents, {k / PSI_BUCKETS})").alias(f"c{k}")
+          for k in range(1, PSI_BUCKETS)]
+    )
+    b = tagged.crossJoin(F.broadcast(cuts)).select(
+        "half", F.expr(_PSI_BUCKET).alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0))
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
+        .alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"),
+                     F.sum("n_cur").alias("tc"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_ref", "n_cur",
+        F.expr(_PSI_TERM).alias("psi_term_micro"),
+    )
+
+
+_PSI_EPOCH_SQL = "date_diff('second', TIMESTAMP '1970-01-01', ts)"
+
+PSI_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         {_PSI_EPOCH_SQL} AS s
+  FROM events
+),
+span AS (SELECT min(s) AS s0, max(s) AS s1 FROM e),
+tagged AS (
+  SELECT cents,
+         CASE WHEN 2 * s < s0 + s1 THEN 'ref' ELSE 'cur' END AS half
+  FROM e CROSS JOIN span
+),
+cuts AS (
+  SELECT {", ".join(f"quantile_cont(cents, {k / PSI_BUCKETS}) AS c{k}"
+                    for k in range(1, PSI_BUCKETS))}
+  FROM tagged WHERE half = 'ref'
+),
+b AS (
+  SELECT half, {_PSI_BUCKET} AS bucket FROM tagged CROSS JOIN cuts
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+  FROM b GROUP BY 1
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       {_PSI_TERM} AS psi_term_micro
+FROM counts CROSS JOIN tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
     "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,
                                        BOOTSTRAP_MEANS_ORACLE),
+    "stats_psi_drift": QuerySpec(stats_psi_drift, PSI_DRIFT_ORACLE),
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
     "stats_hhi_concentration": QuerySpec(stats_hhi_concentration,

@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
     "graph_modularity",    # one-row total-degree (2m) broadcast cross
     "emb_cluster_ari",     # four one-row contingency-sum scalars crossed
     "ev_ewma_daily",       # |days|-row spine × |types|-row domain cross
+    "stats_psi_drift",     # one-row span + decile-cut scalars crossed
 }
 
 
@@ -174,6 +175,7 @@ SP_ALLOWED = {
     "graph_modularity",         # one-row total-degree (2m) scalar
     "ev_ewma_daily",            # one-row (min,max)-day span scalar; lag
                                 # windows partition by the type domain
+    "stats_psi_drift",          # one-row span/decile/total scalars
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

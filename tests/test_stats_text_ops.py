@@ -928,3 +928,50 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(row.slope - slope) < 1e-3
     assert abs(row.intercept_ln - icpt / _ZIPF_QUANT) < 1e-3
     assert row.slope < 0  # frequency must fall with rank
+
+
+def test_psi_drift_partitions_and_python_mirror(spark, sf_dir):
+    """Bucket counts must partition both halves exactly; each PSI term
+    recomputed in python from the same decile cuts and quantization."""
+    import math
+
+    from data_ingestion_worker_spark.operators.stats import (
+        PSI_BUCKETS, stats_psi_drift,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = {r.bucket: r for r in stats_psi_drift(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, PSI_BUCKETS + 1))
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    import datetime as dt
+    from decimal import Decimal
+
+    epoch = dt.datetime(1970, 1, 1)
+    pts = [(int((r.ts - epoch).total_seconds()),
+            int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100))
+           for r in ev]
+    s0, s1 = min(s for s, _ in pts), max(s for s, _ in pts)
+    ref = sorted(c for s, c in pts if 2 * s < s0 + s1)
+    cur = [c for s, c in pts if not 2 * s < s0 + s1]
+    assert sum(r.n_ref for r in rows.values()) == len(ref)
+    assert sum(r.n_cur for r in rows.values()) == len(cur)
+
+    def q_cont(xs, p):  # linear-interpolation percentile (both engines)
+        h = (len(xs) - 1) * p
+        lo = math.floor(h)
+        return xs[lo] + (h - lo) * (xs[min(lo + 1, len(xs) - 1)] - xs[lo])
+
+    cuts = [q_cont(ref, k / PSI_BUCKETS) for k in range(1, PSI_BUCKETS)]
+
+    def bucket(c):
+        return 1 + sum(1 for t in cuts if c > t)
+
+    tr, tc = len(ref), len(cur)
+    for b, r in rows.items():
+        n_ref = sum(1 for c in ref if bucket(c) == b)
+        n_cur = sum(1 for c in cur if bucket(c) == b)
+        assert (r.n_ref, r.n_cur) == (n_ref, n_cur), b
+        p = n_ref / tr if n_ref else 1e-6
+        q = n_cur / tc if n_cur else 1e-6
+        assert r.psi_term_micro == math.floor(
+            1_000_000 * (q - p) * math.log(q / p)), b
