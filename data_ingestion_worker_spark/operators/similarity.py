@@ -1937,6 +1937,87 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stability between the even- and odd-id halves
+    of the embedding corpus: cosine between the two half-centroids —
+    the embedding-drift gate run between pipeline versions or data
+    refreshes (a label whose halves disagree flags embedding or
+    labeling instability before the index is rebuilt).
+
+    The centroid cosine needs no division by counts — scaling a vector
+    doesn't change its angle — so both centroids stay *integer sum
+    vectors* of the quantized embeddings and the cosine is one round-6
+    double over exact BIGINT dot products.
+
+    Scale shape: one posexplode scan into a (label, dim) aggregate
+    (map-side combined, |labels|·|dims| groups) and a |labels|-row
+    rollup.  No broadcast, no window, nothing driver-side.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.expr(_QVEC)).alias("d", "v"),
+    )
+    per_dim = e.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, F.col("v"))
+              .otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, F.col("v"))
+              .otherwise(0)).alias("sb"),
+    )
+    counts = load_table(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .alias("n_even"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .alias("n_odd"),
+    )
+    rolled = per_dim.groupBy("label").agg(
+        F.sum(F.expr("sa * sb")).alias("dot"),
+        F.sum(F.expr("sa * sa")).alias("na"),
+        F.sum(F.expr("sb * sb")).alias("nb"),
+    )
+    return rolled.join(counts, "label").select(
+        "label", "n_even", "n_odd",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double"))
+               * F.sqrt(F.col("nb").cast("double"))), 6
+        ).alias("centroid_cosine"),
+    )
+
+
+CENTROID_DRIFT_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, d,
+         sum(CASE WHEN vec_id % 2 = 0 THEN v ELSE 0 END) AS sa,
+         sum(CASE WHEN vec_id % 2 = 1 THEN v ELSE 0 END) AS sb
+  FROM qv GROUP BY 1, 2
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd
+  FROM embeddings GROUP BY 1
+),
+rolled AS (
+  SELECT label, sum(sa * sb) AS dot, sum(sa * sa) AS na,
+         sum(sb * sb) AS nb
+  FROM per_dim GROUP BY 1
+)
+SELECT r.label, c.n_even, c.n_odd,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+         AS centroid_cosine
+FROM rolled r JOIN counts c ON r.label = c.label
+"""
+
+
 KNN_LABEL_VOTE_ORACLE = f"""
 WITH qv AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
@@ -1991,6 +2072,8 @@ SPECS: dict[str, QuerySpec] = {
     "emb_pca_top_component": QuerySpec(emb_pca_top_component, None),
     "emb_knn_label_vote": QuerySpec(emb_knn_label_vote,
                                     KNN_LABEL_VOTE_ORACLE),
+    "emb_centroid_drift": QuerySpec(emb_centroid_drift,
+                                    CENTROID_DRIFT_ORACLE),
     "emb_norm_stats": QuerySpec(emb_norm_stats, EMB_NORM_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,

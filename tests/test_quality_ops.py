@@ -402,3 +402,40 @@ def test_knn_label_vote_matches_numpy_probe(spark, sf_dir):
         assert true_label == labels[qid]
         assert (pred, votes) == (exp_pred, counts[exp_pred]), qid
         assert correct == int(pred == true_label)
+
+
+def test_centroid_drift_matches_numpy(spark, sf_dir):
+    """Half-centroid cosine recomputed with numpy over the same
+    quantized vectors; counts must partition each label exactly."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        QUANT, emb_centroid_drift,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.label: r for r in emb_centroid_drift(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert set(got) == set(by_label)
+    for label, rs in by_label.items():
+        sa = np.zeros(len(rs[0].embedding), dtype=np.int64)
+        sb = np.zeros_like(sa)
+        n_even = n_odd = 0
+        for r in rs:
+            q = np.round(np.array(r.embedding, dtype=np.float64)
+                         * QUANT).astype(np.int64)
+            if r.vec_id % 2 == 0:
+                sa += q
+                n_even += 1
+            else:
+                sb += q
+                n_odd += 1
+        g = got[label]
+        assert (g.n_even, g.n_odd) == (n_even, n_odd)
+        expect = round(float(sa @ sb) / (float(np.sqrt(sa @ sa))
+                                         * float(np.sqrt(sb @ sb))), 6)
+        assert g.centroid_cosine == expect, label
+        assert -1.0 <= g.centroid_cosine <= 1.0
