@@ -1673,6 +1673,67 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 EWMA_ORACLE = _ewma_oracle()
 
 
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags per event type via median /
+    MAD — the outlier-resistant twin of ``ev_anomaly_zscore`` (one bad
+    day inflates a stddev and hides itself; it barely moves a median).
+
+    Exactness trick: a median of integers is always integer or
+    half-integer, so ``2·median`` is an exact BIGINT — deviations are
+    carried doubled (``dev2 = |2n − med2|``) and the MAD quadrupled
+    (``mad4 = 2·median(dev2)``), making the 3-MAD rule
+    ``|n−med| > 3·MAD ⇔ 2·dev2 > 3·mad4`` pure integer arithmetic that
+    no engine or shuffle order can perturb.
+
+    Scale shape: one fact scan to (day, type) counts; medians aggregate
+    over the bounded calendar×type domain; the per-type median rows
+    broadcast back.  No windows, no single-partition funnel.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("cast(percentile(n, 0.5) * 2 as bigint)").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("cast(percentile(dev2, 0.5) * 2 as bigint)").alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type", "day", "n", "dev2",
+        F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1)
+        .otherwise(0).cast("int").alias("is_anomaly"),
+    )
+
+
+ANOMALY_MAD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) AS med2
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, abs(2 * d.n - m.med2) AS dev2
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+       CAST(d.dev2 AS BIGINT) AS dev2,
+       CAST(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -1710,4 +1771,5 @@ SPECS: dict[str, QuerySpec] = {
                                        ATTRIBUTION_ORACLE),
     "ev_user_entropy": QuerySpec(ev_user_entropy, USER_ENTROPY_ORACLE),
     "ev_ewma_daily": QuerySpec(ev_ewma_daily, EWMA_ORACLE),
+    "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, ANOMALY_MAD_ORACLE),
 }

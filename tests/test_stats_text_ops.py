@@ -975,3 +975,36 @@ def test_psi_drift_partitions_and_python_mirror(spark, sf_dir):
         q = n_cur / tc if n_cur else 1e-6
         assert r.psi_term_micro == math.floor(
             1_000_000 * (q - p) * math.log(q / p)), b
+
+
+def test_anomaly_mad_matches_python_medians(spark, sf_dir):
+    """Median/MAD/flag recomputed with statistics.median over the same
+    daily counts; the doubled/quadrupled integer encoding must equal
+    the float rule exactly."""
+    from collections import defaultdict
+    from statistics import median
+
+    from data_ingestion_worker_spark.operators.events import ev_anomaly_mad
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.event_type, r.day): r
+           for r in ev_anomaly_mad(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "event_type").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    assert set(got) == set(daily)
+    by_type: dict[str, list] = defaultdict(list)
+    for (et, day), n in daily.items():
+        by_type[et].append(n)
+    for et, ns in by_type.items():
+        med = median(ns)
+        mad = median(abs(x - med) for x in ns)
+        for (t, day), n in daily.items():
+            if t != et:
+                continue
+            r = got[(t, day)]
+            assert r.n == n
+            assert r.dev2 == round(abs(2 * n - 2 * med))
+            assert r.is_anomaly == int(abs(n - med) > 3 * mad), (t, day)
