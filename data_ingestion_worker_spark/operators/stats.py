@@ -1378,6 +1378,17 @@ _PSI_TERM = (f"CAST(floor(CAST(1000000 AS DOUBLE) * ({_PSI_Q} - {_PSI_P})"
              f" * ln({_PSI_Q} / {_PSI_P})) AS BIGINT)")
 
 
+def psi_cuts(ref_cents: DataFrame) -> DataFrame:
+    """One-row decile-cut frame (``c1``..``c9``) from a reference
+    ``cents`` column — shared by the batch PSI and the streaming drift
+    monitor (``streaming/windows.py::psi_buckets_stream``) so bucket
+    boundaries have exactly one definition."""
+    return ref_cents.agg(
+        *[F.expr(f"percentile(cents, {k / PSI_BUCKETS})").alias(f"c{k}")
+          for k in range(1, PSI_BUCKETS)]
+    )
+
+
 def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of the event-value distribution,
     second half of the observation window vs the first — THE model-
@@ -1404,10 +1415,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN 2 * s < s0 + s1 THEN 'ref' ELSE 'cur' END")
         .alias("half"),
     ).localCheckpoint(eager=False)   # feeds the cut row + the assign
-    cuts = tagged.filter(F.col("half") == "ref").agg(
-        *[F.expr(f"percentile(cents, {k / PSI_BUCKETS})").alias(f"c{k}")
-          for k in range(1, PSI_BUCKETS)]
-    )
+    cuts = psi_cuts(tagged.filter(F.col("half") == "ref"))
     b = tagged.crossJoin(F.broadcast(cuts)).select(
         "half", F.expr(_PSI_BUCKET).alias("bucket")
     )

@@ -124,6 +124,69 @@ def dedup_on_arrival(docs: DataFrame, corpus_fps: DataFrame,
     )
 
 
+def psi_buckets_stream(events: DataFrame, ref_cuts: DataFrame,
+                       window: str = "1 day",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of the PSI drift monitor — the on-arrival face of
+    ``operators.stats.stats_psi_drift``.
+
+    Every arriving event is assigned to its *reference* decile via the
+    broadcast one-row cut frame (``operators.stats.psi_cuts`` — the
+    same boundaries as the batch twin, so drift numbers are comparable
+    across both planes), then finalized per-(window, bucket) counts are
+    emitted in append mode once the watermark passes.  Feed a finalized
+    window's counts through :func:`psi_report` together with the
+    reference distribution to get the same per-bucket PSI terms the
+    batch operator produces.
+
+    State is bounded by |open windows| × PSI_BUCKETS rows; the
+    stream-static cut join is stateless.
+    """
+    from ..operators.stats import _PSI_BUCKET
+
+    tagged = (
+        events.withColumn(
+            "cents",
+            (F.col("value").cast("decimal(14,2)") * 100).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(ref_cuts))
+        .withColumn("bucket", F.expr(_PSI_BUCKET))
+    )
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "n_cur")
+    )
+
+
+def psi_report(counts: DataFrame, ref_dist: DataFrame) -> DataFrame:
+    """Per-window PSI terms from finalized streaming bucket counts.
+
+    ``counts`` is the sink table :func:`psi_buckets_stream` produced
+    (``window_start, bucket, n_cur``); ``ref_dist`` is the reference
+    distribution ``(bucket, n_ref, tr)``.  Buckets an arriving window
+    never hit are completed with ``n_cur = 0`` off the (bounded)
+    ref_dist × windows spine, and every term uses the same shared
+    ``_PSI_TERM`` fragment as the batch operator — one definition of
+    PSI across batch and streaming.
+    """
+    from ..operators.stats import _PSI_TERM
+
+    windows = counts.select("window_start").distinct()
+    tc = counts.groupBy("window_start").agg(F.sum("n_cur").alias("tc"))
+    spine = windows.crossJoin(F.broadcast(ref_dist))
+    dense = (
+        spine.join(counts, ["window_start", "bucket"], "left")
+        .select("window_start", "bucket", "n_ref", "tr",
+                F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+    )
+    return dense.join(F.broadcast(tc), "window_start").select(
+        "window_start", "bucket", "n_ref", "n_cur",
+        F.expr(_PSI_TERM).alias("psi_term_micro"),
+    )
+
+
 def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "30 minutes",
                      watermark: str = "2 hours") -> DataFrame:

