@@ -714,6 +714,79 @@ LIMIT {MBA_TOP_K}
 """
 
 
+#: Per-item recommendation table: neighbors kept per item and the
+#: co-occurrence floor that prunes noise pairs before the rank window.
+REC_PER_ITEM = 3
+REC_MIN_COOC = 2
+
+
+def rec_item_cooccur_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item "customers also bought" table: for every part, the
+    ``REC_PER_ITEM`` parts most co-ordered with it — the batch-built
+    recommendation rollup a serving layer reads as a point lookup
+    (``mba_part_lift`` finds the globally strongest rules; this emits a
+    ranked neighbor list for *every* item).
+
+    Scale shape: the distinct (order, part) projection self-joins on
+    the order key (in-order pair fan-out, bounded by basket size —
+    never all-pairs) with ``a.p != b.p`` so each item ranks its own
+    neighbors; the rank window partitions by item (catalog-bounded
+    partitions of ≤ co-item counts).  Confidence divides exact integers
+    and floors at 6 dp; rank ties break on the neighbor key.
+    """
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct().localCheckpoint(eager=False)
+    items = lo.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = lo.alias("a"), lo.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("item"), F.col("b.p").alias("rec"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= REC_MIN_COOC)
+    )
+    ci = items.select(F.col("p").alias("item"), F.col("c").alias("ci"))
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cooc"), F.col("rec")
+    )
+    return (
+        cooc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= REC_PER_ITEM)
+        .join(F.broadcast(ci), "item")
+        .select(
+            "item", "rank", "rec", "cooc",
+            (F.floor(F.col("cooc").cast("double") / F.col("ci")
+                     * 1000000.0) / 1000000.0).alias("confidence"),
+        )
+    )
+
+
+REC_ITEM_ORACLE = f"""
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+items AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM lo GROUP BY 1),
+cooc AS (
+  SELECT a.p AS item, b.p AS rec, CAST(count(*) AS BIGINT) AS cooc
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {REC_MIN_COOC}
+),
+ranked AS (
+  SELECT item, rec, cooc,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cooc DESC, rec) AS rank
+  FROM cooc
+)
+SELECT r.item, CAST(r.rank AS INT) AS rank, r.rec, r.cooc,
+       floor(CAST(r.cooc AS DOUBLE) / i.c * 1000000.0) / 1000000.0
+         AS confidence
+FROM ranked r JOIN items i ON i.p = r.item
+WHERE r.rank <= {REC_PER_ITEM}
+"""
+
+
 #: Range partitions for the ABC two-phase cumulative sum.  The offset
 #: table is bounded by this constant, never by part count.
 ABC_PARTITIONS = 64
@@ -820,6 +893,8 @@ SPECS: dict[str, QuerySpec] = {
     "abc_revenue_classes": QuerySpec(abc_revenue_classes, ABC_ORACLE),
     "skyline_pareto": QuerySpec(skyline_pareto, SKYLINE_ORACLE),
     "mba_part_lift": QuerySpec(mba_part_lift, MBA_ORACLE),
+    "rec_item_cooccur_topk": QuerySpec(rec_item_cooccur_topk,
+                                       REC_ITEM_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_ORACLE),
     "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_ORACLE),
     "q8_market_share": QuerySpec(q8_market_share, Q8_ORACLE),

@@ -1008,3 +1008,43 @@ def test_anomaly_mad_matches_python_medians(spark, sf_dir):
             assert r.n == n
             assert r.dev2 == round(abs(2 * n - 2 * med))
             assert r.is_anomaly == int(abs(n - med) > 3 * mad), (t, day)
+
+
+def test_rec_item_topk_matches_python_counter(spark, sf_dir):
+    """The per-item neighbor list recomputed with plain-Python counters
+    under the same (cooc desc, rec asc) order and min-cooc floor."""
+    from collections import Counter, defaultdict
+
+    from data_ingestion_worker_spark.operators.tpch_ext import (
+        REC_MIN_COOC, REC_PER_ITEM, rec_item_cooccur_topk,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got: dict = defaultdict(list)
+    for r in rec_item_cooccur_topk(spark, sf_dir).collect():
+        got[r.item].append((r.rank, r.rec, r.cooc, r.confidence))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey").collect()
+    baskets: dict = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    cooc: Counter = Counter()
+    item_n: Counter = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item_n[p] += 1
+            for q in parts:
+                if q != p:
+                    cooc[(p, q)] += 1
+    expect: dict = defaultdict(list)
+    neighbors: dict = defaultdict(list)
+    for (p, q), c in cooc.items():
+        if c >= REC_MIN_COOC:
+            neighbors[p].append((q, c))
+    for p, ns in neighbors.items():
+        ns.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (q, c) in enumerate(ns[:REC_PER_ITEM], start=1):
+            conf = int(c / item_n[p] * 1e6) / 1e6
+            expect[p].append((rank, q, c, conf))
+    assert {k: sorted(v) for k, v in got.items()} == \
+        {k: sorted(v) for k, v in expect.items()}
