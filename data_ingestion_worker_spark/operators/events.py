@@ -1673,6 +1673,76 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 EWMA_ORACLE = _ewma_oracle()
 
 
+#: Burstiness/CV² arithmetic over the exact power sums — ONE fragment
+#: shared verbatim by both engines (DECIMAL(38,0) sums cast to DOUBLE
+#: once; every double op then happens in the same order).  CV² > 1 and
+#: B > 0 flag bursty arrivals; a Poisson process sits at CV² ≈ 1, B ≈ 0.
+_BURST_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_BURST_VAR = ("(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+              " / CAST(n * (n - 1) AS DOUBLE))")
+_BURST_CV2 = (f"floor({_BURST_VAR} / ({_BURST_MEAN} * {_BURST_MEAN})"
+              " * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)")
+_BURST_B = (f"floor((sqrt({_BURST_VAR}) - {_BURST_MEAN})"
+            f" / (sqrt({_BURST_VAR}) + {_BURST_MEAN})"
+            " * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)")
+
+
+def ev_interarrival_burstiness(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Arrival-process characterization per event type: CV² and the
+    Goh–Barabási burstiness ``B = (σ−μ)/(σ+μ)`` of per-user
+    inter-arrival gaps — tells capacity planning whether traffic is
+    Poisson-like (B≈0) or bursty (B→1), which no mean rate reveals.
+
+    Gaps come from a lag window over (user, type) partitions (bounded
+    by one user's activity, never table size); the three power sums
+    are exact integers promoted to DECIMAL(38,0) before the shared
+    final-math fragment, so both engines run the identical double
+    sequence.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))
+    gaps = e.select("event_type", gap.alias("g")) \
+        .filter(F.col("g").isNotNull())
+    sums = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("g").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("g * g")).cast("decimal(38,0)").alias("s2"),
+    ).filter(F.col("n") >= 2)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.expr(f"floor({_BURST_MEAN} * CAST(100 AS DOUBLE))"
+               " / CAST(100 AS DOUBLE)").alias("mean_gap_s"),
+        F.expr(_BURST_CV2).alias("cv2"),
+        F.expr(_BURST_B).alias("burstiness"),
+    )
+
+
+INTERARRIVAL_ORACLE = f"""
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id,
+                   event_type ORDER BY ts, event_id), ts) AS g
+  FROM events
+),
+sums AS (
+  SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(g) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(g * g) AS DECIMAL(38,0)) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       floor({_BURST_MEAN} * CAST(100 AS DOUBLE)) / CAST(100 AS DOUBLE)
+         AS mean_gap_s,
+       {_BURST_CV2} AS cv2,
+       {_BURST_B} AS burstiness
+FROM sums WHERE n >= 2
+"""
+
+
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly flags per event type via median /
     MAD — the outlier-resistant twin of ``ev_anomaly_zscore`` (one bad
@@ -1772,4 +1842,6 @@ SPECS: dict[str, QuerySpec] = {
     "ev_user_entropy": QuerySpec(ev_user_entropy, USER_ENTROPY_ORACLE),
     "ev_ewma_daily": QuerySpec(ev_ewma_daily, EWMA_ORACLE),
     "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, ANOMALY_MAD_ORACLE),
+    "ev_interarrival_burstiness": QuerySpec(ev_interarrival_burstiness,
+                                            INTERARRIVAL_ORACLE),
 }

@@ -1265,11 +1265,19 @@ FROM d
 
 
 #: Poisson(1) bootstrap: replicate count and the inverse-CDF thresholds
-#: on the 60-bit hash-uniform (floor(CDF(k) · 2⁶⁰), k = 0..5, capped at
+#: on a 16-bit hash-uniform (floor(CDF(k) · 2¹⁶), k = 0..5, capped at
 #: 6).  Constants are computed once here and embedded verbatim in BOTH
 #: engines' expressions, so every (row, replicate) weight is identical.
+#: 16 bits give threshold granularity ~1.5e-5 — statistically
+#: indistinguishable for a bootstrap — and let ONE md5 digest (32 hex
+#: chars) serve EIGHT replicates via disjoint 4-hex slices, cutting the
+#: dominant per-(row, replicate) hash cost 8× (the md5 columns are
+#: materialized before the replicate explode, so each digest is
+#: computed once per row, not once per fanned-out row).
 B_RESAMPLES = 32
-_H_SPACE = 1 << 60
+_H_SPACE = 1 << 16
+_DRAWS_PER_MD5 = 8
+_BOOT_BLOCKS = B_RESAMPLES // _DRAWS_PER_MD5
 
 
 def _poisson1_thresholds() -> list[int]:
@@ -1286,7 +1294,7 @@ _POISSON1_T = _poisson1_thresholds()
 
 
 def _poisson_weight_case(h_expr: str) -> str:
-    """SQL CASE mapping a 60-bit hash to its Poisson(1) draw."""
+    """SQL CASE mapping a 16-bit hash-uniform to its Poisson(1) draw."""
     arms = " ".join(
         f"WHEN {h_expr} < {t} THEN {k}"
         for k, t in enumerate(_POISSON1_T)
@@ -1316,13 +1324,19 @@ def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(14,2)") * 100)
         .cast("bigint").alias("cents"),
+        *[F.expr(f"md5(concat('boot:', '{blk}', ':', "
+                 "cast(o_orderkey as string)))").alias(f"h{blk}")
+          for blk in range(_BOOT_BLOCKS)],
     )
     r = o.select(
-        "o_orderkey", "cents",
+        "cents", *[f"h{blk}" for blk in range(_BOOT_BLOCKS)],
         F.explode(F.sequence(F.lit(1), F.lit(B_RESAMPLES))).alias("b"),
     )
-    h = ("conv(substring(md5(concat('boot:', cast(b as string), ':', "
-         "cast(o_orderkey as string))), 1, 15), 16, 10)")
+    digest = "".join(
+        f"WHEN {blk} THEN h{blk} " for blk in range(_BOOT_BLOCKS)
+    )
+    h = (f"conv(substring(CASE (b - 1) div {_DRAWS_PER_MD5} {digest}END, "
+         f"1 + 4 * ((b - 1) % {_DRAWS_PER_MD5}), 4), 16, 10)")
     weighted = r.withColumn(
         "w", F.expr(_poisson_weight_case(f"cast({h} as bigint)"))
     )
@@ -1333,18 +1347,27 @@ def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_H_SQL = ("(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' "
-               "|| CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)")
+_BOOT_DIGEST_SQL = "".join(
+    f"WHEN {blk} THEN h{blk} " for blk in range(_BOOT_BLOCKS)
+)
+_BOOT_H_SQL = (
+    f"(('0x' || substr(CASE (b - 1) // {_DRAWS_PER_MD5} "
+    f"{_BOOT_DIGEST_SQL}END, "
+    f"1 + 4 * ((b - 1) % {_DRAWS_PER_MD5}), 4))::BIGINT)"
+)
 
 BOOTSTRAP_MEANS_ORACLE = f"""
 WITH o AS (
   SELECT o_orderkey,
-         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         {", ".join(
+             f"md5('boot:' || '{blk}' || ':' || CAST(o_orderkey AS VARCHAR))"
+             f" AS h{blk}" for blk in range(_BOOT_BLOCKS))}
   FROM orders
 ),
 r AS (
-  SELECT o_orderkey, cents, CAST(unnest(range(1, {B_RESAMPLES} + 1))
-         AS INT) AS b
+  SELECT cents, {", ".join(f"h{blk}" for blk in range(_BOOT_BLOCKS))},
+         CAST(unnest(range(1, {B_RESAMPLES} + 1)) AS INT) AS b
   FROM o
 ),
 weighted AS (

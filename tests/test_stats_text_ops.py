@@ -883,11 +883,14 @@ def test_bootstrap_means_python_mirror_and_concentration(spark, sf_dir):
         assert abs(n_eff - n) <= 5 * max(n, 1) ** 0.5, (b, n_eff, n)
     for b in (1, B_RESAMPLES):
         sw = swc = 0
+        blk = (b - 1) // 8
+        off = 4 * ((b - 1) % 8)
         for r in orders:
             cents = int(Decimal(str(r.o_totalprice))
                         .quantize(Decimal("0.01")) * 100)
-            h = int(hashlib.md5(
-                f"boot:{b}:{r.o_orderkey}".encode()).hexdigest()[:15], 16)
+            digest = hashlib.md5(
+                f"boot:{blk}:{r.o_orderkey}".encode()).hexdigest()
+            h = int(digest[off:off + 4], 16)
             w = 6
             for k, t in enumerate(_POISSON1_T):
                 if h < t:
@@ -1048,3 +1051,43 @@ def test_rec_item_topk_matches_python_counter(spark, sf_dir):
             expect[p].append((rank, q, c, conf))
     assert {k: sorted(v) for k, v in got.items()} == \
         {k: sorted(v) for k, v in expect.items()}
+
+
+def test_interarrival_burstiness_matches_numpy(spark, sf_dir):
+    """CV²/burstiness recomputed with numpy over the same per-(user,
+    type) gap series; Poisson-ish synthetic arrivals must sit near
+    B≈0 rather than at the bursty extreme."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_interarrival_burstiness,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r
+           for r in ev_interarrival_burstiness(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    series: dict = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series[(r.user_id, r.event_type)].append(r.ts)
+    gaps: dict = defaultdict(list)
+    for (u, et), ts in series.items():
+        for a, b in zip(ts, ts[1:]):
+            gaps[et].append(int(b.timestamp()) - int(a.timestamp()))
+    for et, gs in gaps.items():
+        if len(gs) < 2:
+            assert et not in got
+            continue
+        g = np.array(gs, dtype=np.float64)
+        mean = g.mean()
+        var = g.var(ddof=1)
+        r = got[et]
+        assert r.n_gaps == len(gs)
+        assert abs(r.mean_gap_s - mean) < 0.011
+        assert abs(r.cv2 - var / mean**2) < 1e-4
+        b = (var**0.5 - mean) / (var**0.5 + mean)
+        assert abs(r.burstiness - b) < 1e-4
+        assert -1.0 <= r.burstiness <= 1.0
