@@ -197,6 +197,40 @@ class JdbcControlStore:
                   f"VALUES ({ins_vals})")
         self._execute(merge)
 
+    def sync(self, table: str, snapshot: DataFrame,
+             scope: str | None = None) -> None:
+        """Scoped snapshot mirror (ControlStore.sync drop-in): one
+        transaction deletes scoped rows missing from the snapshot
+        (``WHEN NOT MATCHED BY SOURCE DELETE``) and MERGEs the rest.
+
+        ``scope`` is evaluated by the DATABASE, so write it in the
+        server's dialect (Derby/Postgres: quote lowercase identifiers,
+        e.g. ``'"job_id" < 10'``)."""
+        names = [f.name for f in SCHEMAS[table].fields]
+        keys = KEYS[table]
+        self._load_stage(_stage(table), snapshot.select(names))
+        match = " AND ".join(
+            f"s.{_q(k)} = {_q(table)}.{_q(k)}" for k in keys
+        )
+        where = f"({scope}) AND " if scope else ""
+        on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+        ins_cols = ", ".join(_q(n) for n in names)
+        ins_vals = ", ".join(f"s.{_q(n)}" for n in names)
+        set_clause = ", ".join(
+            f"{_q(n)} = s.{_q(n)}" for n in names if n not in keys
+        )
+        merge = (f"MERGE INTO {_q(table)} t USING {_q(_stage(table))} s "
+                 f"ON {on}")
+        if set_clause:
+            merge += f" WHEN MATCHED THEN UPDATE SET {set_clause}"
+        merge += (f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                  f"VALUES ({ins_vals})")
+        self._execute(
+            f"DELETE FROM {_q(table)} WHERE {where}NOT EXISTS "
+            f"(SELECT 1 FROM {_q(_stage(table))} s WHERE {match})",
+            merge,
+        )
+
     def delete(self, table: str, keys_df: DataFrame) -> None:
         keys = KEYS[table]
         self._load_stage(_kstage(table), keys_df.select(keys))

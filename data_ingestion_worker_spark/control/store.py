@@ -588,6 +588,35 @@ class ControlStore:
             out = out.unionByName(pre)
         return out
 
+    def sync(self, table: str, snapshot: DataFrame,
+             scope: str | None = None) -> None:
+        """Full-snapshot mirror of a (scoped) slice — Delta's
+        ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN NOT
+        MATCHED BY SOURCE DELETE`` in one commit: after the call the
+        table's rows inside ``scope`` are exactly ``snapshot``'s rows,
+        and rows outside ``scope`` are untouched.
+
+        ``scope`` is a SQL predicate string (e.g. ``"job_id = 7"``) —
+        the production shape is syncing one tenant / job / day
+        partition against an upstream extract without rewriting the
+        rest of the table.  ``scope=None`` mirrors the whole table (an
+        overwrite that still flows through the OCC loop and appears as
+        one ``sync`` commit in the log/CDF).
+
+        Shares :meth:`upsert`'s OCC retry loop; the delete half is an
+        implicit consequence of rebuilding the scoped slice from the
+        snapshot, so there is no per-row delete pass to keep idempotent
+        — replaying the same sync is a no-op by construction.
+        """
+        cols = [f.name for f in SCHEMAS[table].fields]
+
+        def derive(target: DataFrame):
+            kept = target.filter(f"NOT ({scope})") if scope else \
+                target.filter(F.lit(False))
+            return kept.unionByName(snapshot.select(cols)), "sync"
+
+        self._read_modify_write(table, derive, "sync")
+
     def delete(self, table: str, keys_df: DataFrame) -> None:
         """``WHEN MATCHED THEN DELETE``: drop rows whose primary key
         appears in ``keys_df`` (anti-join + republish).  Read-modify-write,

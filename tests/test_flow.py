@@ -586,3 +586,74 @@ def test_incremental_aggregate_random_change_mixes(spark, tmp_path, seed):
     want = {tuple(r) for r in compute_aggregate(
         store.read("jobs", v1), keys, sums).collect()}
     assert got == want
+
+
+def test_store_sync_scoped_snapshot_mirror(spark, tmp_path):
+    """sync(scope) makes the scoped slice exactly the snapshot (update +
+    insert + delete-missing in ONE commit), leaves rows outside the
+    scope untouched, is idempotent on replay, and lands as a single
+    'sync' operation in history/CDF."""
+    from data_ingestion_worker_spark.control.store import ControlStore
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    schema = store.read("jobs").schema
+
+    def row(job_id, user, status):
+        return (job_id, None, user, None, None, status, None, None,
+                None, None, None, None)
+
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "u1", "PENDING"),    # in scope: will be updated
+         row(2, "u2", "PENDING"),    # in scope: missing from snapshot
+         row(10, "keep", "DONE")],   # outside scope: untouched
+        schema))
+    v0 = store.history("jobs")[-1]["version"]
+    snap = spark.createDataFrame(
+        [row(1, "u1b", "RUNNING"),   # update
+         row(3, "u3", "PENDING")],   # insert
+        schema)
+    store.sync("jobs", snap, scope="job_id < 10")
+
+    got = {r.job_id: (r.job_user_id, r.job_status)
+           for r in store.read("jobs").collect()}
+    assert got == {1: ("u1b", "RUNNING"), 3: ("u3", "PENDING"),
+                   10: ("keep", "DONE")}
+    assert store.history("jobs")[-1]["operation"] == "sync"
+    changes = {(r.job_id, r._change_type)
+               for r in store.diff("jobs", v0).collect()}
+    assert changes == {(2, "delete"), (3, "insert"),
+                       (1, "update_preimage"), (1, "update_postimage")}
+
+    # replaying the same sync is a no-op snapshot-wise
+    store.sync("jobs", snap, scope="job_id < 10")
+    assert {r.job_id for r in store.read("jobs").collect()} == {1, 3, 10}
+
+    # scope=None mirrors the whole table through the same commit path
+    store.sync("jobs", snap, scope=None)
+    assert {r.job_id for r in store.read("jobs").collect()} == {1, 3}
+
+
+@pytest.mark.parametrize("kind", ["parquet", "jdbc"])
+def test_store_sync_parity_across_backends(kind, spark, tmp_path):
+    """Both store backends expose the same sync contract: scoped
+    update+insert+delete-missing in one call, out-of-scope untouched."""
+    store = _make_store(kind, spark, tmp_path)
+    schema = store.read("jobs").schema
+
+    def row(job_id, user, status):
+        return (job_id, None, user, None, None, status, None, None,
+                None, None, None, None)
+
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "u1", "PENDING"), row(2, "u2", "PENDING"),
+         row(10, "keep", "DONE")], schema))
+    # scope is in the backend's SQL dialect: Derby resolves unquoted
+    # identifiers to uppercase, so the JDBC store needs them quoted
+    scope = '"job_id" < 10' if kind == "jdbc" else "job_id < 10"
+    store.sync("jobs", spark.createDataFrame(
+        [row(1, "u1b", "RUNNING"), row(3, "u3", "PENDING")], schema),
+        scope=scope)
+    got = {r.job_id: (r.job_user_id, r.job_status)
+           for r in store.read("jobs").collect()}
+    assert got == {1: ("u1b", "RUNNING"), 3: ("u3", "PENDING"),
+                   10: ("keep", "DONE")}
