@@ -128,6 +128,40 @@ FROM documents
 """
 
 
+#: k-fold CV: fold count and the salt namespacing the fold hash away
+#: from the train/val/test split hash (same leakage-safety argument).
+KFOLD_K = 5
+_KFOLD_SALT = "kfold:v1:"
+
+
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    hash64(salt || doc_id) mod K — the CV companion to
+    :func:`split_train_holdout` with the same stability property (a
+    document's fold never changes under re-sharding or backfill, so
+    fold models never train on their own eval data across reruns).
+
+    Pure per-row expression, no shuffle; the fold distribution check
+    rides :func:`split_balance`'s pattern downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        hash64(F.concat(F.lit(_KFOLD_SALT), F.col("doc_id").cast("string"))),
+        F.lit(KFOLD_K),
+    )
+    return d.select("doc_id", "source",
+                    fold.cast("int").alias("fold"))
+
+
+_KFOLD_EXPR = f"'{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)"
+
+KFOLD_ORACLE = f"""
+SELECT doc_id, source,
+       CAST({hash64_sql(_KFOLD_EXPR)} % {KFOLD_K} AS INT) AS fold
+FROM documents
+"""
+
+
 def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratification audit: doc count per (split, source) and its share
     of the split.  Two shrinking aggregations — the second input is
@@ -698,6 +732,7 @@ FROM q CROSS JOIN tot
 
 SPECS: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
+    "split_kfold_assign": QuerySpec(split_kfold_assign, KFOLD_ORACLE),
     "split_leakage_check": QuerySpec(split_leakage_check,
                                      _leakage_oracle()),
     "corpus_shuffle_shards": QuerySpec(corpus_shuffle_shards,

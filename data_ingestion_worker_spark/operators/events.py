@@ -1743,6 +1743,63 @@ FROM sums WHERE n >= 2
 """
 
 
+#: Churn horizon: a user is labeled churned after this many days of
+#: silence measured from the corpus reference timestamp.
+CHURN_DAYS = 7
+
+
+def ev_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model training set in one query: per-user behavioral
+    features (recency / frequency / monetary / active-day count /
+    distinct event types) plus the churn label — the feature-store
+    build step every retention model starts from.
+
+    Determinism: recency is integer epoch-second arithmetic against a
+    one-row broadcast reference timestamp (the RFM pattern); monetary
+    goes through DECIMAL; the label is an integer comparison.  One
+    shuffle on user_id; everything else is map-side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(_epoch_s(F.col("ts"))).alias("last_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_val()).cast("double").alias("monetary"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    ref = e.agg(F.max(_epoch_s(F.col("ts"))).alias("ref_s"))
+    return per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.expr("(ref_s - last_s) div 86400").alias("recency_days"),
+        "frequency", "monetary", "active_days", "n_types",
+        F.expr(f"CAST((ref_s - last_s) div 86400 > {CHURN_DAYS} AS INT)")
+        .alias("churned"),
+    )
+
+
+CHURN_FEATURES_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_type, value,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS s
+  FROM events
+),
+per_user AS (
+  SELECT user_id, max(s) AS last_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS monetary,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM e GROUP BY 1
+),
+ref AS (SELECT max(s) AS ref_s FROM e)
+SELECT user_id,
+       CAST((ref_s - last_s) // 86400 AS BIGINT) AS recency_days,
+       frequency, monetary, active_days, n_types,
+       CAST((ref_s - last_s) // 86400 > {CHURN_DAYS} AS INT) AS churned
+FROM per_user CROSS JOIN ref
+"""
+
+
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly flags per event type via median /
     MAD — the outlier-resistant twin of ``ev_anomaly_zscore`` (one bad
@@ -1844,4 +1901,6 @@ SPECS: dict[str, QuerySpec] = {
     "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, ANOMALY_MAD_ORACLE),
     "ev_interarrival_burstiness": QuerySpec(ev_interarrival_burstiness,
                                             INTERARRIVAL_ORACLE),
+    "ev_churn_features": QuerySpec(ev_churn_features,
+                                   CHURN_FEATURES_ORACLE),
 }

@@ -982,6 +982,67 @@ LIMIT {BPE_TOP_K}
 """
 
 
+#: Policy lexicon: category → token list.  The *machinery* of a safety
+#: / content-policy filter (lexicons are config — a deployment swaps in
+#: its real blocklists); categories here are chosen to hit the synthetic
+#: corpus vocabulary so every branch is exercised end to end.
+POLICY_LEXICON: dict[str, list[str]] = {
+    "latency": ["slow", "lag"],
+    "volume": ["big", "huge"],
+    "dup_risk": ["dup", "copy"],
+}
+#: A document is flagged once any single category reaches this count.
+POLICY_FLAG_MIN = 2
+
+
+def doc_policy_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-category policy scan per document — the content-policy /
+    safety-filter stage of a curation pipeline (counts per category, a
+    total, and the flag decision), all as pure token-array expressions:
+    no explode, no shuffle, embarrassingly parallel.
+
+    The flag rule is per-category (any category ≥ ``POLICY_FLAG_MIN``)
+    rather than on the total, because one strong category is a policy
+    hit while scattered singleton matches across categories are noise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cats = {
+        cat: marker_count(F.col("text"), terms).cast("int")
+        for cat, terms in POLICY_LEXICON.items()
+    }
+    total = None
+    for c in cats.values():
+        total = c if total is None else total + c
+    flagged = None
+    for c in cats.values():
+        hit = c >= POLICY_FLAG_MIN
+        flagged = hit if flagged is None else (flagged | hit)
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{cat}") for cat, c in cats.items()],
+        total.cast("int").alias("n_policy_hits"),
+        flagged.cast("int").alias("flagged"),
+    )
+
+
+def _policy_oracle() -> str:
+    cat_sql = {cat: _marker_sql(terms)
+               for cat, terms in POLICY_LEXICON.items()}
+    cols = ", ".join(f"{sql} AS n_{cat}" for cat, sql in cat_sql.items())
+    total = " + ".join(cat_sql.values())
+    flag = " OR ".join(f"{sql} >= {POLICY_FLAG_MIN}"
+                       for sql in cat_sql.values())
+    return f"""
+SELECT doc_id, {cols},
+       CAST({total} AS INT) AS n_policy_hits,
+       CAST({flag} AS INT) AS flagged
+FROM documents
+"""
+
+
+POLICY_FLAGS_ORACLE = _policy_oracle()
+
+
 #: Zipf fit: top-N vocabulary slice and the per-row log quantum.  With
 #: N = 500 and 1e4 quantization every power sum stays below 2⁵³, so the
 #: BIGINT (Spark) and HUGEINT (DuckDB) sums cast to *identical* doubles.
@@ -1088,6 +1149,7 @@ FROM s
 
 SPECS: dict[str, QuerySpec] = {
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
+    "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),
     "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,

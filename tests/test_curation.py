@@ -293,3 +293,28 @@ def test_prefix_filter_lemma_holds_on_random_sets():
         )
 
     check()
+
+
+def test_kfold_assignment_is_stable_and_balanced(spark, sf_dir):
+    """Folds cover 0..K-1, are hashlib-reproducible per doc, stay
+    disjoint from the train/val/test split hash (different salt), and
+    no fold is pathologically unbalanced."""
+    import hashlib
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.curation import (
+        KFOLD_K, split_kfold_assign,
+    )
+
+    rows = split_kfold_assign(spark, sf_dir).collect()
+    assert rows
+    folds = Counter()
+    for r in rows:
+        h = int(hashlib.md5(
+            f"kfold:v1:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        assert r.fold == h % KFOLD_K, r.doc_id
+        folds[r.fold] += 1
+    assert set(folds) == set(range(KFOLD_K))
+    n = len(rows)
+    for f, c in folds.items():
+        assert abs(c - n / KFOLD_K) < 5 * (n ** 0.5), (f, c)

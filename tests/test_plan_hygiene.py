@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "emb_cluster_ari",     # four one-row contingency-sum scalars crossed
     "ev_ewma_daily",       # |days|-row spine × |types|-row domain cross
     "stats_psi_drift",     # one-row span + decile-cut scalars crossed
+    "ev_churn_features",   # one-row reference-timestamp broadcast cross
 }
 
 
@@ -176,6 +177,7 @@ SP_ALLOWED = {
     "ev_ewma_daily",            # one-row (min,max)-day span scalar; lag
                                 # windows partition by the type domain
     "stats_psi_drift",          # one-row span/decile/total scalars
+    "ev_churn_features",        # one-row reference-timestamp scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

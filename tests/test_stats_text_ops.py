@@ -1091,3 +1091,66 @@ def test_interarrival_burstiness_matches_numpy(spark, sf_dir):
         b = (var**0.5 - mean) / (var**0.5 + mean)
         assert abs(r.burstiness - b) < 1e-4
         assert -1.0 <= r.burstiness <= 1.0
+
+
+def test_churn_features_match_python_rollup(spark, sf_dir):
+    """Features + label recomputed with plain-Python dicts; the label
+    must flip exactly at the CHURN_DAYS boundary."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_worker_spark.operators.events import (
+        CHURN_DAYS, ev_churn_features,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.user_id: r for r in ev_churn_features(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    per: dict = defaultdict(lambda: {"last": 0, "n": 0,
+                                     "mon": Decimal(0), "days": set(),
+                                     "types": set()})
+    ref = 0
+    for r in ev:
+        s = int(r.ts.timestamp())
+        ref = max(ref, s)
+        u = per[r.user_id]
+        u["last"] = max(u["last"], s)
+        u["n"] += 1
+        u["mon"] += Decimal(str(r.value)).quantize(Decimal("0.01"))
+        u["days"].add(r.ts.date())
+        u["types"].add(r.event_type)
+    assert set(got) == set(per)
+    for uid, u in per.items():
+        r = got[uid]
+        rec = (ref - u["last"]) // 86400
+        assert (r.recency_days, r.frequency, r.active_days, r.n_types) \
+            == (rec, u["n"], len(u["days"]), len(u["types"]))
+        assert r.monetary == float(u["mon"])
+        assert r.churned == int(rec > CHURN_DAYS)
+
+
+def test_policy_flags_match_python_lexicon(spark, sf_dir):
+    """Category counts and the per-category flag rule recomputed with
+    plain-Python token counting."""
+    from data_ingestion_worker_spark.operators.text import (
+        POLICY_FLAG_MIN, POLICY_LEXICON, doc_policy_flags,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in doc_policy_flags(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    assert set(got) == {d.doc_id for d in docs}
+    any_flagged = False
+    for d in docs:
+        toks = d.text.strip().lower().split()
+        r = got[d.doc_id]
+        counts = {}
+        for cat, terms in POLICY_LEXICON.items():
+            counts[cat] = sum(1 for t in toks if t in terms)
+            assert getattr(r, f"n_{cat}") == counts[cat], (d.doc_id, cat)
+        assert r.n_policy_hits == sum(counts.values())
+        flag = int(any(c >= POLICY_FLAG_MIN for c in counts.values()))
+        assert r.flagged == flag
+        any_flagged = any_flagged or bool(flag)
+    assert any_flagged   # the lexicon must actually fire on this corpus
