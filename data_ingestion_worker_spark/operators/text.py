@@ -982,6 +982,96 @@ LIMIT {BPE_TOP_K}
 """
 
 
+#: LM-proxy quantum: each bigram's -log₂p is floor-quantized to 1e-4
+#: bits on its own row before the per-document sum.
+_LM_QUANT = 10000
+
+#: Per-bigram add-one-smoothed cross-entropy term — ONE SQL fragment
+#: shared verbatim by both engines over (c12, c1, v) integer columns.
+_LM_TERM = (
+    "CAST(floor(-CAST(10000 AS DOUBLE) * log2("
+    "CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))) AS BIGINT)"
+)
+
+
+def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus bigram language model
+    (add-one smoothing) — the KenLM-style perplexity-filter proxy used
+    to rank pretraining documents by "LM-likeness" without a neural
+    model: low cross-entropy ≈ fluent/typical text, high ≈ junk.
+
+    Determinism: the smoothed probability is a ratio of exact integers
+    and each bigram's −log₂p is floor-quantized to 1e-4 bits on its own
+    row, so the per-document sums are shuffle-order-proof; the mean is
+    integer floor division.
+
+    Scale shape: bigram extraction is a pure array expression + one
+    posexplode; the model is two hash aggregates (bigram and unigram-
+    context counts) joined back on their natural keys (the bigram join
+    reuses the same shuffle key); the vocabulary size attaches as a
+    one-row broadcast scalar.  At 100 TB the bigram-count table is the
+    only large intermediate and it partitions by bigram — never a
+    funnel.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+        .filter(F.size("t") >= 2)
+    bigs = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2))"
+        )).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"),
+             F.col("p.w2").alias("w2")) \
+        .localCheckpoint(eager=False)   # feeds model counts AND scoring
+    c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")) \
+        .agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        bigs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.expr(_LM_TERM).alias("term"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term").alias("xent_q"),
+        F.expr("sum(term) div count(1)").alias("mean_xent_q"),
+    )
+
+
+LM_XENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS gs(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+),
+scored AS (
+  SELECT big.doc_id, {_LM_TERM} AS term
+  FROM big
+  JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+  JOIN c1 ON big.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS xent_q,
+       CAST(sum(term) // count(*) AS BIGINT) AS mean_xent_q
+FROM scored GROUP BY 1
+"""
+
+
 #: Policy lexicon: category → token list.  The *machinery* of a safety
 #: / content-policy filter (lexicons are config — a deployment swaps in
 #: its real blocklists); categories here are chosen to hit the synthetic
@@ -1150,6 +1240,7 @@ FROM s
 SPECS: dict[str, QuerySpec] = {
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),
+    "doc_lm_xent_proxy": QuerySpec(doc_lm_xent_proxy, LM_XENT_ORACLE),
     "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,

@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     "ev_ewma_daily",       # |days|-row spine × |types|-row domain cross
     "stats_psi_drift",     # one-row span + decile-cut scalars crossed
     "ev_churn_features",   # one-row reference-timestamp broadcast cross
+    "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
 }
 
 
@@ -178,6 +179,7 @@ SP_ALLOWED = {
                                 # windows partition by the type domain
     "stats_psi_drift",          # one-row span/decile/total scalars
     "ev_churn_features",        # one-row reference-timestamp scalar
+    "doc_lm_xent_proxy",        # one-row vocabulary-size scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

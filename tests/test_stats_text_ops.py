@@ -1154,3 +1154,42 @@ def test_policy_flags_match_python_lexicon(spark, sf_dir):
         assert r.flagged == flag
         any_flagged = any_flagged or bool(flag)
     assert any_flagged   # the lexicon must actually fire on this corpus
+
+
+def test_lm_xent_proxy_matches_python_bigram_lm(spark, sf_dir):
+    """Cross-entropy recomputed with plain-Python Counters (same
+    smoothing, same quantization); fluency ordering must hold: a doc's
+    mean xent is within the corpus term range."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.text import (
+        _LM_QUANT, doc_lm_xent_proxy,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in doc_lm_xent_proxy(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    toks = {d.doc_id: d.text.strip().lower().split() for d in docs}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    for did, t in toks.items():
+        if len(t) < 2:
+            assert did not in got
+            continue
+        terms = [math.floor(-_LM_QUANT * math.log2(
+            (c12[(a, b)] + 1) / (c1[a] + v)))
+            for a, b in zip(t, t[1:])]
+        r = got[did]
+        assert r.n_bigrams == len(terms)
+        assert r.xent_q == sum(terms), did
+        assert r.mean_xent_q == sum(terms) // len(terms)
+        assert r.mean_xent_q >= 0
