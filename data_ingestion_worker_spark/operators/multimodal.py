@@ -975,6 +975,117 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(image_stats, IMAGE_STATS_SCHEMA)
 
 
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+def image_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL perceptual average-hash per payload: decode the BMP, take
+    integer ITU-R 601 luma per pixel (×1000 so it stays exact), and set
+    bit p when pixel p is brighter than the image mean — the aHash used
+    for near-duplicate image detection.  The mean comparison is the
+    cross-multiplied integer ``L_p · n_px > ΣL`` so no division ever
+    happens."""
+    from ..functions.imagecodec import decode_bmp, encode_bmp
+
+    def _ah(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 2
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_bmp(encode_bmp(w, h, raw))
+        px = img.pixels
+        n = w * h
+        lum = [299 * px[3 * p] + 587 * px[3 * p + 1] + 114 * px[3 * p + 2]
+               for p in range(n)]
+        s = sum(lum)
+        ah = sum(1 << p for p in range(n) if lum[p] * n > s)
+        return (w, h, ah)
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_ah)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "ahash": metas.map(lambda m: m[2]).astype("int64"),
+        })
+
+
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: every image gets its aHash through
+    the REAL decode path, then images bucket on (width, height, ahash)
+    and each bucket keeps its smallest doc_id — exact-fingerprint dedup
+    applied to *pixels*, the image-side twin of ``dedup_exact`` (at
+    production hash widths, identical aHash ⇔ visually-identical; the
+    banding/hamming refinement is the LSH ladder's job).
+
+    Scale shape: one Arrow-batched decode pass, one shuffle on the
+    bucket key, and a key-join back for the keeper flag — the decode
+    never re-runs (lazy localCheckpoint), nothing is driver-side.
+
+    Oracle: DuckDB re-derives the pixel bytes algebraically (the
+    ``mm_image_stats`` derivation) and recomputes luma bits — a codec
+    stride/flip/channel-order bug changes the hash and fails parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = with_payload(docs).mapInPandas(image_ahash, AHASH_SCHEMA) \
+        .localCheckpoint(eager=False)   # decode once: feeds agg + join
+    buckets = per.groupBy("width", "height", "ahash").agg(
+        F.count(F.lit(1)).alias("n_bucket"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return per.join(buckets, ["width", "height", "ahash"]).select(
+        "doc_id", "width", "height", "ahash", "n_bucket",
+        (F.col("doc_id") == F.col("keeper")).cast("int")
+        .alias("is_keeper"),
+    )
+
+
+MM_AHASH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+hdr AS (
+  SELECT doc_id,
+         CAST(1 + h64 % 3 AS INT) AS width,
+         CAST(1 + h64 % 2 AS INT) AS height,
+         CAST((1 + h64 % 3) * (1 + h64 % 2) AS INT) AS n_px,
+         sha_hex
+  FROM h
+),
+px AS (
+  SELECT doc_id, width, height, n_px, gs.p AS p,
+         {_hexbyte('sha_hex', '6 * gs.p + 1')} AS r,
+         {_hexbyte('sha_hex', '6 * gs.p + 3')} AS g,
+         {_hexbyte('sha_hex', '6 * gs.p + 5')} AS b
+  FROM hdr CROSS JOIN generate_series(0, 5) AS gs(p)
+  WHERE gs.p < n_px
+),
+lum AS (
+  SELECT doc_id, width, height, n_px, p,
+         299 * r + 587 * g + 114 * b AS l
+  FROM px
+),
+tot AS (SELECT doc_id, sum(l) AS sl FROM lum GROUP BY 1),
+ah AS (
+  SELECT lum.doc_id, width, height,
+         CAST(sum(CASE WHEN l * n_px > sl THEN (1 << p) ELSE 0 END)
+              AS BIGINT) AS ahash
+  FROM lum JOIN tot ON lum.doc_id = tot.doc_id
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT width, height, ahash, CAST(count(*) AS BIGINT) AS n_bucket,
+         min(doc_id) AS keeper
+  FROM ah GROUP BY 1, 2, 3
+)
+SELECT ah.doc_id, ah.width, ah.height, ah.ahash, b.n_bucket,
+       CAST(ah.doc_id = b.keeper AS INT) AS is_keeper
+FROM ah JOIN buckets b ON ah.width = b.width AND ah.height = b.height
+                      AND ah.ahash = b.ahash
+"""
+
+
 MM_IMAGE_STATS_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
@@ -1016,6 +1127,8 @@ SPECS: dict[str, QuerySpec] = {
                                    MM_AUDIO_FEATURES_ORACLE),
     "mm_video_motion": QuerySpec(mm_video_motion, MM_VIDEO_MOTION_ORACLE),
     "mm_image_stats": QuerySpec(mm_image_stats, MM_IMAGE_STATS_ORACLE),
+    "mm_image_ahash_dedup": QuerySpec(mm_image_ahash_dedup,
+                                      MM_AHASH_ORACLE),
     "mm_frame_sample": QuerySpec(mm_frame_sample, MM_FRAME_ORACLE),
     "mm_resize_stub": QuerySpec(mm_resize_stub, MM_RESIZE_ORACLE),
     "mm_resize_real": QuerySpec(mm_resize_real, MM_RESIZE_REAL_ORACLE),

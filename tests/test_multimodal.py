@@ -520,3 +520,45 @@ def test_unsupported_builtin_profile_falls_through_to_pillow(monkeypatch):
     monkeypatch.setattr(mm, "HAS_PIL", False)
     out2 = next(mm.decode_image_real(iter([batch])))
     assert out2.loc[0, "width"] is None or pd.isna(out2.loc[0, "width"])
+
+
+def test_image_ahash_bits_match_decoded_pixels(spark, sf_dir):
+    """aHash bits recomputed from independently decoded pixels; bucket
+    keeper flags must pick exactly the min doc per bucket."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.functions.imagecodec import (
+        decode_bmp, encode_bmp,
+    )
+    from data_ingestion_worker_spark.operators.multimodal import (
+        _hash64_py, mm_image_ahash_dedup,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = mm_image_ahash_dedup(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    expect = {}
+    for d in docs:
+        b = d.text.encode()
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + h64 % 2
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        px = decode_bmp(encode_bmp(w, h, raw)).pixels
+        n = w * h
+        lum = [299 * px[3 * p] + 587 * px[3 * p + 1] + 114 * px[3 * p + 2]
+               for p in range(n)]
+        s = sum(lum)
+        ah = sum(1 << p for p in range(n) if lum[p] * n > s)
+        expect[d.doc_id] = (w, h, ah)
+    buckets = defaultdict(list)
+    for did, key in expect.items():
+        buckets[key].append(did)
+    assert len(rows) == len(docs)
+    for r in rows:
+        w, h, ah = expect[r.doc_id]
+        assert (r.width, r.height, r.ahash) == (w, h, ah), r.doc_id
+        members = buckets[(w, h, ah)]
+        assert r.n_bucket == len(members)
+        assert r.is_keeper == int(r.doc_id == min(members))
