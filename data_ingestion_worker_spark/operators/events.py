@@ -1743,6 +1743,114 @@ FROM sums WHERE n >= 2
 """
 
 
+def ev_funnel_strict_window(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: view → click within 1 hour →
+    purchase within 24 hours of the click.  The unbounded funnel
+    (``ev_funnel_stages``) answers "did they ever convert"; marketing
+    attribution and UX funnels need the bounded form — a click three
+    days after the view is a new journey, not a conversion.
+
+    Same one-partitioning chained-window shape as the unbounded funnel
+    (one scan, one exchange); the bound is an extra predicate inside
+    each stage's conditional min.  Output is the per-stage user counts
+    plus floor-4 stage-to-stage conversion rates.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view",
+                         F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view")
+                   + F.expr("INTERVAL 1 HOUR")),
+                F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click")
+                   + F.expr("INTERVAL 24 HOURS")),
+                F.col("ts"))).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    f4 = "floor({x} * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE)"
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_1h"),
+        F.count("t_purchase").alias("n_purchased_24h"),
+        F.expr(f4.format(
+            x="CAST(count(t_click) AS DOUBLE)"
+              " / CAST(count(t_view) AS DOUBLE)"
+        )).alias("view_to_click"),
+        F.expr(f4.format(
+            x="CAST(count(t_purchase) AS DOUBLE)"
+              " / CAST(count(t_click) AS DOUBLE)"
+        )).alias("click_to_purchase"),
+    )
+
+
+FUNNEL_STRICT_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view,
+         ts, event_type
+  FROM events
+),
+c AS (
+  SELECT user_id, t_view,
+         min(CASE WHEN event_type = 'click' AND ts > t_view
+                   AND ts <= t_view + INTERVAL 1 HOUR THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click,
+         ts, event_type
+  FROM staged
+),
+p AS (
+  SELECT user_id, t_view, t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                   AND ts <= t_click + INTERVAL 24 HOURS THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM c
+),
+per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM p GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_viewed,
+       CAST(count(t_click) AS BIGINT) AS n_clicked_1h,
+       CAST(count(t_purchase) AS BIGINT) AS n_purchased_24h,
+       floor(CAST(count(t_click) AS DOUBLE)
+             / CAST(count(t_view) AS DOUBLE)
+             * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         AS view_to_click,
+       floor(CAST(count(t_purchase) AS DOUBLE)
+             / CAST(count(t_click) AS DOUBLE)
+             * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         AS click_to_purchase
+FROM per_user
+"""
+
+
 #: Churn horizon: a user is labeled churned after this many days of
 #: silence measured from the corpus reference timestamp.
 CHURN_DAYS = 7
@@ -1903,4 +2011,6 @@ SPECS: dict[str, QuerySpec] = {
                                             INTERARRIVAL_ORACLE),
     "ev_churn_features": QuerySpec(ev_churn_features,
                                    CHURN_FEATURES_ORACLE),
+    "ev_funnel_strict_window": QuerySpec(ev_funnel_strict_window,
+                                         FUNNEL_STRICT_ORACLE),
 }

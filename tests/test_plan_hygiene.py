@@ -180,6 +180,7 @@ SP_ALLOWED = {
     "stats_psi_drift",          # one-row span/decile/total scalars
     "ev_churn_features",        # one-row reference-timestamp scalar
     "doc_lm_xent_proxy",        # one-row vocabulary-size scalar
+    "ev_funnel_strict_window",  # one-row funnel-count scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -1193,3 +1193,47 @@ def test_lm_xent_proxy_matches_python_bigram_lm(spark, sf_dir):
         assert r.xent_q == sum(terms), did
         assert r.mean_xent_q == sum(terms) // len(terms)
         assert r.mean_xent_q >= 0
+
+
+def test_strict_funnel_bounds_and_python_mirror(spark, sf_dir):
+    """The bounded funnel recomputed with a plain-Python per-user scan;
+    the strict counts can never exceed the unbounded funnel's."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_funnel_stages, ev_funnel_strict_window,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    row = ev_funnel_strict_window(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_type))
+    n_view = n_click = n_buy = 0
+    for evs in by_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n_view += 1
+        tv = min(views)
+        clicks = [t for t, e in evs if e == "click"
+                  and tv < t <= tv + timedelta(hours=1)]
+        if not clicks:
+            continue
+        n_click += 1
+        tc = min(clicks)
+        buys = [t for t, e in evs if e == "purchase"
+                and tc < t <= tc + timedelta(hours=24)]
+        if buys:
+            n_buy += 1
+    assert (row.n_users, row.n_viewed, row.n_clicked_1h,
+            row.n_purchased_24h) == (len(by_user), n_view, n_click, n_buy)
+    assert row.view_to_click == int(n_click / n_view * 1e4) / 1e4
+    unbounded = ev_funnel_stages(spark, sf_dir).collect()
+    loose_click = sum(1 for r in unbounded if r.t_click is not None)
+    loose_buy = sum(1 for r in unbounded if r.t_purchase is not None)
+    assert row.n_clicked_1h <= loose_click
+    assert row.n_purchased_24h <= loose_buy
