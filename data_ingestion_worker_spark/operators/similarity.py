@@ -1937,6 +1937,80 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Outlier audit: sample size and the neighbor depth of the distance.
+OUT_SAMPLE = 100
+OUT_K = 5
+
+
+def emb_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier audit: for a deterministic sample of
+    vectors, the exact integer L2² to the ``OUT_K``-th nearest
+    neighbor, flagged against the sample's p95 — the embedding-space
+    junk detector (mis-embedded, truncated, or off-distribution rows
+    sit far from their 5th neighbor long before any index notices).
+
+    Scale shape: the constant ``OUT_SAMPLE``-row query block broadcasts
+    against one corpus scan (the ANN-family BNLJ); per-query rank
+    windows are OUT_SAMPLE bounded partitions; the p95 cut is a scalar
+    over the 100-row result.  Distances are exact BIGINT sums of
+    squared quantized components — no float anywhere until the flag.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv")
+    )
+    q = e.filter(F.col("vec_id") < OUT_SAMPLE) \
+        .withColumnRenamed("vec_id", "query_id") \
+        .withColumnRenamed("qv", "qq")
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    d2 = F.expr(
+        "aggregate(zip_with(qq, qv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    kth = (
+        pairs.select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == OUT_K)
+        .select("query_id", F.col("d2").alias("d2_k"))
+    )
+    cut = kth.agg(
+        F.expr("percentile(d2_k, 0.95)").alias("p95")
+    )
+    return kth.crossJoin(F.broadcast(cut)).select(
+        "query_id", "d2_k",
+        F.expr("CAST(CAST(d2_k AS DOUBLE) > p95 AS INT)")
+        .alias("is_outlier"),
+    )
+
+
+EMB_OUTLIER_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+d2 AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         sum((a.v - b.v) * (a.v - b.v)) AS d2
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {OUT_SAMPLE}
+  GROUP BY 1, 2
+),
+kth AS (
+  SELECT query_id, CAST(d2 AS BIGINT) AS d2_k FROM (
+    SELECT query_id, d2, row_number() OVER (PARTITION BY query_id
+      ORDER BY d2, vec_id) AS rank
+    FROM d2
+  ) WHERE rank = {OUT_K}
+),
+cut AS (SELECT quantile_cont(d2_k, 0.95) AS p95 FROM kth)
+SELECT query_id, d2_k,
+       CAST(CAST(d2_k AS DOUBLE) > p95 AS INT) AS is_outlier
+FROM kth CROSS JOIN cut
+"""
+
+
 def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stability between the even- and odd-id halves
     of the embedding corpus: cosine between the two half-centroids —
@@ -2074,6 +2148,7 @@ SPECS: dict[str, QuerySpec] = {
                                     KNN_LABEL_VOTE_ORACLE),
     "emb_centroid_drift": QuerySpec(emb_centroid_drift,
                                     CENTROID_DRIFT_ORACLE),
+    "emb_outlier_knn": QuerySpec(emb_outlier_knn, EMB_OUTLIER_ORACLE),
     "emb_norm_stats": QuerySpec(emb_norm_stats, EMB_NORM_ORACLE),
     "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_ORACLE),
     "ann_ivf_probe2_topk": QuerySpec(ann_ivf_probe2_topk,

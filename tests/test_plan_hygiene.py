@@ -23,6 +23,8 @@ from data_ingestion_worker_spark.registry import all_specs
 BNLJ_ALLOWED = {
     "ann_cosine_topk",     # K query vectors broadcast against the corpus
     "emb_knn_label_vote",  # KNN_N_QUERIES query rows broadcast × corpus
+    "emb_outlier_knn",     # OUT_SAMPLE query rows broadcast × corpus
+                           # + one-row p95 scalar cross
     "ann_ivf_recall",      # IVF results × brute-force results comparison
     "q22_idle_rich_customers",  # scalar subquery attached to every row
     "q15_top_supplier",    # one-row max-revenue broadcast cross join
@@ -181,6 +183,7 @@ SP_ALLOWED = {
     "ev_churn_features",        # one-row reference-timestamp scalar
     "doc_lm_xent_proxy",        # one-row vocabulary-size scalar
     "ev_funnel_strict_window",  # one-row funnel-count scalar
+    "emb_outlier_knn",          # one-row p95 scalar over the sample
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

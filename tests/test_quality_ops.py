@@ -439,3 +439,31 @@ def test_centroid_drift_matches_numpy(spark, sf_dir):
                                          * float(np.sqrt(sb @ sb))), 6)
         assert g.centroid_cosine == expect, label
         assert -1.0 <= g.centroid_cosine <= 1.0
+
+
+def test_outlier_knn_matches_numpy(spark, sf_dir):
+    """k-th-NN distances recomputed with numpy; the p95 flag must mark
+    at most ~5% of the sample."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        OUT_K, OUT_SAMPLE, QUANT, emb_outlier_knn,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.query_id: (r.d2_k, r.is_outlier)
+           for r in emb_outlier_knn(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64)
+                               * QUANT).astype(np.int64)
+            for r in rows}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    expect = {}
+    for qid in [i for i in ids if i < OUT_SAMPLE]:
+        d2 = ((mat - vecs[qid]) ** 2).sum(axis=1)
+        scored = sorted((int(d), i) for d, i in zip(d2, ids) if i != qid)
+        expect[qid] = scored[OUT_K - 1][0]
+    assert {q: d for q, (d, _) in got.items()} == expect
+    n_out = sum(f for _, f in got.values())
+    assert n_out <= max(1, int(0.06 * len(got)))
