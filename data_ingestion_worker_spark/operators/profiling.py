@@ -831,7 +831,60 @@ SELECT 'source_id_format', CAST(src_bad AS BIGINT), src_bad = 0 FROM s
 """
 
 
+#: Partition-balance probe: simulated partition count (a typical
+#: shuffle width) for the hash-layout diagnostic.
+PB_PARTITIONS = 32
+
+
+def profile_partition_balance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Hash-partition balance diagnostic: simulate partitioning the
+    fact table on a join key (``pmod(hash64(key), P)``) and report each
+    simulated partition's row count plus its load factor vs the
+    perfectly-even share — the planning readout behind "will this key
+    skew a 1000-executor shuffle" (``profile_join_key_skew`` finds hot
+    KEYS; this measures the resulting PARTITION imbalance, which is
+    what actually stalls a stage).
+
+    One scan, one P-group aggregate (map-side combined); the total for
+    the load factor is a window over the constant-P rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    bucket = F.pmod(
+        hash64(F.concat(F.lit("pb:"), F.col("l_orderkey").cast("string"))),
+        F.lit(PB_PARTITIONS),
+    )
+    counts = li.groupBy(bucket.cast("int").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "partition_id", "n_rows",
+        F.expr(f"floor(CAST(n_rows AS DOUBLE) * {PB_PARTITIONS}"
+               " / CAST(total AS DOUBLE) * CAST(10000 AS DOUBLE))"
+               " / CAST(10000 AS DOUBLE)").alias("load_factor"),
+    )
+
+
+PARTITION_BALANCE_ORACLE = f"""
+WITH counts AS (
+  SELECT CAST({hash64_sql("'pb:' || CAST(l_orderkey AS VARCHAR)")}
+              % {PB_PARTITIONS} AS INT) AS partition_id,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT partition_id, n_rows,
+       floor(CAST(n_rows AS DOUBLE) * {PB_PARTITIONS}
+             / CAST(sum(n_rows) OVER () AS DOUBLE)
+             * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         AS load_factor
+FROM counts
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "profile_partition_balance": QuerySpec(profile_partition_balance,
+                                           PARTITION_BALANCE_ORACLE),
     "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
     "dq_validate_orders": QuerySpec(dq_validate_orders, DQ_ORACLE),
     "dq_validate_documents": QuerySpec(dq_validate_documents,

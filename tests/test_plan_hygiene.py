@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "ev_ewma_daily",       # |days|-row spine × |types|-row domain cross
     "stats_psi_drift",     # one-row span + decile-cut scalars crossed
     "ev_churn_features",   # one-row reference-timestamp broadcast cross
+    "profile_partition_balance",  # one-row total broadcast cross
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
 }
 
@@ -184,6 +185,7 @@ SP_ALLOWED = {
     "doc_lm_xent_proxy",        # one-row vocabulary-size scalar
     "ev_funnel_strict_window",  # one-row funnel-count scalar
     "emb_outlier_knn",          # one-row p95 scalar over the sample
+    "profile_partition_balance",  # one-row total scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -1237,3 +1237,30 @@ def test_strict_funnel_bounds_and_python_mirror(spark, sf_dir):
     loose_buy = sum(1 for r in unbounded if r.t_purchase is not None)
     assert row.n_clicked_1h <= loose_click
     assert row.n_purchased_24h <= loose_buy
+
+
+def test_partition_balance_covers_and_mirrors_hash(spark, sf_dir):
+    """Partition counts recomputed with hashlib; counts must cover the
+    table and load factors must average ~1."""
+    import hashlib
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.profiling import (
+        PB_PARTITIONS, profile_partition_balance,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.partition_id: (r.n_rows, r.load_factor)
+           for r in profile_partition_balance(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey").collect()
+    expect: Counter = Counter()
+    for r in li:
+        h = int(hashlib.md5(
+            f"pb:{r.l_orderkey}".encode()).hexdigest()[:15], 16)
+        expect[h % PB_PARTITIONS] += 1
+    assert {p: n for p, (n, _) in got.items()} == dict(expect)
+    total = sum(expect.values())
+    for p, (n, lf) in got.items():
+        assert lf == int(n * PB_PARTITIONS / total * 1e4) / 1e4
+    assert sum(n for n, _ in got.values()) == total
