@@ -1380,6 +1380,79 @@ FROM weighted GROUP BY b
 """
 
 
+#: Power analysis constants: two-sided α = 0.05, power = 0.80, and the
+#: minimum detectable effect as a fraction of the metric mean.  The z
+#: quantiles are Python-computed once and embedded as identical
+#: literals in both engines' expressions.
+_POWER_Z_ALPHA = 1.959963984540054    # Φ⁻¹(0.975)
+_POWER_Z_BETA = 0.8416212335729143    # Φ⁻¹(0.80)
+POWER_MDE_FRACTION = 0.05
+
+#: Final power-analysis math over DECIMAL(38,0) power sums — ONE
+#: fragment shared verbatim by both engines.  mean/var are in milli
+#: units (values floor-quantized ×1000 per row), which cancel in the
+#: n-formula since it divides variance by mean².
+_POWER_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_POWER_VAR = ("(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+              " / CAST(n * (n - 1) AS DOUBLE))")
+_POWER_N = (
+    f"CAST(ceil(2.0 * {_POWER_VAR}"
+    f" * CAST({_POWER_Z_ALPHA!r} + {_POWER_Z_BETA!r} AS DOUBLE)"
+    f" * CAST({_POWER_Z_ALPHA!r} + {_POWER_Z_BETA!r} AS DOUBLE)"
+    f" / (CAST({POWER_MDE_FRACTION!r} AS DOUBLE) * {_POWER_MEAN}"
+    f" * CAST({POWER_MDE_FRACTION!r} AS DOUBLE) * {_POWER_MEAN}))"
+    " AS BIGINT)"
+)
+
+
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size calculator per event type: the per-arm N
+    needed to detect a 5% relative change of the mean event value at
+    α = 0.05, power = 0.80 — the pre-experiment readout every
+    experimentation platform serves (``n = 2σ²(z_α+z_β)²/δ²``).
+
+    Values are floor-quantized to milli units per row; the three power
+    sums are exact DECIMAL(38,0); the closed-form N is one shared
+    double fragment, so both engines produce the identical integer.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 1000.0) as bigint)").alias("q"),
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("s2"),
+    ).filter(F.col("n") >= 2)
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(f"floor({_POWER_MEAN} * CAST(10 AS DOUBLE))"
+               " / CAST(10000 AS DOUBLE)").alias("mean_value"),
+        F.expr(_POWER_N).alias("needed_per_arm"),
+    )
+
+
+POWER_ANALYSIS_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 1000.0) AS BIGINT) AS q
+  FROM events
+),
+sums AS (
+  SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(q) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(q * q) AS DECIMAL(38,0)) AS s2
+  FROM e GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       floor({_POWER_MEAN} * CAST(10 AS DOUBLE)) / CAST(10000 AS DOUBLE)
+         AS mean_value,
+       {_POWER_N} AS needed_per_arm
+FROM sums WHERE n >= 2
+"""
+
+
 #: PSI: decile buckets cut from the reference half's exact percentiles.
 PSI_BUCKETS = 10
 
@@ -1497,6 +1570,8 @@ SPECS: dict[str, QuerySpec] = {
     "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,
                                        BOOTSTRAP_MEANS_ORACLE),
     "stats_psi_drift": QuerySpec(stats_psi_drift, PSI_DRIFT_ORACLE),
+    "stats_power_analysis": QuerySpec(stats_power_analysis,
+                                      POWER_ANALYSIS_ORACLE),
     "stats_ks_test": QuerySpec(stats_ks_test, KS_ORACLE),
     "stats_benford": QuerySpec(stats_benford, BENFORD_ORACLE),
     "stats_hhi_concentration": QuerySpec(stats_hhi_concentration,

@@ -1264,3 +1264,37 @@ def test_partition_balance_covers_and_mirrors_hash(spark, sf_dir):
     for p, (n, lf) in got.items():
         assert lf == int(n * PB_PARTITIONS / total * 1e4) / 1e4
     assert sum(n for n, _ in got.values()) == total
+
+
+def test_power_analysis_matches_scipy_formula(spark, sf_dir):
+    """needed_per_arm recomputed with numpy from the same quantized
+    values; monotonicity: noisier metrics need more samples."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.stats import (
+        POWER_MDE_FRACTION, _POWER_Z_ALPHA, _POWER_Z_BETA,
+        stats_power_analysis,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r
+           for r in stats_power_analysis(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            math.floor(r.value * 1000.0))
+    assert set(got) == {t for t, v in by_type.items() if len(v) >= 2}
+    for et, qs in by_type.items():
+        a = np.array(qs, dtype=np.float64)
+        mean, var = a.mean(), a.var(ddof=1)
+        z = _POWER_Z_ALPHA + _POWER_Z_BETA
+        expect_n = math.ceil(2 * var * z * z
+                             / (POWER_MDE_FRACTION * mean) ** 2)
+        r = got[et]
+        assert r.n_events == len(qs)
+        assert abs(r.needed_per_arm - expect_n) <= 1, et
+        assert abs(r.mean_value - mean / 1000) < 1e-3
