@@ -97,6 +97,13 @@ HEADLINE = [
     # scan + vote, the standard embedding-quality eval).
     "stats_bootstrap_means",
     "emb_knn_label_vote",
+    # ...plus the three promoted into the graded 50: the PSI drift
+    # monitor (broadcast decile cuts + 10-row compare), the bigram-LM
+    # cross-entropy quality proxy (the corpus-model build dominates),
+    # and perceptual-hash image dedup through the real decode path.
+    "stats_psi_drift",
+    "doc_lm_xent_proxy",
+    "mm_image_ahash_dedup",
 ]
 
 

@@ -44,6 +44,17 @@ from .spec import QuerySpec
 #: ``dedup_simhash``, ``emb_int8_quantize``, ``sketch_kmv_distinct``,
 #: ``pipeline_pretrain_filter``, ``doc_token_stats``) stay covered by
 #: the full local sweep.
+#: Late round-5 (cont. 7) swaps, same strongest-member rule:
+#: ``dedup_keep_best`` → ``mm_image_ahash_dedup`` (pixel-level
+#: perceptual-hash dedup through the REAL decode path — dedup × real
+#: multimodal in one graded row; keep-best's decision logic stays graded
+#: via ``dedup_cluster_representative``), ``sketch_hll_distinct`` →
+#: ``stats_psi_drift`` (adds the monitoring/drift category to the graded
+#: window; sketches stay graded via ``sketch_kmv_jaccard``), and
+#: ``doc_quality_score`` → ``doc_lm_xent_proxy`` (the bigram-LM
+#: perplexity proxy is the stronger quality-filter evidence; the
+#: quality formula itself is still graded inside
+#: ``pipeline_curation_e2e``).
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -53,14 +64,14 @@ PRIORITY_AFTER_RELATIONAL = [
     "dedup_embedding_cosine",
     "dedup_incremental",
     "doc_decontaminate",
-    "dedup_keep_best",
+    "mm_image_ahash_dedup",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "cluster_kmeans_embeddings",
-    "sketch_hll_distinct",
+    "stats_psi_drift",
     "sketch_kmv_jaccard",
     "scd2_incremental_merge",
-    "doc_quality_score",
+    "doc_lm_xent_proxy",
     "pipeline_curation_e2e",
     "ev_cusum_changepoint",
     "split_train_holdout",
