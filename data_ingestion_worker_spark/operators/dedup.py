@@ -1467,6 +1467,115 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: the corpus fingerprint set
+    is summarized into a broadcast Bloom bit set; batch documents the
+    filter definitely excludes skip the corpus-index join entirely, and
+    only "maybe" candidates pay the exact verification probe.
+
+    The production point at 100 TB: the corpus index join is the
+    expensive half of :func:`dedup_incremental` (a shuffle against a
+    billion-row fingerprint index), while the Bloom set is a few MiB
+    that broadcasts — so the join's probe side shrinks to the true-dup
+    rate plus the bounded false-positive rate.  Because Bloom filters
+    have NO false negatives, the final statuses are *exactly*
+    :func:`dedup_incremental`'s (the oracle recomputes the same bits
+    and asserts it); ``bloom_pruned``/``bloom_false_positive`` expose
+    the pruning economics per row.
+    """
+    from .sketches import BLOOM_K, BLOOM_M
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") != "src0").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus_fps = (
+        d.filter(F.col("source") == "src0")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)   # feeds bit build + verify join
+    )
+    icol = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+    bit = hash64(
+        F.concat(F.col("i").cast("string"), F.lit(":"), F.col("fp"))
+    ) % BLOOM_M
+    bits = corpus_fps.select(icol, "fp").select(bit.alias("bit")) \
+        .distinct()
+    probe_bits = new.select("doc_id", "source", "fp", icol) \
+        .select("doc_id", "source", "fp", bit.alias("bit"))
+    probed = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "source", "fp")
+        .agg((F.count("set_") == BLOOM_K).alias("maybe"))
+    )
+    cand = probed.filter(F.col("maybe"))
+    verified = cand.join(
+        corpus_fps.withColumn("in_corpus", F.lit(1)), "fp", "left"
+    )
+    fastpath = probed.filter(~F.col("maybe")) \
+        .withColumn("in_corpus", F.lit(None).cast("int"))
+    merged = verified.unionByName(fastpath)
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("fp"))
+    return merged.select(
+        "doc_id", "source", "fp",
+        F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") != first_in_batch, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept")).alias("status"),
+        (~F.col("maybe")).cast("int").alias("bloom_pruned"),
+        (F.col("maybe") & F.col("in_corpus").isNull())
+        .cast("int").alias("bloom_false_positive"),
+    )
+
+
+def _bloom_prefilter_oracle() -> str:
+    from .sketches import BLOOM_K, BLOOM_M
+
+    bit_sql = (hash64_sql("CAST(i AS VARCHAR) || ':' || fp")
+               + f" % {BLOOM_M}")
+    return f"""
+WITH new_batch AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS fp
+  FROM documents WHERE source <> 'src0'
+),
+corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents
+  WHERE source = 'src0'
+),
+bits AS (
+  SELECT DISTINCT {bit_sql} AS bit
+  FROM corpus, unnest(range(0, {BLOOM_K})) AS ii(i)
+),
+probe_bits AS (
+  SELECT doc_id, source, fp, {bit_sql} AS bit
+  FROM new_batch, unnest(range(0, {BLOOM_K})) AS ii(i)
+),
+probed AS (
+  SELECT pb.doc_id, pb.source, pb.fp,
+         count(b.bit) = {BLOOM_K} AS maybe
+  FROM probe_bits pb LEFT JOIN bits b ON pb.bit = b.bit
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT p.doc_id, p.source, p.fp, p.maybe,
+         CASE WHEN p.maybe THEN c.fp END AS corpus_fp
+  FROM probed p LEFT JOIN corpus c ON p.fp = c.fp
+)
+SELECT doc_id, source, fp,
+       CASE WHEN corpus_fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN doc_id <> min(doc_id) OVER (PARTITION BY fp)
+              THEN 'dup_in_batch'
+            ELSE 'kept' END AS status,
+       CAST(NOT maybe AS INT) AS bloom_pruned,
+       CAST(maybe AND corpus_fp IS NULL AS INT) AS bloom_false_positive
+FROM merged
+"""
+
+
+DEDUP_BLOOM_PREFILTER_ORACLE = _bloom_prefilter_oracle()
+
+
 DEDUP_INCREMENTAL_ORACLE = f"""
 WITH new_batch AS (
   SELECT doc_id, source, md5({_NORM_SQL}) AS fp
@@ -1563,6 +1672,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_incremental_lsh": QuerySpec(dedup_incremental_lsh,
                                        DEDUP_INCREMENTAL_LSH_ORACLE),
+    "dedup_bloom_prefilter": QuerySpec(dedup_bloom_prefilter,
+                                       DEDUP_BLOOM_PREFILTER_ORACLE),
     "dedup_incremental": QuerySpec(dedup_incremental,
                                    DEDUP_INCREMENTAL_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),

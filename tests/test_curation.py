@@ -318,3 +318,31 @@ def test_kfold_assignment_is_stable_and_balanced(spark, sf_dir):
     n = len(rows)
     for f, c in folds.items():
         assert abs(c - n / KFOLD_K) < 5 * (n ** 0.5), (f, c)
+
+
+def test_bloom_prefilter_statuses_equal_incremental_dedup(spark, sf_dir):
+    """The Bloom fast path must be invisible in the verdicts (no false
+    negatives): statuses equal dedup_incremental's row for row, pruned
+    rows are exactly the bloom-negative ones, and false positives are
+    maybe-but-absent."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        dedup_bloom_prefilter, dedup_incremental,
+    )
+
+    got = {r.doc_id: r for r in
+           dedup_bloom_prefilter(spark, sf_dir).collect()}
+    base = {r.doc_id: r.status for r in
+            dedup_incremental(spark, sf_dir).collect()}
+    assert {d: r.status for d, r in got.items()} == base
+    for r in got.values():
+        if r.bloom_pruned:
+            # definite negative: must not be a corpus dup, no FP flag
+            assert r.status != "dup_of_corpus"
+            assert not r.bloom_false_positive
+        if r.status == "dup_of_corpus":
+            assert not r.bloom_pruned       # no false negatives, ever
+    n_pruned = sum(r.bloom_pruned for r in got.values())
+    n_fp = sum(r.bloom_false_positive for r in got.values())
+    # the filter must actually prune on this corpus, and FPs stay rare
+    assert n_pruned > 0
+    assert n_fp <= max(2, len(got) // 20)
