@@ -1072,6 +1072,75 @@ FROM scored GROUP BY 1
 """
 
 
+#: Pearson-r arithmetic over DECIMAL(38,0) power sums — ONE fragment
+#: shared verbatim by both engines (the assortativity pattern).
+_QX_CORR = (
+    "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+)
+
+
+def corpus_quality_xent_corr(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Agreement check between the engine's two quality signals: the
+    Pearson correlation of the heuristic quality score against the
+    bigram-LM cross-entropy per document — the calibration readout that
+    tells a pipeline owner whether the cheap heuristic can stand in for
+    the LM proxy on the fast path (strong negative r) or both gates
+    must run.
+
+    Both signals are floor-quantized to integers per document before
+    the DECIMAL(38,0) power sums, so r is one shared double fragment.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.floor(_quality_raw() * 1000000.0).cast("bigint").alias("x"),
+    )
+    y = doc_lm_xent_proxy(spark, sf_dir).select(
+        "doc_id", F.col("mean_xent_q").alias("y")
+    )
+    joined = q.join(y, "doc_id")
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr(_QX_CORR).alias("corr"),
+    )
+
+
+QUALITY_XENT_CORR_ORACLE = f"""
+WITH xent AS ({LM_XENT_ORACLE.strip()}),
+q AS (
+  SELECT doc_id,
+         CAST(floor({_QUALITY_RAW_SQL} * 1000000.0) AS BIGINT) AS x
+  FROM documents
+),
+joined AS (
+  SELECT q.doc_id, q.x, xent.mean_xent_q AS y
+  FROM q JOIN xent ON q.doc_id = xent.doc_id
+),
+sums AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+  FROM joined
+)
+SELECT CAST(n AS BIGINT) AS n_docs, {_QX_CORR} AS corr FROM sums
+"""
+
+
 #: Policy lexicon: category → token list.  The *machinery* of a safety
 #: / content-policy filter (lexicons are config — a deployment swaps in
 #: its real blocklists); categories here are chosen to hit the synthetic
@@ -1241,6 +1310,8 @@ SPECS: dict[str, QuerySpec] = {
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),
     "doc_lm_xent_proxy": QuerySpec(doc_lm_xent_proxy, LM_XENT_ORACLE),
+    "corpus_quality_xent_corr": QuerySpec(corpus_quality_xent_corr,
+                                          QUALITY_XENT_CORR_ORACLE),
     "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,

@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "ev_churn_features",   # one-row reference-timestamp broadcast cross
     "profile_partition_balance",  # one-row total broadcast cross
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
+    "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
 }
 
 
@@ -186,6 +187,7 @@ SP_ALLOWED = {
     "ev_funnel_strict_window",  # one-row funnel-count scalar
     "emb_outlier_knn",          # one-row p95 scalar over the sample
     "profile_partition_balance",  # one-row total scalar
+    "corpus_quality_xent_corr",  # LM vocab scalar + one-row power sums
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

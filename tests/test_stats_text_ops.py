@@ -1298,3 +1298,51 @@ def test_power_analysis_matches_scipy_formula(spark, sf_dir):
         assert r.n_events == len(qs)
         assert abs(r.needed_per_arm - expect_n) <= 1, et
         assert abs(r.mean_value - mean / 1000) < 1e-3
+
+
+def test_quality_xent_corr_matches_numpy(spark, sf_dir):
+    """r recomputed with numpy over the same quantized signals."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.text import (
+        _LM_QUANT, corpus_quality_xent_corr,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    row = corpus_quality_xent_corr(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    toks = {d.doc_id: d.text.strip().lower().split() for d in docs}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    xs, ys = [], []
+    from data_ingestion_worker_spark.functions.text import STOPWORDS
+    for d in docs:
+        t = toks[d.doc_id]
+        if len(t) < 2:
+            continue
+        terms = [math.floor(-_LM_QUANT * math.log2(
+            (c12[(a, b)] + 1) / (c1[a] + v)))
+            for a, b in zip(t, t[1:])]
+        ys.append(sum(terms) // len(terms))
+        n_tok = len(t)
+        stop_n = sum(1 for w in t if w in STOPWORDS)
+        alpha = sum(1 for ch in d.text if ch.isalpha())
+        q = (stop_n / n_tok) * 0.4 + (alpha / len(d.text)) * 0.3 \
+            + min(1.0, n_tok / 100.0) * 0.3
+        xs.append(math.floor(q * 1e6))
+    assert row.n_docs == len(xs)
+    r = np.corrcoef(np.array(xs, dtype=np.float64),
+                    np.array(ys, dtype=np.float64))[0, 1]
+    assert abs(row.corr - r) < 1e-4
+    assert -1.0 <= row.corr <= 1.0
