@@ -40,6 +40,14 @@ BUDGETS = {
     "sketch_kmv_distinct": 5,
     "sketch_kmv_jaccard": 5,
     "profile_columns": 4,
+    # round-5 (cont. 7) additions — current count + slack
+    "doc_lm_xent_proxy": 8,
+    "dedup_bloom_prefilter": 8,
+    "corpus_quality_xent_corr": 9,
+    "rec_item_cooccur_topk": 5,
+    "graph_link_prediction_ra": 5,
+    "stats_bootstrap_means": 3,
+    "mm_image_ahash_dedup": 3,
 }
 
 
