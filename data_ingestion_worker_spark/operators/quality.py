@@ -314,9 +314,109 @@ FROM labeled GROUP BY 1, 2
 """
 
 
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel, second generation — still ONE declarative
+    plan: pretrain filter → policy-lexicon gate (drop flagged docs) →
+    LM-fluency gate (drop the worst decile by bigram-LM cross-entropy;
+    the p90 cut is a one-row broadcast scalar) → exact-dedup keep-first
+    → hash split → per-(split, source) corpus stats.
+
+    A document must carry an LM score to survive (< 2 tokens ⇒ no
+    bigrams ⇒ dropped) — deliberate: un-scorable fragments are exactly
+    what a pretraining mix excludes.  Stage costs on top of
+    ``pipeline_curation_e2e``: the policy gate is a free per-row
+    expression in the same scan; the LM gate adds the bigram-model
+    joins (bigram-partitioned, never a funnel) plus the scalar cut.
+    """
+    from ..functions.hashing import hash64
+    from ..functions.text import fingerprint
+    from .curation import _SPLIT_SALT, _TRAIN_CUT, _VAL_CUT
+    from .text import doc_lm_xent_proxy, doc_policy_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    decided = pipeline_pretrain_filter(spark, sf_dir) \
+        .filter(F.col("keep")).select("doc_id", "n_tokens")
+    unflagged = doc_policy_flags(spark, sf_dir) \
+        .filter(F.col("flagged") == 0).select("doc_id")
+    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q")
+    cut = x.agg(F.expr("percentile(mean_xent_q, 0.9)").alias("p90"))
+    fluent = (
+        x.crossJoin(F.broadcast(cut))
+        .filter(F.expr("CAST(mean_xent_q AS DOUBLE) <= p90"))
+        .select("doc_id")
+    )
+    kept = d.join(decided, "doc_id").join(unflagged, "doc_id") \
+        .join(fluent, "doc_id")
+    first = F.min("doc_id").over(
+        Window.partitionBy(fingerprint(F.col("text"))))
+    canon = kept.withColumn("first_id", first) \
+        .filter(F.col("doc_id") == F.col("first_id"))
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100))
+    split = (
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        canon.select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+def _curation_v2_oracle() -> str:
+    from .curation import _BUCKET_SQL as bucket
+    from .curation import _TRAIN_CUT, _VAL_CUT
+    from .dedup import _NORM_SQL
+    from .text import LM_XENT_ORACLE, POLICY_FLAGS_ORACLE
+
+    return f"""
+WITH {_PIPELINE_CORE_SQL.strip()},
+policy AS ({POLICY_FLAGS_ORACLE.strip()}),
+xent AS ({LM_XENT_ORACLE.strip()}),
+cut AS (SELECT quantile_cont(CAST(mean_xent_q AS DOUBLE), 0.9) AS p90
+        FROM xent),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, dec.n_tokens
+  FROM decided dec
+  JOIN documents d ON dec.doc_id = d.doc_id
+  JOIN policy p ON p.doc_id = d.doc_id AND p.flagged = 0
+  JOIN xent x ON x.doc_id = d.doc_id
+  CROSS JOIN cut
+  WHERE dec.reason = 'kept'
+    AND CAST(x.mean_xent_q AS DOUBLE) <= cut.p90
+),
+canon AS (
+  SELECT doc_id, source, n_tokens
+  FROM (
+    SELECT doc_id, source, n_tokens,
+           min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS first_id
+    FROM kept
+  ) WHERE doc_id = first_id
+),
+labeled AS (
+  SELECT CASE WHEN {bucket} < {_TRAIN_CUT} THEN 'train'
+              WHEN {bucket} < {_VAL_CUT} THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_tokens
+  FROM canon
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_unigram_logprob": QuerySpec(doc_unigram_logprob,
                                      UNIGRAM_LOGPROB_ORACLE),
+    "pipeline_curation_v2": QuerySpec(pipeline_curation_v2,
+                                      _curation_v2_oracle()),
     "pipeline_curation_e2e": QuerySpec(pipeline_curation_e2e,
                                        _curation_e2e_oracle()),
     "pipeline_pretrain_filter": QuerySpec(pipeline_pretrain_filter,

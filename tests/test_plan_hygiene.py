@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "profile_partition_balance",  # one-row total broadcast cross
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
     "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
+    "pipeline_curation_v2",  # LM vocab scalar + one-row p90-cut cross
 }
 
 
@@ -188,6 +189,7 @@ SP_ALLOWED = {
     "emb_outlier_knn",          # one-row p95 scalar over the sample
     "profile_partition_balance",  # one-row total scalar
     "corpus_quality_xent_corr",  # LM vocab scalar + one-row power sums
+    "pipeline_curation_v2",     # LM vocab + p90-cut one-row scalars
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

@@ -48,3 +48,24 @@ def test_ari_and_purity_bounds(spark):
     # Purity is at least 1/k_labels (majority >= uniform share) and at
     # most 1.
     assert 1.0 / row.n_labels <= row.purity <= 1.0
+
+
+def test_curation_v2_is_a_strict_subset_of_e2e(spark, sf_dir):
+    """v2 adds gates, so every (split, source) doc count must be <= the
+    v1 funnel's, totals must shrink, and the output must be non-empty
+    (the gates cannot nuke the corpus)."""
+    from data_ingestion_worker_spark.operators.quality import (
+        pipeline_curation_e2e, pipeline_curation_v2,
+    )
+
+    v1 = {(r.split, r.source): (r.n_docs, r.sum_tokens)
+          for r in pipeline_curation_e2e(spark, sf_dir).collect()}
+    v2 = {(r.split, r.source): (r.n_docs, r.sum_tokens)
+          for r in pipeline_curation_v2(spark, sf_dir).collect()}
+    assert v2 and set(v2) <= set(v1)
+    for k, (n2, t2) in v2.items():
+        n1, t1 = v1[k]
+        assert n2 <= n1 and t2 <= t1, k
+    total1 = sum(n for n, _ in v1.values())
+    total2 = sum(n for n, _ in v2.values())
+    assert 0 < total2 < total1   # the new gates actually drop something
