@@ -104,6 +104,9 @@ HEADLINE = [
     "stats_psi_drift",
     "doc_lm_xent_proxy",
     "mm_image_ahash_dedup",
+    # The v2 funnel (policy + LM-fluency gates on top of e2e) — the
+    # heaviest single launchable; e2e stays for the stage-cost delta.
+    "pipeline_curation_v2",
 ]
 
 

@@ -72,7 +72,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "sketch_kmv_jaccard",
     "scd2_incremental_merge",
     "doc_lm_xent_proxy",
-    "pipeline_curation_e2e",
+    "pipeline_curation_v2",
     "ev_cusum_changepoint",
     "split_train_holdout",
     "pack_sequences",
