@@ -333,6 +333,93 @@ FROM cand WHERE rn = 1
 """
 
 
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join: each click pairs with the user's
+    closest purchase in EITHER direction within the tolerance (pandas
+    ``merge_asof(direction='nearest')``) — the sensor-fusion /
+    clock-skew-tolerant alignment the backward-only join can't express.
+
+    Tie-break is fully pinned: smaller |gap| wins, an exact tie between
+    a backward and a forward candidate prefers the backward one, then
+    the larger purchase id.  Same bounded band-join shape as
+    :func:`asof_join_tolerance` — the horizon caps fan-out in both
+    directions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    wp = Window.partitionBy("user_id", "p_ts").orderBy(
+        F.col("p_id").desc()
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id",
+                F.col("ts").alias("p_ts"), F.col("value").alias("p_val"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    gap = _epoch_s(F.col("c.ts")) - _epoch_s(F.col("p.p_ts"))
+    cand = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.abs(gap) <= ASOF_TOLERANCE_S),
+        "left",
+    ).withColumn("abs_gap", F.abs(gap)) \
+        .withColumn("is_fwd",
+                    F.when(F.col("p.p_ts") > F.col("c.ts"), 1)
+                    .otherwise(0))
+    wc = Window.partitionBy("c.event_id").orderBy(
+        "abs_gap", "is_fwd", F.desc("p.p_id")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("c.event_id").alias("event_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("ts"),
+            F.col("p.p_id").alias("purchase_event_id"),
+            F.col("abs_gap").alias("gap_s"),
+            F.col("p.p_val").alias("purchase_value"),
+        )
+    )
+
+
+ASOF_NEAREST_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         p.event_id AS pid, p.value AS pval,
+         abs(date_diff('second', p.ts, c.ts)) AS abs_gap,
+         CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END AS is_fwd,
+         row_number() OVER (PARTITION BY c.event_id
+            ORDER BY abs(date_diff('second', p.ts, c.ts)),
+                     CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END,
+                     p.event_id DESC) AS rn
+  FROM clicks c LEFT JOIN purch p
+    ON p.user_id = c.user_id
+   AND abs(date_diff('second', p.ts, c.ts)) <= {ASOF_TOLERANCE_S}
+)
+SELECT event_id, user_id, ts,
+       pid AS purchase_event_id,
+       CAST(abs_gap AS BIGINT) AS gap_s,
+       pval AS purchase_value
+FROM cand WHERE rn = 1
+"""
+
+
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build from the event stream.
 
@@ -669,6 +756,8 @@ FROM bracketed WHERE side = 1
 
 SPECS: dict[str, QuerySpec] = {
     "asof_join_purchase": QuerySpec(asof_join_purchase, ASOF_ORACLE),
+    "asof_join_nearest": QuerySpec(asof_join_nearest,
+                                   ASOF_NEAREST_ORACLE),
     "asof_join_tolerance": QuerySpec(asof_join_tolerance,
                                      ASOF_TOLERANCE_ORACLE),
     "range_join_pairs": QuerySpec(range_join_pairs, RANGE_ORACLE),

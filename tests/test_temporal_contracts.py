@@ -229,3 +229,45 @@ def test_abc_two_phase_is_partition_count_invariant(spark, monkeypatch):
     base = _canon(tpch_ext.abc_revenue_classes(spark, SF_DIR))
     monkeypatch.setattr(tpch_ext, "ABC_PARTITIONS", 3)
     assert _canon(tpch_ext.abc_revenue_classes(spark, SF_DIR)) == base
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
+    """direction='nearest' semantics recomputed with a plain-Python
+    nearest scan; backward beats forward on exact |gap| ties."""
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.temporal import (
+        ASOF_TOLERANCE_S, asof_join_nearest,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_id: (r.purchase_event_id, r.gap_s)
+           for r in asof_join_nearest(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "event_type").collect()
+    purch: dict = defaultdict(dict)
+    for r in ev:
+        if r.event_type == "purchase":
+            s = int(r.ts.timestamp())
+            cur = purch[r.user_id].get(s)
+            if cur is None or r.event_id > cur:
+                purch[r.user_id][s] = r.event_id   # max id per (u, ts)
+    n_matched = 0
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        s = int(r.ts.timestamp())
+        best = None
+        for ps, pid in purch[r.user_id].items():
+            gap = abs(s - ps)
+            if gap > ASOF_TOLERANCE_S:
+                continue
+            key = (gap, 0 if ps <= s else 1, -pid)
+            if best is None or key < best[0]:
+                best = (key, pid, gap)
+        if best is None:
+            assert got[r.event_id] == (None, None), r.event_id
+        else:
+            assert got[r.event_id] == (best[1], best[2]), r.event_id
+            n_matched += 1
+    assert n_matched > 0
