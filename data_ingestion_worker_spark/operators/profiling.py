@@ -831,6 +831,57 @@ SELECT 'source_id_format', CAST(src_bad AS BIGINT), src_bad = 0 FROM s
 """
 
 
+def profile_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day profile drift of the event stream: row count, null
+    rate, distinct users, and integer-exact mean value per day, each
+    with its delta vs the previous day — the schema/volume drift
+    monitor that catches upstream breakage (a field suddenly null, a
+    producer gone quiet) before any distribution test would
+    (``stats_psi_drift`` watches the VALUES; this watches the SHAPE).
+
+    One scan to per-day aggregates; the day-over-day lag runs over the
+    calendar-bounded daily frame (≤ observation-window rows), so the
+    single-partition window is constant-size, never data-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .alias("n_null_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("(1000 * sum(cast(cast(value as decimal(14,2)) * 100"
+               " as bigint))) div count(1)").alias("mean_millicents"),
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "n", "n_null_value", "n_users", "mean_millicents",
+        (F.col("n") - F.lag("n").over(w)).alias("d_n"),
+        (F.col("n_users") - F.lag("n_users").over(w)).alias("d_users"),
+        (F.col("mean_millicents") - F.lag("mean_millicents").over(w))
+        .alias("d_mean_millicents"),
+    )
+
+
+DRIFT_DAILY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_value,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST((1000 * sum(CAST(CAST(value AS DECIMAL(14,2)) * 100
+              AS BIGINT))) // count(*) AS BIGINT) AS mean_millicents
+  FROM events GROUP BY 1
+)
+SELECT day, n, n_null_value, n_users, mean_millicents,
+       n - lag(n) OVER w AS d_n,
+       n_users - lag(n_users) OVER w AS d_users,
+       mean_millicents - lag(mean_millicents) OVER w
+         AS d_mean_millicents
+FROM daily
+WINDOW w AS (ORDER BY day)
+"""
+
+
 #: Partition-balance probe: simulated partition count (a typical
 #: shuffle width) for the hash-layout diagnostic.
 PB_PARTITIONS = 32
@@ -885,6 +936,8 @@ FROM counts
 SPECS: dict[str, QuerySpec] = {
     "profile_partition_balance": QuerySpec(profile_partition_balance,
                                            PARTITION_BALANCE_ORACLE),
+    "profile_drift_daily": QuerySpec(profile_drift_daily,
+                                     DRIFT_DAILY_ORACLE),
     "profile_columns": QuerySpec(profile_columns, PROFILE_ORACLE),
     "dq_validate_orders": QuerySpec(dq_validate_orders, DQ_ORACLE),
     "dq_validate_documents": QuerySpec(dq_validate_documents,

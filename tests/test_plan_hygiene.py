@@ -190,6 +190,8 @@ SP_ALLOWED = {
     "profile_partition_balance",  # one-row total scalar
     "corpus_quality_xent_corr",  # LM vocab scalar + one-row power sums
     "pipeline_curation_v2",     # LM vocab + p90-cut one-row scalars
+    "profile_drift_daily",      # day-over-day lag over the calendar-
+                                # bounded daily aggregate
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -211,6 +213,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "ev_survival_curve",    # <=31 lifetime-day rows (observation window)
     "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
     "ev_peak_concurrency",  # CONC_PARTITIONS-row offset agg (constant)
+    "profile_drift_daily",  # <=|observation-window| daily rows
 }
 
 

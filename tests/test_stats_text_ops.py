@@ -1346,3 +1346,43 @@ def test_quality_xent_corr_matches_numpy(spark, sf_dir):
                     np.array(ys, dtype=np.float64))[0, 1]
     assert abs(row.corr - r) < 1e-4
     assert -1.0 <= row.corr <= 1.0
+
+
+def test_profile_drift_daily_matches_python_rollup(spark, sf_dir):
+    """Daily profile + deltas recomputed with plain-Python dicts."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_worker_spark.operators.profiling import (
+        profile_drift_daily,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.day: r for r in profile_drift_daily(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "user_id", "value").collect()
+    agg: dict = defaultdict(lambda: {"n": 0, "nulls": 0,
+                                     "users": set(), "cents": 0})
+    for r in ev:
+        a = agg[r.ts.date()]
+        a["n"] += 1
+        if r.value is None:
+            a["nulls"] += 1
+        else:
+            a["cents"] += int(Decimal(str(r.value))
+                              .quantize(Decimal("0.01")) * 100)
+        a["users"].add(r.user_id)
+    assert set(got) == set(agg)
+    prev = None
+    for day in sorted(agg):
+        a = agg[day]
+        r = got[day]
+        mean = (1000 * a["cents"]) // a["n"]
+        assert (r.n, r.n_null_value, r.n_users, r.mean_millicents) == \
+            (a["n"], a["nulls"], len(a["users"]), mean), day
+        if prev is None:
+            assert r.d_n is None and r.d_users is None
+        else:
+            assert r.d_n == a["n"] - prev["n"]
+            assert r.d_users == len(a["users"]) - len(prev["users"])
+        prev = a
