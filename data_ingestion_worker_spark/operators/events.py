@@ -1851,6 +1851,101 @@ FROM per_user
 """
 
 
+#: Rolling-median window length in days (trailing, inclusive).
+ROLLMED_DAYS = 7
+
+
+def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily volume per event type —
+    the robust trend line (a one-day spike shifts a rolling mean for a
+    week; it barely moves the rolling median).  Spark windows cannot
+    compute percentiles over a frame, so the window is re-expressed as
+    a bounded offset fan-out: each day contributes itself to the 7
+    target days it participates in (the ``ev_dau_stickiness`` /
+    ``ev_sliding_uniques_hll`` pattern), and each target day takes an
+    exact ``percentile`` over its ≤7 contributions.
+
+    Exactness: the median of ≤7 integers is integer or half-integer,
+    so ``2·median`` is an exact BIGINT (the ``ev_anomaly_mad`` trick).
+    Missing days count as zero via the dense calendar spine, so a
+    silent day drags the median down as it should.
+
+    Scale shape: the spine is calendar × type bounded; the fan-out is a
+    constant ×7 on that bounded frame.  Only the initial daily groupBy
+    touches table-sized data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type",
+                F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    fanned = dense.select(
+        "event_type", "n",
+        F.explode(F.expr(
+            f"transform(sequence(0, {ROLLMED_DAYS - 1}), "
+            "o -> date_add(day, o))"
+        )).alias("target_day"),
+        F.col("day").alias("src_day"),
+    )
+    spine_days = days.select(F.col("day").alias("target_day"))
+    return (
+        fanned.join(spine_days, "target_day")   # drop beyond-horizon
+        .groupBy(F.col("target_day").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_in_window"),
+            F.expr("cast(percentile(n, 0.5) * 2 as bigint)")
+            .alias("median2"),
+        )
+    )
+
+
+def _rollmed_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+dense AS (
+  SELECT days.day, t.event_type, coalesce(daily.n, 0) AS n
+  FROM days
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN daily ON daily.day = days.day
+                 AND daily.event_type = t.event_type
+),
+fanned AS (
+  SELECT event_type, n, CAST(day + to_days(CAST(o AS INTEGER)) AS DATE) AS target_day
+  FROM dense, unnest(range(0, {ROLLMED_DAYS})) AS oo(o)
+)
+SELECT f.target_day AS day, f.event_type,
+       CAST(count(*) AS BIGINT) AS n_days_in_window,
+       CAST(quantile_cont(f.n, 0.5) * 2 AS BIGINT) AS median2
+FROM fanned f JOIN days d ON f.target_day = d.day
+GROUP BY 1, 2
+"""
+
+
+ROLLING_MEDIAN_ORACLE = _rollmed_oracle()
+
+
 #: Churn horizon: a user is labeled churned after this many days of
 #: silence measured from the corpus reference timestamp.
 CHURN_DAYS = 7
@@ -2007,6 +2102,8 @@ SPECS: dict[str, QuerySpec] = {
     "ev_user_entropy": QuerySpec(ev_user_entropy, USER_ENTROPY_ORACLE),
     "ev_ewma_daily": QuerySpec(ev_ewma_daily, EWMA_ORACLE),
     "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, ANOMALY_MAD_ORACLE),
+    "ev_rolling_median_7d": QuerySpec(ev_rolling_median_7d,
+                                      ROLLING_MEDIAN_ORACLE),
     "ev_interarrival_burstiness": QuerySpec(ev_interarrival_burstiness,
                                             INTERARRIVAL_ORACLE),
     "ev_churn_features": QuerySpec(ev_churn_features,

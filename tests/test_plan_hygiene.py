@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "stats_psi_drift",     # one-row span + decile-cut scalars crossed
     "ev_churn_features",   # one-row reference-timestamp broadcast cross
     "profile_partition_balance",  # one-row total broadcast cross
+    "ev_rolling_median_7d",  # |days|-row spine × |types|-row domain
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
     "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
     "pipeline_curation_v2",  # LM vocab scalar + one-row p90-cut cross
@@ -192,6 +193,7 @@ SP_ALLOWED = {
     "pipeline_curation_v2",     # LM vocab + p90-cut one-row scalars
     "profile_drift_daily",      # day-over-day lag over the calendar-
                                 # bounded daily aggregate
+    "ev_rolling_median_7d",     # one-row (min,max)-day span scalar
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only

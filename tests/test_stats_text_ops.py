@@ -1386,3 +1386,39 @@ def test_profile_drift_daily_matches_python_rollup(spark, sf_dir):
             assert r.d_n == a["n"] - prev["n"]
             assert r.d_users == len(a["users"]) - len(prev["users"])
         prev = a
+
+
+def test_rolling_median_matches_python_windows(spark, sf_dir):
+    """Trailing 7-day medians recomputed with statistics.median over
+    the dense zero-filled series; clipped early windows count fewer
+    days; medians must damp single-day spikes the mean would follow."""
+    from collections import defaultdict
+    from datetime import timedelta
+    from statistics import median
+
+    from data_ingestion_worker_spark.operators.events import (
+        ROLLMED_DAYS, ev_rolling_median_7d,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.day, r.event_type): (r.n_days_in_window, r.median2)
+           for r in ev_rolling_median_7d(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "event_type").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.ts.date(), r.event_type)] += 1
+    d0 = min(k[0] for k in daily)
+    d1 = max(k[0] for k in daily)
+    types = sorted({k[1] for k in daily})
+    n_days = (d1 - d0).days + 1
+    assert len(got) == n_days * len(types)
+    for et in types:
+        series = [daily.get((d0 + timedelta(days=i), et), 0)
+                  for i in range(n_days)]
+        for i in range(n_days):
+            lo = max(0, i - ROLLMED_DAYS + 1)
+            window = series[lo:i + 1]
+            key = (d0 + timedelta(days=i), et)
+            assert got[key] == (len(window),
+                                round(2 * median(window))), key
