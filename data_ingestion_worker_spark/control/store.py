@@ -607,12 +607,27 @@ class ControlStore:
         implicit consequence of rebuilding the scoped slice from the
         snapshot, so there is no per-row delete pass to keep idempotent
         — replaying the same sync is a no-op by construction.
+
+        Two edge rules keep the backends drop-in equivalent: a row
+        where ``scope`` evaluates to NULL counts as OUTSIDE the scope
+        (kept — matching the JDBC ``DELETE WHERE (scope)`` semantics,
+        where NULL never deletes), and a snapshot key that also exists
+        outside the scope REPLACES that row (MERGE semantics) instead
+        of duplicating the primary key.
         """
+        keys = KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
 
         def derive(target: DataFrame):
-            kept = target.filter(f"NOT ({scope})") if scope else \
-                target.filter(F.lit(False))
+            if scope:
+                # NULL-safe complement: NOT(NULL) is NULL and would
+                # silently drop the row from a plain filter.
+                kept = target.filter(
+                    ~F.coalesce(F.expr(f"({scope})"), F.lit(False))
+                )
+            else:
+                kept = target.filter(F.lit(False))
+            kept = kept.join(snapshot.select(keys), keys, "left_anti")
             return kept.unionByName(snapshot.select(cols)), "sync"
 
         self._read_modify_write(table, derive, "sync")

@@ -1569,6 +1569,55 @@ FROM u GROUP BY 1
 """
 
 
+def _dense_daily(e: DataFrame) -> DataFrame:
+    """Zero-filled (day, event_type, n) over the dense calendar ×
+    event-type spine — THE single codification shared by the EWMA and
+    rolling-median trend operators (missing days must count as zero in
+    both, and a future change to spine semantics must hit both at
+    once).  The (min, max)-day span is a one-row broadcast scalar; the
+    spine is calendar × type bounded."""
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type",
+                F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+#: DuckDB rendering of :func:`_dense_daily` (single oracle-side
+#: codification of the same spine).
+_DENSE_DAILY_SQL = """daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+dense AS (
+  SELECT days.day, t.event_type, coalesce(daily.n, 0) AS n
+  FROM days
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+  LEFT JOIN daily ON daily.day = days.day
+                 AND daily.event_type = t.event_type
+)"""
+
+
 #: EWMA lookback: 8 daily lags with half-life-one-day weights 2^(7-k) —
 #: powers of two, so the weighted sum is exact in BIGINT.
 EWMA_LAGS = 8
@@ -1593,25 +1642,7 @@ def ev_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (bounded partitions).  The only table-sized work is the initial
     daily groupBy.
     """
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.to_date("ts").alias("day"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"))
-    span = e.agg(
-        F.min(F.to_date("ts")).alias("d0"),
-        F.max(F.to_date("ts")).alias("d1"),
-    )
-    days = span.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    types = e.select("event_type").distinct()
-    spine = days.crossJoin(F.broadcast(types))
-    dense = (
-        spine.join(daily, ["day", "event_type"], "left")
-        .select("day", "event_type",
-                F.coalesce("n", F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("day")
     num = sum(
         F.coalesce(F.lag("n", k).over(w), F.lit(0))
@@ -1643,25 +1674,7 @@ def _ewma_oracle() -> str:
         for k in range(EWMA_LAGS)
     )
     return f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
-  FROM events GROUP BY 1, 2
-),
-span AS (
-  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-  FROM events
-),
-days AS (
-  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-  FROM span
-),
-dense AS (
-  SELECT days.day, t.event_type, coalesce(daily.n, 0) AS n
-  FROM days
-  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-  LEFT JOIN daily ON daily.day = days.day
-                 AND daily.event_type = t.event_type
-)
+WITH {_DENSE_DAILY_SQL}
 SELECT day, event_type, CAST(n AS BIGINT) AS n,
        CAST((1000 * ({num_terms})) // ({den_terms}) AS BIGINT)
          AS ewma_milli
@@ -1706,10 +1719,13 @@ def ev_interarrival_burstiness(spark: SparkSession,
     gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))
     gaps = e.select("event_type", gap.alias("g")) \
         .filter(F.col("g").isNotNull())
+    # Summands promote to DECIMAL(38,0) BEFORE the sum: at the row
+    # counts the docstring claims, Σg² exceeds int64 and Spark (ANSI
+    # off) would wrap silently while DuckDB sums in HUGEINT.
     sums = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("g").cast("decimal(38,0)").alias("s1"),
-        F.sum(F.expr("g * g")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("cast(g as decimal(38,0)) * g")).alias("s2"),
     ).filter(F.col("n") >= 2)
     return sums.select(
         "event_type",
@@ -1875,21 +1891,7 @@ def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches table-sized data.
     """
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    span = e.agg(
-        F.min(F.to_date("ts")).alias("d0"),
-        F.max(F.to_date("ts")).alias("d1"),
-    )
-    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    types = e.select("event_type").distinct()
-    dense = (
-        days.crossJoin(F.broadcast(types))
-        .join(daily, ["day", "event_type"], "left")
-        .select("day", "event_type",
-                F.coalesce("n", F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily(e).localCheckpoint(eager=False)
     fanned = dense.select(
         "event_type", "n",
         F.explode(F.expr(
@@ -1898,7 +1900,9 @@ def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("target_day"),
         F.col("day").alias("src_day"),
     )
-    spine_days = days.select(F.col("day").alias("target_day"))
+    spine_days = dense.select(
+        F.col("day").alias("target_day")
+    ).distinct()
     return (
         fanned.join(spine_days, "target_day")   # drop beyond-horizon
         .groupBy(F.col("target_day").alias("day"), "event_type")
@@ -1912,25 +1916,7 @@ def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rollmed_oracle() -> str:
     return f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
-  FROM events GROUP BY 1, 2
-),
-span AS (
-  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-  FROM events
-),
-days AS (
-  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-  FROM span
-),
-dense AS (
-  SELECT days.day, t.event_type, coalesce(daily.n, 0) AS n
-  FROM days
-  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
-  LEFT JOIN daily ON daily.day = days.day
-                 AND daily.event_type = t.event_type
-),
+WITH {_DENSE_DAILY_SQL},
 fanned AS (
   SELECT event_type, n, CAST(day + to_days(CAST(o AS INTEGER)) AS DATE) AS target_day
   FROM dense, unnest(range(0, {ROLLMED_DAYS})) AS oo(o)

@@ -1340,10 +1340,15 @@ def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = r.withColumn(
         "w", F.expr(_poisson_weight_case(f"cast({h} as bigint)"))
     )
+    # The summand is promoted to DECIMAL(38,0) BEFORE the sum (the
+    # engine convention): at SF1 ``10⁶·Σ w·cents`` already exceeds
+    # int64 and Spark (ANSI off) would wrap silently, while DuckDB's
+    # HUGEINT sum stays exact — a parity break only visible past the
+    # test SFs.
     return weighted.groupBy("b").agg(
         F.sum("w").alias("n_eff"),
-        F.expr("(1000000 * sum(w * cents)) div sum(w)")
-        .alias("mean_microcents"),
+        F.expr("cast((1000000 * sum(cast(w * cents as decimal(38,0))))"
+               " div sum(w) as bigint)").alias("mean_microcents"),
     )
 
 
@@ -1419,10 +1424,12 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("cast(floor(value * 1000.0) as bigint)").alias("q"),
     )
+    # DECIMAL(38,0) summands (not a post-sum cast): Σq² wraps int64
+    # long before 100 TB row counts; DuckDB sums in HUGEINT.
     sums = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("q").cast("decimal(38,0)").alias("s1"),
-        F.sum(F.expr("q * q")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("cast(q as decimal(38,0)) * q")).alias("s2"),
     ).filter(F.col("n") >= 2)
     return sums.select(
         "event_type",

@@ -1103,13 +1103,15 @@ def corpus_quality_xent_corr(spark: SparkSession,
         "doc_id", F.col("mean_xent_q").alias("y")
     )
     joined = q.join(y, "doc_id")
+    # DECIMAL(38,0) summands (not a post-sum cast): the quadratic
+    # sums wrap int64 at corpus scale; DuckDB sums in HUGEINT.
     sums = joined.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
-        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
     )
     return sums.select(
         F.col("n").cast("bigint").alias("n_docs"),

@@ -53,8 +53,9 @@ from .spec import QuerySpec
 #: window; sketches stay graded via ``sketch_kmv_jaccard``), and
 #: ``doc_quality_score`` → ``doc_lm_xent_proxy`` (the bigram-LM
 #: perplexity proxy is the stronger quality-filter evidence; the
-#: quality formula itself is still graded inside
-#: ``pipeline_curation_e2e``).
+#: quality formula itself is still graded inside the funnel row,
+#: now ``pipeline_curation_v2`` — the v1 funnel plus policy-lexicon
+#: and LM-fluency gates; v1 stays in the local sweep).
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [

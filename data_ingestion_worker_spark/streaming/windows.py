@@ -165,17 +165,33 @@ def psi_report(counts: DataFrame, ref_dist: DataFrame) -> DataFrame:
 
     ``counts`` is the sink table :func:`psi_buckets_stream` produced
     (``window_start, bucket, n_cur``); ``ref_dist`` is the reference
-    distribution ``(bucket, n_ref, tr)``.  Buckets an arriving window
-    never hit are completed with ``n_cur = 0`` off the (bounded)
-    ref_dist × windows spine, and every term uses the same shared
-    ``_PSI_TERM`` fragment as the batch operator — one definition of
-    PSI across batch and streaming.
+    distribution ``(bucket, n_ref, tr)``.  The spine is windows × the
+    FULL 1..PSI_BUCKETS domain — not windows × ref_dist — because a
+    heavily-tied reference can leave interior buckets with zero
+    reference rows, and current-window mass landing there is exactly
+    the drift the report must surface (the batch twin reports those
+    buckets with ``n_ref = 0`` and the 1e-6 floor; dropping them would
+    both understate PSI and break ``Σ n_cur = tc``).  Every term uses
+    the same shared ``_PSI_TERM`` fragment as the batch operator — one
+    definition of PSI across batch and streaming.
     """
-    from ..operators.stats import _PSI_TERM
+    from ..operators.stats import _PSI_TERM, PSI_BUCKETS
 
     windows = counts.select("window_start").distinct()
     tc = counts.groupBy("window_start").agg(F.sum("n_cur").alias("tc"))
-    spine = windows.crossJoin(F.broadcast(ref_dist))
+    buckets = windows.limit(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(PSI_BUCKETS)))
+        .alias("bucket")
+    )
+    tr_row = ref_dist.agg(F.max("tr").alias("tr"))
+    spine = (
+        windows.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(ref_dist.select("bucket", "n_ref")),
+              "bucket", "left")
+        .crossJoin(F.broadcast(tr_row))
+        .select("window_start", "bucket",
+                F.coalesce("n_ref", F.lit(0)).alias("n_ref"), "tr")
+    )
     dense = (
         spine.join(counts, ["window_start", "bucket"], "left")
         .select("window_start", "bucket", "n_ref", "tr",

@@ -657,3 +657,33 @@ def test_store_sync_parity_across_backends(kind, spark, tmp_path):
            for r in store.read("jobs").collect()}
     assert got == {1: ("u1b", "RUNNING"), 3: ("u3", "PENDING"),
                    10: ("keep", "DONE")}
+
+
+@pytest.mark.parametrize("kind", ["parquet", "jdbc"])
+def test_store_sync_null_scope_and_key_collision(kind, spark, tmp_path):
+    """Backend-parity edges: a row where the scope predicate evaluates
+    NULL is OUTSIDE the scope (kept), and a snapshot key that already
+    exists outside the scope is REPLACED, never duplicated."""
+    store = _make_store(kind, spark, tmp_path)
+    schema = store.read("jobs").schema
+
+    def row(job_id, user, status):
+        return (job_id, None, user, None, None, status, None, None,
+                None, None, None, None)
+
+    store.overwrite("jobs", spark.createDataFrame(
+        [row(1, "u1", "PENDING"),      # in scope, missing from snap
+         row(2, "u2", None),           # scope predicate -> NULL: kept
+         row(10, "old", "DONE")],      # outside scope, key collides
+        schema))
+    # Derby quirk (same as read()'s pushdown guard): non-key strings
+    # are CLOBs and can't compare to literals without a VARCHAR cast.
+    scope = ('CAST("job_status" AS VARCHAR(32000)) = \'PENDING\''
+             if kind == "jdbc" else "job_status = 'PENDING'")
+    store.sync("jobs", spark.createDataFrame(
+        [row(10, "new", "RUNNING")], schema), scope=scope)
+    rows = store.read("jobs").collect()
+    got = {r.job_id: (r.job_user_id, r.job_status) for r in rows}
+    assert len(rows) == len(got) == 2          # no duplicate keys
+    assert got == {2: ("u2", None),            # NULL-scope row kept
+                   10: ("new", "RUNNING")}     # collided key replaced

@@ -609,3 +609,46 @@ def test_psi_stream_matches_batch_terms(spark, tmp_path):
     psi = {d: sum(r.psi_term_micro for (dd, _), r in rows.items()
                   if dd == d) for d in (1, 2)}
     assert psi[1] > psi[2] >= 0 or psi[1] > 0
+
+
+def test_psi_report_surfaces_zero_reference_buckets(spark):
+    """A tied reference leaves interior deciles empty; current mass
+    landing there must still appear (n_ref=0, 1e-6 floor term), with
+    bucket counts summing to tc — the silent-drop regression guard."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.stats import (
+        PSI_BUCKETS, psi_cuts, _PSI_BUCKET,
+    )
+    from data_ingestion_worker_spark.streaming.windows import psi_report
+
+    # 90% zeros + a few large values: cuts c1..c8 = 0, so reference
+    # rows occupy only the extreme buckets.
+    ref = spark.createDataFrame(
+        [(0,)] * 90 + [(1000,)] * 10, "cents bigint"
+    )
+    cuts = psi_cuts(ref)
+    ref_dist = (
+        ref.crossJoin(F.broadcast(cuts))
+        .select(F.expr(_PSI_BUCKET).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
+        .crossJoin(F.broadcast(ref.agg(F.count(F.lit(1)).alias("tr"))))
+    )
+    assert ref_dist.count() < PSI_BUCKETS   # interior buckets ARE empty
+    # one finalized window whose rows land in an empty-reference bucket
+    import datetime as dt
+    w0 = dt.datetime(2026, 1, 1)
+    counts = spark.createDataFrame(
+        [(w0, 9, 5), (w0, 10, 15)],
+        "window_start timestamp, bucket int, n_cur bigint",
+    )
+    rows = {r.bucket: r for r in psi_report(counts, ref_dist).collect()}
+    assert set(rows) == set(range(1, PSI_BUCKETS + 1))
+    assert sum(r.n_cur for r in rows.values()) == 20
+    nine = rows[9]
+    assert (nine.n_ref, nine.n_cur) == (0, 5)
+    q = 5 / 20
+    assert nine.psi_term_micro == math.floor(
+        1_000_000 * (q - 1e-6) * math.log(q / 1e-6))
