@@ -687,3 +687,53 @@ def test_store_sync_null_scope_and_key_collision(kind, spark, tmp_path):
     assert len(rows) == len(got) == 2          # no duplicate keys
     assert got == {2: ("u2", None),            # NULL-scope row kept
                    10: ("new", "RUNNING")}     # collided key replaced
+
+
+def test_store_backends_agree_on_random_op_sequences(spark, tmp_path):
+    """Drop-in parity fuzz: the same seeded random sequence of
+    overwrite/upsert/delete/sync operations applied to BOTH backends
+    must leave identical tables (the contract the JDBC swap relies
+    on)."""
+    import random
+
+    pq = _make_store("parquet", spark, tmp_path / "pq")
+    db = _make_store("jdbc", spark, tmp_path / "db")
+    schema = pq.read("jobs").schema
+
+    def row(job_id, user, status):
+        return (job_id, None, user, None, None, status, None, None,
+                None, None, None, None)
+
+    rng = random.Random(20260815)
+    statuses = ["PENDING", "RUNNING", "DONE", None]
+
+    def rand_rows(n):
+        ids = rng.sample(range(1, 20), n)
+        return [row(i, f"u{rng.randrange(5)}",
+                    rng.choice(statuses)) for i in ids]
+
+    base = rand_rows(8)
+    for st in (pq, db):
+        st.overwrite("jobs", spark.createDataFrame(base, schema))
+    for step in range(6):
+        op = rng.choice(["upsert", "insert_only", "delete", "sync"])
+        if op in ("upsert", "insert_only"):
+            batch = spark.createDataFrame(rand_rows(3), schema)
+            for st in (pq, db):
+                st.upsert("jobs", batch,
+                          insert_only=(op == "insert_only"))
+        elif op == "delete":
+            keys = spark.createDataFrame(
+                [(i,) for i in rng.sample(range(1, 20), 3)],
+                "job_id bigint")
+            for st in (pq, db):
+                st.delete("jobs", keys)
+        else:
+            cut = rng.randrange(5, 15)
+            snap = spark.createDataFrame(
+                [r for r in rand_rows(3) if r[0] < cut], schema)
+            pq.sync("jobs", snap, scope=f"job_id < {cut}")
+            db.sync("jobs", snap, scope=f'"job_id" < {cut}')
+        a = sorted(map(tuple, pq.read("jobs").collect()))
+        b = sorted(map(tuple, db.read("jobs").collect()))
+        assert a == b, f"backends diverged after step {step} ({op})"
