@@ -1618,6 +1618,96 @@ dense AS (
 )"""
 
 
+#: Lead-lag scan range: correlations are computed at day offsets
+#: -LEADLAG_MAX .. +LEADLAG_MAX.
+LEADLAG_MAX = 3
+
+#: Pearson r over exact integer power sums — shared fragment (the
+#: assortativity pattern); sums stay int64-safe because the series is
+#: the calendar-bounded daily aggregate, not raw rows.
+_LEADLAG_R = (
+    "floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+)
+
+
+def ev_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type daily series:
+    Pearson r of (type_a at day t, type_b at day t+lag) for every
+    unordered type pair at lags −3..+3 — the "does clicking today
+    predict buying tomorrow" diagnostic behind funnel latency and
+    campaign-effect analyses (a max-|r| off lag 0 IS the lead time).
+
+    Runs entirely on the shared dense daily spine (``_dense_daily`` —
+    zero-filled, calendar × type bounded), so the lag join, the power
+    sums and the final r are all constant-sized work; degenerate pairs
+    (a constant series in the overlap window) are dropped rather than
+    divided by zero.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events")) \
+        .localCheckpoint(eager=False)   # both sides of the lag join
+    a = dense.select(F.col("event_type").alias("type_a"),
+                     F.col("day").alias("day"),
+                     F.col("n").alias("x"))
+    b = dense.select(F.col("event_type").alias("type_b"),
+                     F.col("day").alias("b_day"),
+                     F.col("n").alias("y"))
+    lags = spark.range(-LEADLAG_MAX, LEADLAG_MAX + 1) \
+        .select(F.col("id").cast("int").alias("lag"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.expr("date_add(day, lag)") == F.col("b_day"))
+              & (F.col("type_a") < F.col("type_b")))
+    )
+    sums = paired.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    nondeg = sums.filter(
+        (F.expr("n * sxx - sx * sx") > 0)
+        & (F.expr("n * syy - sy * sy") > 0)
+    )
+    return nondeg.select(
+        "type_a", "type_b", "lag",
+        F.col("n").alias("n_days"),
+        F.expr(_LEADLAG_R).alias("r"),
+    )
+
+
+LEADLAG_ORACLE = f"""
+WITH {{dense_sql}},
+lags AS (
+  SELECT CAST(unnest(range(-{LEADLAG_MAX}, {LEADLAG_MAX} + 1)) AS INT)
+    AS lag
+),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.n AS x, b.n AS y
+  FROM dense a
+  CROSS JOIN lags l
+  JOIN dense b
+    ON CAST(a.day + to_days(l.lag) AS DATE) = b.day
+   AND a.event_type < b.event_type
+),
+sums AS (
+  SELECT type_a, type_b, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM paired GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, lag, CAST(n AS BIGINT) AS n_days,
+       {_LEADLAG_R} AS r
+FROM sums
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 #: EWMA lookback: 8 daily lags with half-life-one-day weights 2^(7-k) —
 #: powers of two, so the weighted sum is exact in BIGINT.
 EWMA_LAGS = 8
@@ -2090,6 +2180,10 @@ SPECS: dict[str, QuerySpec] = {
     "ev_anomaly_mad": QuerySpec(ev_anomaly_mad, ANOMALY_MAD_ORACLE),
     "ev_rolling_median_7d": QuerySpec(ev_rolling_median_7d,
                                       ROLLING_MEDIAN_ORACLE),
+    "ev_lead_lag_corr": QuerySpec(
+        ev_lead_lag_corr,
+        LEADLAG_ORACLE.format(dense_sql=_DENSE_DAILY_SQL),
+    ),
     "ev_interarrival_burstiness": QuerySpec(ev_interarrival_burstiness,
                                             INTERARRIVAL_ORACLE),
     "ev_churn_features": QuerySpec(ev_churn_features,

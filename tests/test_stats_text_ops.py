@@ -1422,3 +1422,52 @@ def test_rolling_median_matches_python_windows(spark, sf_dir):
             key = (d0 + timedelta(days=i), et)
             assert got[key] == (len(window),
                                 round(2 * median(window))), key
+
+
+def test_lead_lag_corr_matches_numpy(spark, sf_dir):
+    """Every (pair, lag) r recomputed with numpy over the zero-filled
+    series; lag 0 rows must be symmetric in the pair definition and
+    every r within [-1, 1]."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.events import (
+        LEADLAG_MAX, ev_lead_lag_corr,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.type_a, r.type_b, r.lag): (r.n_days, r.r)
+           for r in ev_lead_lag_corr(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events") \
+        .select("ts", "event_type").collect()
+    daily: dict = defaultdict(int)
+    for r in ev:
+        daily[(r.ts.date(), r.event_type)] += 1
+    d0 = min(k[0] for k in daily)
+    d1 = max(k[0] for k in daily)
+    types = sorted({k[1] for k in daily})
+    n_days = (d1 - d0).days + 1
+    series = {et: np.array([daily.get((d0 + timedelta(days=i), et), 0)
+                            for i in range(n_days)], dtype=np.float64)
+              for et in types}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            for lag in range(-LEADLAG_MAX, LEADLAG_MAX + 1):
+                # x_t paired with y_{t+lag}: overlap window
+                if lag >= 0:
+                    x = series[ta][:n_days - lag]
+                    y = series[tb][lag:]
+                else:
+                    x = series[ta][-lag:]
+                    y = series[tb][:n_days + lag]
+                key = (ta, tb, lag)
+                if x.std() == 0 or y.std() == 0:
+                    assert key not in got
+                    continue
+                r = np.corrcoef(x, y)[0, 1]
+                n_got, r_got = got[key]
+                assert n_got == len(x), key
+                assert abs(r_got - r) < 1e-4, key
+                assert -1.0 <= r_got <= 1.0
