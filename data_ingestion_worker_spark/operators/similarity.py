@@ -2140,6 +2140,146 @@ FROM best b JOIN labels ql ON ql.vec_id = b.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Binary sign codes + Hamming-distance search
+#
+# The 32x-compression scale path: each 64-d float vector collapses to 64
+# sign bits (two 32-bit words packed into BIGINTs so no sum ever touches
+# the sign bit of a 64-bit word).  At 100 TB the code table is ~16 bytes
+# per vector instead of 256 — it broadcasts where the float table cannot,
+# the scan is pure integer xor/popcount inside codegen, and Hamming
+# distance needs no norms, no division, no floats: the whole search is
+# exact integer arithmetic, trivially engine-identical.
+
+#: bit i of the word at ``off`` is set iff embedding[off + i] > 0.
+_SIGN_BITS = 64
+_SIGN_WORD = 32
+
+
+def _sign_word_spark(off: int) -> str:
+    return (
+        f"aggregate(sequence(0, {_SIGN_WORD - 1}), cast(0 as bigint), "
+        f"(acc, i) -> acc + IF(cast(element_at(embedding, i + {off + 1}) "
+        f"as double) > 0D, shiftleft(cast(1 as bigint), i), "
+        f"cast(0 as bigint)))"
+    )
+
+
+def _sign_word_duck(off: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range({_SIGN_WORD}), i -> "
+        f"CASE WHEN CAST(embedding[i + {off + 1}] AS DOUBLE) > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours by Hamming distance over binary sign
+    codes — the binary-quantization ANN baseline.
+
+    Plan shape: codes computed in one codegen pass over the scan
+    (aggregate over a constant 32-long sequence — no explode); the
+    N_QUERIES query codes broadcast; distance is two xor+popcount
+    integer ops per candidate; per-query top-k is a rank window over
+    N_QUERIES bounded partitions.  Nothing in the hot path leaves the
+    JVM or touches a float.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_sign_word_spark(0)).alias("lo"),
+        F.expr(_sign_word_spark(_SIGN_WORD)).alias("hi"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    ham = F.expr("cast(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) as int)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc())
+    return (
+        pairs.select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )
+
+
+def ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the Hamming binary-code search vs the exact
+    quantized-cosine truth — the number that prices the 32x memory
+    saving, measured by the same :func:`_recall_vs_exact` harness as
+    the IVF and matryoshka dials."""
+    exact = _brute_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(
+        exact, [(_SIGN_BITS, emb_hamming_topk(spark, sf_dir))], "n_bits")
+
+
+_HAMMING_CODES_CTE = f"""
+codes AS (
+  SELECT vec_id,
+         {_sign_word_duck(0)} AS lo,
+         {_sign_word_duck(_SIGN_WORD)} AS hi
+  FROM embeddings
+),
+hpairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         CAST(bit_count(xor(q.lo, v.lo)) + bit_count(xor(q.hi, v.hi))
+              AS INT) AS hamming
+  FROM codes q JOIN codes v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+htopk AS (
+  SELECT query_id, vec_id, hamming, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS INT) AS rank
+    FROM hpairs
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+EMB_HAMMING_ORACLE = f"""
+WITH {_HAMMING_CODES_CTE}
+SELECT query_id, vec_id, hamming, rank FROM htopk
+"""
+
+
+ANN_HAMMING_RECALL_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(v * v) AS n FROM qv GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.v * b.v) AS dot
+  FROM qv a JOIN qv b ON a.d = b.d AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY dots.query_id
+             ORDER BY round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))), 6)
+               DESC, dots.vec_id) AS rank
+    FROM dots
+    JOIN norms nq ON nq.vec_id = dots.query_id
+    JOIN norms nv ON nv.vec_id = dots.vec_id
+  ) WHERE rank <= {TOP_K}
+),
+{_HAMMING_CODES_CTE}
+SELECT e.query_id, CAST({_SIGN_BITS} AS INT) AS n_bits,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(t.vec_id) AS DOUBLE) / {TOP_K} AS recall
+FROM exact_topk e
+LEFT JOIN htopk t ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "emb_gram_matrix": QuerySpec(emb_gram_matrix, EMB_GRAM_ORACLE),
@@ -2174,4 +2314,7 @@ SPECS: dict[str, QuerySpec] = {
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_pq_recall": QuerySpec(ann_pq_recall, ANN_PQ_RECALL_ORACLE),
     "emb_coreset_maxmin": QuerySpec(emb_coreset_maxmin, _coreset_oracle()),
+    "emb_hamming_topk": QuerySpec(emb_hamming_topk, EMB_HAMMING_ORACLE),
+    "ann_hamming_recall": QuerySpec(ann_hamming_recall,
+                                    ANN_HAMMING_RECALL_ORACLE),
 }

@@ -22,6 +22,8 @@ from data_ingestion_worker_spark.registry import all_specs
 #: Queries whose algorithm is a deliberate broadcast cross join.
 BNLJ_ALLOWED = {
     "ann_cosine_topk",     # K query vectors broadcast against the corpus
+    "emb_hamming_topk",    # N_QUERIES binary codes broadcast × corpus
+    "ann_hamming_recall",  # hamming top-k × brute-force truth comparison
     "emb_knn_label_vote",  # KNN_N_QUERIES query rows broadcast × corpus
     "emb_outlier_knn",     # OUT_SAMPLE query rows broadcast × corpus
                            # + one-row p95 scalar cross

@@ -467,3 +467,35 @@ def test_outlier_knn_matches_numpy(spark, sf_dir):
     assert {q: d for q, (d, _) in got.items()} == expect
     n_out = sum(f for _, f in got.values())
     assert n_out <= max(1, int(0.06 * len(got)))
+
+
+def test_hamming_topk_matches_numpy(spark, sf_dir):
+    """The binary-code search recomputed with numpy: same sign rule
+    (bit set iff x > 0), same 64-bit packing, same (hamming asc,
+    vec_id asc) ordering — the top-k lists must match exactly, and
+    every reported distance must equal the popcount of the xor."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        N_QUERIES, TOP_K, emb_hamming_topk,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {}
+    for r in emb_hamming_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.hamming))
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    codes = {
+        r.vec_id: np.array(
+            [1 if float(x) > 0 else 0 for x in r.embedding], dtype=np.int64)
+        for r in rows
+    }
+    assert set(got) == {v for v in codes if v < N_QUERIES}
+    for qid, triples in got.items():
+        dists = sorted(
+            (int(np.sum(codes[qid] != codes[vid])), vid)
+            for vid in codes if vid != qid
+        )
+        expect = [(i + 1, vid, d) for i, (d, vid) in
+                  enumerate(dists[:TOP_K])]
+        assert sorted(triples) == expect, qid
