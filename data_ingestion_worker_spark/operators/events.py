@@ -2140,6 +2140,207 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 """
 
 
+#: Micro-unit scale for Theil–Sen slopes: pairwise slopes are rationals,
+#: so they are floor-quantized to integer micro-slopes BEFORE the median
+#: (identical double divide + floor on both engines; the median of
+#: integers doubled stays an exact integer).
+THEIL_SCALE = 1_000_000
+
+
+def ev_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily volume per event type: the
+    median of all pairwise day-slopes, plus the median-residual
+    intercept — the outlier-immune alternative to the OLS line of
+    :func:`ev_forecast_linear` (one corrupted ingest day moves OLS but
+    not the pairwise-slope median).
+
+    Scale shape: the pairwise blow-up is over the *calendar spine*,
+    never over raw events — C(days, 2) pairs per type (435 at a
+    30-day span, ~66k at a year) regardless of corpus size.  The raw
+    table collapses to the dense daily aggregate first (one shuffle);
+    everything after is bounded-domain arithmetic.  Slopes are
+    floor-quantized micro-units so the doubled medians are exact
+    integers on both engines; the final unit conversions are single
+    identical-operand double divisions.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type")
+    di = dense.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).alias("i"),
+        "n",
+    ).localCheckpoint(eager=False)
+    a, b = di.alias("a"), di.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(
+            ((F.col("b.n") - F.col("a.n")) * THEIL_SCALE).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).cast("bigint").alias("slope_q"),
+    )
+    slope = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("cast(percentile(slope_q, 0.5) * 2 as bigint)")
+        .alias("slope2"),
+    )
+    resid = di.join(F.broadcast(slope), "event_type").select(
+        "event_type", "n_pairs", "slope2",
+        (2 * THEIL_SCALE * F.col("n")
+         - F.col("slope2") * F.col("i")).alias("r_q"),
+    )
+    return resid.groupBy("event_type", "n_pairs", "slope2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("cast(percentile(r_q, 0.5) * 2 as bigint)").alias("icept4"),
+    ).select(
+        "event_type", "n_days", "n_pairs", "slope2", "icept4",
+        (F.col("slope2")
+         / F.expr(f"cast({2 * THEIL_SCALE} as double)")).alias("slope"),
+        (F.col("icept4")
+         / F.expr(f"cast({4 * THEIL_SCALE} as double)")).alias("intercept"),
+    )
+
+
+TREND_THEIL_SEN_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+di AS (
+  SELECT event_type,
+         datediff('day', min(day) OVER (PARTITION BY event_type), day) AS i,
+         n
+  FROM dense
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(floor(CAST((b.n - a.n) * {THEIL_SCALE} AS DOUBLE)
+                    / (b.i - a.i)) AS BIGINT) AS slope_q
+  FROM di a JOIN di b ON a.event_type = b.event_type AND b.i > a.i
+),
+slope AS (
+  SELECT event_type, count(*) AS n_pairs,
+         CAST(quantile_cont(slope_q, 0.5) * 2 AS BIGINT) AS slope2
+  FROM pairs GROUP BY 1
+),
+resid AS (
+  SELECT di.event_type, s.n_pairs, s.slope2,
+         2 * {THEIL_SCALE} * di.n - s.slope2 * di.i AS r_q
+  FROM di JOIN slope s ON s.event_type = di.event_type
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(slope2 AS BIGINT) AS slope2,
+       CAST(quantile_cont(r_q, 0.5) * 2 AS BIGINT) AS icept4,
+       CAST(slope2 AS DOUBLE) / CAST({2 * THEIL_SCALE} AS DOUBLE) AS slope,
+       CAST(CAST(quantile_cont(r_q, 0.5) * 2 AS BIGINT) AS DOUBLE)
+         / CAST({4 * THEIL_SCALE} AS DOUBLE) AS intercept
+FROM resid
+GROUP BY event_type, n_pairs, slope2
+"""
+
+
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily volume per event type:
+    ``n = trend + seasonal + remainder`` with a centered 7-day
+    moving-average trend and a weekly seasonal profile — the readout
+    that separates "traffic is actually growing" from "it's just
+    Saturday" before any anomaly rule fires.
+
+    Determinism: the trend is kept as its integer 7-day window SUM
+    (``trend7``), the detrended series as exact sevenths
+    (``7*n - trend7``), and the seasonal profile as an integer
+    (sum, count) pair — every division happens once, at the edge of
+    the query, on identical operands in both engines, and the exposed
+    doubles are floor-quantized to 4 decimals.  Weekly position is the
+    spine index mod 7 (engine-neutral), not a locale dayofweek.
+
+    Scale shape: raw events collapse to the calendar-bounded dense
+    spine first; the 7-way offset fan-out and the |type| x 7 seasonal
+    table are spine-sized, so cost is independent of corpus row count.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type")
+    di = dense.select(
+        "event_type", "day",
+        (F.datediff("day", F.min("day").over(w)) % 7).alias("i7"),
+        "n",
+    ).localCheckpoint(eager=False)
+    fan = di.select(
+        "event_type", "n",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"), "day",
+    ).select(
+        "event_type", "n", F.date_add("day", F.col("o")).alias("center"),
+    )
+    trend = fan.groupBy("event_type", F.col("center").alias("day")).agg(
+        F.sum("n").alias("trend7"), F.count(F.lit(1)).alias("w_cnt"),
+    ).filter(F.col("w_cnt") == 7).drop("w_cnt")
+    interior = di.join(trend, ["event_type", "day"])
+    seas = interior.groupBy("event_type", "i7").agg(
+        F.sum(7 * F.col("n") - F.col("trend7")).alias("seas_sum"),
+        F.count(F.lit(1)).alias("seas_cnt"),
+    )
+    out = di.join(trend, ["event_type", "day"], "left") \
+            .join(F.broadcast(seas), ["event_type", "i7"], "left")
+    trend_d = F.col("trend7") / F.expr("cast(7 as double)")
+    seas_d = (F.col("seas_sum")
+              / (F.col("seas_cnt") * 7).cast("double"))
+
+    def fl4(c):
+        return F.floor(c * 10000.0) / 10000.0
+
+    return out.select(
+        "event_type", "day", "i7", "n", "trend7",
+        "seas_sum", "seas_cnt",
+        fl4(trend_d).alias("trend"),
+        fl4(seas_d).alias("seasonal"),
+        fl4(F.col("n") - trend_d - seas_d).alias("remainder"),
+    )
+
+
+SEASONAL_DECOMPOSE_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+di AS (
+  SELECT event_type, day,
+         datediff('day', min(day) OVER (PARTITION BY event_type), day) % 7
+           AS i7,
+         n
+  FROM dense
+),
+fan AS (
+  SELECT event_type, n, day + CAST(o AS INT) AS center
+  FROM di CROSS JOIN (SELECT unnest(range(-3, 4)) AS o) offs
+),
+trend AS (
+  SELECT event_type, center AS day, sum(n) AS trend7
+  FROM fan GROUP BY 1, 2 HAVING count(*) = 7
+),
+interior AS (
+  SELECT di.event_type, di.i7, di.n, t.trend7
+  FROM di JOIN trend t ON t.event_type = di.event_type AND t.day = di.day
+),
+seas AS (
+  SELECT event_type, i7, sum(7 * n - trend7) AS seas_sum,
+         count(*) AS seas_cnt
+  FROM interior GROUP BY 1, 2
+)
+SELECT di.event_type, di.day, CAST(di.i7 AS INT) AS i7,
+       CAST(di.n AS BIGINT) AS n, CAST(t.trend7 AS BIGINT) AS trend7,
+       CAST(s.seas_sum AS BIGINT) AS seas_sum,
+       CAST(s.seas_cnt AS BIGINT) AS seas_cnt,
+       floor((CAST(t.trend7 AS DOUBLE) / CAST(7 AS DOUBLE)) * 10000)
+         / 10000 AS trend,
+       floor((CAST(s.seas_sum AS DOUBLE) / CAST(s.seas_cnt * 7 AS DOUBLE))
+             * 10000) / 10000 AS seasonal,
+       floor((di.n - CAST(t.trend7 AS DOUBLE) / CAST(7 AS DOUBLE)
+              - CAST(s.seas_sum AS DOUBLE) / CAST(s.seas_cnt * 7 AS DOUBLE))
+             * 10000) / 10000 AS remainder
+FROM di
+LEFT JOIN trend t ON t.event_type = di.event_type AND t.day = di.day
+LEFT JOIN seas s ON s.event_type = di.event_type AND s.i7 = di.i7
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -2147,6 +2348,10 @@ SPECS: dict[str, QuerySpec] = {
                                       MARKOV_STATIONARY_ORACLE),
     "ev_forecast_linear": QuerySpec(ev_forecast_linear,
                                     FORECAST_LINEAR_ORACLE),
+    "ev_trend_theil_sen": QuerySpec(ev_trend_theil_sen,
+                                    TREND_THEIL_SEN_ORACLE),
+    "ev_seasonal_decompose": QuerySpec(ev_seasonal_decompose,
+                                       SEASONAL_DECOMPOSE_ORACLE),
     "ev_user_streaks": QuerySpec(ev_user_streaks, USER_STREAKS_ORACLE),
     "ev_gini_user_activity": QuerySpec(ev_gini_user_activity, GINI_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,

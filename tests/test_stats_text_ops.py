@@ -1471,3 +1471,101 @@ def test_lead_lag_corr_matches_numpy(spark, sf_dir):
                 assert n_got == len(x), key
                 assert abs(r_got - r) < 1e-4, key
                 assert -1.0 <= r_got <= 1.0
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
+    """Theil–Sen recomputed in plain Python over the zero-filled daily
+    spine: same micro-quantized pairwise slopes, same doubled medians,
+    same residual intercept — every output integer must match."""
+    import math
+    from collections import Counter
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.events import (
+        THEIL_SCALE, ev_trend_theil_sen,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r for r in
+           ev_trend_theil_sen(spark, sf_dir).collect()}
+
+    rows = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type").collect()
+    counts = Counter((r.day, r.event_type) for r in rows)
+    d0, d1 = min(r.day for r in rows), max(r.day for r in rows)
+    days = [d0 + timedelta(days=k) for k in range((d1 - d0).days + 1)]
+    types = {r.event_type for r in rows}
+
+    def med2(vals):
+        s = sorted(vals)
+        n = len(s)
+        return (s[(n - 1) // 2] + s[n // 2])
+
+    for t in types:
+        series = [counts.get((d, t), 0) for d in days]
+        slopes = [
+            math.floor((series[j] - series[i]) * THEIL_SCALE / (j - i))
+            for i in range(len(series)) for j in range(i + 1, len(series))
+        ]
+        slope2 = med2(slopes)
+        resid = [2 * THEIL_SCALE * n - slope2 * i
+                 for i, n in enumerate(series)]
+        r = got[t]
+        assert (r.n_days, r.n_pairs) == (len(series), len(slopes)), t
+        assert r.slope2 == slope2, t
+        assert r.icept4 == med2(resid), t
+        assert r.slope == slope2 / (2 * THEIL_SCALE)
+        assert r.intercept == med2(resid) / (4 * THEIL_SCALE)
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    """The STL-lite decomposition recomputed in plain Python over the
+    zero-filled spine: exact trend7 window sums (interior only), exact
+    (seas_sum, seas_cnt) weekly profile, and additivity — the three
+    floored components must reassemble n within the 4-decimal grid."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_seasonal_decompose,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.event_type, r.day): r
+           for r in ev_seasonal_decompose(spark, sf_dir).collect()}
+
+    rows = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type").collect()
+    counts = Counter((r.day, r.event_type) for r in rows)
+    d0, d1 = min(r.day for r in rows), max(r.day for r in rows)
+    days = [d0 + timedelta(days=k) for k in range((d1 - d0).days + 1)]
+    types = {r.event_type for r in rows}
+    assert set(got) == {(t, d) for t in types for d in days}
+
+    for t in types:
+        series = [counts.get((d, t), 0) for d in days]
+        trend7 = {
+            i: sum(series[i - 3:i + 4])
+            for i in range(3, len(series) - 3)
+        }
+        seas = {}
+        for i, t7 in trend7.items():
+            seas.setdefault(i % 7, []).append(7 * series[i] - t7)
+        for i, d in enumerate(days):
+            r = got[(t, d)]
+            assert r.i7 == i % 7 and r.n == series[i]
+            assert r.trend7 == trend7.get(i), (t, d)
+            assert (r.seas_sum, r.seas_cnt) == (
+                sum(seas[i % 7]), len(seas[i % 7]))
+            if r.trend7 is not None:
+                # floored components reassemble n within the grid
+                assert abs((r.trend + r.seasonal + r.remainder)
+                           - series[i]) < 3e-4, (t, d)
+        # weekly seasonal effects cancel over the interior
+        total = sum(sum(v) for v in seas.values())
+        assert abs(total) == abs(sum(
+            7 * series[i] - t7 for i, t7 in trend7.items()))
