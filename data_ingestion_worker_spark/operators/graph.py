@@ -773,6 +773,93 @@ LIMIT {CN_TOP_K}
 """
 
 
+#: Adamic–Adar contributions ``floor(AA_SCALE / ln(deg))`` precomputed
+#: in Python for the bounded degree domain 2..CN_HUB_CUTOFF — ln is
+#: libm-dependent (Java Math.log vs DuckDB can differ in the last ulp,
+#: and the floor would amplify that to ±1), so both engines consume the
+#: SAME integer literals instead of computing the log themselves (the
+#: stats_benford expectation-literal pattern).
+AA_SCALE = 1_000_000_000
+_AA_WEIGHTS = [
+    int(AA_SCALE // __import__("math").log(d))
+    for d in range(2, 65)
+]
+_AA_WEIGHTS_CSV = ", ".join(str(w) for w in _AA_WEIGHTS)
+
+
+def graph_link_prediction_aa(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by Adamic–Adar index —
+    ``AA(s1,s2) = Σ_{c ∈ Γ(s1)∩Γ(s2)} 1/ln(deg(c))`` — the classic
+    log-discounted link-prediction score (Adamic/Adar 2003): gentler
+    on mid-degree shared neighbours than RA's 1/deg, harsher than raw
+    common-neighbour counts.
+
+    Same sub-quadratic posting-list shape as
+    :func:`graph_link_prediction_ra`; the only change is the per-bucket
+    weight, read from the precomputed :data:`_AA_WEIGHTS` literal table
+    by ``size(ids)`` so the pair score stays an exact BIGINT sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    kept = (
+        cs.withColumn(
+            "cdeg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
+        .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
+        .select("c", "s")
+    )
+    buckets = (
+        kept.groupBy("c")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    from .dedup import _TRIANGLE
+
+    weighted = buckets.select(
+        F.explode(F.expr(_TRIANGLE.format(ids="ids"))).alias("p"),
+        F.expr(f"element_at(array({_AA_WEIGHTS_CSV}), size(ids) - 1)")
+        .cast("bigint").alias("w"),
+    )
+    return (
+        weighted.groupBy(F.col("p.d1").alias("s1"),
+                         F.col("p.d2").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.sum("w").alias("aa_scaled"))
+        .orderBy(F.desc("aa_scaled"), "s1", "s2")
+        .limit(CN_TOP_K)
+    )
+
+
+LINK_PREDICTION_AA_ORACLE = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+kept AS (
+  SELECT c, s, cdeg FROM (
+    SELECT c, s, count(*) OVER (PARTITION BY c) AS cdeg FROM cs
+  ) WHERE cdeg <= {CN_HUB_CUTOFF}
+)
+SELECT a.s AS s1, b.s AS s2,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(list_extract([{_AA_WEIGHTS_CSV}], a.cdeg - 1))
+            AS BIGINT) AS aa_scaled
+FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY aa_scaled DESC, s1, s2
+LIMIT {CN_TOP_K}
+"""
+
+
 #: Assortativity z-expression over exact integer power sums — ONE SQL
 #: fragment shared verbatim by both engines.
 _ASSORT_R = (
@@ -1151,6 +1238,8 @@ SPECS: dict[str, QuerySpec] = {
                                              COMMON_NEIGHBORS_ORACLE),
     "graph_link_prediction_ra": QuerySpec(graph_link_prediction_ra,
                                           LINK_PREDICTION_RA_ORACLE),
+    "graph_link_prediction_aa": QuerySpec(graph_link_prediction_aa,
+                                          LINK_PREDICTION_AA_ORACLE),
     "graph_label_propagation": QuerySpec(graph_label_propagation,
                                          LPA_ORACLE),
     "graph_modularity": QuerySpec(graph_modularity, MODULARITY_ORACLE),

@@ -334,3 +334,40 @@ def test_link_prediction_ra_matches_python_recompute(spark, sf_dir):
         key=lambda t: (-t[3], t[0], t[1]),
     )[:CN_TOP_K]
     assert got == expect
+
+def test_link_prediction_aa_matches_python_recompute(spark, sf_dir):
+    """Adamic–Adar recomputed with plain-Python dicts: same hub-cut
+    projection, same precomputed integer weight table — the returned
+    top-k must equal the python top-k under (score desc, s1, s2)."""
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.graph import (
+        _AA_WEIGHTS, CN_HUB_CUTOFF, CN_TOP_K, graph_link_prediction_aa,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = [(r.s1, r.s2, r.n_common, r.aa_scaled)
+           for r in graph_link_prediction_aa(spark, sf_dir).collect()]
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey").collect()
+    od = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in od}
+    by_cust: dict[int, set] = defaultdict(set)
+    for r in li:
+        by_cust[cust_of[r.l_orderkey]].add(r.l_suppkey)
+    scores: dict = defaultdict(lambda: [0, 0])
+    for sups in by_cust.values():
+        deg = len(sups)
+        if deg < 2 or deg > CN_HUB_CUTOFF:
+            continue
+        ss = sorted(sups)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                scores[(a, b)][0] += 1
+                scores[(a, b)][1] += _AA_WEIGHTS[deg - 2]
+    expect = sorted(
+        ((a, b, n, aa) for (a, b), (n, aa) in scores.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:CN_TOP_K]
+    assert got == expect
