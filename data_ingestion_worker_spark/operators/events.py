@@ -2341,6 +2341,89 @@ LEFT JOIN seas s ON s.event_type = di.event_type AND s.i7 = di.i7
 """
 
 
+#: A user with no activity for more than CHURN_GAP days is counted
+#: churned, attributed to ``last_active + CHURN_GAP``.
+CHURN_GAP = 7
+
+
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user-day is classified
+    ``new`` (first ever), ``resurrected`` (returning after more than
+    :data:`CHURN_GAP` idle days) or ``retained``; a ``churned`` event
+    is emitted at ``day + CHURN_GAP`` when the next activity is beyond
+    the gap (or never arrives within the observation window).  The
+    output is the day × state user-count table — the standard
+    DAU-decomposition behind "is growth new users or resurrection?".
+
+    Scale shape: events collapse to distinct (user, day) first — the
+    only corpus-sized shuffle; lag/lead run per-user (naturally keyed
+    windows, no funnel); the observation-window end is a one-row
+    broadcast scalar.  All arithmetic is dates and integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    end = e.agg(F.max(F.to_date("ts")).alias("end_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = ud.select(
+        "user_id", "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    ).crossJoin(F.broadcast(end))
+    active = lagged.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.datediff("day", "prev_day") > CHURN_GAP,
+              F.lit("resurrected"))
+        .otherwise(F.lit("retained")).alias("state"),
+    )
+    churn = lagged.filter(
+        (F.col("next_day").isNull()
+         & (F.datediff("end_day", "day") > CHURN_GAP))
+        | (F.datediff("next_day", "day") > CHURN_GAP)
+    ).select(
+        F.date_add("day", CHURN_GAP).alias("day"),
+        F.lit("churned").alias("state"),
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("day", "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+GROWTH_ACCOUNTING_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+span AS (SELECT max(CAST(ts AS DATE)) AS end_day FROM events),
+lagged AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+         (SELECT end_day FROM span) AS end_day
+  FROM ud
+),
+active AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN datediff('day', prev_day, day) > {CHURN_GAP}
+                THEN 'resurrected'
+              ELSE 'retained' END AS state
+  FROM lagged
+),
+churn AS (
+  SELECT day + {CHURN_GAP} AS day, 'churned' AS state
+  FROM lagged
+  WHERE (next_day IS NULL
+         AND datediff('day', day, end_day) > {CHURN_GAP})
+     OR datediff('day', day, next_day) > {CHURN_GAP}
+)
+SELECT day, state, CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT * FROM active UNION ALL SELECT * FROM churn)
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
@@ -2352,6 +2435,8 @@ SPECS: dict[str, QuerySpec] = {
                                     TREND_THEIL_SEN_ORACLE),
     "ev_seasonal_decompose": QuerySpec(ev_seasonal_decompose,
                                        SEASONAL_DECOMPOSE_ORACLE),
+    "ev_growth_accounting": QuerySpec(ev_growth_accounting,
+                                      GROWTH_ACCOUNTING_ORACLE),
     "ev_user_streaks": QuerySpec(ev_user_streaks, USER_STREAKS_ORACLE),
     "ev_gini_user_activity": QuerySpec(ev_gini_user_activity, GINI_ORACLE),
     "ev_dau_stickiness": QuerySpec(ev_dau_stickiness,

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
+    "ev_growth_accounting",  # one-row observation-window-end scalar
     "corpus_token_budget_plan",  # one-row integer-total broadcast cross
     "stats_auc_quality_lang",  # one-row per-class-N broadcast cross join
     "profile_join_key_skew",   # one-row fact-count broadcast cross join
@@ -135,6 +136,7 @@ SP_ALLOWED = {
     "q19_disjunctive_revenue",  # one-row revenue scalar
     "q22_idle_rich_customers",  # one-row avg-balance scalar
     "dedup_lsh_recall",         # one-row recall/precision scalar
+    "ev_growth_accounting",     # one-row observation-window-end scalar
     "doc_salient_terms",        # one-row corpus-N scalar
     "doc_unigram_logprob",      # one-row corpus-total scalar
     "doc_bm25_rank",            # one-row (N, Σdl) scalar

@@ -1569,3 +1569,49 @@ def test_seasonal_decompose_matches_python(spark, sf_dir):
         total = sum(sum(v) for v in seas.values())
         assert abs(total) == abs(sum(
             7 * series[i] - t7 for i, t7 in trend7.items()))
+
+
+def test_growth_accounting_matches_python(spark, sf_dir):
+    """Growth accounting recomputed in plain Python: per-user active-day
+    chains classified with the same gap rule, churn attributed to
+    last_active + CHURN_GAP — every (day, state) count must match, and
+    new + retained + resurrected must reassemble each day's DAU."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.events import (
+        CHURN_GAP, ev_growth_accounting,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.day, r.state): r.n_users
+           for r in ev_growth_accounting(spark, sf_dir).collect()}
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")).distinct().collect()
+    end_day = max(r.day for r in rows)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r.day)
+    expect: Counter = Counter()
+    dau: Counter = Counter()
+    for days in by_user.values():
+        days.sort()
+        for i, d in enumerate(days):
+            dau[d] += 1
+            if i == 0:
+                expect[(d, "new")] += 1
+            elif (d - days[i - 1]).days > CHURN_GAP:
+                expect[(d, "resurrected")] += 1
+            else:
+                expect[(d, "retained")] += 1
+            nxt = days[i + 1] if i + 1 < len(days) else None
+            if ((nxt is None and (end_day - d).days > CHURN_GAP)
+                    or (nxt is not None and (nxt - d).days > CHURN_GAP)):
+                from datetime import timedelta
+                expect[(d + timedelta(days=CHURN_GAP), "churned")] += 1
+    assert got == dict(expect)
+    for d, n in dau.items():
+        assert (got.get((d, "new"), 0) + got.get((d, "retained"), 0)
+                + got.get((d, "resurrected"), 0)) == n, d
