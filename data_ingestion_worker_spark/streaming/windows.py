@@ -203,6 +203,72 @@ def psi_report(counts: DataFrame, ref_dist: DataFrame) -> DataFrame:
     )
 
 
+def cms_registers_stream(docs: DataFrame, window: str = "1 day",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming Count-Min registers — the on-arrival face of
+    ``operators.sketches.sketch_countmin_tokens``.
+
+    Arriving documents explode to tokens, each token lands in the SAME
+    d × w grid as the batch twin (shared ``hash64('j:token') % CMS_W``
+    definition, so register tables from either plane merge by plain
+    addition), and finalized per-(window, j, bucket) counts are emitted
+    in append mode once the watermark passes.  State is bounded by
+    |open windows| × CMS_D × CMS_W rows — constant per window no matter
+    the vocabulary, which is the whole point of sketching the stream
+    instead of counting it.
+    """
+    from ..functions.hashing import hash64
+    from ..functions.text import tokens
+    from ..operators.sketches import CMS_D, CMS_W
+
+    tok = docs.select(
+        "ts", F.explode(tokens(F.col("text"))).alias("token"))
+    with_j = tok.select(
+        "ts", "token",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"))
+    bucket = (
+        hash64(F.concat(F.col("j").cast("string"), F.lit(":"),
+                        F.col("token"))) % CMS_W
+    )
+    return (
+        with_j.select("ts", "j", bucket.alias("bucket"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "j", "bucket",
+                "cnt")
+    )
+
+
+def cms_probe(registers: DataFrame, probe_tokens: DataFrame) -> DataFrame:
+    """Point-query finalized streaming CMS registers: the estimate for
+    a token in a window is ``min_j cnt[j][bucket(j, token)]`` — the
+    same min-over-depth probe as the batch twin, with absent registers
+    reading as zero (token never seen in that window).  ``probe_tokens``
+    is a small static ``(token)`` relation; the probe side broadcasts.
+    """
+    from ..functions.hashing import hash64
+    from ..operators.sketches import CMS_D, CMS_W
+
+    bucket = (
+        hash64(F.concat(F.col("j").cast("string"), F.lit(":"),
+                        F.col("token"))) % CMS_W
+    )
+    probe = probe_tokens.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"),
+    ).select("token", "j", bucket.alias("bucket"))
+    windows = registers.select("window_start").distinct()
+    spine = windows.crossJoin(F.broadcast(probe))
+    return (
+        spine.join(registers, ["window_start", "j", "bucket"], "left")
+        .select("window_start", "token",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("window_start", "token")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
 def attribute_clicks(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "30 minutes",
                      watermark: str = "2 hours") -> DataFrame:

@@ -652,3 +652,94 @@ def test_psi_report_surfaces_zero_reference_buckets(spark):
     q = 5 / 20
     assert nine.psi_term_micro == math.floor(
         1_000_000 * (q - 1e-6) * math.log(q / 1e-6))
+
+
+def test_cms_stream_matches_batch_registers(spark, tmp_path):
+    """Streaming CMS: finalized per-day registers must equal a batch
+    recompute over the same rows (shared hash grid), probes must match
+    a python min-over-registers, and every estimate must over-estimate
+    one-sidedly (CMS contract) — end to end through a real file stream."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.functions.hashing import hash64
+    from data_ingestion_worker_spark.functions.text import tokens
+    from data_ingestion_worker_spark.operators.sketches import CMS_D
+    from data_ingestion_worker_spark.streaming.windows import (
+        cms_probe, cms_registers_stream,
+    )
+
+    doc_schema = "doc_id bigint, ts timestamp, text string"
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(inbox, exist_ok=True)
+
+    day1 = [{"doc_id": i, "ts": f"2026-01-01 0{i % 10}:00:00",
+             "text": "spark join " + ("merge " * (i % 3))}
+            for i in range(1, 21)]
+    day2 = [{"doc_id": 100 + i, "ts": f"2026-01-02 0{i % 10}:00:00",
+             "text": "scan filter spark"}
+            for i in range(1, 11)]
+
+    def write(name, rows):
+        with open(os.path.join(inbox, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain():
+        q = (
+            cms_registers_stream(
+                spark.readStream.schema(doc_schema).json(inbox))
+            .writeStream
+            .foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", day1 + day2)
+    drain()
+    # advance the watermark past both days to finalize their windows
+    write("b2.json", [{"doc_id": 999, "ts": "2026-01-05 12:00:00",
+                       "text": "tail"}])
+    drain()
+
+    regs = spark.read.parquet(out)
+    got = {(r.window_start.day, r.j, r.bucket): r.cnt
+           for r in regs.collect()}
+
+    # batch recompute of the same grid over the same rows
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"]) for r in day1 + day2],
+        "doc_id bigint, ts string, text string")
+    from data_ingestion_worker_spark.operators.sketches import CMS_W
+    bucket = (hash64(F.concat(F.col("j").cast("string"), F.lit(":"),
+                              F.col("token"))) % CMS_W)
+    expect = {(r.day, r.j, r.bucket): r.cnt for r in (
+        batch.select(F.to_timestamp("ts").alias("ts"),
+                     F.explode(tokens(F.col("text"))).alias("token"))
+        .select(F.dayofmonth("ts").alias("day"), "token",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1)))
+                .alias("j"))
+        .select("day", "j", bucket.alias("bucket"))
+        .groupBy("day", "j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect())}
+    assert got == expect
+
+    # probe: estimates = python min over the register table; one-sided
+    probe = cms_probe(regs, spark.createDataFrame(
+        [("spark",), ("merge",), ("absent",)], "token string"))
+    est = {(r.window_start.day, r.token): r.cms_est
+           for r in probe.collect()}
+    exact = {(1, "spark"): 20, (1, "merge"): sum(i % 3 for i in
+                                                 range(1, 21)),
+             (2, "spark"): 10, (2, "merge"): 0,
+             (1, "absent"): 0, (2, "absent"): 0}
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert est[k] >= e, k
