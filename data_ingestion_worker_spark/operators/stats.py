@@ -580,6 +580,112 @@ FROM pairs
 """
 
 
+#: TOST equivalence margin as a fraction of the first group's mean, and
+#: the one-sided z critical value at alpha = 0.05 (normal approximation
+#: — a shared literal, so no incomplete-beta/libm t-quantile is ever in
+#: the result).
+TOST_MARGIN_FRAC = 0.1
+TOST_Z_CRIT = 1.645
+
+
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence readout for every pair of
+    event types: are the two value means *demonstrably within* ±10% of
+    the reference mean, rather than merely "not significantly
+    different"?  The absence-of-evidence trap in A/B readouts — a
+    non-significant Welch t does NOT mean equivalent — is exactly what
+    this operator exists to close.
+
+    Same one-shuffle integer-power-sum shape as
+    :func:`stats_welch_ttest` (milli-quantized values, |types|-row
+    stats table, broadcast pair enumeration); the margin is
+    ``TOST_MARGIN_FRAC·|mean_a|`` and both one-sided statistics use the
+    shared normal-approximation critical literal :data:`TOST_Z_CRIT`,
+    so every comparison happens on bit-identical doubles in both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+
+    def _d(side: str, col: str) -> F.Column:
+        return F.col(f"{side}.{col}").cast("double")
+
+    def _se2(side: str) -> F.Column:
+        s_dec = F.col(f"{side}.s").cast("decimal(38,0)")
+        num = (
+            F.col(f"{side}.n") * F.col(f"{side}.ss") - s_dec * s_dec
+        ).cast("double")
+        return num / (_d(side, "n") * (_d(side, "n") - F.lit(1.0))) \
+            / _d(side, "n")
+
+    se = F.sqrt(_se2("a") + _se2("b"))
+    dm = _d("a", "s") / _d("a", "n") - _d("b", "s") / _d("b", "n")
+    delta = F.abs(_d("a", "s") / _d("a", "n")) * F.lit(TOST_MARGIN_FRAC)
+    t_lower = (dm + delta) / se
+    t_upper = (dm - delta) / se
+
+    def _floor6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            _floor6(delta).alias("margin"),
+            _floor6(t_lower).alias("t_lower"),
+            _floor6(t_upper).alias("t_upper"),
+            ((t_lower > TOST_Z_CRIT) & (t_upper < -TOST_Z_CRIT))
+            .cast("int").alias("equivalent"),
+        )
+    )
+
+
+TOST_ORACLE = f"""
+WITH st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)) AS s,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)
+             * CAST(floor(value * 1000.0) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         sqrt(CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+              / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+              / CAST(a.n AS DOUBLE)
+              + CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+              / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))
+              / CAST(b.n AS DOUBLE)) AS se,
+         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS dm,
+         abs(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+           * CAST({TOST_MARGIN_FRAC} AS DOUBLE) AS delta
+  FROM st a CROSS JOIN st b
+  WHERE a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       floor(delta * 1000000.0) / 1000000.0 AS margin,
+       floor((dm + delta) / se * 1000000.0) / 1000000.0 AS t_lower,
+       floor((dm - delta) / se * 1000000.0) / 1000000.0 AS t_upper,
+       CAST(CASE WHEN (dm + delta) / se > CAST({TOST_Z_CRIT} AS DOUBLE)
+                  AND (dm - delta) / se < -CAST({TOST_Z_CRIT} AS DOUBLE)
+            THEN 1 ELSE 0 END AS INT) AS equivalent
+FROM pairs
+"""
+
+
 KS_TYPE_A, KS_TYPE_B = "click", "purchase"
 #: ECDF prefix-sum bucket width on the milli-quantized value axis.
 KS_BUCKET = 65536
@@ -1587,6 +1693,8 @@ SPECS: dict[str, QuerySpec] = {
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
                                      MANNWHITNEY_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
+    "stats_tost_equivalence": QuerySpec(stats_tost_equivalence,
+                                        TOST_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),
     "stats_linreg_exact": QuerySpec(stats_linreg_exact, LINREG_ORACLE),
     "agg_mode_deterministic": QuerySpec(agg_mode_deterministic, MODE_ORACLE),

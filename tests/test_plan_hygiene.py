@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
+    "stats_tost_equivalence",  # same |types|-row pair enumeration
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars

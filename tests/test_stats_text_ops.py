@@ -1615,3 +1615,49 @@ def test_growth_accounting_matches_python(spark, sf_dir):
     for d, n in dau.items():
         assert (got.get((d, "new"), 0) + got.get((d, "retained"), 0)
                 + got.get((d, "resurrected"), 0)) == n, d
+
+
+def test_tost_equivalence_matches_python(spark, sf_dir):
+    """TOST recomputed in plain Python from the same milli-quantized
+    values: same margin, same one-sided statistics, same decision —
+    and the decision must imply |dm| < margin (a sanity property of
+    the TOST construction)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.stats import (
+        TOST_MARGIN_FRAC, TOST_Z_CRIT, stats_tost_equivalence,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.type_a, r.type_b): r
+           for r in stats_tost_equivalence(spark, sf_dir).collect()}
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(math.floor(r.value * 1000.0))
+    types = sorted(by_type)
+    assert set(got) == {(a, b) for i, a in enumerate(types)
+                        for b in types[i + 1:]}
+    for (ta, tb), r in got.items():
+        xa, xb = by_type[ta], by_type[tb]
+        na, nb = len(xa), len(xb)
+        ma, mb = sum(xa) / na, sum(xb) / nb
+        se2a = (na * sum(v * v for v in xa) - sum(xa) ** 2) \
+            / (na * (na - 1)) / na
+        se2b = (nb * sum(v * v for v in xb) - sum(xb) ** 2) \
+            / (nb * (nb - 1)) / nb
+        se = math.sqrt(se2a + se2b)
+        dm, delta = ma - mb, abs(ma) * TOST_MARGIN_FRAC
+        tl, tu = (dm + delta) / se, (dm - delta) / se
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert abs(r.margin - delta) < 1e-5
+        assert abs(r.t_lower - tl) < 1e-5 and abs(r.t_upper - tu) < 1e-5
+        exp_eq = int(tl > TOST_Z_CRIT and tu < -TOST_Z_CRIT)
+        assert r.equivalent == exp_eq, (ta, tb)
+        if r.equivalent:
+            assert abs(dm) < delta
