@@ -1678,8 +1678,217 @@ FROM counts CROSS JOIN tot
 """
 
 
+#: Conversion threshold for the two-proportion z-test: an event
+#: "converts" when its value exceeds this (≈40% of rows at the synthetic
+#: exponential(50) distribution — far from the degenerate 0%/100% edges).
+PROP_THRESHOLD = 50.0
+
+
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled SE) for every pair of event types:
+    does the share of high-value events (value > :data:`PROP_THRESHOLD`)
+    differ between the two types?  The binary-metric sibling of
+    :func:`stats_welch_ttest` — conversion readouts are proportions, not
+    means, and the pooled-variance z is the standard launch-review test.
+
+    Counts (n, k) per type are exact integers from ONE fact aggregation;
+    the pair enumeration is a broadcast self cross join of the |types|-row
+    stats table, so the fact is scanned once and never joined.  All
+    post-aggregate math is IEEE doubles over identical expression trees,
+    floor-truncated to 6 dp.
+
+    Parity note: the reference's analytics surface stops at row counts
+    (/root/reference/src/repositories/staging_contact_repository.py);
+    this is scale-extension surface.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") > F.lit(PROP_THRESHOLD)).cast("long"))
+        .alias("k"),
+    )
+    a, b = st.alias("a"), st.alias("b")
+
+    def _d(expr: str) -> F.Column:
+        return F.expr(expr).cast("double")
+
+    pa = _d("a.k") / _d("a.n")
+    pb = _d("b.k") / _d("b.n")
+    pp = (_d("a.k") + _d("b.k")) / (_d("a.n") + _d("b.n"))
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / _d("a.n")
+                                  + F.lit(1.0) / _d("b.n"))
+    )
+
+    def _floor6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            _floor6(pa).alias("p_a"),
+            _floor6(pb).alias("p_b"),
+            _floor6(z).alias("z_pooled"),
+        )
+    )
+
+
+TWO_PROP_ORACLE = f"""
+WITH st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > {PROP_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+         CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb,
+         (CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
+           / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) AS pp
+  FROM st a CROSS JOIN st b
+  WHERE a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       floor(pa * 1000000.0) / 1000000.0 AS p_a,
+       floor(pb * 1000000.0) / 1000000.0 AS p_b,
+       floor((pa - pb) / sqrt(pp * (1.0 - pp)
+                              * (1.0 / CAST(n_a AS DOUBLE)
+                                 + 1.0 / CAST(n_b AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS z_pooled
+FROM pairs
+"""
+
+
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: treatment = odd ``user_id``
+    (the :func:`stats_cuped_uplift` assignment), post-period = events at
+    or after :data:`CUPED_SPLIT`.  DiD = (T̄post − T̄pre) − (C̄post −
+    C̄pre) removes any fixed group-level offset that would bias the
+    naive post-period compare; its SE is the root of the four cell
+    variance-of-mean terms (unpooled, Welch-style).
+
+    Values are milli-quantized; each of the four (group × period) cells
+    contributes exact integer n/Σq and DECIMAL(38) Σq² from ONE fact
+    aggregation (4-row shuffle), pivoted to a single row by conditional
+    sums.  Doubles only in the final one-row expression, floor-truncated
+    to 6 dp.  Scale shape: one scan, one 4-row shuffle, one scalar row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    split = F.expr(f"TIMESTAMP_NTZ '{CUPED_SPLIT}'")
+    cells = e.select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("t"),
+        (F.col("ts") >= split).cast("int").alias("post"),
+        q.alias("q"),
+    ).groupBy("t", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+    )
+
+    def _cell(col: str, t: int, post: int) -> F.Column:
+        return F.sum(
+            F.when((F.col("t") == t) & (F.col("post") == post),
+                   F.col(col)).otherwise(F.lit(0))
+        )
+
+    one = cells.agg(
+        *[_cell("n", t, p).alias(f"n{t}{p}") for t in (0, 1) for p in (0, 1)],
+        *[_cell("s", t, p).alias(f"s{t}{p}") for t in (0, 1) for p in (0, 1)],
+        *[_cell("ss", t, p).cast("decimal(38,0)").alias(f"ss{t}{p}")
+          for t in (0, 1) for p in (0, 1)],
+    )
+
+    def _mean(t: int, p: int) -> F.Column:
+        return (F.col(f"s{t}{p}").cast("double")
+                / F.col(f"n{t}{p}").cast("double"))
+
+    def _semsq(t: int, p: int) -> F.Column:
+        # var/n with sample variance from exact power sums; the s·s
+        # product is DECIMAL-promoted BEFORE multiplying (BIGINT s² would
+        # overflow past ~3·10⁹ milli-units).
+        s_dec = F.col(f"s{t}{p}").cast("decimal(38,0)")
+        n_d = F.col(f"n{t}{p}").cast("double")
+        num = (F.col(f"n{t}{p}") * F.col(f"ss{t}{p}") - s_dec * s_dec
+               ).cast("double")
+        return num / (n_d * (n_d - F.lit(1.0))) / n_d
+
+    did = (_mean(1, 1) - _mean(1, 0)) - (_mean(0, 1) - _mean(0, 0))
+    se = F.sqrt(_semsq(1, 1) + _semsq(1, 0) + _semsq(0, 1) + _semsq(0, 0))
+
+    def _floor6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0) / 1000000.0
+
+    return one.select(
+        F.col("n00").alias("n_ctrl_pre"), F.col("n01").alias("n_ctrl_post"),
+        F.col("n10").alias("n_treat_pre"), F.col("n11").alias("n_treat_post"),
+        _floor6(did / 1000.0).alias("did_estimate"),
+        _floor6(se / 1000.0).alias("did_se"),
+        _floor6(did / se).alias("did_z"),
+    )
+
+
+DIFF_IN_DIFF_ORACLE = f"""
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+         CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}' THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)) AS s,
+         sum(CAST(CAST(floor(value * 1000.0) AS BIGINT)
+                  * CAST(floor(value * 1000.0) AS BIGINT)
+                  AS DECIMAL(38,0))) AS ss
+  FROM events GROUP BY 1, 2
+),
+one AS (
+  SELECT
+    {", ".join(
+        f"CAST(sum(CASE WHEN t = {t} AND post = {p} THEN n ELSE 0 END) "
+        f"AS BIGINT) AS n{t}{p}, "
+        f"CAST(sum(CASE WHEN t = {t} AND post = {p} THEN s ELSE 0 END) "
+        f"AS BIGINT) AS s{t}{p}, "
+        f"sum(CASE WHEN t = {t} AND post = {p} THEN ss ELSE 0 END) AS ss{t}{p}"
+        for t in (0, 1) for p in (0, 1))}
+  FROM cells
+),
+d AS (
+  SELECT n00, n01, n10, n11,
+         (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+          - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+         - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+            - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did,
+         sqrt(
+           {" + ".join(
+               f"CAST(CAST(n{t}{p} AS DECIMAL(38,0)) * ss{t}{p} "
+               f"- CAST(s{t}{p} AS DECIMAL(38,0)) "
+               f"* CAST(s{t}{p} AS DECIMAL(38,0)) AS DOUBLE) "
+               f"/ (CAST(n{t}{p} AS DOUBLE) * (CAST(n{t}{p} AS DOUBLE) - 1.0)) "
+               f"/ CAST(n{t}{p} AS DOUBLE)"
+               for t in (0, 1) for p in (0, 1))}
+         ) AS se
+  FROM one
+)
+SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+       n10 AS n_treat_pre, n11 AS n_treat_post,
+       floor(did / 1000.0 * 1000000.0) / 1000000.0 AS did_estimate,
+       floor(se / 1000.0 * 1000000.0) / 1000000.0 AS did_se,
+       floor(did / se * 1000000.0) / 1000000.0 AS did_z
+FROM d
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
+    "stats_two_proportion_z": QuerySpec(stats_two_proportion_z,
+                                        TWO_PROP_ORACLE),
+    "stats_diff_in_diff": QuerySpec(stats_diff_in_diff,
+                                    DIFF_IN_DIFF_ORACLE),
     "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,
                                        BOOTSTRAP_MEANS_ORACLE),
     "stats_psi_drift": QuerySpec(stats_psi_drift, PSI_DRIFT_ORACLE),

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
+    "stats_two_proportion_z",  # same |types|-row pair enumeration
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
@@ -181,6 +182,7 @@ SP_ALLOWED = {
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
+    "stats_diff_in_diff",       # one-row 4-cell power-sum scalar
     "abc_revenue_classes",      # one-row total + offset windows over the
                                 # ABC_PARTITIONS-row (constant) pid agg
     "emb_cluster_ari",          # one-row contingency-sum scalars

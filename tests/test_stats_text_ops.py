@@ -8,6 +8,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from data_ingestion_worker_spark.operators.stats import (
@@ -120,6 +121,52 @@ def test_welch_ttest_matches_numpy(spark):
         assert r.n_a == len(a) and r.n_b == len(b)
         assert r.t_stat == pytest.approx(t, abs=1e-4)
         assert r.welch_df == pytest.approx(dof, abs=1e-2)
+
+
+def test_two_proportion_z_matches_numpy(spark):
+    from data_ingestion_worker_spark.operators.stats import (
+        PROP_THRESHOLD, stats_two_proportion_z,
+    )
+
+    rows = stats_two_proportion_z(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_type", "value").toPandas()
+    ev["c"] = (ev.value > PROP_THRESHOLD).astype(int)
+    assert len(rows) == 10   # C(5,2) unordered type pairs
+    for r in rows:
+        a = ev[ev.event_type == r.type_a].c.to_numpy()
+        b = ev[ev.event_type == r.type_b].c.to_numpy()
+        pa, pb = a.mean(), b.mean()
+        pp = (a.sum() + b.sum()) / (len(a) + len(b))
+        z = (pa - pb) / np.sqrt(pp * (1 - pp) * (1 / len(a) + 1 / len(b)))
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.p_a == pytest.approx(pa, abs=1e-6)
+        assert r.p_b == pytest.approx(pb, abs=1e-6)
+        assert r.z_pooled == pytest.approx(z, abs=1e-5)
+
+
+def test_diff_in_diff_matches_numpy(spark):
+    from data_ingestion_worker_spark.operators.stats import (
+        CUPED_SPLIT, stats_diff_in_diff,
+    )
+
+    [r] = stats_diff_in_diff(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("user_id", "ts", "value").toPandas()
+    ev["q"] = np.floor(ev.value * 1000.0)
+    ev["t"] = (ev.user_id % 2 == 1).astype(int)
+    ev["post"] = (ev.ts >= pd.Timestamp(CUPED_SPLIT)).astype(int)
+
+    def cell(t, p):
+        return ev[(ev.t == t) & (ev.post == p)].q.to_numpy()
+
+    c00, c01, c10, c11 = cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1)
+    did = (c11.mean() - c10.mean()) - (c01.mean() - c00.mean())
+    se = np.sqrt(sum(c.var(ddof=1) / len(c) for c in (c00, c01, c10, c11)))
+    assert r.n_ctrl_pre == len(c00) and r.n_treat_post == len(c11)
+    assert r.did_estimate == pytest.approx(did / 1000.0, abs=1e-5)
+    assert r.did_se == pytest.approx(se / 1000.0, abs=1e-5)
+    assert r.did_z == pytest.approx(did / se, abs=1e-4)
 
 
 def test_markov_rows_are_probability_distributions(spark):
