@@ -1232,8 +1232,122 @@ FROM {prev_v}
 BFS_ORACLE = _bfs_oracle()
 
 
+#: HITS: L1-normalized score scale and fixed mutual-reinforcement rounds.
+HITS_SCALE = PR_SCALE
+HITS_ITERATIONS = 2
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) on the DIRECTED customer→
+    supplier purchase graph: a customer is a good *hub* when it buys
+    from good suppliers; a supplier a good *authority* when good hubs
+    buy from it.  The natural bipartite reading of the purchase data —
+    and the directed complement to :func:`graph_pagerank`, which runs on
+    the undirected projection.
+
+    Determinism: scores are BIGINTs scaled by :data:`HITS_SCALE`,
+    L1-normalized each half-step by integer division ``(raw·S) div Σraw``
+    (summands DECIMAL(38)-promoted BEFORE the sum — a BIGINT edge-sum
+    overflows once |E|·S passes 2⁶³, which a 100 TB graph does).  The
+    per-step totals are one-row broadcast scalars; shuffle order cannot
+    perturb a bit, so the DuckDB oracle (the same rounds unrolled as
+    HUGEINT CTEs) hash-matches exactly.
+
+    Scale shape: the distinct edge list materializes once (lazy local
+    checkpoint); each half-step is one shuffle join (scores ⋈ edges) +
+    one partial-agg shuffle + a one-row total — 4 shuffles per round,
+    the same Pregel-superstep budget as PageRank.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hubs = pairs.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(HITS_SCALE).alias("h")
+    )
+
+    def _normalize(raw: DataFrame, out: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node", F.expr(f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT)")
+            .alias(out)
+        )
+
+    auths = None
+    for _ in range(HITS_ITERATIONS):
+        a_raw = (
+            pairs.join(hubs, pairs.c == hubs.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("raw"))
+        )
+        auths = _normalize(a_raw, "a")
+        h_raw = (
+            pairs.join(auths, pairs.s == auths.node)
+            .groupBy(F.col("c").alias("node"))
+            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("raw"))
+        )
+        hubs = _normalize(h_raw, "h")
+    return hubs.select(
+        F.lit("hub").alias("kind"), F.col("node").alias("key"),
+        F.col("h").alias("score_scaled"),
+    ).unionAll(auths.select(
+        F.lit("authority").alias("kind"), F.col("node").alias("key"),
+        F.col("a").alias("score_scaled"),
+    ))
+
+
+def _hits_oracle(n_iterations: int = HITS_ITERATIONS) -> str:
+    s = HITS_SCALE
+    iters = []
+    prev_h = "h0"
+    for i in range(1, n_iterations + 1):
+        iters.append(f"""
+ar{i} AS (
+  SELECT p.s AS node, sum(CAST(h.h AS HUGEINT)) AS raw
+  FROM pairs p JOIN {prev_h} h ON p.c = h.node GROUP BY 1
+),
+at{i} AS (SELECT sum(raw) AS tot FROM ar{i}),
+a{i} AS (
+  SELECT node, CAST((raw * {s}) // tot AS BIGINT) AS a
+  FROM ar{i} CROSS JOIN at{i}
+),
+hr{i} AS (
+  SELECT p.c AS node, sum(CAST(a.a AS HUGEINT)) AS raw
+  FROM pairs p JOIN a{i} a ON p.s = a.node GROUP BY 1
+),
+ht{i} AS (SELECT sum(raw) AS tot FROM hr{i}),
+h{i} AS (
+  SELECT node, CAST((raw * {s}) // tot AS BIGINT) AS h
+  FROM hr{i} CROSS JOIN ht{i}
+)""")
+        prev_h = f"h{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (
+  SELECT DISTINCT c AS node, CAST({s} AS HUGEINT) AS h FROM pairs
+),{",".join(iters)}
+SELECT 'hub' AS kind, node AS key, h AS score_scaled FROM h{n_iterations}
+UNION ALL
+SELECT 'authority' AS kind, node AS key, a AS score_scaled
+FROM a{n_iterations}
+"""
+
+
+HITS_ORACLE = _hits_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
+    "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),
     "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
                                              COMMON_NEIGHBORS_ORACLE),
     "graph_link_prediction_ra": QuerySpec(graph_link_prediction_ra,

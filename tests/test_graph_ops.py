@@ -371,3 +371,29 @@ def test_link_prediction_aa_matches_python_recompute(spark, sf_dir):
         key=lambda t: (-t[3], t[0], t[1]),
     )[:CN_TOP_K]
     assert got == expect
+
+
+def test_hits_matches_python_recompute(spark):
+    from data_ingestion_worker_spark.operators.graph import (
+        HITS_ITERATIONS, HITS_SCALE, graph_hits,
+    )
+
+    rows = graph_hits(spark, SF_DIR).collect()
+    pairs = [(r.o_custkey, r.l_suppkey) for r in _pairs(spark)]
+    hubs = {c: HITS_SCALE for c, _ in pairs}
+    auths: dict[int, int] = {}
+    for _ in range(HITS_ITERATIONS):
+        raw_a: dict[int, int] = {}
+        for c, s in pairs:
+            raw_a[s] = raw_a.get(s, 0) + hubs[c]
+        tot = sum(raw_a.values())
+        auths = {s: (v * HITS_SCALE) // tot for s, v in raw_a.items()}
+        raw_h: dict[int, int] = {}
+        for c, s in pairs:
+            raw_h[c] = raw_h.get(c, 0) + auths[s]
+        tot = sum(raw_h.values())
+        hubs = {c: (v * HITS_SCALE) // tot for c, v in raw_h.items()}
+    got_h = {r.key: r.score_scaled for r in rows if r.kind == "hub"}
+    got_a = {r.key: r.score_scaled for r in rows if r.kind == "authority"}
+    assert got_h == hubs
+    assert got_a == auths

@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "stats_auc_quality_lang",  # one-row per-class-N broadcast cross join
     "profile_join_key_skew",   # one-row fact-count broadcast cross join
     "graph_pagerank",      # one-row |V| aggregate broadcast cross join
+    "graph_hits",          # one-row L1-total scalars per half-step
     "graph_pagerank_weighted",  # same |V| scalar, weighted contributions
     "graph_pagerank_adaptive",  # same |V| scalar, convergence-capped loop
     "hybrid_search_rerank",  # one-row query-vector broadcast cross join
@@ -143,6 +144,7 @@ SP_ALLOWED = {
     "doc_unigram_logprob",      # one-row corpus-total scalar
     "doc_bm25_rank",            # one-row (N, Σdl) scalar
     "graph_pagerank",           # one-row |V| + per-iteration mass scalars
+    "graph_hits",               # one-row L1-normalization totals
     "graph_pagerank_weighted",  # same scalars, weighted degree
     "graph_pagerank_adaptive",  # same scalars, convergence-capped loop
     "hybrid_search_rerank",     # BM25 stage's (N, Σdl) scalar + qvec row
