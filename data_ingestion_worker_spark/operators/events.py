@@ -2424,7 +2424,109 @@ GROUP BY 1, 2
 """
 
 
+def ev_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between a type's daily event
+    volume and its daily revenue (value sum) — the monotone-association
+    check that, unlike Pearson, is insensitive to the heavy right tail
+    of the value distribution and exact under ties.
+
+    Both series are exact integers (count; cents via DECIMAL), so the
+    concordant/discordant/tie pair counts are integers and tau-b needs
+    only one final double division — bit-stable in both engines,
+    floor-truncated to 6 dp.
+
+    Scale shape: the fact collapses to the (day × type)-bounded daily
+    table in one shuffle; the O(days²) pair enumeration is a broadcast
+    self-join of that *calendar-bounded* table (435 pairs per type at a
+    31-day window — constant work, never touching raw rows).  At an
+    unbounded window you'd switch to the O(n log n) inversion-count
+    formulation; the calendar bound is what licenses the pair join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.expr(
+            "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"
+        )).alias("y"),
+    ).localCheckpoint(eager=False)   # both sides of the pair self-join
+    a = daily.select("event_type", F.col("day").alias("d1"),
+                     F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("day").alias("d2"),
+                     F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(F.broadcast(b),
+                   (F.col("event_type") == F.col("et2"))
+                   & (F.col("d1") < F.col("d2")))
+    cx = F.col("x2") - F.col("x1")
+    cy = F.col("y2") - F.col("y1")
+
+    def _n(cond: F.Column) -> F.Column:
+        return F.sum(cond.cast("long"))
+
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        _n(((cx > 0) & (cy > 0)) | ((cx < 0) & (cy < 0)))
+        .alias("concordant"),
+        _n(((cx > 0) & (cy < 0)) | ((cx < 0) & (cy > 0)))
+        .alias("discordant"),
+        _n(cx == 0).alias("ties_x"),
+        _n(cy == 0).alias("ties_y"),
+    )
+    tau = (
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("ties_x")).cast("double")
+            * (F.col("n0") - F.col("ties_y")).cast("double")
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return sums.join(F.broadcast(n_days), "event_type").select(
+        "event_type", "n_days", "concordant", "discordant",
+        "ties_x", "ties_y",
+        (F.floor(tau * 1000000.0) / 1000000.0).alias("tau_b"),
+    )
+
+
+KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS x,
+         sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         b.x - a.x AS cx, b.y - a.y AS cy
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN (cx > 0 AND cy > 0) OR (cx < 0 AND cy < 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN (cx > 0 AND cy < 0) OR (cx < 0 AND cy > 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM pairs GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT s.event_type, n_days, concordant, discordant, ties_x, ties_y,
+       floor(CAST(concordant - discordant AS DOUBLE)
+             / sqrt(CAST(n0 - ties_x AS DOUBLE)
+                    * CAST(n0 - ties_y AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS tau_b
+FROM sums s JOIN nd ON s.event_type = nd.event_type
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),
     "ev_markov_stationary": QuerySpec(ev_markov_stationary,

@@ -1708,3 +1708,40 @@ def test_tost_equivalence_matches_python(spark, sf_dir):
         assert r.equivalent == exp_eq, (ta, tb)
         if r.equivalent:
             assert abs(dm) < delta
+
+
+def test_kendall_tau_daily_matches_python_recompute(spark):
+    from data_ingestion_worker_spark.operators.events import (
+        ev_kendall_tau_daily,
+    )
+
+    rows = ev_kendall_tau_daily(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type",
+                    "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) "
+                    "AS cents").toPandas()
+    daily = ev.groupby(["event_type", "day"]).agg(
+        x=("cents", "size"), y=("cents", "sum")).reset_index()
+    assert len(rows) == daily.event_type.nunique()
+    for r in rows:
+        d = daily[daily.event_type == r.event_type]
+        xs, ys = d.x.to_list(), d.y.to_list()
+        n = len(xs)
+        conc = disc = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                cx, cy = xs[j] - xs[i], ys[j] - ys[i]
+                if cx == 0:
+                    tx += 1
+                if cy == 0:
+                    ty += 1
+                if cx * cy > 0:
+                    conc += 1
+                elif cx * cy < 0 and cx != 0 and cy != 0:
+                    disc += 1
+        n0 = n * (n - 1) // 2
+        tau = (conc - disc) / ((n0 - tx) * (n0 - ty)) ** 0.5
+        assert r.n_days == n
+        assert (r.concordant, r.discordant) == (conc, disc)
+        assert (r.ties_x, r.ties_y) == (tx, ty)
+        assert r.tau_b == pytest.approx(tau, abs=2e-6)
