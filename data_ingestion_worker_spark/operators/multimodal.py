@@ -1121,8 +1121,118 @@ GROUP BY doc_id, width, height, n_px
 """
 
 
+#: A frame is "silent" when every channel's |int16 sample| is below this
+#: (25% of full scale — roughly a -12 dBFS gate on the hash-uniform PCM).
+SILENCE_THRESHOLD = 8192
+
+TRIM_SCHEMA = ("doc_id bigint, n_frames int, silent_frames int, "
+               "trim_start int, trim_end_excl int, trimmed_hex string")
+
+
+def audio_trim_silence(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL audio curation per payload: decode the WAV (same derivation
+    as :func:`wav_roundtrip`), gate each frame on max-channel amplitude,
+    and TRIM leading/trailing silence — the standard pre-training audio
+    cleanup (interior quiet frames stay; only the edges go).  Emits the
+    silent-frame census, the kept [start, end) frame range, and the
+    surviving PCM bytes (hex) so a stride or endianness bug in the gate
+    breaks value parity, not just counts."""
+    import struct
+
+    from ..functions.audiocodec import decode_wav, encode_wav
+
+    def _trim(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        rate = 8000 * (1 + h64 % 3)
+        channels = 1 + h64 % 2
+        n_frames = 1 + h64 % 5
+        pcm = hashlib.sha256(b).digest()[: n_frames * channels * 2]
+        wav = decode_wav(encode_wav(rate, channels, pcm))
+        fsz = wav.channels * 2
+        frames = [wav.pcm[i * fsz:(i + 1) * fsz]
+                  for i in range(wav.n_frames)]
+        loud = [
+            max(abs(v) for v in struct.unpack(f"<{wav.channels}h", fr))
+            >= SILENCE_THRESHOLD
+            for fr in frames
+        ]
+        loud_idx = [i for i, keep in enumerate(loud) if keep]
+        start = loud_idx[0] if loud_idx else wav.n_frames
+        end = loud_idx[-1] + 1 if loud_idx else 0
+        return (wav.n_frames, loud.count(False), start, end,
+                b"".join(frames[start:end]).hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_trim)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_frames": metas.map(lambda m: m[0]).astype("int32"),
+            "silent_frames": metas.map(lambda m: m[1]).astype("int32"),
+            "trim_start": metas.map(lambda m: m[2]).astype("int32"),
+            "trim_end_excl": metas.map(lambda m: m[3]).astype("int32"),
+            "trimmed_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> real WAV decode -> leading/trailing silence trim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(audio_trim_silence, TRIM_SCHEMA)
+
+
+#: int16-LE from 4 hex chars (lo byte first): v = hi·256 + lo, signed.
+_S16 = ("(('0x' || substr(sx, 3, 2) || substr(sx, 1, 2))::INT)")
+
+MM_AUDIO_TRIM_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+),
+d AS (
+  SELECT doc_id, 1 + h64 % 2 AS ch, 1 + h64 % 5 AS nf, sha_hex FROM h
+),
+sm AS (
+  SELECT doc_id, nf, i, fx,
+         max(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS amp
+  FROM (
+    SELECT d.doc_id, d.nf, i.i,
+           substr(d.sha_hex, CAST(i.i * d.ch * 4 + 1 AS INT),
+                  CAST(d.ch * 4 AS INT)) AS fx,
+           {_S16.replace("sx",
+                         "substr(d.sha_hex,"
+                         " CAST((i.i * d.ch + c.c) * 4 + 1 AS INT), 4)")} AS v
+    FROM d
+    CROSS JOIN UNNEST(range(d.nf)) AS i(i)
+    CROSS JOIN UNNEST(range(d.ch)) AS c(c)
+  )
+  GROUP BY doc_id, nf, i, fx
+),
+fl AS (SELECT *, amp >= {SILENCE_THRESHOLD} AS loud FROM sm),
+ag AS (
+  SELECT doc_id, max(nf) AS nf,
+         sum(CASE WHEN NOT loud THEN 1 ELSE 0 END) AS silent,
+         coalesce(min(CASE WHEN loud THEN i END), max(nf)) AS ts,
+         coalesce(max(CASE WHEN loud THEN i END) + 1, 0) AS te
+  FROM fl GROUP BY 1
+)
+SELECT ag.doc_id, CAST(ag.nf AS INT) AS n_frames,
+       CAST(ag.silent AS INT) AS silent_frames,
+       CAST(ag.ts AS INT) AS trim_start,
+       CAST(ag.te AS INT) AS trim_end_excl,
+       coalesce(string_agg(fl.fx, '' ORDER BY fl.i)
+                FILTER (WHERE fl.i >= ag.ts AND fl.i < ag.te), '')
+         AS trimmed_hex
+FROM ag JOIN fl ON fl.doc_id = ag.doc_id
+GROUP BY ag.doc_id, ag.nf, ag.silent, ag.ts, ag.te
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
+    "mm_audio_trim_silence": QuerySpec(mm_audio_trim_silence,
+                                       MM_AUDIO_TRIM_ORACLE),
     "mm_audio_features": QuerySpec(mm_audio_features,
                                    MM_AUDIO_FEATURES_ORACLE),
     "mm_video_motion": QuerySpec(mm_video_motion, MM_VIDEO_MOTION_ORACLE),

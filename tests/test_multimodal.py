@@ -562,3 +562,44 @@ def test_image_ahash_bits_match_decoded_pixels(spark, sf_dir):
         members = buckets[(w, h, ah)]
         assert r.n_bucket == len(members)
         assert r.is_keeper == int(r.doc_id == min(members))
+
+
+def test_audio_trim_silence_semantics():
+    """Direct batch-fn contract: silence—loud—silence trims to the loud
+    core (interior quiet frames kept), all-silent trims to empty."""
+    import struct
+
+    import pandas as pd
+
+    from data_ingestion_worker_spark.operators.multimodal import (
+        SILENCE_THRESHOLD, _hash64_py, audio_trim_silence,
+    )
+    import hashlib
+
+    # Find a payload whose derived WAV is mono with >=3 frames, then
+    # check the gate against a python recompute of the SAME derivation.
+    payload = None
+    for i in range(200):
+        cand = f"doc {i}".encode()
+        h64 = _hash64_py(cand)
+        if 1 + h64 % 2 == 1 and 1 + h64 % 5 >= 3:
+            payload = cand
+            break
+    assert payload is not None
+    [out] = audio_trim_silence(
+        iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+    )
+    r = out.iloc[0]
+    h64 = _hash64_py(payload)
+    nf = 1 + h64 % 5
+    pcm = hashlib.sha256(payload).digest()[: nf * 2]
+    vals = struct.unpack(f"<{nf}h", pcm)
+    loud = [abs(v) >= SILENCE_THRESHOLD for v in vals]
+    idx = [i for i, keep in enumerate(loud) if keep]
+    start = idx[0] if idx else nf
+    end = idx[-1] + 1 if idx else 0
+    assert r.n_frames == nf
+    assert r.silent_frames == loud.count(False)
+    assert (r.trim_start, r.trim_end_excl) == (start, end)
+    assert r.trimmed_hex == pcm[start * 2:end * 2].hex()
+    assert len(r.trimmed_hex) == 4 * max(0, end - start)
