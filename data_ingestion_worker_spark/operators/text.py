@@ -1308,7 +1308,130 @@ FROM s
 """
 
 
+#: RAKE: max candidate-phrase length (longer stopword-free runs are
+#: chunked — the synthetic corpus is stopword-sparse, so uncapped runs
+#: would degenerate into whole-document "phrases"), and the top-K cut.
+RAKE_MAX_PHRASE = 4
+RAKE_TOP_K = 20
+
+
+def doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs (chunked to
+    ≤:data:`RAKE_MAX_PHRASE` words), each scored by the sum of its
+    words' deg/freq ratios, where freq(w) counts occurrences and deg(w)
+    sums the lengths of phrases containing w.  Emits the global top-K
+    distinct phrases — the unsupervised "what is this corpus about"
+    readout used to spot-check a crawl slice before training.
+
+    Determinism: word scores are integer-floored micro-units
+    (``(deg·10⁶) div freq``), so phrase scores are exact integer sums
+    and the top-K order (score desc, phrase asc) is total.
+
+    Scale shape: phrase extraction is per-document array work (no
+    shuffle); freq/deg collapse by word (vocabulary-bounded shuffle);
+    the phrase score re-join hits that bounded word table; top-K
+    compiles to TakeOrderedAndProject.  Nothing is ever ordered
+    globally except the K survivors.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = ("CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+            "ELSE split(trim(lower(text)), '\\\\s+') END")
+    marked = (f"array_join(transform({toks}, "
+              f"t -> CASE WHEN t IN ({stop_list}) THEN '|' ELSE t END), ' ')")
+    phrases = d.select(
+        F.explode(F.expr(f"split({marked}, '\\\\|')")).alias("seg")
+    ).select(F.expr("split(trim(seg), ' +')").alias("w")) \
+        .filter((F.size("w") > 0) & (F.element_at("w", 1) != F.lit("")))
+    chunks = phrases.select(F.explode(F.expr(
+        f"transform(sequence(0, CAST((size(w) - 1) div {RAKE_MAX_PHRASE} "
+        f"AS INT)), i -> slice(w, i * {RAKE_MAX_PHRASE} + 1, "
+        f"{RAKE_MAX_PHRASE}))"
+    )).alias("p")).localCheckpoint(eager=False)   # feeds scores + re-join
+    wordstats = (
+        chunks.select(F.explode("p").alias("word"),
+                      F.size("p").alias("plen"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select("word",
+                F.expr("(deg * 1000000) div freq").alias("wscore_micro"))
+    )
+    scored = (
+        chunks.select(F.concat_ws(" ", "p").alias("phrase"),
+                      F.explode("p").alias("word"))
+        .join(F.broadcast(wordstats), "word")
+        .groupBy("phrase")
+        .agg(F.sum("wscore_micro").alias("score_sum"))
+    )
+    # score_sum double-counts by occurrence: a phrase seen N times joins
+    # its words N times.  Normalize to the per-instance score by integer
+    # division with the occurrence count.
+    occ = chunks.groupBy(
+        F.concat_ws(" ", "p").alias("phrase")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).alias("n_words"),
+            "n_occurrences",
+            F.expr("score_sum div n_occurrences").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+RAKE_ORACLE = f"""
+WITH marked AS (
+  SELECT array_to_string(list_transform({_TOKENS_SQL},
+           t -> CASE WHEN t IN ({_RAKE_STOP_SQL}) THEN '|' ELSE t END),
+           ' ') AS m
+  FROM documents
+),
+segs AS (
+  SELECT string_split(trim(seg), ' ') AS w
+  FROM (SELECT unnest(string_split(m, '|')) AS seg FROM marked)
+  WHERE length(trim(seg)) > 0
+),
+chunks AS (
+  SELECT list_slice(w, i.i * {RAKE_MAX_PHRASE} + 1,
+                    i.i * {RAKE_MAX_PHRASE} + {RAKE_MAX_PHRASE}) AS p
+  FROM segs
+  CROSS JOIN UNNEST(range((len(w) - 1) // {RAKE_MAX_PHRASE} + 1)) AS i(i)
+),
+wordstats AS (
+  SELECT word, (sum(plen) * 1000000) // count(*) AS wscore_micro
+  FROM (SELECT unnest(p) AS word, len(p) AS plen FROM chunks)
+  GROUP BY 1
+),
+scored AS (
+  SELECT phrase, sum(wscore_micro) AS score_sum
+  FROM (SELECT array_to_string(p, ' ') AS phrase, unnest(p) AS word
+        FROM chunks) pw
+  JOIN wordstats USING (word)
+  GROUP BY 1
+),
+occ AS (
+  SELECT array_to_string(p, ' ') AS phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM chunks GROUP BY 1
+)
+SELECT scored.phrase,
+       CAST(len(string_split(scored.phrase, ' ')) AS INT) AS n_words,
+       n_occurrences,
+       CAST(score_sum // n_occurrences AS BIGINT) AS score_micro
+FROM scored JOIN occ ON scored.phrase = occ.phrase
+ORDER BY score_micro DESC, scored.phrase
+LIMIT {RAKE_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_keyphrase_rake": QuerySpec(doc_keyphrase_rake, RAKE_ORACLE),
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),
     "doc_lm_xent_proxy": QuerySpec(doc_lm_xent_proxy, LM_XENT_ORACLE),

@@ -1745,3 +1745,24 @@ def test_kendall_tau_daily_matches_python_recompute(spark):
         assert (r.concordant, r.discordant) == (conc, disc)
         assert (r.ties_x, r.ties_y) == (tx, ty)
         assert r.tau_b == pytest.approx(tau, abs=2e-6)
+
+
+def test_rake_phrases_are_stopword_free_and_capped(spark):
+    from data_ingestion_worker_spark.functions.text import STOPWORDS
+    from data_ingestion_worker_spark.operators.text import (
+        RAKE_MAX_PHRASE, RAKE_TOP_K, doc_keyphrase_rake,
+    )
+
+    rows = doc_keyphrase_rake(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= RAKE_TOP_K
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= RAKE_MAX_PHRASE
+        assert len(words) == r.n_words
+        assert not set(words) & set(STOPWORDS)
+        assert r.n_occurrences >= 1
+        # deg >= freq for every word => each word score >= 1e6 => the
+        # phrase score is at least n_words microunits-scaled.
+        assert r.score_micro >= r.n_words * 1000000
