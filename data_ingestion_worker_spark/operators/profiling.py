@@ -933,7 +933,94 @@ FROM counts
 """
 
 
+def dq_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness & completeness monitor — the two pager
+    questions for an ingest pipeline: *is this source stale* (how far
+    does its newest event lag the global watermark) and *is it
+    under-delivering* (how does its final observed day compare to its
+    own prior-7-day daily average)?
+
+    All quantities are exact integers: the lag in whole seconds, the
+    completeness ratio in micro-units via ``(n_last·7·10⁶) div Σprior7``
+    (NULL when the source has no prior-7-day history).  The global
+    watermark is a one-row broadcast scalar; per-source daily counts
+    are the (day × type)-bounded table, so everything after the first
+    aggregation is constant-sized.
+    """
+    from .events import _epoch_s
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts"), F.to_date("ts").alias("day")
+    )
+    wm = e.agg(F.max("ts").alias("gmax"),
+               F.max("day").alias("gday"))
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ts").alias("last_ts"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    windows = daily.join(F.broadcast(wm), F.lit(True)).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(F.col("day") == F.col("gday"), F.col("n"))
+              .otherwise(F.lit(0))).alias("n_last_day"),
+        F.sum(F.when(
+            (F.col("day") >= F.date_sub(F.col("gday"), 7))
+            & (F.col("day") < F.col("gday")), F.col("n")
+        ).otherwise(F.lit(0))).alias("prior7_total"),
+    )
+    return (
+        per_type.join(windows, "event_type")
+        .join(F.broadcast(wm), F.lit(True))
+        .select(
+            "event_type", "n_rows",
+            (_epoch_s(F.col("gmax")) - _epoch_s(F.col("last_ts")))
+            .alias("last_seen_lag_s"),
+            "n_last_day", "prior7_total",
+            F.when(F.col("prior7_total") > 0, F.expr(
+                "(n_last_day * 7 * 1000000) div prior7_total"
+            )).alias("completeness_micro"),
+        )
+    )
+
+
+DQ_FRESHNESS_ORACLE = """
+WITH e AS (
+  SELECT event_type, ts, CAST(ts AS DATE) AS day FROM events
+),
+wm AS (SELECT max(ts) AS gmax, max(day) AS gday FROM e),
+per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         max(ts) AS last_ts
+  FROM e GROUP BY 1
+),
+daily AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+windows AS (
+  SELECT event_type,
+         sum(CASE WHEN day = gday THEN n ELSE 0 END) AS n_last_day,
+         sum(CASE WHEN day >= gday - INTERVAL 7 DAY AND day < gday
+                  THEN n ELSE 0 END) AS prior7_total
+  FROM daily CROSS JOIN wm GROUP BY 1
+)
+SELECT p.event_type, n_rows,
+       date_diff('second', last_ts, gmax) AS last_seen_lag_s,
+       CAST(n_last_day AS BIGINT) AS n_last_day,
+       CAST(prior7_total AS BIGINT) AS prior7_total,
+       CASE WHEN prior7_total > 0
+            THEN (n_last_day * 7 * 1000000) // prior7_total
+       END AS completeness_micro
+FROM per_type p JOIN windows USING (event_type) CROSS JOIN wm
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_freshness_events": QuerySpec(dq_freshness_events,
+                                     DQ_FRESHNESS_ORACLE),
     "profile_partition_balance": QuerySpec(profile_partition_balance,
                                            PARTITION_BALANCE_ORACLE),
     "profile_drift_daily": QuerySpec(profile_drift_daily,

@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "graph_k_core",        # one-row k-threshold broadcast cross join
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
+    "dq_freshness_events",  # one-row global-watermark broadcast cross
     "ev_survival_curve",   # one-row horizon-date broadcast cross join
     "abc_revenue_classes",  # one-row revenue-total broadcast cross join
     "graph_modularity",    # one-row total-degree (2m) broadcast cross
@@ -185,6 +186,7 @@ SP_ALLOWED = {
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
     "stats_diff_in_diff",       # one-row 4-cell power-sum scalar
+    "dq_freshness_events",      # one-row global-watermark scalar
     "abc_revenue_classes",      # one-row total + offset windows over the
                                 # ABC_PARTITIONS-row (constant) pid agg
     "emb_cluster_ari",          # one-row contingency-sum scalars

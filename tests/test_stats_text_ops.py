@@ -1766,3 +1766,30 @@ def test_rake_phrases_are_stopword_free_and_capped(spark):
         # deg >= freq for every word => each word score >= 1e6 => the
         # phrase score is at least n_words microunits-scaled.
         assert r.score_micro >= r.n_words * 1000000
+
+
+def test_dq_freshness_matches_pandas_recompute(spark):
+    from data_ingestion_worker_spark.operators.profiling import (
+        dq_freshness_events,
+    )
+
+    rows = dq_freshness_events(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .selectExpr("event_type", "ts", "CAST(ts AS DATE) AS day") \
+        .toPandas()
+    gmax, gday = ev.ts.max(), ev.day.max()
+    assert len(rows) == ev.event_type.nunique()
+    assert min(r.last_seen_lag_s for r in rows) == 0
+    for r in rows:
+        sub = ev[ev.event_type == r.event_type]
+        assert r.n_rows == len(sub)
+        lag = int((gmax - sub.ts.max()).total_seconds())
+        assert abs(r.last_seen_lag_s - lag) <= 1   # whole-second truncation
+        n_last = int((sub.day == gday).sum())
+        prior = int(((sub.day < gday)
+                     & (sub.day >= gday - pd.Timedelta(days=7))).sum())
+        assert (r.n_last_day, r.prior7_total) == (n_last, prior)
+        if prior > 0:
+            assert r.completeness_micro == n_last * 7 * 1000000 // prior
+        else:
+            assert r.completeness_micro is None
