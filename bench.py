@@ -107,6 +107,13 @@ HEADLINE = [
     # The v2 funnel (policy + LM-fluency gates on top of e2e) — the
     # heaviest single launchable; e2e stays for the stage-cost delta.
     "pipeline_curation_v2",
+    # Round-5 (cont. 8) additions: HITS on the directed purchase graph
+    # (two mutual-reinforcement rounds = 4 Pregel half-steps — the
+    # second iterative-graph cost model next to PageRank) and RAKE
+    # keyphrase extraction (phrase chunking + the vocabulary-bounded
+    # word-score join — the array-heavy text shape).
+    "graph_hits",
+    "doc_keyphrase_rake",
 ]
 
 

@@ -1345,9 +1345,127 @@ FROM a{n_iterations}
 HITS_ORACLE = _hits_oracle()
 
 
+#: Landmark-based closeness: number of BFS sources and the hop cap that
+#: bounds both the superstep count and the unrolled oracle.
+CLOSENESS_LANDMARKS = 4
+CLOSENESS_MAX_HOPS = 4
+
+
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated closeness + harmonic centrality: BFS from
+    the :data:`CLOSENESS_LANDMARKS` highest-degree nodes (ties broken by
+    node id) runs as ONE multi-source frontier expansion keyed by
+    ``(node, landmark)``, and every node's centrality is estimated from
+    its distances to the landmark set — the standard way to get
+    closeness at graph sizes where all-pairs BFS is off the table
+    (landmark/pivot sampling, cf. Indyk-style distance oracles).
+
+    Integer determinism: distances are hop counts; closeness is
+    ``(reached·10⁶) div Σd`` and harmonic is ``Σ (10⁶ div d)`` — no
+    floats anywhere.  Scale shape: per hop one shuffle join (frontier ⋈
+    edges) + one distinct + one anti-join, all keyed by (node, lm) —
+    state is at most |V|·L rows, never edge-sized; the landmark pick is
+    a TakeOrdered of the degree table, broadcast into the seed frame.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    landmarks = deg.orderBy(F.col("deg").desc(), F.col("node")) \
+        .limit(CLOSENESS_LANDMARKS)
+    visited = landmarks.select(
+        "node", F.col("node").alias("lm"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for d in range(1, CLOSENESS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), "lm")
+            .distinct()
+            .join(visited.select("node", "lm"), ["node", "lm"],
+                  "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(reached).localCheckpoint(eager=False)
+        frontier = reached
+    per_node = visited.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").alias("sum_dist"),
+        F.sum(F.when(F.col("dist") > 0,
+                     F.expr("1000000 div dist")).otherwise(F.lit(0)))
+        .alias("harmonic_micro"),
+    )
+    return per_node.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        "n_reached", "sum_dist", "harmonic_micro",
+        F.when(F.col("sum_dist") > 0,
+               F.expr("(n_reached * 1000000) div sum_dist"))
+        .alias("closeness_micro"),
+    )
+
+
+def _closeness_oracle(hops: int = CLOSENESS_MAX_HOPS) -> str:
+    parts = []
+    prev_v, prev_f = "v0", "v0"
+    for d in range(1, hops + 1):
+        parts.append(f"""
+f{d} AS (
+  SELECT DISTINCT e.dst AS node, f.lm FROM edges e
+  JOIN {prev_f} f ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_v} x
+                    WHERE x.node = e.dst AND x.lm = f.lm)
+),
+v{d} AS MATERIALIZED (
+  SELECT node, lm, dist FROM {prev_v}
+  UNION ALL
+  SELECT node, lm, CAST({d} AS BIGINT) AS dist FROM f{d}
+)""")
+        prev_v, prev_f = f"v{d}", f"f{d}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+v0 AS (
+  SELECT node, node AS lm, CAST(0 AS BIGINT) AS dist
+  FROM (SELECT node FROM deg ORDER BY deg DESC, node
+        LIMIT {CLOSENESS_LANDMARKS})
+),{",".join(parts)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+            AS BIGINT) AS harmonic_micro,
+       CASE WHEN sum(dist) > 0
+            THEN (count(*) * 1000000) // sum(dist)
+       END AS closeness_micro
+FROM {prev_v}
+GROUP BY 1, 2
+"""
+
+
+CLOSENESS_ORACLE = _closeness_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),
+    "graph_closeness_landmarks": QuerySpec(graph_closeness_landmarks,
+                                           CLOSENESS_ORACLE),
     "graph_common_neighbors_topk": QuerySpec(graph_common_neighbors_topk,
                                              COMMON_NEIGHBORS_ORACLE),
     "graph_link_prediction_ra": QuerySpec(graph_link_prediction_ra,

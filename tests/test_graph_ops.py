@@ -397,3 +397,46 @@ def test_hits_matches_python_recompute(spark):
     got_a = {r.key: r.score_scaled for r in rows if r.kind == "authority"}
     assert got_h == hubs
     assert got_a == auths
+
+
+def test_closeness_landmarks_matches_python_bfs(spark):
+    from collections import deque
+
+    from data_ingestion_worker_spark.operators.graph import (
+        CLOSENESS_LANDMARKS, CLOSENESS_MAX_HOPS, graph_closeness_landmarks,
+    )
+
+    rows = graph_closeness_landmarks(spark, SF_DIR).collect()
+    adj: dict[int, set[int]] = {}
+    for r in _pairs(spark):
+        c, s = r.o_custkey * 2, r.l_suppkey * 2 + 1
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    deg = sorted(adj, key=lambda n: (-len(adj[n]), n))
+    landmarks = deg[:CLOSENESS_LANDMARKS]
+    dists: dict[int, dict[int, int]] = {}
+    for lm in landmarks:
+        seen = {lm: 0}
+        q = deque([lm])
+        while q:
+            u = q.popleft()
+            if seen[u] >= CLOSENESS_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        for n, d in seen.items():
+            dists.setdefault(n, {})[lm] = d
+    got = {(r.kind, r.key): r for r in rows}
+    assert len(got) == len(dists)
+    for n, per_lm in dists.items():
+        r = got[("customer" if n % 2 == 0 else "supplier", n // 2)]
+        sum_d = sum(per_lm.values())
+        assert r.n_reached == len(per_lm)
+        assert r.sum_dist == sum_d
+        assert r.harmonic_micro == sum(
+            1000000 // d for d in per_lm.values() if d > 0
+        )
+        expect_c = (len(per_lm) * 1000000) // sum_d if sum_d > 0 else None
+        assert r.closeness_micro == expect_c
