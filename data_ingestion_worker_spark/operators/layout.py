@@ -1,0 +1,238 @@
+"""Data-layout planning operators: clustering keys and compaction.
+
+At 100 TB the dominant cost of most queries is the scan, and the
+dominant lever on the scan is FILE LAYOUT: which rows share a file
+decides how much a predicate can skip (parquet footer min/max pruning)
+and how many tiny files the NameNode/metastore must track.  These
+operators are the planning half of that loop — they run over row-level
+data (or a file manifest) and emit the layout decision as a DataFrame,
+so the expensive rewrite job consumes a verified plan instead of
+guessing:
+
+- ``layout_zorder_cluster``: scores a Z-order (Morton-interleaved)
+  file assignment against the naive ingestion-order layout by the
+  min/max span each file would advertise in its footer — the standard
+  multi-dimensional clustering argument (cf. Delta OPTIMIZE ZORDER BY,
+  the Samet space-filling-curve literature) reduced to one measurable
+  number per dimension: the expected fraction of files a point query
+  must read.
+- ``layout_compaction_plan``: bin-packs small files into target-size
+  compaction groups by start-offset binning over a per-source running
+  total — the metadata-scale planning step of an OPTIMIZE/compaction
+  job (the manifest is tiny relative to the data it describes, so a
+  per-source ordered window over it is planning cost, not data cost).
+
+The reference has no layout surface (it appends rows to Postgres one
+message at a time, ``src/repositories/contact_repository.py``); these
+operators exist because a Spark lakehouse at scale cannot skip the
+question.
+
+Determinism: everything is integer arithmetic — bucket ids, Morton
+codes, spans, and micro-scaled fractions via integer division — so the
+value hashes are engine- and shuffle-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..spec import QuerySpec
+from ..tables import load_table
+
+#: Bits per dimension in the Morton code (8 ⇒ 256 buckets/dimension).
+ZORDER_BITS = 8
+
+#: Files per simulated layout (65536 Morton cells / 64 files = 1024
+#: cells per file; 256 date buckets / 64 files = 4 buckets per file).
+ZORDER_FILES = 64
+
+#: Days per date bucket: 256 buckets × 10 d ≈ the 7-year orders range.
+ZORDER_DAY_GRANULE = 10
+
+#: Documents per simulated small file in the compaction manifest.
+COMPACT_DOCS_PER_FILE = 32
+
+#: Compaction target size (chars stand in for bytes in the fixture).
+COMPACT_TARGET = 64_000
+
+
+def _morton_expr(cb: str, db: str, idiv: str) -> str:
+    """Bit-interleave ``cb``/``db`` (each < 2^ZORDER_BITS) into a Morton
+    code using only ``div``/``%``/``*``/``+`` so the same fragment
+    compiles on Spark (``div``) and DuckDB (``//``) without bit-op
+    dialect differences."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        w = 4 ** i
+        terms.append(f"(({cb} {idiv} {2 ** i}) % 2) * {w}")
+        terms.append(f"(({db} {idiv} {2 ** i}) % 2) * {2 * w}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score Z-order vs ingestion-order file layout on ``orders``.
+
+    Both candidate layouts are evaluated in ONE pass: each row gets its
+    customer bucket, date bucket, Morton code and the file id under
+    each layout in a single projection; a ``stack`` turns the two
+    assignments into (layout, file) rows; two shrinking hash aggregates
+    produce per-file footer spans and then the per-layout score.  No
+    window, no sort — file assignment is arithmetic on the clustering
+    key, exactly how the rewrite job would partition at scale
+    (``repartitionByRange`` on the Morton code).
+
+    ``scan_frac_*_micro`` is the expected fraction (×10⁶) of files a
+    uniform single-bucket point query on that dimension must read,
+    assuming footer min/max pruning: Σ_files span / (n_files × 256).
+    The Z-order layout trades a slightly wider date span for a ~16×
+    narrower customer span; the linear layout prunes only dates.
+    """
+    cells_per_file = (4 ** ZORDER_BITS) // ZORDER_FILES
+    date_per_file = (2 ** ZORDER_BITS) // ZORDER_FILES
+    orders = load_table(spark, sf_dir, "orders")
+    z = _morton_expr("cb", "db", "div")
+    tagged = orders.select(
+        (F.col("o_custkey") % (2 ** ZORDER_BITS)).alias("cb"),
+        F.expr(
+            f"(datediff(o_orderdate, DATE '1992-01-01') div "
+            f"{ZORDER_DAY_GRANULE}) % {2 ** ZORDER_BITS}"
+        ).alias("db"),
+    ).select(
+        "cb", "db",
+        F.expr(f"{z} div {cells_per_file}").alias("file_z"),
+        F.expr(f"db div {date_per_file}").alias("file_lin"),
+    ).select(F.expr(
+        "stack(2, 'zorder', file_z, 'linear', file_lin)"
+        " AS (layout, file_id)"
+    ), "cb", "db")
+    per_file = tagged.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("cb") - F.min("cb") + F.lit(1)).alias("span_cb"),
+        (F.max("db") - F.min("db") + F.lit(1)).alias("span_db"),
+    )
+    n_buckets = 2 ** ZORDER_BITS
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("span_cb").cast("bigint").alias("sum_span_cb"),
+        F.sum("span_db").cast("bigint").alias("sum_span_db"),
+    ).select(
+        "layout", "n_files", "n_rows", "sum_span_cb", "sum_span_db",
+        F.expr(f"(sum_span_cb * 1000000) div (n_files * {n_buckets})")
+        .alias("scan_frac_cb_micro"),
+        F.expr(f"(sum_span_db * 1000000) div (n_files * {n_buckets})")
+        .alias("scan_frac_db_micro"),
+    )
+
+
+def _zorder_oracle() -> str:
+    z = _morton_expr("cb", "db", "//")
+    nb = 2 ** ZORDER_BITS
+    return f"""
+WITH base AS (
+  SELECT o_custkey % {nb} AS cb,
+         (datediff('day', DATE '1992-01-01', o_orderdate)
+          // {ZORDER_DAY_GRANULE}) % {nb} AS db
+  FROM orders
+),
+keyed AS (
+  SELECT cb, db,
+         {z} // {(4 ** ZORDER_BITS) // ZORDER_FILES} AS file_z,
+         db // {(2 ** ZORDER_BITS) // ZORDER_FILES} AS file_lin
+  FROM base
+),
+tagged AS (
+  SELECT 'zorder' AS layout, file_z AS file_id, cb, db FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, file_lin AS file_id, cb, db FROM keyed
+),
+per_file AS (
+  SELECT layout, file_id, count(*) AS n_rows,
+         max(cb) - min(cb) + 1 AS span_cb,
+         max(db) - min(db) + 1 AS span_db
+  FROM tagged GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(span_cb) AS BIGINT) AS sum_span_cb,
+       CAST(sum(span_db) AS BIGINT) AS sum_span_db,
+       CAST((sum(span_cb) * 1000000) // (count(*) * {nb}) AS BIGINT)
+         AS scan_frac_cb_micro,
+       CAST((sum(span_db) * 1000000) // (count(*) * {nb}) AS BIGINT)
+         AS scan_frac_db_micro
+FROM per_file
+GROUP BY 1
+"""
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction into ≈``COMPACT_TARGET``-sized groups.
+
+    The manifest is simulated from ``documents``: one "file" per
+    ``COMPACT_DOCS_PER_FILE`` consecutive doc ids within a source, sized
+    by its total chars.  Packing is start-offset binning: files are
+    walked in manifest order per source, and a file starts a new group
+    when its START offset crosses a target boundary — the streaming
+    first-fit a compaction planner actually uses (one pass, no
+    lookahead), and a pure prefix-sum, so it is deterministic and
+    engine-independent.
+
+    Scale shape: the window runs over the FILE MANIFEST (thousands of
+    rows per source for millions of data rows), partitioned by source —
+    planning cost, metadata-sized.  The data-sized work (building the
+    manifest) is one hash aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.groupBy(
+        F.col("source"),
+        F.expr(f"doc_id div {COMPACT_DOCS_PER_FILE}").alias("file_seq"),
+    ).agg(F.sum("n_chars").alias("bytes"))
+    w = Window.partitionBy("source").orderBy("file_seq")
+    packed = manifest.select(
+        "source", "file_seq", "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("start_off"),
+    ).select(
+        "source", "file_seq", "bytes",
+        F.expr(f"start_off div {COMPACT_TARGET}").alias("group_id"),
+    )
+    return packed.groupBy("source", "group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_seq").cast("bigint").alias("first_file"),
+        F.max("file_seq").cast("bigint").alias("last_file"),
+    )
+
+
+COMPACTION_ORACLE = f"""
+WITH manifest AS (
+  SELECT source, doc_id // {COMPACT_DOCS_PER_FILE} AS file_seq,
+         sum(n_chars) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+packed AS (
+  SELECT source, file_seq, bytes,
+         (sum(bytes) OVER (PARTITION BY source ORDER BY file_seq)
+          - bytes) // {COMPACT_TARGET} AS group_id
+  FROM manifest
+)
+SELECT source, group_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(file_seq) AS BIGINT) AS first_file,
+       CAST(max(file_seq) AS BIGINT) AS last_file
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+ZORDER_ORACLE = _zorder_oracle()
+
+
+SPECS: dict[str, QuerySpec] = {
+    "layout_zorder_cluster": QuerySpec(layout_zorder_cluster,
+                                       ZORDER_ORACLE),
+    "layout_compaction_plan": QuerySpec(layout_compaction_plan,
+                                        COMPACTION_ORACLE),
+}

@@ -93,6 +93,7 @@ def _collect() -> dict[str, QuerySpec]:
         dedup,
         events,
         graph,
+        layout,
         multimodal,
         profiling,
         quality,
@@ -109,7 +110,7 @@ def _collect() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
                dedup, similarity, sketches, multimodal, profiling, quality,
-               curation, graph]
+               curation, graph, layout]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:
