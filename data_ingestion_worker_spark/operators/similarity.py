@@ -2280,6 +2280,144 @@ GROUP BY 1
 """
 
 
+MMR_POOL = 24   # relevance-ranked candidate window fed to the reranker
+MMR_K = 6       # diverse results selected
+MMR_LAM = 7     # λ numerator of 10: score = 7·rel − 3·max_sim
+
+
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998):
+    from the MMR_POOL most query-relevant vectors, greedily pick MMR_K
+    maximizing ``λ·relevance − (1−λ)·max-similarity-to-selected`` — the
+    retrieval-side dedup every RAG/eval pipeline runs so the context
+    window isn't five near-copies of the same document.
+
+    Query = vec_id 0's embedding; relevance and similarity are both
+    quantized-integer dot products, λ = 0.7 applied as the exact
+    integer combination ``7·rel − 3·ms`` (common scale 10), ties on
+    vec_id — no float anywhere, so selection is engine-independent.
+
+    Scale shape: the ONLY corpus-sized work is the relevance top-pool
+    (one broadcast of the query vector + one TakeOrdered); the greedy
+    loop runs on the constant-size pool (broadcast joins over ≤24
+    rows), exactly how a reranker sits behind an ANN index at 100 TB —
+    index narrows, reranker never touches the corpus again.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv"))
+    qvec = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("qv").alias("kv"))
+    dot_rel = F.expr("aggregate(zip_with(qv, kv, (x, y) -> x * y), "
+                     "cast(0 as bigint), (acc, v) -> acc + v)")
+    pool = (
+        e.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "qv", dot_rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    dot_sim = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+                     "cast(0 as bigint), (acc, v) -> acc + v)")
+    best = F.max(F.struct("score", (-F.col("vec_id")).alias("nid"),
+                          "rel", "ms")).alias("m")
+    pick_cols = [(-F.col("m.nid")).cast("bigint").alias("vec_id"),
+                 F.col("m.rel").alias("rel"), F.col("m.ms").alias("ms"),
+                 F.col("m.score").alias("mmr_score")]
+    seed = pool.select(
+        "vec_id", "rel", F.lit(0).cast("bigint").alias("ms"),
+        (MMR_LAM * F.col("rel")).alias("score"),
+    ).agg(best).select(F.lit(0).alias("sel_order"), *pick_cols)
+    picked_rows = [seed]
+    sel = seed.select("vec_id")
+    rem = pool
+    for i in range(1, MMR_K):
+        newest = rem.join(
+            F.broadcast(picked_rows[-1].select("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        rem = (
+            rem.join(F.broadcast(sel.select(
+                F.col("vec_id").alias("cid"))), F.col("vec_id") == F.col("cid"),
+                "left_anti")
+            .crossJoin(F.broadcast(newest.drop("cid")))
+            .select("vec_id", "qv", "rel",
+                    (F.greatest(F.col("ms"), dot_sim) if i > 1
+                     else dot_sim).alias("ms"))
+            .localCheckpoint(eager=False)
+        )
+        pick = rem.select(
+            "vec_id", "rel", "ms",
+            (MMR_LAM * F.col("rel") - (10 - MMR_LAM) * F.col("ms"))
+            .alias("score"),
+        ).agg(best).select(F.lit(i).alias("sel_order"), *pick_cols)
+        picked_rows.append(pick)
+        sel = sel.unionByName(pick.select("vec_id"))
+    out = picked_rows[0]
+    for p in picked_rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mmr_oracle() -> str:
+    qv = (f"CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) "
+          "AS BIGINT)")
+    head = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d, {qv} AS v
+  FROM embeddings
+),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel FROM (
+    SELECT a.vec_id, sum(a.v * q.v) AS rel,
+           row_number() OVER (ORDER BY sum(a.v * q.v) DESC, a.vec_id) AS r
+    FROM dims a JOIN dims q ON q.vec_id = 0 AND q.d = a.d
+    WHERE a.vec_id > 0
+    GROUP BY a.vec_id
+  ) WHERE r <= {MMR_POOL}
+),
+pairdot AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(da.v * db.v) AS dot
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+  JOIN dims da ON da.vec_id = a.vec_id
+  JOIN dims db ON db.vec_id = b.vec_id AND db.d = da.d
+  GROUP BY 1, 2
+),
+s0 AS (
+  SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms,
+         {MMR_LAM} * rel AS score
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    parts = [head]
+    prev_sel = "s0"
+    sels = ["s0"]
+    for i in range(1, MMR_K):
+        in_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM {s}" for s in sels)
+        parts.append(f""",
+m{i} AS (
+  SELECT p.vec_id, p.rel,
+         max(d.dot) AS ms
+  FROM pool p
+  JOIN pairdot d ON d.i = p.vec_id
+                AND d.j IN (SELECT vec_id FROM ({in_sel}))
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM ({in_sel}))
+  GROUP BY 1, 2
+),
+s{i} AS (
+  SELECT vec_id, rel, ms,
+         {MMR_LAM} * rel - {10 - MMR_LAM} * ms AS score
+  FROM m{i}
+  ORDER BY {MMR_LAM} * rel - {10 - MMR_LAM} * ms DESC, vec_id
+  LIMIT 1
+)""")
+        prev_sel = f"s{i}"
+        sels.append(prev_sel)
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS sel_order, vec_id, rel, ms, "
+        f"CAST(score AS BIGINT) AS mmr_score FROM s{i}"
+        for i in range(MMR_K))
+    return "".join(parts) + "\n" + tail
+
+
 SPECS: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "emb_gram_matrix": QuerySpec(emb_gram_matrix, EMB_GRAM_ORACLE),
@@ -2317,4 +2455,5 @@ SPECS: dict[str, QuerySpec] = {
     "emb_hamming_topk": QuerySpec(emb_hamming_topk, EMB_HAMMING_ORACLE),
     "ann_hamming_recall": QuerySpec(ann_hamming_recall,
                                     ANN_HAMMING_RECALL_ORACLE),
+    "emb_mmr_rerank": QuerySpec(emb_mmr_rerank, _mmr_oracle()),
 }

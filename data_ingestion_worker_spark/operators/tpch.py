@@ -361,6 +361,56 @@ FROM supplier GROUP BY 1
 """
 
 
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: per-batch partial aggregates
+    merged into the final answer, pinned equal to a direct recompute.
+
+    Batches are shipment months — the unit an incremental pipeline
+    lands.  Phase 1 computes each batch's partial state (count / DECIMAL
+    sum / min / max); phase 2 merges states with the combiner algebra
+    (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes).  The oracle
+    is the DIRECT aggregation over all rows, so the green row proves the
+    merge is lossless — the contract that lets a 100 TB rollup absorb a
+    new day by touching one partial instead of re-scanning the fact
+    table (same proof shape as ``scd2_incremental_merge``).  Both phases
+    are ordinary hash aggregates; the second runs on batch-count-sized
+    input (~84 months × groups), i.e. metadata scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("batch"),
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).alias("sq"),
+        F.min(_dec("l_extendedprice")).alias("mn"),
+        F.max(_dec("l_extendedprice")).alias("mx"),
+    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum("sq").cast("decimal(22,2)").cast("double").alias("sum_qty"),
+        F.min("mn").cast("double").alias("min_price"),
+        F.max("mx").cast("double").alias("max_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+    )
+
+
+PARTIAL_MERGE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                 AS DECIMAL(22,2)) AS DOUBLE) AS sum_qty,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS max_price,
+       CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT)
+         AS n_batches
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE),
     "agg_pivot": QuerySpec(agg_pivot, PIVOT_ORACLE),
@@ -373,4 +423,5 @@ SPECS: dict[str, QuerySpec] = {
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_ORACLE),
     "agg_rollup": QuerySpec(agg_rollup, ROLLUP_ORACLE),
     "agg_distinct_per_group": QuerySpec(agg_distinct_per_group, DISTINCT_ORACLE),
+    "agg_partial_merge": QuerySpec(agg_partial_merge, PARTIAL_MERGE_ORACLE),
 }

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
     "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
+    "emb_mmr_rerank",      # query vector + <=24-row pool broadcast per round
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
@@ -176,6 +177,8 @@ SP_ALLOWED = {
                                 # the <=10 decile rows
     "ann_pq_recall",            # inherits the ADC bloom-filter subquery
     "emb_coreset_maxmin",       # per-round one-row argmax scalar
+    "emb_mmr_rerank",           # per-round one-row argmax scalar +
+                                # constant-size (<=24-row) pool TakeOrdered
     "mba_part_lift",            # one-row order-count scalar
     "graph_degree_assortativity",  # one-row five-moment scalar
     "graph_k_core",             # one-row k-threshold scalar
