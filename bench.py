@@ -1,15 +1,25 @@
 """Benchmark harness (driver contract: one JSON line on stdout).
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a COMPACT
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}``.
+"sf": ...}`` line as the LAST stdout line.
+
+Emission contract (round-6 fix): the driver captures only the last
+~2,000 bytes of output, so the stdout line is kept under 1,500 bytes
+(asserted) — it carries the full-suite total, the legacy-19 subtotal
+(the r1 baseline-of-record subset, per-query), and the top-5 heaviest
+queries.  The FULL per-query timings + [min,max] spreads for all
+headline queries are written to ``BENCH_DETAIL.json`` (committed).
 
 Each query is forced through the noop sink (full execution, no
 driver-side collect overhead).  The mix covers every engine subsystem:
 scan-agg (q1/q6), multiway joins (q3/q5/q10), the flagship validation
-pipeline, window/sessionization, dedup (minhash), similarity (cosine
-top-k), text scoring, sketches (KMV), and funnel analytics.
+pipeline, window/sessionization, dedup (minhash/incremental/ssjoin),
+similarity (cosine/PQ-ADC), text scoring, sketches, graph, multimodal
+codecs, and the composed curation funnels.  A streaming end-to-end
+lifecycle bench (file-queue -> consumer -> consolidate, jobs/min) runs
+after the batch suite and lands in BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -17,7 +27,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,6 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_ingestion_worker_spark.registry import all_specs  # noqa: E402
 from data_ingestion_worker_spark.session import get_spark  # noqa: E402
 from data_ingestion_worker_spark.tables import TABLE_NAMES, load_table  # noqa: E402
+
+#: The first 19 entries are the r1 baseline-of-record subset
+#: (BASELINE.md: 14.053 s at sf0.1); keep them first and per-query in
+#: the compact stdout line so the driver's record stays comparable
+#: across rounds.
+LEGACY_19 = 19
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -46,6 +64,7 @@ HEADLINE = [
     "profile_columns",
     "doc_salient_terms",
     "dedup_fuzzy_names",
+    # --- end of legacy-19 (r1 baseline subset) ---
     "graph_pagerank",
     "pack_sequences",
     # Round-5 additions: the real media codecs (decode is the measured
@@ -60,61 +79,86 @@ HEADLINE = [
     # on the part co-order graph (~1.9M triangles at sf0.1) — wedge
     # enumeration is the measured cost, all of it joins + counts.
     "graph_triangle_count",
-    # Round-5 (cont.) additions: the Arrow-batch linear-algebra seam
-    # (exact d×d Gram via numpy partial sums), the lossless ssjoin
-    # prefix filter (candidate pruning + verification joins), and the
-    # CC + keep-longest dedup endgame (iterative label propagation).
+    # The Arrow-batch linear-algebra seam (exact d×d Gram via numpy
+    # partial sums), the lossless ssjoin prefix filter, and the CC +
+    # keep-longest dedup endgame (iterative label propagation).
     "emb_gram_matrix",
     "dedup_jaccard_prefix_filter",
     "dedup_cluster_representative",
-    # Round-5 (cont. 4) additions: the PQ index build + ADC search path
-    # (codebook training is the measured cost; search itself is a
-    # broadcast-LUT join over the codes table), the shingle-attribution
-    # novelty scorer (the corpus-growth shuffle shape), and the
-    # dedup-vs-quality audit (LSH + connected components + quality
-    # formula composed into one diagnostic).
+    # PQ index build + ADC search (codebook training is the measured
+    # cost), shingle-attribution novelty scorer, dedup-vs-quality audit.
     "ann_pq_adc_topk",
     "doc_ngram_novelty",
     "corpus_dup_quality_profile",
-    # Round-5 (cont. 5) additions: bounded k-core peeling (three
-    # degree-shuffle + endpoint-semi-join rounds — the graph curation
-    # filter) and the sliding 3-hour distinct-users HLL merge (register
-    # fan-out replaces windowed COUNT(DISTINCT) re-scans; the exact
-    # yardstick half dominates the measured cost by design).
+    # Bounded k-core peeling and the sliding 3-hour distinct-users HLL
+    # merge (register fan-out replaces windowed COUNT(DISTINCT)).
     "graph_k_core",
     "ev_sliding_uniques_hll",
-    # Round-5 (cont. 6) additions: the incremental SCD2 maintenance path
-    # (change compression seeded by the open intervals + history
-    # close-out) — the per-batch history-table merge a production
-    # deployment runs instead of full rebuilds — and the ABC Pareto
-    # classification (two-phase range-partitioned global cumsum, the
-    # no-SinglePartition global-ranking pattern).
+    # Incremental SCD2 maintenance and ABC Pareto classification
+    # (two-phase range-partitioned global cumsum).
     "scd2_incremental_merge",
     "abc_revenue_classes",
-    # Round-5 (cont. 7) additions: the B×-fan-out Poisson bootstrap
-    # (md5 draw per (row, replicate) — the uncertainty-readout cost
-    # model) and the kNN label probe (broadcast query block × corpus
-    # scan + vote, the standard embedding-quality eval).
+    # B×-fan-out Poisson bootstrap and the kNN label probe.
     "stats_bootstrap_means",
     "emb_knn_label_vote",
-    # ...plus the three promoted into the graded 50: the PSI drift
-    # monitor (broadcast decile cuts + 10-row compare), the bigram-LM
-    # cross-entropy quality proxy (the corpus-model build dominates),
-    # and perceptual-hash image dedup through the real decode path.
+    # PSI drift monitor, bigram-LM cross-entropy proxy, perceptual-hash
+    # image dedup through the real decode path.
     "stats_psi_drift",
     "doc_lm_xent_proxy",
     "mm_image_ahash_dedup",
     # The v2 funnel (policy + LM-fluency gates on top of e2e) — the
     # heaviest single launchable; e2e stays for the stage-cost delta.
     "pipeline_curation_v2",
-    # Round-5 (cont. 8) additions: HITS on the directed purchase graph
-    # (two mutual-reinforcement rounds = 4 Pregel half-steps — the
-    # second iterative-graph cost model next to PageRank) and RAKE
-    # keyphrase extraction (phrase chunking + the vocabulary-bounded
-    # word-score join — the array-heavy text shape).
+    # HITS on the directed purchase graph and RAKE keyphrase extraction.
     "graph_hits",
     "doc_keyphrase_rake",
 ]
+
+
+def _bench_streaming(spark, n_jobs: int = 12, rows_per_job: int = 400) -> dict:
+    """End-to-end streaming lifecycle: N job messages through the
+    file-queue inbox -> JobStreamConsumer (foreachBatch) -> validate ->
+    consolidate -> COMPLETED.  Mirrors the reference's whole consumer
+    loop (/root/reference/src/consumer.py:55-111) rather than a single
+    operator.  Returns jobs/min over the measured drain."""
+    from data_ingestion_worker_spark.control import ControlStore
+    from data_ingestion_worker_spark.streaming import JobStreamConsumer
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        inbox = os.path.join(tmp, "inbox")
+        os.makedirs(inbox)
+        lines = []
+        for j in range(1, n_jobs + 1):
+            csv_path = os.path.join(tmp, f"job{j}.csv")
+            with open(csv_path, "w") as f:
+                f.write("email,first_name,last_name,company\n")
+                for r in range(rows_per_job):
+                    # ~10% duplicate emails + ~5% invalid, so the
+                    # validation/issue path does real work per job.
+                    k = r - (r % 10 == 0) * 1
+                    email = (f"user{j}_{k}@bench.example"
+                             if r % 20 else f"bad-email-{r}")
+                    f.write(f"{email},First{r},Last{r},Acme{j}\n")
+            lines.append(json.dumps({"job_id": j, "s3_key": csv_path}))
+        with open(os.path.join(inbox, "jobs.json"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        store = ControlStore(spark, os.path.join(tmp, "control"))
+        consumer = JobStreamConsumer(
+            spark, store, inbox, os.path.join(tmp, "ckpt"))
+        t0 = time.time()
+        consumer.start(available_now=True).awaitTermination(600)
+        sec = time.time() - t0
+        done = len([r for r in consumer.results if r[1] == "initial"])
+        return {
+            "jobs": n_jobs,
+            "jobs_completed": done,
+            "rows_per_job": rows_per_job,
+            "sec": round(sec, 3),
+            "jobs_per_min": round(n_jobs / sec * 60.0, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -145,16 +189,59 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    legacy = HEADLINE[:LEGACY_19]
+    legacy_total = round(sum(timings[n] for n in legacy), 3)
+
+    # Streaming end-to-end lifecycle (jobs/min) — isolated from the batch
+    # totals; a failure here must not lose the batch record.
+    try:
+        streaming = _bench_streaming(spark)
+    except Exception as exc:  # pragma: no cover - defensive
+        streaming = {"error": str(exc)[:200]}
+
+    detail = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "runs_per_query": 3,
+        "n_queries": len(HEADLINE),
+        "legacy19_total": legacy_total,
+        "queries": timings,
         "spread": spread,
-    }))
+        "streaming_e2e": streaming,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in legacy},
+        "sf": sf,
+        "runs_per_query": 3,
+        "n_queries": len(HEADLINE),
+        "legacy19_total": legacy_total,
+        "top5": top5,
+        "stream_jobs_per_min": streaming.get("jobs_per_min"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # driver tail capture is ~2 KB; stay well inside
+        compact.pop("top5")
+        line = json.dumps(compact)
+    assert len(line) <= 1500, f"compact bench line too long: {len(line)}B"
+
+    # Stop Spark BEFORE printing so no shutdown logging can land after
+    # the JSON line (the driver parses the tail of combined output).
     spark.stop()
+    sys.stderr.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
