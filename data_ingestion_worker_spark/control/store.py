@@ -413,9 +413,18 @@ class ControlStore:
             )
         # A restore is a blind pointer move, but it still serializes
         # through the commit log so a concurrent merge can detect it.
-        while not self._claim_commit(table, self._latest_commit(table)[0] + 1,
-                                     version, "restore"):
-            pass
+        # Bounded like every other read-modify-write path: a persistent
+        # filesystem error surfacing as FileExistsError must fail loudly,
+        # not spin forever.
+        for _ in range(_OCC_RETRIES):
+            if self._claim_commit(table, self._latest_commit(table)[0] + 1,
+                                  version, "restore"):
+                break
+        else:
+            raise RuntimeError(
+                f"restore({table}@{version}): could not claim a commit slot "
+                f"after {_OCC_RETRIES} retries — writer contention too high"
+            )
         self._flip_pointer(table, version)
         self._append_log(table, version, "restore")
 

@@ -38,7 +38,9 @@ BI_RGB = 0  # the only BMP compression mode supported (uncompressed)
 class DecodedImage:
     width: int
     height: int
-    mode: str      # 'P' (palette source), 'RGB', 'RGBA' — Pillow naming
+    mode: str      # 'L' (grayscale), 'P' (palette source), 'RGB',
+                   # 'RGBA' — Pillow naming; L/P pixels arrive
+                   # pre-expanded to 3-byte RGB by the decoders
     format: str    # 'BMP' | 'PPM'
     pixels: bytes  # top-to-bottom RGB (3 bytes/px) or RGBA (4 bytes/px)
 

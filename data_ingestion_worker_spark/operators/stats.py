@@ -504,7 +504,10 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("s"),
-        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+        # Square in DECIMAL(38), not LONG: Spark silently wraps int64
+        # overflow while the DuckDB oracle raises, so milli-quantized
+        # values above ~3e9 would diverge instead of failing loudly.
+        F.sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")).alias("ss"),
     )
     a = st.alias("a")
     b = st.alias("b")
@@ -609,7 +612,10 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("s"),
-        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+        # Square in DECIMAL(38), not LONG: Spark silently wraps int64
+        # overflow while the DuckDB oracle raises, so milli-quantized
+        # values above ~3e9 would diverge instead of failing loudly.
+        F.sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")).alias("ss"),
     )
     a = st.alias("a")
     b = st.alias("b")

@@ -32,10 +32,13 @@ SPARK_INGEST_MAX_MESSAGES       per-poll receive bound (default 1 —
 SPARK_INGEST_MAX_RECEIVE_COUNT  dead-letter retry budget (default 3)
 ==============================  =======================================
 
-``--drain``: one availableNow pass over queue + inbox, then exit
-(batch/cron mode).  Without it the worker long-polls like the
-reference's infinite loop; Ctrl-C stops the streaming query cleanly
-(the reference's KeyboardInterrupt path, consumer.py:103-111).
+``--drain``: empty the queue (repeat polls until a receive returns no
+messages), one availableNow pass over the inbox, then exit (batch/cron
+mode).  ``--once``: exactly one poll cycle + one availableNow pass,
+then exit (smoke-test mode).  Without either flag the worker
+long-polls like the reference's infinite loop; Ctrl-C stops the
+streaming query cleanly (the reference's KeyboardInterrupt path,
+consumer.py:103-111).
 """
 
 from __future__ import annotations
@@ -88,14 +91,18 @@ def main(argv: list[str] | None = None) -> int:
         description="Spark-native contact-ingestion worker",
     )
     ap.add_argument("--drain", action="store_true",
-                    help="one availableNow pass over queue+inbox, then exit")
+                    help="empty the queue, one availableNow pass, exit")
+    ap.add_argument("--once", action="store_true",
+                    help="one poll cycle + one availableNow pass, exit")
     args = ap.parse_args(argv)
     poll = float(_env("SPARK_INGEST_POLL_SECONDS", "20"))
     max_messages = int(_env("SPARK_INGEST_MAX_MESSAGES", "1"))
 
     bridge, consumer = build_worker()
-    if args.drain:
-        bridge.drain_once(max_messages=max_messages)
+    if args.drain or args.once:
+        while bridge.drain_once(max_messages=max_messages) > 0:
+            if args.once:
+                break
         consumer.start(available_now=True).awaitTermination()
         return 0
     query = consumer.start(available_now=False,

@@ -251,3 +251,36 @@ def test_worker_entrypoint_drain_cycle(spark, tmp_path, monkeypatch):
     contacts = consumer.store.read("contacts").collect()
     assert [(r.contact_email, r.contacts_user_id) for r in contacts] \
         == [("a@x.com", "user-9")]
+
+
+def test_worker_once_and_drain_flags(spark, tmp_path, monkeypatch):
+    """``--once`` bridges exactly one poll cycle (one message at the
+    default max_messages=1); ``--drain`` then empties the queue.  Both
+    documented invocations must actually parse and run (round-5 ADVICE:
+    the docstring advertised --once before the flag existed)."""
+    from data_ingestion_worker_spark.streaming.queue import (
+        FileQueueClient, job_message)
+    from data_ingestion_worker_spark.worker import main
+
+    root = tmp_path / "w2"
+    monkeypatch.setenv("SPARK_INGEST_ROOT", str(root))
+    monkeypatch.setenv("SPARK_INGEST_USER_ID", "user-2")
+    qdir = root / "queue"
+    qdir.mkdir(parents=True)
+    monkeypatch.setenv("SPARK_INGEST_QUEUE_DIR", str(qdir))
+    for j in (1, 2):
+        csv_path = str(tmp_path / f"once{j}.csv")
+        with open(csv_path, "wb") as f:
+            f.write(b"email,first_name,last_name,company\n"
+                    + f"u{j}@x.com,U,{j},Acme\n".encode())
+        FileQueueClient(str(qdir)).send(job_message(j, csv_path))
+
+    assert main(["--once"]) == 0            # one poll -> exactly one job
+    from data_ingestion_worker_spark.control import ControlStore
+    store = ControlStore(spark, str(root / "control"))
+    first = {r.job_id for r in store.read("jobs").collect()}
+    assert len(first) == 1 and first <= {1, 2}   # queue order is arbitrary
+
+    assert main(["--drain"]) == 0           # empties the queue -> the other
+    done = {(r.job_id, r.job_status) for r in store.read("jobs").collect()}
+    assert done == {(1, "COMPLETED"), (2, "COMPLETED")}
