@@ -79,6 +79,10 @@ HEADLINE = [
     # on the part co-order graph (~1.9M triangles at sf0.1) — wedge
     # enumeration is the measured cost, all of it joins + counts.
     "graph_triangle_count",
+    # Round-6: its DOULION production twin (deterministic 25% edge
+    # sample, 1/p³ scale-up) — benched next to the exact count so the
+    # sample's cost ratio is on the record.
+    "graph_triangle_doulion",
     # The Arrow-batch linear-algebra seam (exact d×d Gram via numpy
     # partial sums), the lossless ssjoin prefix filter, and the CC +
     # keep-longest dedup endgame (iterative label propagation).

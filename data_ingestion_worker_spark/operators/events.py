@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distributed_exact_quantiles
 from ..spec import QuerySpec
 from ..tables import load_table
 
@@ -844,14 +845,26 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         F.col("mon").cast("double").alias("monetary"),
     )
-    cuts = with_rec.agg(
-        *[F.expr(f"percentile(recency_days, {p})").alias(f"r{i}")
-          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
-        *[F.expr(f"percentile(frequency, {p})").alias(f"f{i}")
-          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
-        *[F.expr(f"percentile(monetary, {p})").alias(f"m{i}")
-          for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))],
+    # Quintile cutoffs via the distributed order-statistic helper: the
+    # three metrics are melted to (metric, value) rows so ONE grouped
+    # pass computes all 12 cuts — bit-identical to the percentile
+    # aggregate, but no |users|-sized buffer on a single reducer.
+    melted = with_rec.select(F.explode(F.array(
+        F.struct(F.lit("r").alias("k"),
+                 F.col("recency_days").cast("double").alias("x")),
+        F.struct(F.lit("f").alias("k"),
+                 F.col("frequency").cast("double").alias("x")),
+        F.struct(F.lit("m").alias("k"), F.col("monetary").alias("x")),
+    )).alias("e")).select(F.col("e.k").alias("k"), F.col("e.x").alias("x"))
+    qs = distributed_exact_quantiles(
+        melted, "x",
+        [("q1", 0.2), ("q2", 0.4), ("q3", 0.6), ("q4", 0.8)],
+        group_cols=["k"],
     )
+    cuts = qs.agg(*[
+        F.max(F.when(F.col("k") == pfx, F.col(f"q{i}"))).alias(f"{pfx}{i}")
+        for pfx in ("r", "f", "m") for i in (1, 2, 3, 4)
+    ])
 
     def _band_up(col: str, pfx: str) -> F.Column:
         c = F.col(col).cast("double")
@@ -1085,12 +1098,14 @@ def ev_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_s").isNotNull())
         .select((F.col("p_s") - F.col("v_s")).alias("delay_s"))
     )
-    return delays.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.expr("percentile(delay_s, 0.25)").alias("p25_s"),
-        F.expr("percentile(delay_s, 0.5)").alias("p50_s"),
-        F.expr("percentile(delay_s, 0.9)").alias("p90_s"),
-    )
+    # Distributed order statistics (bit-identical to the percentile
+    # aggregate) — converting-user counts grow with the corpus, so the
+    # quantile scalars must not buffer every distinct delay in one task.
+    return distributed_exact_quantiles(
+        delays, "delay_s",
+        [("p25_s", 0.25), ("p50_s", 0.5), ("p90_s", 0.9)],
+        count_alias="n_converted",
+    ).select("n_converted", "p25_s", "p50_s", "p90_s")
 
 
 CONVERSION_TIME_ORACLE = """

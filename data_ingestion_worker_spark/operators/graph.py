@@ -400,6 +400,137 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
 """
 
 
+#: DOULION edge-sampling rate in thousandths (250 = keep 25% of edges).
+#: Chosen so the 1/p³ scale-up (64) is an exact integer — the estimate
+#: stays pure BIGINT arithmetic on both engines.
+DOULION_P_MILLI = 250
+_DOULION_SCALE = 1000**3 // DOULION_P_MILLI**3   # 1/p³ = 64
+
+
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle-count estimate (Tsourakakis et al., KDD'09):
+    keep each undirected edge with probability p via a deterministic
+    hash gate, run the same degree-ordered wedge count on the sparsified
+    graph, scale by 1/p³.
+
+    The production twin of :func:`graph_triangle_count` — the exact
+    count is the bench's heaviest analytic (the O(m^{3/2}) wedge join);
+    sampling at p=0.25 cuts wedge work ≈ p² and closing-join output
+    ≈ p³ (~1.6% of exact) while the estimator stays unbiased with
+    relative error ~ sqrt((1/p³−1)/T).  The coin is
+    ``hash64('tri:'||u||':'||v) mod 1000 < 250`` — reproducible in
+    DuckDB, re-shard-stable, and pinned against the exact count by
+    ``tests/test_graph_ops.py::test_doulion_relative_error``.
+
+    The scale-up factor is the exact integer 64, so the estimate is
+    BIGINT end-to-end — no float summation anywhere.
+    """
+    from ..functions.hashing import hash64
+
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    ).distinct()
+    a, b = lo.alias("a"), lo.alias("b")
+    und_all = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)   # feeds total count + the gate
+    )
+    coin = F.pmod(
+        hash64(F.concat(F.lit("tri:"), F.col("u").cast("string"),
+                        F.lit(":"), F.col("v").cast("string"))),
+        F.lit(1000),
+    )
+    und = und_all.filter(coin < DOULION_P_MILLI) \
+        .localCheckpoint(eager=False)   # degrees + orientation join
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    e = (
+        und.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+    )
+    u_first = (
+        F.struct(F.col("du.deg"), F.col("u"))
+        < F.struct(F.col("dv.deg"), F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
+        .alias("ddeg"),
+    ).localCheckpoint(eager=False)
+    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
+        oriented.alias("cl")
+    tri_s = (
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
+                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
+        .join(cl, (F.col("cl.src") == F.col("o1.dst"))
+              & (F.col("cl.dst") == F.col("o2.dst")))
+        .agg(F.count(F.lit(1)).alias("tri_sampled"))
+    )
+    totals = und_all.agg(F.count(F.lit(1)).alias("n_edges"))
+    kept = und.agg(F.count(F.lit(1)).alias("n_edges_kept"))
+    return (
+        tri_s.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(kept))
+        .select(
+            "n_edges", "n_edges_kept", "tri_sampled",
+            (F.col("tri_sampled") * F.lit(_DOULION_SCALE))
+            .cast("bigint").alias("tri_est"),
+        )
+    )
+
+
+DOULION_ORACLE = f"""
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+),
+und_all AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.s < b.s
+),
+und AS (
+  SELECT u, v FROM und_all
+  WHERE (('0x' || substr(md5('tri:' || CAST(u AS VARCHAR) || ':'
+                             || CAST(v AS VARCHAR)), 1, 15))::BIGINT)
+        % 1000 < {DOULION_P_MILLI}
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst,
+         CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END
+           AS ddeg
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+tri AS (
+  SELECT count(*) AS tri_sampled
+  FROM o o1
+  JOIN o o2 ON o1.src = o2.src
+           AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)
+  JOIN o cl ON cl.src = o1.dst AND cl.dst = o2.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM und_all) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges_kept,
+       CAST(tri_sampled AS BIGINT) AS tri_sampled,
+       CAST(tri_sampled * {_DOULION_SCALE} AS BIGINT) AS tri_est
+FROM tri
+"""
+
+
 #: Fixed synchronous label-propagation rounds (unrolled in the oracle).
 LPA_ITERATIONS = 2
 
@@ -1480,6 +1611,8 @@ SPECS: dict[str, QuerySpec] = {
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),
     "graph_triangle_count": QuerySpec(graph_triangle_count,
                                       TRIANGLE_ORACLE),
+    "graph_triangle_doulion": QuerySpec(graph_triangle_doulion,
+                                        DOULION_ORACLE),
     "graph_degree_assortativity": QuerySpec(graph_degree_assortativity,
                                             ASSORTATIVITY_ORACLE),
     "graph_k_core": QuerySpec(graph_k_core, KCORE_ORACLE),

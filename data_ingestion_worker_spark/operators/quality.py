@@ -338,8 +338,16 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep")).select("doc_id", "n_tokens")
     unflagged = doc_policy_flags(spark, sf_dir) \
         .filter(F.col("flagged") == 0).select("doc_id")
-    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q")
-    cut = x.agg(F.expr("percentile(mean_xent_q, 0.9)").alias("p90"))
+    # Checkpoint: x feeds both the p90 cut and the gate join below —
+    # without it the whole bigram-LM subtree would execute twice.
+    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q") \
+        .localCheckpoint(eager=False)
+    # p90 via the distributed order-statistic helper: bit-identical to
+    # the percentile aggregate, but the cut no longer buffers every
+    # distinct quantized-xent value in one task (round-5 verdict's one
+    # flagged scale weakness in this funnel).
+    from ..functions.quantiles import distributed_exact_quantiles
+    cut = distributed_exact_quantiles(x, "mean_xent_q", [("p90", 0.9)])
     fluent = (
         x.crossJoin(F.broadcast(cut))
         .filter(F.expr("CAST(mean_xent_q AS DOUBLE) <= p90"))

@@ -21,18 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import distributed_exact_quantiles
 from ..spec import QuerySpec
 from ..tables import load_table
 from .events import _epoch_s
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p90/p99 order totals per priority."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    """Exact p50/p90/p99 order totals per priority.
+
+    Computed via the distributed order-statistic helper (range
+    partition + per-partition rank + offset broadcast) instead of the
+    ``percentile`` aggregate: bit-identical readout, but no
+    per-distinct-value buffer on a single reducer per group.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    return distributed_exact_quantiles(
+        o, "o_totalprice",
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        group_cols=["priority"],
     )
 
 
@@ -346,10 +355,12 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") + (F.col("qbin") + 0.5)
          * (F.col("hi") - F.col("lo")) / HIST_BINS).alias("est_raw"),
     )
+    # Ground-truth half via the distributed order-statistic helper —
+    # same bits as the percentile aggregate, no per-group value buffer.
     exact = (
-        e.groupBy("event_type")
-        .agg(*[F.expr(f"percentile(value, {p})").alias(name)
-               for name, p in HQ_PCTS])
+        distributed_exact_quantiles(
+            e, "value", HQ_PCTS, group_cols=["event_type"]
+        )
         .select(
             "event_type",
             F.expr("stack(3, " + ", ".join(
@@ -1597,10 +1608,16 @@ def psi_cuts(ref_cents: DataFrame) -> DataFrame:
     """One-row decile-cut frame (``c1``..``c9``) from a reference
     ``cents`` column — shared by the batch PSI and the streaming drift
     monitor (``streaming/windows.py::psi_buckets_stream``) so bucket
-    boundaries have exactly one definition."""
-    return ref_cents.agg(
-        *[F.expr(f"percentile(cents, {k / PSI_BUCKETS})").alias(f"c{k}")
-          for k in range(1, PSI_BUCKETS)]
+    boundaries have exactly one definition.
+
+    Round 6: the decile scalars go through the distributed
+    order-statistic helper — bit-identical to ``percentile`` but with
+    no corpus-wide single aggregation buffer (over billions of distinct
+    cents the exact-percentile map was the one remaining 100× risk).
+    """
+    return distributed_exact_quantiles(
+        ref_cents, "cents",
+        [(f"c{k}", k / PSI_BUCKETS) for k in range(1, PSI_BUCKETS)],
     )
 
 

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
+    "ev_conversion_time",  # one-row quantile row × one-row count row
     "ev_growth_accounting",  # one-row observation-window-end scalar
     "corpus_token_budget_plan",  # one-row integer-total broadcast cross
     "stats_auc_quality_lang",  # one-row per-class-N broadcast cross join
@@ -62,6 +63,7 @@ BNLJ_ALLOWED = {
     "emb_mmr_rerank",      # query vector + <=24-row pool broadcast per round
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
+    "graph_triangle_doulion",  # one-row totals x one-row sampled-count
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
     "dq_freshness_events",  # one-row global-watermark broadcast cross
@@ -182,6 +184,7 @@ SP_ALLOWED = {
     "mba_part_lift",            # one-row order-count scalar
     "graph_degree_assortativity",  # one-row five-moment scalar
     "graph_k_core",             # one-row k-threshold scalar
+    "graph_triangle_doulion",   # three one-row count scalars crossed
     "graph_bfs_distance",       # one-row seed-node scalar
     "dq_validate_orders",       # one-row rule-metric scalars
     "dq_validate_documents",    # one-row rule-metric scalars
@@ -232,7 +235,41 @@ WINDOW_OVER_SP_ALLOWED = {
     "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
     "ev_peak_concurrency",  # CONC_PARTITIONS-row offset agg (constant)
     "profile_drift_daily",  # <=|observation-window| daily rows
+    # Distributed exact-quantile helper (functions/quantiles.py): the
+    # offset window runs over the constant n_parts-row per-partition
+    # count aggregate, never over data (ungrouped call sites only —
+    # grouped calls partition the window by the group key).
+    "ev_conversion_time",   # n_parts-row offset agg (constant)
+    "stats_psi_drift",      # n_parts-row offset agg (constant)
+    "pipeline_curation_v2",  # n_parts-row offset agg (constant)
 }
+
+
+#: Queries whose plan may contain Spark's exact ``percentile`` aggregate
+#: (its buffer holds per-distinct-value counts in ONE task).  Legitimate
+#: only when the aggregated relation is bounded by a *domain* — calendar
+#: days, a fixed sample — never by corpus size.  Corpus-scale order
+#: statistics must go through
+#: ``functions.quantiles.distributed_exact_quantiles`` (bit-identical
+#: readout, bounded state everywhere).
+EXACT_PERCENTILE_ALLOWED = {
+    "ev_rolling_median_7d",  # ≤7 contributions per (day, type) group
+    "ev_anomaly_mad",        # medians over the calendar×type daily agg
+    "ev_trend_theil_sen",    # medians over C(|days|, 2) spine pairs
+    "emb_outlier_knn",       # p95 over the fixed OUT_SAMPLE-row probe
+}
+
+_EXACT_PERCENTILE_RE = None
+
+
+def _has_exact_percentile(plan: str) -> bool:
+    global _EXACT_PERCENTILE_RE
+    if _EXACT_PERCENTILE_RE is None:
+        import re
+        # 'percentile(' in aggregate expressions, excluding the sketch
+        # forms (approx_percentile / percentile_approx).
+        _EXACT_PERCENTILE_RE = re.compile(r"(?<!approx_)percentile\(")
+    return bool(_EXACT_PERCENTILE_RE.search(plan))
 
 
 def _tree_indent(line: str) -> int:
@@ -288,4 +325,12 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
             f"{name}: a Window runs over an Exchange SinglePartition — "
             "an empty-frame window funneling the relation through one "
             "task; use a scalar agg + broadcast cross join instead"
+        )
+    if name not in EXACT_PERCENTILE_ALLOWED:
+        assert not _has_exact_percentile(plan), (
+            f"{name}: exact percentile aggregate over a corpus-scale "
+            "relation buffers per-distinct-value counts in one task; "
+            "use functions.quantiles.distributed_exact_quantiles, or "
+            "add the op to EXACT_PERCENTILE_ALLOWED with a bounded-"
+            "domain justification"
         )

@@ -24,7 +24,10 @@ from data_ingestion_worker_spark.session import get_spark  # noqa: E402
 
 
 def flags(plan: str) -> list[str]:
-    from tests.test_plan_hygiene import _sp_feeds_window  # reuse the walker
+    from tests.test_plan_hygiene import (  # reuse the walkers/allowlist
+        _has_exact_percentile,
+        _sp_feeds_window,
+    )
 
     out = []
     if "BroadcastNestedLoopJoin" in plan:
@@ -37,6 +40,10 @@ def flags(plan: str) -> list[str]:
         out.append("PY_UDF")
     if "CartesianProduct" in plan:
         out.append("CARTESIAN")
+    if _has_exact_percentile(plan):
+        # Reviewed allowlist: EXACT_PERCENTILE_ALLOWED in
+        # tests/test_plan_hygiene.py (bounded-domain inputs only).
+        out.append("EXACT_PERCENTILE")
     return out
 
 
