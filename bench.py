@@ -73,6 +73,9 @@ HEADLINE = [
     # filter->dedup->split curation funnel (one Catalyst plan).
     "mm_roundtrip_wav",
     "mm_roundtrip_avi",
+    # Round-6: the dependency-free baseline JPEG codec (Huffman + DCT
+    # per payload is the measured cost — the heaviest per-row decode).
+    "mm_roundtrip_jpeg",
     "dedup_incremental",
     "pipeline_curation_e2e",
     # The engine's heaviest analytic: oriented-wedge triangle counting

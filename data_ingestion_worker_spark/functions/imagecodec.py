@@ -50,14 +50,16 @@ class DecodedImage:
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'BMP' / 'PPM' / 'PNG' when the magic matches a builtin
-    codec."""
+    """Return 'BMP' / 'PPM' / 'PNG' / 'JPEG' when the magic matches a
+    builtin codec."""
     if payload[:2] == b"BM":
         return "BMP"
     if payload[:2] == b"P6":
         return "PPM"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "PNG"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "JPEG"
     return None
 
 
@@ -228,4 +230,8 @@ def decode_builtin(payload: bytes) -> DecodedImage:
         from .pngcodec import decode_png  # deferred: pngcodec imports us
 
         return decode_png(payload)
-    raise ValueError("no builtin codec for payload (not BMP/PPM/PNG)")
+    if fmt == "JPEG":
+        from .jpegcodec import decode_jpeg  # deferred: jpegcodec imports us
+
+        return decode_jpeg(payload)
+    raise ValueError("no builtin codec for payload (not BMP/PPM/PNG/JPEG)")

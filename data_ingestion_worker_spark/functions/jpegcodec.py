@@ -1,0 +1,588 @@
+"""Dependency-free baseline JPEG codec (JFIF, SOF0, Annex-K tables).
+
+Round 5 closed PNG with a stdlib-zlib codec; JPEG was the last named
+gap ("a real multimodal corpus is JPEG-heavy" — the reference fetches
+arbitrary S3 objects, src/services/s3_service.py:57-63) because the
+container has no Pillow/libjpeg.  JPEG's entropy layer is plain Huffman
+coding and its transform is an 8×8 DCT — both implementable exactly
+with the stdlib + numpy, so the decode path needs no third-party
+dependency either.
+
+Supported (the dominant baseline profile): SOF0 (baseline sequential
+DCT, 8-bit), 1 or 3 components, component sampling factors 1-2 (covers
+4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments, restart intervals
+(DRI + RSTn), JFIF APP0/other APPn/COM segments skipped.  Progressive
+(SOF2), arithmetic coding, 12-bit precision and hierarchical modes
+raise ``ValueError`` — the caller's corrupt-payload path (NULL
+metadata, reference T10) treats them like any undecodable input.
+
+``encode_jpeg`` produces baseline JFIF with the ITU-T T.81 Annex K
+quantization and Huffman tables (quality-scaled with the classic
+``5000/Q`` / ``200−2Q`` rule), 4:4:4 or 4:2:0.  JPEG is lossy: the
+round-trip contract is a *bounded reconstruction error* (asserted in
+tests and in the ``mm_roundtrip_jpeg`` operator's ``within_tol`` gate),
+not byte equality — the one codec in the matrix where that is the
+mathematically correct expectation.
+
+Determinism: every transform is float64 numpy with a fixed operation
+order and ``np.rint`` rounding, so decoded pixels are bit-stable across
+runs, partitions and machines.  Runs per-payload inside Arrow-batched
+``mapInPandas`` stages; nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .imagecodec import DecodedImage
+
+#: Decompression-bomb guard (same idea as pngcodec.MAX_PIXELS).
+MAX_PIXELS = 1 << 26
+
+# --------------------------------------------------------------------------
+# ITU-T T.81 Annex K constants (public standard tables)
+
+#: K.1 — luminance quantization (natural row-major order).
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+#: K.2 — chrominance quantization.
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: Zig-zag scan: ZIGZAG[k] = natural (row-major) index of the k-th
+#: zig-zag coefficient.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# K.3 Huffman tables: (BITS[1..16], HUFFVAL) per class/destination.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis (C @ x = DCT; C.T @ X = IDCT).
+_DCT_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _DCT_C[_u, _x] = 0.5 * cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """Canonical JPEG Huffman: value -> (code, length)."""
+    out: dict[int, tuple] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_lookup(bits: list[int], vals: list[int]) -> dict[tuple, int]:
+    """Canonical JPEG Huffman: (length, code) -> value (decode side)."""
+    return {(ln, c): v for v, (c, ln) in _huffman_codes(bits, vals).items()}
+
+
+def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality scaling of a base table (clamped to 1..255)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _category(v: int) -> int:
+    """Bit category of a DC difference / AC coefficient (0..15)."""
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill to byte boundary
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy data exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: dangling 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1             # stuffed byte
+            else:
+                # A marker inside entropy data: signal to the caller by
+                # feeding zero bits (T.81 allows padding at segment end).
+                self.pos -= 1
+                b = 0
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 EXTEND: map a received ``cat``-bit value to its signed
+    coefficient."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple, int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+# --------------------------------------------------------------------------
+# Encoder
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, ...]:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mult - h % mult) % mult
+    pw = (mult - w % mult) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(block: np.ndarray, qt: np.ndarray, dc_pred: int,
+                  dc_codes: dict, ac_codes: dict,
+                  writer: _BitWriter) -> int:
+    """DCT + quantize + Huffman one 8×8 block; returns the new DC."""
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    q = np.rint(coef / qt.reshape(8, 8)).astype(np.int64)
+    zz = [int(q.flat[ZIGZAG[k]]) for k in range(64)]
+    # DC difference
+    diff = zz[0] - dc_pred
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    writer.write(code, ln)
+    if cat:
+        writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    # AC run-lengths
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]        # ZRL
+            writer.write(zc, zl)
+            run -= 16
+        cat = _category(v)
+        sc, sl = ac_codes[(run << 4) | cat]
+        writer.write(sc, sl)
+        writer.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]            # EOB
+        writer.write(ec, el)
+    return zz[0]
+
+
+def _dht_segment(cls: int, dest: int, bits: list[int],
+                 vals: list[int]) -> bytes:
+    body = bytes([cls << 4 | dest]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """Encode top-to-bottom RGB bytes as baseline JFIF (4:4:4 or 4:2:0)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_jpeg: rgb length != width*height*3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    y, cb, cr = _rgb_to_ycbcr(arr)
+    qt_l = _quality_scaled(QT_LUMA, quality)
+    qt_c = _quality_scaled(QT_CHROMA, quality)
+    s420 = subsampling == "420"
+    if s420:
+        y_p = _pad_edge(y, 16)
+        cb_p = _pad_edge(cb, 16)
+        cr_p = _pad_edge(cr, 16)
+        # 2×2 box average chroma downsample.
+        cb_p = (cb_p[0::2, 0::2] + cb_p[0::2, 1::2]
+                + cb_p[1::2, 0::2] + cb_p[1::2, 1::2]) / 4.0
+        cr_p = (cr_p[0::2, 0::2] + cr_p[0::2, 1::2]
+                + cr_p[1::2, 0::2] + cr_p[1::2, 1::2]) / 4.0
+    else:
+        y_p, cb_p, cr_p = (_pad_edge(p, 8) for p in (y, cb, cr))
+
+    dc_l = _huffman_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huffman_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huffman_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huffman_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    if s420:
+        mcus_x = y_p.shape[1] // 16
+        mcus_y = y_p.shape[0] // 16
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in (0, 1):
+                    for bx in (0, 1):
+                        blk = y_p[my * 16 + by * 8: my * 16 + by * 8 + 8,
+                                  mx * 16 + bx * 8: mx * 16 + bx * 8 + 8]
+                        preds[0] = _encode_block(blk, qt_l, preds[0],
+                                                 dc_l, ac_l, writer)
+                for ci, plane in ((1, cb_p), (2, cr_p)):
+                    blk = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
+                    preds[ci] = _encode_block(blk, qt_c, preds[ci],
+                                              dc_c, ac_c, writer)
+    else:
+        mcus_x = y_p.shape[1] // 8
+        mcus_y = y_p.shape[0] // 8
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, plane, qt, dc, ac in (
+                    (0, y_p, qt_l, dc_l, ac_l),
+                    (1, cb_p, qt_c, dc_c, ac_c),
+                    (2, cr_p, qt_c, dc_c, ac_c),
+                ):
+                    blk = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
+                    preds[ci] = _encode_block(blk, qt, preds[ci],
+                                              dc, ac, writer)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)))
+    for dest, qt in ((0, qt_l), (1, qt_c)):
+        zz = bytes(int(qt[ZIGZAG[k]]) for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([dest]) + zz
+    hv_y = 0x22 if s420 else 0x11
+    sof = bytes((8,)) + struct.pack(">HH", height, width) + bytes((3,))
+    sof += bytes((1, hv_y, 0)) + bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes((3,)) + bytes((1, 0x00)) + bytes((2, 0x11)) \
+        + bytes((3, 0x11)) + bytes((0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += writer.buf
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) \
+        -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> DecodedImage:
+    """Decode a baseline JFIF/JPEG payload to top-to-bottom RGB bytes."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        # Truncated/corrupt segment bytes surface as slicing errors;
+        # the caller's corrupt-payload contract is ValueError.
+        raise ValueError(f"JPEG: malformed stream ({exc})") from exc
+
+
+def _decode_jpeg(payload: bytes) -> DecodedImage:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple, dict] = {}
+    frame = None       # (height, width, [(cid, h, v, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                          # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        seg = payload[pos + 4: pos + 2 + seg_len]
+        if marker == 0xDB:                          # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    t[ZIGZAG[k]] = seg[p + 1 + k]
+                qtables[tq] = t
+                p += 65
+        elif marker == 0xC4:                        # DHT
+            p = 0
+            while p < len(seg):
+                cls, dest = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1: p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17: p + 17 + n])
+                htables[(cls, dest)] = _huffman_lookup(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:      # SOF0/1 (baseline)
+            if seg[0] != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            h_img, w_img = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError("JPEG: 1 or 3 components only")
+            comps = []
+            for i in range(ncomp):
+                cid = seg[6 + 3 * i]
+                hv = seg[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: non-baseline SOF unsupported")
+        elif marker == 0xDD:                        # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                        # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs = seg[1 + 2 * i]
+                td_ta = seg[2 + 2 * i]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0x0F)
+            return _decode_scan(payload, pos + 2 + seg_len, frame,
+                                scan_tables, qtables, htables,
+                                restart_interval)
+        # APPn / COM / anything else: skip.
+        pos += 2 + seg_len
+    raise ValueError("JPEG: no scan data")
+
+
+def _decode_scan(data: bytes, pos: int, frame, scan_tables, qtables,
+                 htables, restart_interval: int) -> DecodedImage:
+    h_img, w_img, comps = frame
+    if h_img * w_img > MAX_PIXELS:
+        raise ValueError("JPEG: image too large")
+    if not h_img or not w_img:
+        raise ValueError("JPEG: zero dimension")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h not in (1, 2) or max_v not in (1, 2):
+        raise ValueError("JPEG: sampling factors 1-2 only")
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (w_img + mcu_w - 1) // mcu_w
+    mcus_y = (h_img + mcu_h - 1) // mcu_h
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+    reader = _BitReader(data, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                reader.align()
+                if reader.pos + 1 < len(data) \
+                        and data[reader.pos] == 0xFF \
+                        and 0xD0 <= data[reader.pos + 1] <= 0xD7:
+                    reader.pos += 2
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, tq in comps:
+                td, ta = scan_tables[cid]
+                dc_tab = htables.get((0, td))
+                ac_tab = htables.get((1, ta))
+                qt = qtables.get(tq)
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("JPEG: missing table for scan")
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _decode_huff(reader, dc_tab)
+                        diff = _extend(reader.receive(s), s)
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:       # ZRL
+                                    k += 16
+                                    continue
+                                break             # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        # zz is in zig-zag order; qt in natural order.
+                        deq = np.zeros(64)
+                        for k2 in range(64):
+                            deq[ZIGZAG[k2]] = zz[k2] * qt[ZIGZAG[k2]]
+                        blk = _DCT_C.T @ deq.reshape(8, 8) @ _DCT_C + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+    # Upsample to full geometry, crop, convert.
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch < max_h:
+            p = np.repeat(p, max_h // ch, axis=1)
+        if cv < max_v:
+            p = np.repeat(p, max_v // cv, axis=0)
+        full.append(p[:h_img, :w_img])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        # 'L' pixels pre-expanded to 3-byte RGB, like the PNG decoder.
+        return DecodedImage(w_img, h_img, "L", "JPEG", rgb.tobytes())
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+    return DecodedImage(w_img, h_img, "RGB", "JPEG", rgb.tobytes())

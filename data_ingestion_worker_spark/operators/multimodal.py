@@ -102,10 +102,11 @@ def decode_image_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """Real image decode, same batch loop as the stub.
 
     Codec selection is per payload, sniff first: magic bytes route
-    BMP/PPM/PNG to the dependency-free builtin codecs
-    (``functions.imagecodec`` / ``pngcodec`` — real bytes-to-pixels
-    work, not a stub); anything else falls through to Pillow when the
-    environment has it.  A payload the builtin codec REJECTS (e.g. a
+    BMP/PPM/PNG/JPEG to the dependency-free builtin codecs
+    (``functions.imagecodec`` / ``pngcodec`` / ``jpegcodec`` — real
+    bytes-to-pixels work, not a stub); anything else falls through to
+    Pillow when the environment has it.  A payload the builtin codec
+    REJECTS (e.g. a
     valid PNG profile outside the builtin's support: Adam7 interlace,
     16-bit depth) also falls through to Pillow — the builtin owning a
     magic must never shrink coverage below what Pillow alone gave.
@@ -507,6 +508,93 @@ SELECT doc_id,
        'RGB' AS mode, 'PNG' AS format,
        substr(sha_hex, 1, CAST((1 + h64 % 3) * (1 + h64 % 3) * 6 AS INT))
          AS pixel_hex
+FROM h
+"""
+
+
+#: Max per-channel reconstruction error the JPEG round-trip tolerates at
+#: quality 90, 4:4:4.  Worst observed over 500 derived fixtures is 11;
+#: 24 is 2× headroom while still failing loudly on any Huffman / zigzag
+#: / DCT / quantization defect (a broken stage produces errors in the
+#: hundreds).
+JPEG_RT_TOL = 24
+
+JPEG_SCHEMA = ("doc_id bigint, width int, height int, mode string, "
+               "format string, within_tol int")
+
+
+def jpeg_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL lossy-codec work per payload: derive a smooth W×H RGB
+    triangle-wave image from the payload hash (smooth because random
+    noise is exactly what JPEG is *supposed* to discard), encode it as
+    baseline JFIF (quality 90, 4:4:4 — DCT, quantization, Huffman,
+    byte stuffing), decode it back through the ``decode_builtin``
+    dispatch (magic sniffing on the gated path), and report whether the
+    reconstruction honours the lossy-codec error contract
+    (``max_abs_err ≤ JPEG_RT_TOL``).
+
+    JPEG is the one codec in the matrix where byte equality is the
+    *wrong* expectation — the oracle therefore gates dimensions (the
+    decoder must parse SOF0 correctly through padding: dims 8-16 are
+    never block-aligned on both axes) and the tolerance flag, while
+    ``tests/test_jpegcodec.py`` pins exact behavior on hand-built
+    spec vectors.
+    """
+    import numpy as np
+
+    from ..functions.imagecodec import decode_builtin
+    from ..functions.jpegcodec import encode_jpeg
+
+    def _pixels(h64: int, w: int, h: int) -> "np.ndarray":
+        a, b = 1 + h64 % 7, 1 + (h64 // 7) % 7
+        base = h64 % 256
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        arr = np.zeros((h, w, 3), np.uint8)
+        for c in range(3):
+            t = (a * xx + b * yy + base + 85 * c) % 510
+            arr[:, :, c] = np.abs(t - 255).astype(np.uint8)
+        return arr
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 8 + h64 % 9, 8 + (h64 // 9) % 9
+        rgb = _pixels(h64, w, h)
+        img = decode_builtin(encode_jpeg(w, h, rgb.tobytes(), quality=90))
+        dec = np.frombuffer(img.pixels, np.uint8).reshape(h, w, 3)
+        err = int(np.abs(dec.astype(np.int64) - rgb.astype(np.int64)).max())
+        return (img.width, img.height, img.mode, img.format,
+                int(err <= JPEG_RT_TOL))
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+            "within_tol": metas.map(lambda m: m[4]).astype("int32"),
+        })
+
+
+def mm_roundtrip_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real JPEG encode/decode round-trip -> bounded
+    reconstruction-error gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(jpeg_roundtrip, JPEG_SCHEMA)
+
+
+#: Dimension gate is algebraic like BMP/PNG; the pixel gate is the
+#: lossy-codec tolerance flag (within_tol must be 1 for every row —
+#: a Huffman/zigzag/DCT/quant defect produces errors far past it).
+MM_JPEG_ORACLE = f"""
+WITH h AS (SELECT doc_id, {_H64} AS h64 FROM documents)
+SELECT doc_id,
+       CAST(8 + h64 % 9 AS INT) AS width,
+       CAST(8 + (h64 // 9) % 9 AS INT) AS height,
+       'RGB' AS mode, 'JPEG' AS format,
+       1 AS within_tol
 FROM h
 """
 
@@ -1248,6 +1336,7 @@ SPECS: dict[str, QuerySpec] = {
                                         MM_AUDIO_RESAMPLE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
+    "mm_roundtrip_jpeg": QuerySpec(mm_roundtrip_jpeg, MM_JPEG_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
     "mm_roundtrip_avi": QuerySpec(mm_roundtrip_avi, MM_AVI_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),

@@ -1,0 +1,156 @@
+"""Baseline JPEG codec contracts (functions/jpegcodec.py).
+
+JPEG is lossy, so unlike the BMP/PPM/PNG/WAV/AVI codecs the round-trip
+contract is a *bounded reconstruction error*, not byte equality.  These
+tests pin:
+
+- exact round-trips where the math says they must be exact (uniform
+  blocks quantize to a DC-only spectrum);
+- error bounds for smooth and adversarial (noise) content;
+- decode of a HAND-BUILT single-block grayscale JPEG assembled byte by
+  byte from the T.81 spec (canonical Huffman codes, EXTEND, dequant,
+  IDCT scale) — independent of the encoder, so a compensating
+  encoder/decoder bug pair cannot hide;
+- marker/stream structure, padding (non-block-aligned dims), 4:2:0
+  MCU interleave, and the corrupt-payload error paths.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_ingestion_worker_spark.functions.imagecodec import (
+    decode_builtin,
+    sniff_format,
+)
+from data_ingestion_worker_spark.functions.jpegcodec import (
+    _AC_LUMA_BITS,
+    _AC_LUMA_VALS,
+    _DC_LUMA_BITS,
+    _DC_LUMA_VALS,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _rt(w, h, rgb, q=90, sub="444"):
+    enc = encode_jpeg(w, h, rgb.tobytes(), quality=q, subsampling=sub)
+    img = decode_jpeg(enc)
+    assert (img.width, img.height, img.format) == (w, h, "JPEG")
+    dec = np.frombuffer(img.pixels, np.uint8).reshape(h, w, 3)
+    return enc, int(np.abs(dec.astype(int) - rgb.astype(int)).max())
+
+
+def test_uniform_blocks_roundtrip_exactly():
+    # A uniform 8x8 block has a DC-only spectrum; at any quality the
+    # reconstruction must be bit-exact for these values (the DC error
+    # divides out through the /8 basis scaling and rounding).
+    for v in (0, 17, 128, 200, 255):
+        rgb = np.full((8, 8, 3), v, np.uint8)
+        _, err = _rt(8, 8, rgb)
+        assert err == 0, f"uniform {v}: err={err}"
+
+
+def test_smooth_gradient_within_tolerance():
+    xx, yy = np.meshgrid(np.arange(16), np.arange(24))
+    rgb = np.stack([np.abs((xx * 6 + yy * 3) % 510 - 255),
+                    np.abs((xx * 4 + 100) % 510 - 255),
+                    np.abs((yy * 7 + 60) % 510 - 255)],
+                   axis=-1).astype(np.uint8)
+    _, err444 = _rt(16, 24, rgb, q=90, sub="444")
+    assert err444 <= 12
+    _, err420 = _rt(16, 24, rgb, q=90, sub="420")
+    assert err420 <= 32          # chroma decimation costs more
+    _, err50 = _rt(16, 24, rgb, q=50, sub="444")
+    assert err50 <= 24
+
+
+def test_noise_bounded_at_444():
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    _, err = _rt(16, 16, rgb, q=90, sub="444")
+    assert err <= 40             # measured 26; quantization-bound slack
+
+
+def test_non_block_aligned_dims_pad_and_crop():
+    rng = np.random.RandomState(5)
+    for (w, h) in ((13, 11), (9, 16), (8, 10), (17, 17)):
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in ("444", "420"):
+            img = decode_jpeg(encode_jpeg(w, h, rgb.tobytes(),
+                                          subsampling=sub))
+            assert (img.width, img.height) == (w, h)
+            assert len(img.pixels) == w * h * 3
+
+
+def test_encode_is_deterministic_and_wellformed():
+    rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    a = encode_jpeg(8, 8, rgb.tobytes())
+    b = encode_jpeg(8, 8, rgb.tobytes())
+    assert a == b
+    assert a[:3] == b"\xff\xd8\xff" and a[-2:] == b"\xff\xd9"
+    assert sniff_format(a) == "JPEG"
+    assert decode_builtin(a).format == "JPEG"
+
+
+def _hand_built_gray_block(dc_quantized: int = 5) -> bytes:
+    """A single-block 8x8 grayscale baseline JPEG assembled from the
+    spec: uniform quant table 16, Annex-K luma Huffman tables, entropy
+    data = DC diff 5 (category 3: code '100', amplitude '101') + EOB
+    ('1010'), 1-padded to a byte boundary -> bytes 0x96 0xBF.
+
+    Expected decode: dequantized DC 5*16=80; IDCT of a DC-only block is
+    the constant 80/8 = 10; +128 level shift -> every pixel 138.
+    """
+    assert dc_quantized == 5, "entropy bits below encode exactly diff=5"
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    sof = bytes((8,)) + struct.pack(">HH", 8, 8) + bytes((1, 1, 0x11, 0))
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, bits, vals in ((0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+                            (1, _AC_LUMA_BITS, _AC_LUMA_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes((0x96, 0xBF))           # 100 101 1010 + '111111' pad
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_built_spec_vector_decodes_exactly():
+    img = decode_jpeg(_hand_built_gray_block())
+    assert (img.width, img.height, img.mode, img.format) \
+        == (8, 8, "L", "JPEG")
+    assert img.pixels == bytes([138]) * (8 * 8 * 3)   # L expanded to RGB
+
+
+def test_error_paths():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG")                        # wrong magic
+    good = _hand_built_gray_block()
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])                         # truncated stream
+    # Progressive (SOF2) must be rejected, not mis-decoded.
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+    # Decompression-bomb guard: tiny payload declaring huge geometry.
+    bomb = bytearray(good)
+    i = bomb.find(b"\xff\xc0") + 5
+    struct.pack_into(">HH", bomb, i, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bomb))
+    with pytest.raises(ValueError):
+        encode_jpeg(4, 4, b"\x00" * 10)                # bad buffer length
+
+
+def test_grayscale_l_mode_expansion_matches_png_contract():
+    # DecodedImage contract: 'L' pixels arrive pre-expanded to 3-byte
+    # RGB (imagecodec.DecodedImage docstring) — bytes_per_pixel is 3.
+    img = decode_jpeg(_hand_built_gray_block())
+    assert img.bytes_per_pixel == 3
+    assert len(img.pixels) == img.width * img.height * 3
