@@ -599,6 +599,85 @@ FROM h
 """
 
 
+MP4_SCHEMA = ("doc_id bigint, width int, height int, n_frames int, "
+              "duration_ms bigint, sample_format string, within_tol int")
+
+
+def mp4_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL container + lossy-codec work per payload: derive 2-4 smooth
+    RGB frames from the payload hash, mux them as Motion-JPEG in MP4
+    (``encode_mp4`` — every sample an independent baseline JPEG; two
+    chunks so the stsc/stco map is non-trivial), demux + decode with
+    ``decode_mp4`` (box walk, stsd/stts/stsz/stsc/stco sample tables,
+    per-sample JPEG decode), and gate geometry, frame count, duration
+    math and the lossy reconstruction tolerance.
+    """
+    import numpy as np
+
+    from ..functions.mp4codec import decode_mp4, encode_mp4
+
+    def _pixels(h64: int, w: int, h: int, i: int) -> "np.ndarray":
+        a, b = 1 + h64 % 7, 1 + (h64 // 7) % 7
+        base = (h64 + 40 * i) % 256
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        arr = np.zeros((h, w, 3), np.uint8)
+        for c in range(3):
+            t = (a * xx + b * yy + base + 85 * c) % 510
+            arr[:, :, c] = np.abs(t - 255).astype(np.uint8)
+        return arr
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 8 + h64 % 9, 8 + (h64 // 9) % 9
+        n = 2 + h64 % 3
+        frames = [_pixels(h64, w, h, i) for i in range(n)]
+        vid = decode_mp4(encode_mp4(w, h, [f.tobytes() for f in frames],
+                                    fps=10, quality=90))
+        err = 0
+        for dec, orig in zip(vid.frames, frames):
+            d = np.frombuffer(dec, np.uint8).astype(np.int64)
+            err = max(err, int(np.abs(d - orig.reshape(-1)
+                                      .astype(np.int64)).max()))
+        return (vid.width, vid.height, vid.n_frames, vid.duration_ms,
+                vid.sample_format, int(err <= JPEG_RT_TOL))
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "n_frames": metas.map(lambda m: m[2]).astype("int32"),
+            "duration_ms": metas.map(lambda m: m[3]).astype("int64"),
+            "sample_format": metas.map(lambda m: m[4]),
+            "within_tol": metas.map(lambda m: m[5]).astype("int32"),
+        })
+
+
+def mm_roundtrip_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Motion-JPEG-in-MP4 mux/demux round-trip ->
+    geometry/timing/tolerance gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(mp4_roundtrip, MP4_SCHEMA)
+
+
+#: Geometry + frame count + duration math are algebraic; pixels carry
+#: the lossy-codec tolerance flag (see MM_JPEG_ORACLE).  duration_ms =
+#: n_frames · (1000/fps) with fps=10 and timescale 1000.
+MM_MP4_ORACLE = f"""
+WITH h AS (SELECT doc_id, {_H64} AS h64 FROM documents)
+SELECT doc_id,
+       CAST(8 + h64 % 9 AS INT) AS width,
+       CAST(8 + (h64 // 9) % 9 AS INT) AS height,
+       CAST(2 + h64 % 3 AS INT) AS n_frames,
+       CAST((2 + h64 % 3) * 100 AS BIGINT) AS duration_ms,
+       'jpeg' AS sample_format,
+       1 AS within_tol
+FROM h
+"""
+
+
 WAV_SCHEMA = ("doc_id bigint, sample_rate int, channels int, "
               "n_frames int, duration_us bigint, pcm_hex string")
 
@@ -1337,6 +1416,7 @@ SPECS: dict[str, QuerySpec] = {
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
     "mm_roundtrip_jpeg": QuerySpec(mm_roundtrip_jpeg, MM_JPEG_ORACLE),
+    "mm_roundtrip_mp4": QuerySpec(mm_roundtrip_mp4, MM_MP4_ORACLE),
     "mm_roundtrip_wav": QuerySpec(mm_roundtrip_wav, MM_WAV_ORACLE),
     "mm_roundtrip_avi": QuerySpec(mm_roundtrip_avi, MM_AVI_ORACLE),
     "mm_feature_extract": QuerySpec(mm_feature_extract, MM_FEATURE_ORACLE),
