@@ -1668,7 +1668,82 @@ WHERE d.source <> 'src0'
 """
 
 
+#: Doc-sampling rate in thousandths for the dup-rate estimator
+#: (250 = 25%, so the 1/p² pair scale-up is the exact integer 16).
+DUPRATE_P_MILLI = 250
+_DUPRATE_SCALE = 1000**2 // DUPRATE_P_MILLI**2   # 1/p² = 16
+
+
+def dedup_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled duplicate-rate estimate — the cost-model probe a 100 TB
+    deployment runs BEFORE committing to a full dedup pass (the DOULION
+    idea applied to duplicate pairs: a dup pair survives doc-sampling at
+    rate p with probability p², so ``pairs_sampled / p²`` is unbiased).
+
+    The coin is a deterministic md5 gate on ``doc_id`` (reproducible in
+    DuckDB, re-shard-stable); the sampled side runs the same exact
+    fingerprint grouping as ``dedup_exact``.  p = 0.25 makes the
+    scale-up the exact integer 16 — the estimate is BIGINT end-to-end.
+    Accuracy vs the exact pair count is pinned by
+    ``tests/test_curation.py::test_dedup_rate_estimate_error_bound``.
+    """
+    return _dup_rate_estimate(load_table(spark, sf_dir, "documents"))
+
+
+def _dup_rate_estimate(d: DataFrame) -> DataFrame:
+    """Core estimator over any (doc_id, text) frame — factored out so
+    the accuracy contract test can drive it with a synthetic corpus of
+    known duplicate structure (the fixture corpus has almost no exact
+    dups, which is realistic but makes error bounds degenerate)."""
+    coin = F.pmod(
+        hash64(F.concat(F.lit("dr:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    sample = d.filter(coin < DUPRATE_P_MILLI).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    pairs_s = (
+        sample.groupBy("fp").agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fps_sampled"),
+            F.sum(F.expr("k * (k - 1) DIV 2")).alias("dup_pairs_sampled"),
+            F.sum("k").alias("n_docs_sampled"),
+        )
+    )
+    totals = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return pairs_s.crossJoin(F.broadcast(totals)).select(
+        "n_docs", "n_docs_sampled", "n_fps_sampled", "dup_pairs_sampled",
+        (F.col("dup_pairs_sampled") * F.lit(_DUPRATE_SCALE))
+        .cast("bigint").alias("dup_pairs_est"),
+    )
+
+
+DEDUP_RATE_EST_ORACLE = f"""
+WITH sample AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+  WHERE (('0x' || substr(md5('dr:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         ::BIGINT) % 1000 < {DUPRATE_P_MILLI}
+),
+grp AS (
+  SELECT fp, count(*) AS k FROM sample GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fps_sampled,
+         CAST(sum(k * (k - 1) // 2) AS BIGINT) AS dup_pairs_sampled,
+         CAST(sum(k) AS BIGINT) AS n_docs_sampled
+  FROM grp
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       n_docs_sampled, n_fps_sampled, dup_pairs_sampled,
+       CAST(dup_pairs_sampled * {_DUPRATE_SCALE} AS BIGINT)
+         AS dup_pairs_est
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dedup_rate_estimate": QuerySpec(dedup_rate_estimate,
+                                     DEDUP_RATE_EST_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_incremental_lsh": QuerySpec(dedup_incremental_lsh,
                                        DEDUP_INCREMENTAL_LSH_ORACLE),

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import ws_token_count
 from ..spec import QuerySpec
 from ..tables import load_table
 
@@ -1018,7 +1019,88 @@ FROM per_type p JOIN windows USING (event_type) CROSS JOIN wm
 """
 
 
+#: Doc-length bucket width (chars) for the incremental stats merge.
+STATS_BUCKET_CHARS = 64
+
+
+def corpus_stats_incremental_merge(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental corpus-statistics maintenance: merge a new batch's
+    per-bucket stats into the existing corpus stats table WITHOUT
+    rescanning the corpus — the production shape for keeping profile
+    tables current at 100 TB (the ``scd2_incremental_merge`` proof
+    pattern applied to profiling).
+
+    Stats are deliberately restricted to *mergeable* aggregates
+    (counts, sums, min/max): old ⊕ delta == full is then an algebraic
+    identity, and the DuckDB oracle IS the full recompute over
+    corpus ∪ batch — the driver-graded row proves incremental == full.
+    Corpus/batch split follows ``dedup_incremental``: ``src0`` is the
+    already-ingested corpus, every other source the new batch.
+
+    Scale shape: one scan of each side into a bounded (10-bucket)
+    aggregate; the merge is a full outer join of two constant-size
+    frames.  The corpus side would in production be the PERSISTED stats
+    table, i.e. zero corpus I/O.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(9), F.floor(F.length("text")
+                                       / STATS_BUCKET_CHARS)).cast("int")
+
+    def _stats(side: DataFrame) -> DataFrame:
+        return side.groupBy(bucket.alias("len_bucket")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_token_count(F.col("text")).cast("bigint"))
+            .alias("n_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+
+    old = _stats(d.filter(F.col("source") == "src0"))
+    delta = _stats(d.filter(F.col("source") != "src0"))
+    o, n = old.alias("o"), delta.alias("n")
+    merged = o.join(n, F.col("o.len_bucket") == F.col("n.len_bucket"),
+                    "full_outer")
+
+    def _sum(col: str) -> F.Column:
+        return (F.coalesce(F.col(f"o.{col}"), F.lit(0))
+                + F.coalesce(F.col(f"n.{col}"), F.lit(0))).cast("bigint")
+
+    return merged.select(
+        F.coalesce(F.col("o.len_bucket"), F.col("n.len_bucket"))
+        .alias("len_bucket"),
+        _sum("n_docs").alias("n_docs"),
+        _sum("n_tokens").alias("n_tokens"),
+        _sum("sum_chars").alias("sum_chars"),
+        F.least(F.col("o.min_doc_id"), F.col("n.min_doc_id"))
+        .alias("min_doc_id"),
+        F.greatest(F.col("o.max_doc_id"), F.col("n.max_doc_id"))
+        .alias("max_doc_id"),
+    )
+
+
+#: The oracle is the FULL recompute over corpus ∪ batch — a hash match
+#: proves the incremental merge path equals a from-scratch rebuild.
+_WS_COUNT_DOC_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN 0 "
+                     "ELSE len(string_split_regex(trim(lower(text)), "
+                     "'\\s+')) END")
+CORPUS_STATS_MERGE_ORACLE = f"""
+SELECT CAST(least(9, length(text) // {STATS_BUCKET_CHARS}) AS INT)
+         AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_WS_COUNT_DOC_SQL}) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_stats_incremental_merge": QuerySpec(
+        corpus_stats_incremental_merge, CORPUS_STATS_MERGE_ORACLE),
     "dq_freshness_events": QuerySpec(dq_freshness_events,
                                      DQ_FRESHNESS_ORACLE),
     "profile_partition_balance": QuerySpec(profile_partition_balance,

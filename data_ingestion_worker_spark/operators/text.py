@@ -1430,7 +1430,70 @@ LIMIT {RAKE_TOP_K}
 """
 
 
+def doc_collapse_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/stutter cleanup: collapse runs of adjacent duplicate
+    tokens to one occurrence and emit the CLEANED text — the engine's
+    first text-*rewriting* transform (the Gopher/C4-style "remove
+    duplicated content" step; the quality scorers only measure it).
+
+    Scale shape: pure per-row array algebra — tokenize, index-aware
+    ``filter`` (keep a token iff it differs from its predecessor),
+    re-join.  Zero shuffles, zero UDFs; whole-stage codegen end to end.
+    The oracle recomputes the keep decision with a per-doc lag window,
+    a deliberately different algorithm shape proving the semantics, not
+    the implementation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i AS i)), "
+        "s -> s.i = 0 OR toks[s.i - 1] <> s.t)"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        (F.size("toks") - F.size(kept)).alias("n_collapsed"),
+        F.array_join(F.expr(
+            "transform(filter(transform(toks, (t, i) -> "
+            "struct(t AS t, i AS i)), "
+            "s -> s.i = 0 OR toks[s.i - 1] <> s.t), s -> s.t)"
+        ), " ").alias("clean_text"),
+    )
+
+
+COLLAPSE_RUNS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, i, tok,
+         (i = 1 OR tok <> lag(tok) OVER
+            (PARTITION BY doc_id ORDER BY i)) AS keep
+  FROM pos
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (keep) AS INT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) FILTER (keep) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS INT) AS n_collapsed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_collapse_token_runs": QuerySpec(doc_collapse_token_runs,
+                                         COLLAPSE_RUNS_ORACLE),
     "doc_keyphrase_rake": QuerySpec(doc_keyphrase_rake, RAKE_ORACLE),
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),

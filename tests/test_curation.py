@@ -346,3 +346,38 @@ def test_bloom_prefilter_statuses_equal_incremental_dedup(spark, sf_dir):
     # the filter must actually prune on this corpus, and FPs stay rare
     assert n_pruned > 0
     assert n_fp <= max(2, len(got) // 20)
+
+
+def test_dedup_rate_estimate_error_bound(spark):
+    """Sampled dup-pair estimator accuracy on a synthetic corpus with a
+    known duplicate structure: 1200 docs, 200 clusters of 2 and 40
+    clusters of 5 -> exact pairs = 200*1 + 40*10 = 600.  The md5 coin
+    is deterministic, so the bound is stable, not statistical."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.dedup import (
+        _dup_rate_estimate,
+    )
+
+    rows = []
+    did = 0
+    for c in range(200):                    # 200 pair-clusters
+        for _ in range(2):
+            rows.append((did, f"pair cluster text {c}"))
+            did += 1
+    for c in range(40):                     # 40 five-clusters
+        for _ in range(5):
+            rows.append((did, f"big cluster text {c}"))
+            did += 1
+    for u in range(600):                    # unique filler
+        rows.append((did, f"unique text {u} {u * 31}"))
+        did += 1
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    est = _dup_rate_estimate(d).collect()[0]
+    exact = 200 * 1 + 40 * 10
+    assert est.n_docs == len(rows)
+    # ~25% of docs sampled (binomial concentration, deterministic here).
+    assert abs(est.n_docs_sampled / est.n_docs - 0.25) < 0.05
+    # Pair estimate within 40% of truth (pairs survive at p^2 = 1/16,
+    # so ~37 sampled pairs; observed deviation is well inside this).
+    assert abs(est.dup_pairs_est - exact) <= 0.4 * exact

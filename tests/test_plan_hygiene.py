@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
     "graph_triangle_doulion",  # one-row totals x one-row sampled-count
+    "dedup_rate_estimate",  # one-row sampled-pairs x one-row doc total
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
     "dq_freshness_events",  # one-row global-watermark broadcast cross
@@ -185,6 +186,7 @@ SP_ALLOWED = {
     "graph_degree_assortativity",  # one-row five-moment scalar
     "graph_k_core",             # one-row k-threshold scalar
     "graph_triangle_doulion",   # three one-row count scalars crossed
+    "dedup_rate_estimate",      # two one-row count scalars crossed
     "graph_bfs_distance",       # one-row seed-node scalar
     "dq_validate_orders",       # one-row rule-metric scalars
     "dq_validate_documents",    # one-row rule-metric scalars
