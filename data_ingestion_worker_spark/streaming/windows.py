@@ -203,6 +203,84 @@ def psi_report(counts: DataFrame, ref_dist: DataFrame) -> DataFrame:
     )
 
 
+def hist_registers_stream(events: DataFrame, ref_bounds: DataFrame,
+                          window: str = "1 day",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of ``operators.stats.sketch_hist_quantiles`` —
+    the mergeable scale path for *streaming* percentiles (round-5
+    verdict ask #2 extended to the streaming plane).
+
+    Every arriving event's ``value`` is binned into the equi-width
+    ``HIST_BINS`` histogram defined by the broadcast one-row reference
+    bounds (``lo``/``hi`` — same definition as the batch sketch, so
+    estimates are comparable across planes; out-of-range values clamp
+    to the edge bins).  Finalized per-(window, bin) register counts
+    emit in append mode once the watermark passes; feed them through
+    :func:`hist_quantile_report` for the same p50/p90/p99 readout
+    formula the batch sketch uses.
+
+    State is bounded by |open windows| × HIST_BINS rows; the
+    stream-static bounds join is stateless.
+    """
+    from ..operators.stats import HIST_BINS
+
+    raw_bin = F.floor(
+        (F.col("value") - F.col("lo"))
+        / (F.col("hi") - F.col("lo")) * HIST_BINS
+    )
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(HIST_BINS - 1), raw_bin)) \
+        .cast("int")
+    tagged = events.crossJoin(F.broadcast(ref_bounds)) \
+        .withColumn("bin", bin_)
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )
+
+
+def hist_quantile_report(counts: DataFrame, ref_bounds: DataFrame,
+                         pcts=None) -> DataFrame:
+    """Per-window quantile estimates from finalized histogram registers.
+
+    Identical readout to the batch sketch: the estimate is the midpoint
+    of the first bin whose cumulative count reaches ``p·n``, floor-
+    quantized to 4 decimals — one definition of the sketch across batch
+    and streaming.  The cumulative window runs over ≤ HIST_BINS rows
+    per window (bounded domain, never data).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.stats import HIST_BINS, HQ_PCTS
+
+    pcts = pcts or HQ_PCTS
+    totals = counts.groupBy("window_start").agg(F.sum("n").alias("nw"))
+    wc = W.partitionBy("window_start").orderBy("bin")
+    pp = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("pct"), F.lit(p).alias("p"))
+        for name, p in pcts
+    ])).alias("pp")
+    hit = (
+        counts.withColumn("cum", F.sum("n").over(wc))
+        .join(F.broadcast(totals), "window_start")
+        .select("window_start", "bin", "cum", "nw", pp)
+        .select("window_start", "bin", "cum", "pp.pct",
+                (F.col("pp.p") * F.col("nw")).alias("target"))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("window_start", "pct")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    est_raw = (
+        F.col("lo") + (F.col("qbin") + 0.5)
+        * (F.col("hi") - F.col("lo")) / HIST_BINS
+    )
+    return hit.crossJoin(F.broadcast(ref_bounds)).select(
+        "window_start", "pct",
+        (F.floor(est_raw * 10000.0) / 10000.0).alias("est_value"),
+    )
+
+
 def cms_registers_stream(docs: DataFrame, window: str = "1 day",
                          watermark: str = "2 hours") -> DataFrame:
     """Streaming Count-Min registers — the on-arrival face of

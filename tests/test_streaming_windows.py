@@ -743,3 +743,70 @@ def test_cms_stream_matches_batch_registers(spark, tmp_path):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert est[k] >= e, k
+
+
+def test_hist_quantile_stream_matches_batch_readout(spark, tmp_path):
+    """Streaming histogram-quantile twin: finalized per-window registers
+    must equal a batch recompute of the same binning, and the report's
+    estimates must equal the batch sketch's midpoint readout formula —
+    one sketch definition across planes, verified through a real file
+    stream."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.stats import HIST_BINS
+    from data_ingestion_worker_spark.streaming.windows import (
+        hist_quantile_report,
+        hist_registers_stream,
+    )
+
+    bounds = spark.createDataFrame([(0.0, 128.0)], "lo double, hi double")
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # Day 1: values 1..40; day 2: 60..99 plus out-of-range 500 (clamps
+    # to the top bin) and -3 (clamps to bin 0).
+    day1 = [_ev(i, f"2026-02-01 0{i % 10}:00:0{i % 6}", i, "click",
+                float(i)) for i in range(1, 41)]
+    day2 = [_ev(100 + i, f"2026-02-02 0{i % 10}:30:0{i % 6}", i, "view",
+                float(60 + i)) for i in range(40)]
+    day2 += [_ev(900, "2026-02-02 09:00:00", 1, "click", 500.0),
+             _ev(901, "2026-02-02 09:00:01", 1, "click", -3.0)]
+    _write_events(inbox, "b1.json", day1 + day2)
+    _drain(spark, inbox, ckpt,
+           lambda s: hist_registers_stream(s, bounds), out, "append")
+    _write_events(inbox, "b2.json",
+                  [_ev(999, "2026-02-05 12:00:00", 1, "click", 1.0)])
+    _drain(spark, inbox, ckpt,
+           lambda s: hist_registers_stream(s, bounds), out, "append")
+
+    counts = spark.read.parquet(out)
+    got = {(r.window_start.day, r.bin): r.n for r in counts.collect()}
+
+    def pybin(v):
+        return max(0, min(HIST_BINS - 1,
+                          math.floor((v - 0.0) / 128.0 * HIST_BINS)))
+
+    vals = {1: [float(i) for i in range(1, 41)],
+            2: [float(60 + i) for i in range(40)] + [500.0, -3.0]}
+    for day, vs in vals.items():
+        for b in range(HIST_BINS):
+            expect = sum(1 for v in vs if pybin(v) == b)
+            assert got.get((day, b), 0) == expect, (day, b)
+
+    report = hist_quantile_report(counts, bounds)
+    rows = {(r.window_start.day, r.pct): r.est_value
+            for r in report.collect()}
+    for day, vs in vals.items():
+        n = len(vs)
+        bins = sorted(pybin(v) for v in vs)
+        for pct, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # first bin whose cumulative count reaches p*n
+            cum, qbin = 0, None
+            for b in range(HIST_BINS):
+                cum += sum(1 for x in bins if x == b)
+                if cum >= p * n:
+                    qbin = b
+                    break
+            est = 0.0 + (qbin + 0.5) * 128.0 / HIST_BINS
+            assert rows[(day, pct)] == math.floor(est * 10000.0) / 10000.0
