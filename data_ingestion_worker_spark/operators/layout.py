@@ -167,6 +167,114 @@ GROUP BY 1
 """
 
 
+#: Date-range probe predicates for the zone-map simulator, in date-
+#: bucket units (ZORDER_DAY_GRANULE-day buckets from 1992-01-01): one
+#: early year, one mid year, one narrow late quarter.
+ZONEMAP_PREDICATES = [
+    ("year_1992", 0, 36),
+    ("year_1995", 110, 146),
+    ("q4_1998", 238, 247),
+]
+
+
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concrete zone-map (footer min/max) pruning simulation: for each
+    probe date-range predicate, how many files of each candidate layout
+    must actually be READ — the measured counterpart of
+    ``layout_zorder_cluster``'s expected-span score, and exactly the
+    arithmetic a parquet reader does against footer statistics.
+
+    A file is scanned iff its [min, max] date-bucket interval
+    intersects the predicate's range (zone maps prune by overlap, not
+    membership).  The per-file stats table is ZORDER_FILES×2 rows — the
+    manifest scale a real OPTIMIZE planner works at; the predicate
+    cross is a broadcast of 3 literals.  Z-order widens per-file date
+    spans versus the date-linear layout, so it prunes date probes
+    *worse* — the planner's honest tradeoff readout next to the ~16×
+    customer-span win the cluster score reports.
+    """
+    cells_per_file = (4 ** ZORDER_BITS) // ZORDER_FILES
+    date_per_file = (2 ** ZORDER_BITS) // ZORDER_FILES
+    orders = load_table(spark, sf_dir, "orders")
+    z = _morton_expr("cb", "db", "div")
+    per_file = orders.select(
+        (F.col("o_custkey") % (2 ** ZORDER_BITS)).alias("cb"),
+        F.expr(
+            f"(datediff(o_orderdate, DATE '1992-01-01') div "
+            f"{ZORDER_DAY_GRANULE}) % {2 ** ZORDER_BITS}"
+        ).alias("db"),
+    ).select(
+        "db",
+        F.expr(f"{z} div {cells_per_file}").alias("file_z"),
+        F.expr(f"db div {date_per_file}").alias("file_lin"),
+    ).select(F.expr(
+        "stack(2, 'zorder', file_z, 'linear', file_lin)"
+        " AS (layout, file_id)"
+    ), "db").groupBy("layout", "file_id").agg(
+        F.min("db").alias("min_db"), F.max("db").alias("max_db"),
+    )
+    preds = F.explode(F.array(*[
+        F.struct(F.lit(n).alias("predicate"), F.lit(lo).alias("lo"),
+                 F.lit(hi).alias("hi"))
+        for n, lo, hi in ZONEMAP_PREDICATES
+    ])).alias("p")
+    probed = per_file.select("layout", "min_db", "max_db", preds) \
+        .select("layout", "min_db", "max_db",
+                "p.predicate", "p.lo", "p.hi")
+    return probed.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(((F.col("max_db") >= F.col("lo"))
+               & (F.col("min_db") <= F.col("hi"))).cast("int"))
+        .cast("bigint").alias("files_scanned"),
+    ).select(
+        "layout", "predicate", "n_files", "files_scanned",
+        F.expr("((n_files - files_scanned) * 1000000) div n_files")
+        .alias("prune_frac_micro"),
+    )
+
+
+def _zonemap_oracle() -> str:
+    z = _morton_expr("cb", "db", "//")
+    nb = 2 ** ZORDER_BITS
+    preds = " UNION ALL ".join(
+        f"SELECT '{n}' AS predicate, {lo} AS lo, {hi} AS hi"
+        for n, lo, hi in ZONEMAP_PREDICATES
+    )
+    return f"""
+WITH base AS (
+  SELECT o_custkey % {nb} AS cb,
+         (datediff('day', DATE '1992-01-01', o_orderdate)
+          // {ZORDER_DAY_GRANULE}) % {nb} AS db
+  FROM orders
+),
+keyed AS (
+  SELECT db,
+         {z} // {(4 ** ZORDER_BITS) // ZORDER_FILES} AS file_z,
+         db // {(2 ** ZORDER_BITS) // ZORDER_FILES} AS file_lin
+  FROM base
+),
+per_file AS (
+  SELECT layout, file_id, min(db) AS min_db, max(db) AS max_db FROM (
+    SELECT 'zorder' AS layout, file_z AS file_id, db FROM keyed
+    UNION ALL
+    SELECT 'linear' AS layout, file_lin AS file_id, db FROM keyed
+  ) GROUP BY 1, 2
+),
+preds AS ({preds})
+SELECT layout, predicate,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CAST(max_db >= lo AND min_db <= hi AS INT)) AS BIGINT)
+         AS files_scanned,
+       CAST(((count(*) - sum(CAST(max_db >= lo AND min_db <= hi AS INT)))
+             * 1000000) // count(*) AS BIGINT) AS prune_frac_micro
+FROM per_file CROSS JOIN preds
+GROUP BY 1, 2
+"""
+
+
+ZONEMAP_ORACLE = _zonemap_oracle()
+
+
 def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan small-file compaction into ≈``COMPACT_TARGET``-sized groups.
 
@@ -233,6 +341,8 @@ ZORDER_ORACLE = _zorder_oracle()
 SPECS: dict[str, QuerySpec] = {
     "layout_zorder_cluster": QuerySpec(layout_zorder_cluster,
                                        ZORDER_ORACLE),
+    "layout_zonemap_prune": QuerySpec(layout_zonemap_prune,
+                                      ZONEMAP_ORACLE),
     "layout_compaction_plan": QuerySpec(layout_compaction_plan,
                                         COMPACTION_ORACLE),
 }
