@@ -647,6 +647,62 @@ GROUP BY 1, 2
 """
 
 
+#: Salt for the cluster-keyed split (distinct from the doc-keyed salt so
+#: the two splits are independent hash functions).
+_SPLIT_SALT_CLUSTER = "splitc:v1:"
+
+
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: hash the near-dup CLUSTER id,
+    not the doc id — the FIX for what ``split_leakage_check`` measures.
+
+    Hash-splitting on doc_id is content-independent by design, so a
+    holdout document can have a near-twin in train (eval contamination).
+    Keying the same 96/2/2 hash split on the connected-component label
+    from the dedup ladder puts every member of a near-dup cluster in
+    the SAME split by construction — zero straddling pairs, proven by
+    ``tests/test_curation.py::test_split_by_cluster_has_zero_leakage``
+    (the leakage checker's own pair set finds nothing to flag).
+
+    Scale shape: inherits the CC labels (edge-incident docs only, then
+    isolated docs attached); the split itself is a pure per-row hash of
+    the label.  Re-shard-stable like the doc split; adding documents
+    can merge clusters and move a cluster between splits — the standard
+    and accepted behavior for cluster-keyed splits (the alternative,
+    pinning old members, reintroduces leakage).
+    """
+    from .dedup import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir)
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(_SPLIT_SALT_CLUSTER),
+                        F.col("cluster_id").cast("string"))),
+        F.lit(100),
+    )
+    return cc.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    from ..functions.hashing import hash64_sql
+    from .dedup import _CC_ORACLE_WITH
+
+    expr = f"'{_SPLIT_SALT_CLUSTER}' || CAST(cluster_id AS VARCHAR)"
+    b = f"CAST({hash64_sql(expr)} % 100 AS INT)"
+    return f"""
+{_CC_ORACLE_WITH}
+SELECT doc_id, cluster_id,
+       CASE WHEN {b} < {_TRAIN_CUT} THEN 'train'
+            WHEN {b} < {_VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM labels
+"""
+
+
 #: Token budget for the mixture plan (total tokens the training run will
 #: draw across all sources).
 TOKEN_BUDGET = 100_000
@@ -732,6 +788,8 @@ FROM q CROSS JOIN tot
 
 SPECS: dict[str, QuerySpec] = {
     "split_train_holdout": QuerySpec(split_train_holdout, SPLIT_ORACLE),
+    "split_by_cluster": QuerySpec(split_by_cluster,
+                                  _split_by_cluster_oracle()),
     "split_kfold_assign": QuerySpec(split_kfold_assign, KFOLD_ORACLE),
     "split_leakage_check": QuerySpec(split_leakage_check,
                                      _leakage_oracle()),

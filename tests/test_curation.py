@@ -381,3 +381,31 @@ def test_dedup_rate_estimate_error_bound(spark):
     # Pair estimate within 40% of truth (pairs survive at p^2 = 1/16,
     # so ~37 sampled pairs; observed deviation is well inside this).
     assert abs(est.dup_pairs_est - exact) <= 0.4 * exact
+
+
+def test_split_by_cluster_has_zero_leakage(spark, sf_dir):
+    """The cluster-keyed split must leave the leakage checker's own
+    pair set with ZERO straddling pairs — the guarantee the doc-keyed
+    split cannot give (split_leakage_check exists because of that)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.curation import (
+        split_by_cluster,
+    )
+    from data_ingestion_worker_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    split = split_by_cluster(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    a = split.select(F.col("doc_id").alias("d1"),
+                     F.col("split").alias("s1"))
+    b = split.select(F.col("doc_id").alias("d2"),
+                     F.col("split").alias("s2"))
+    straddle = pairs.join(a, "d1").join(b, "d2") \
+        .filter(F.col("s1") != F.col("s2"))
+    assert straddle.count() == 0
+    # And the split still covers every document exactly once.
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert split.count() == n_docs
+    assert split.select("doc_id").distinct().count() == n_docs
