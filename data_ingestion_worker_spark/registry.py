@@ -56,6 +56,12 @@ from .spec import QuerySpec
 #: quality formula itself is still graded inside the funnel row,
 #: now ``pipeline_curation_v2`` — the v1 funnel plus policy-lexicon
 #: and LM-fluency gates; v1 stays in the local sweep).
+#: Round-6 swap, same strongest-member rule: ``split_train_holdout`` →
+#: ``split_by_cluster`` (the cluster-keyed split composes the dedup
+#: ladder's connected components with the 96/2/2 hash and carries the
+#: zero-leakage guarantee the doc-keyed split cannot give — strictly
+#: stronger category evidence; the plain hash split stays in the local
+#: sweep and inside the graded funnel rows, which split by doc hash).
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -75,7 +81,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "doc_lm_xent_proxy",
     "pipeline_curation_v2",
     "ev_cusum_changepoint",
-    "split_train_holdout",
+    "split_by_cluster",
     "pack_sequences",
     "ann_pq_adc_topk",
     "graph_pagerank",
