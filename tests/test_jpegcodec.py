@@ -154,3 +154,30 @@ def test_grayscale_l_mode_expansion_matches_png_contract():
     img = decode_jpeg(_hand_built_gray_block())
     assert img.bytes_per_pixel == 3
     assert len(img.pixels) == img.width * img.height * 3
+
+
+def test_restart_interval_resets_dc_predictor():
+    """Hand-built two-MCU grayscale JPEG with DRI=1 and an RST0 marker
+    between blocks: the decoder must byte-align at the restart, skip
+    the marker, and RESET the DC predictor — so two identical DC-diff
+    encodings produce two identical blocks (without the reset the
+    second block would decode to 2x the DC)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    # SOF0: 8-bit, 8 rows x 16 cols, 1 component 1x1 -> two MCUs.
+    sof = bytes((8,)) + struct.pack(">HH", 8, 16) + bytes((1, 1, 0x11, 0))
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, bits, vals in ((0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+                            (1, _AC_LUMA_BITS, _AC_LUMA_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)      # DRI = 1 MCU
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    block = bytes((0x96, 0xBF))      # DC diff 5 + EOB, 1-padded
+    out += block + b"\xff\xd0" + block                 # RST0 between
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert (img.width, img.height, img.mode) == (16, 8, "L")
+    # Both blocks uniform 138 (5*16/8 + 128) — predictor reset proven.
+    assert img.pixels == bytes([138]) * (16 * 8 * 3)
