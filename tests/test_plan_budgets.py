@@ -48,6 +48,25 @@ BUDGETS = {
     "graph_link_prediction_ra": 5,
     "stats_bootstrap_means": 3,
     "mm_image_ahash_dedup": 3,
+    # round-6 additions — current count + slack.  The distributed-
+    # quantile ops carry several CONSTANT-SIZE exchanges (offset-table
+    # windows, broadcast targets, pivot scalars); the budget pins the
+    # count so a dropped checkpoint (which re-executes the ranged scan
+    # per consumer) still fails loudly.
+    "pipeline_curation_v2": 17,        # measured 14
+    "stats_psi_drift": 20,             # measured 17
+    "ev_rfm_segmentation": 12,         # measured 9
+    "ev_conversion_time": 12,          # measured 9
+    "agg_percentiles": 9,              # measured 7
+    "sketch_hist_quantiles": 13,       # measured 10
+    "graph_triangle_doulion": 9,       # measured 7
+    "split_by_cluster": 4,             # measured 2 (CC checkpoints)
+    "corpus_stats_incremental_merge": 4,   # measured 2
+    "dedup_rate_estimate": 5,          # measured 3
+    "layout_zonemap_prune": 4,         # measured 2
+    "mm_roundtrip_jpeg": 1,            # measured 0 (pure mapInPandas)
+    "mm_roundtrip_mp4": 1,             # measured 0 (pure mapInPandas)
+    "doc_collapse_token_runs": 1,      # measured 0 (pure array algebra)
 }
 
 
