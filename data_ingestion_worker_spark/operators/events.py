@@ -1633,6 +1633,101 @@ dense AS (
 )"""
 
 
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the next-day OLS forecast: for every
+    day with ≥2 prior days, fit the trend on the strictly-preceding
+    prefix and score the prediction against the actual — the question a
+    capacity planner asks BEFORE trusting ``ev_forecast_linear``
+    ("how wrong has this forecast been historically?").
+
+    Instead of refitting per cutoff (K separate regressions), the five
+    OLS accumulators are *expanding-window prefix sums* over the dense
+    daily spine — one pass, closed form at every origin.  Runs entirely
+    on the calendar × type bounded frame; the fact table is scanned
+    once by the spine build.
+
+    Determinism: counts and day indexes are exact integers; the
+    accumulator products are promoted to DECIMAL(38) before multiplying
+    (LONG would wrap at real daily volumes — the TOST lesson); slope /
+    intercept / prediction are a fixed chain of IEEE divisions over
+    identical operands in both engines, and outputs are
+    floor-quantized, never rounded.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
+    w0 = Window.partitionBy("event_type")
+    di = dense.select(
+        "event_type", "day", "n",
+        F.datediff("day", F.min("day").over(w0)).cast("bigint").alias("x"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("x") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    pre = di.select(
+        "event_type", "day", "x", "n",
+        F.count(F.lit(1)).over(wp).cast(dec).alias("cn"),
+        F.coalesce(F.sum("x").over(wp), F.lit(0)).cast(dec).alias("sx"),
+        F.coalesce(F.sum("n").over(wp), F.lit(0)).cast(dec).alias("sy"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(wp), F.lit(0))
+        .cast(dec).alias("sxx"),
+        F.coalesce(F.sum(F.col("x") * F.col("n")).over(wp), F.lit(0))
+        .cast(dec).alias("sxy"),
+    )
+    num = (F.col("cn") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast(dec)
+    den = (F.col("cn") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast(dec)
+    slope = num.cast("double") / den.cast("double")
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) \
+        / F.col("cn").cast("double")
+    pred = intercept + slope * F.col("x").cast("double")
+    err = F.abs(F.col("n").cast("double") - pred)
+    return pre.filter(den > 0).select(
+        "event_type", "day", "x", "n",
+        (F.floor(pred * 10000.0) / 10000.0).alias("pred4"),
+        (F.floor(err * 10000.0) / 10000.0).alias("abs_err4"),
+    )
+
+
+FORECAST_BACKTEST_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+di AS (
+  SELECT event_type, day, n,
+         CAST(date_diff('day',
+              min(day) OVER (PARTITION BY event_type), day) AS BIGINT)
+           AS x
+  FROM dense
+),
+pre AS (
+  SELECT event_type, day, x, n,
+         count(*) OVER w AS cn,
+         coalesce(sum(x) OVER w, 0) AS sx,
+         coalesce(sum(n) OVER w, 0) AS sy,
+         coalesce(sum(x * x) OVER w, 0) AS sxx,
+         coalesce(sum(x * n) OVER w, 0) AS sxy
+  FROM di
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+fit AS (
+  SELECT event_type, day, x, n,
+         CAST(cn * sxy - sx * sy AS DOUBLE)
+           / CAST(cn * sxx - sx * sx AS DOUBLE) AS slope,
+         cn, sx, sy, sxx, sxy
+  FROM pre WHERE cn * sxx - sx * sx > 0
+)
+SELECT event_type, day, x, CAST(n AS BIGINT) AS n,
+       floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+              / CAST(cn AS DOUBLE) + slope * CAST(x AS DOUBLE))
+             * 10000.0) / 10000.0 AS pred4,
+       floor(abs(CAST(n AS DOUBLE)
+                 - ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                    / CAST(cn AS DOUBLE) + slope * CAST(x AS DOUBLE)))
+             * 10000.0) / 10000.0 AS abs_err4
+FROM fit
+"""
+
+
 #: Lead-lag scan range: correlations are computed at day offsets
 #: -LEADLAG_MAX .. +LEADLAG_MAX.
 LEADLAG_MAX = 3
@@ -2548,6 +2643,8 @@ SPECS: dict[str, QuerySpec] = {
                                       MARKOV_STATIONARY_ORACLE),
     "ev_forecast_linear": QuerySpec(ev_forecast_linear,
                                     FORECAST_LINEAR_ORACLE),
+    "ev_forecast_backtest": QuerySpec(ev_forecast_backtest,
+                                      FORECAST_BACKTEST_ORACLE),
     "ev_trend_theil_sen": QuerySpec(ev_trend_theil_sen,
                                     TREND_THEIL_SEN_ORACLE),
     "ev_seasonal_decompose": QuerySpec(ev_seasonal_decompose,

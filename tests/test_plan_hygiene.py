@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "ev_churn_features",   # one-row reference-timestamp broadcast cross
     "profile_partition_balance",  # one-row total broadcast cross
     "ev_rolling_median_7d",  # |days|-row spine × |types|-row domain
+    "ev_forecast_backtest",  # same dense-spine |days| × |types| cross
     "ev_lead_lag_corr",    # bounded spine × 7-row lag-domain cross
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
     "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
@@ -214,6 +215,7 @@ SP_ALLOWED = {
     "profile_drift_daily",      # day-over-day lag over the calendar-
                                 # bounded daily aggregate
     "ev_rolling_median_7d",     # one-row (min,max)-day span scalar
+    "ev_forecast_backtest",     # same one-row span scalar via the spine
     "ev_lead_lag_corr",         # same span scalar via the shared spine
 }
 
