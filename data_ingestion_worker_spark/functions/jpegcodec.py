@@ -18,7 +18,7 @@ metadata, reference T10) treats them like any undecodable input.
 
 ``encode_jpeg`` produces baseline JFIF with the ITU-T T.81 Annex K
 quantization and Huffman tables (quality-scaled with the classic
-``5000/Q`` / ``200−2Q`` rule), 4:4:4 or 4:2:0.  JPEG is lossy: the
+``5000/Q`` / ``200−2Q`` rule), 4:4:4, 4:2:2 or 4:2:0.  JPEG is lossy: the
 round-trip contract is a *bounded reconstruction error* (asserted in
 tests and in the ``mm_roundtrip_jpeg`` operator's ``within_tol`` gate),
 not byte equality — the one codec in the matrix where that is the
@@ -326,16 +326,19 @@ def _dht_segment(cls: int, dest: int, bits: list[int],
 
 def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90,
                 subsampling: str = "444") -> bytes:
-    """Encode top-to-bottom RGB bytes as baseline JFIF (4:4:4 or 4:2:0)."""
+    """Encode top-to-bottom RGB bytes as baseline JFIF
+    (4:4:4, 4:2:2 or 4:2:0)."""
     if len(rgb) != width * height * 3:
         raise ValueError("encode_jpeg: rgb length != width*height*3")
-    if subsampling not in ("444", "420"):
-        raise ValueError("encode_jpeg: subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(
+            "encode_jpeg: subsampling must be '444', '422' or '420'")
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     y, cb, cr = _rgb_to_ycbcr(arr)
     qt_l = _quality_scaled(QT_LUMA, quality)
     qt_c = _quality_scaled(QT_CHROMA, quality)
     s420 = subsampling == "420"
+    s422 = subsampling == "422"
     if s420:
         y_p = _pad_edge(y, 16)
         cb_p = _pad_edge(cb, 16)
@@ -345,6 +348,17 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90,
                 + cb_p[1::2, 0::2] + cb_p[1::2, 1::2]) / 4.0
         cr_p = (cr_p[0::2, 0::2] + cr_p[0::2, 1::2]
                 + cr_p[1::2, 0::2] + cr_p[1::2, 1::2]) / 4.0
+    elif s422:
+        # MCU is 16 wide × 8 tall; chroma halves horizontally only.
+        y_p = _pad_edge(y, 8)
+        y_p = np.pad(y_p, ((0, 0), (0, (16 - y_p.shape[1] % 16) % 16)),
+                     mode="edge")
+        cb_p = np.pad(cb, ((0, (8 - cb.shape[0] % 8) % 8),
+                           (0, (16 - cb.shape[1] % 16) % 16)), mode="edge")
+        cr_p = np.pad(cr, ((0, (8 - cr.shape[0] % 8) % 8),
+                           (0, (16 - cr.shape[1] % 16) % 16)), mode="edge")
+        cb_p = (cb_p[:, 0::2] + cb_p[:, 1::2]) / 2.0
+        cr_p = (cr_p[:, 0::2] + cr_p[:, 1::2]) / 2.0
     else:
         y_p, cb_p, cr_p = (_pad_edge(p, 8) for p in (y, cb, cr))
 
@@ -370,6 +384,20 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90,
                     blk = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
                     preds[ci] = _encode_block(blk, qt_c, preds[ci],
                                               dc_c, ac_c, writer)
+    elif s422:
+        mcus_x = y_p.shape[1] // 16
+        mcus_y = y_p.shape[0] // 8
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for bx in (0, 1):
+                    blk = y_p[my * 8: my * 8 + 8,
+                              mx * 16 + bx * 8: mx * 16 + bx * 8 + 8]
+                    preds[0] = _encode_block(blk, qt_l, preds[0],
+                                             dc_l, ac_l, writer)
+                for ci, plane in ((1, cb_p), (2, cr_p)):
+                    blk = plane[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8]
+                    preds[ci] = _encode_block(blk, qt_c, preds[ci],
+                                              dc_c, ac_c, writer)
     else:
         mcus_x = y_p.shape[1] // 8
         mcus_y = y_p.shape[0] // 8
@@ -391,7 +419,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90,
     for dest, qt in ((0, qt_l), (1, qt_c)):
         zz = bytes(int(qt[ZIGZAG[k]]) for k in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([dest]) + zz
-    hv_y = 0x22 if s420 else 0x11
+    hv_y = 0x22 if s420 else (0x21 if s422 else 0x11)
     sof = bytes((8,)) + struct.pack(">HH", height, width) + bytes((3,))
     sof += bytes((1, hv_y, 0)) + bytes((2, 0x11, 1)) + bytes((3, 0x11, 1))
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof

@@ -181,3 +181,22 @@ def test_restart_interval_resets_dc_predictor():
     assert (img.width, img.height, img.mode) == (16, 8, "L")
     # Both blocks uniform 138 (5*16/8 + 128) — predictor reset proven.
     assert img.pixels == bytes([138]) * (16 * 8 * 3)
+
+
+def test_422_asymmetric_sampling_roundtrip():
+    """4:2:2 (h=2, v=1) exercises the decoder's asymmetric upsample
+    path — chroma repeats horizontally only."""
+    xx, yy = np.meshgrid(np.arange(20), np.arange(13))
+    rgb = np.stack([np.abs((xx * 5 + yy * 4) % 510 - 255),
+                    np.abs((xx * 3 + 80) % 510 - 255),
+                    np.abs((yy * 6 + 10) % 510 - 255)],
+                   axis=-1).astype(np.uint8)
+    enc = encode_jpeg(20, 13, rgb.tobytes(), quality=90,
+                      subsampling="422")
+    # SOF declares 2x1 sampling for Y.
+    i = enc.find(b"\xff\xc0")
+    assert enc[i + 11] == 0x21
+    img = decode_jpeg(enc)
+    assert (img.width, img.height) == (20, 13)
+    dec = np.frombuffer(img.pixels, np.uint8).reshape(13, 20, 3)
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 16
