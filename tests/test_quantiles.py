@@ -143,3 +143,48 @@ def test_single_partition_inputs_are_pre_aggregated(spark):
             + "\n".join(subtree[:6]))
     if not sp_seen:
         pytest.skip("AQE elided every SP exchange")
+
+
+# --- property-based parity (hypothesis) ------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    # Finite doubles with heavy tie probability (small integer grid
+    # mixed with arbitrary finite floats), arbitrary probabilities.
+    _VALS = st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=5).map(float),
+            st.floats(min_value=-1e9, max_value=1e9,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=60,
+    )
+    _PROBS = st.lists(
+        st.floats(min_value=0.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=4, unique=True,
+    )
+
+    @given(vals=_VALS, probs=_PROBS)
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_property_bit_parity_with_percentile(spark, vals, probs):
+        """For ANY finite values and ANY probabilities, the distributed
+        helper is bit-identical to Spark's exact percentile aggregate."""
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        named = [(f"q{i}", p) for i, p in enumerate(probs)]
+        got = distributed_exact_quantiles(df, "x", named).collect()[0]
+        want = df.agg(*[
+            F.expr(f"percentile(x, {p!r})").alias(f"q{i}")
+            for i, p in enumerate(probs)
+        ]).collect()[0]
+        for i in range(len(probs)):
+            g, w = got[f"q{i}"], want[f"q{i}"]
+            assert g == w and str(g) == str(w), (vals, probs, i, g, w)
