@@ -1019,6 +1019,108 @@ FROM per_type p JOIN windows USING (event_type) CROSS JOIN wm
 """
 
 
+#: Columns profiled by the HLL NDV twin (name, SQL cast-to-string).
+_NDV_COLS = [
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("o_totalprice", "CAST(o_totalprice AS STRING)"),
+    ("o_orderdate", "CAST(o_orderdate AS STRING)"),
+]
+
+
+def profile_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-NDV profiling twin: per-column HyperLogLog distinct
+    estimates next to the exact count — the scale path for profiling a
+    wide table (``profile_columns``' exact ``countDistinct`` buffers
+    per-distinct-value state per column; the HLL register set is HLL_M
+    bytes per column regardless of cardinality, and registers MERGE, so
+    per-file profiles roll up without rescans).
+
+    Reuses the sketch module's engine-exact register rule
+    (``_hll_rho_buckets`` — same bucket/rho/harmonic-sum codification as
+    ``sketch_hll_distinct``, oracle CTEs mirror it verbatim).  The
+    exact yardstick half (`.distinct()` first) exists to make rel_err
+    visible and is what a production deployment drops.
+    """
+    from .sketches import (
+        _hll_estimate,
+        _hll_rho_buckets,
+        _hll_z_present,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(F.expr(
+        f"stack({len(_NDV_COLS)}, " + ", ".join(
+            f"'{n}', {expr}" for n, expr in _NDV_COLS
+        ) + ") AS (col, val)"
+    )).distinct()
+    hashed = stacked.select("col", hash64(F.col("val")).alias("h"))
+    regs = _hll_rho_buckets(hashed, "col").groupBy("col", "bucket").agg(
+        F.max("rho").alias("r"), F.count(F.lit(1)).alias("c")
+    )
+    per_col = regs.groupBy("col").agg(
+        F.sum("c").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        _hll_z_present().alias("z_present"),
+    )
+    est = _hll_estimate(F.col("z_present"), F.col("n_buckets"))
+    return per_col.select(
+        "col", F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        est.alias("hll_est"),
+        (F.floor(
+            F.abs(est.cast("double") - F.col("exact_distinct"))
+            / F.col("exact_distinct") * 10000.0
+        ) / 10000.0).alias("rel_err"),
+    )
+
+
+def _ndv_oracle() -> str:
+    from .sketches import HLL_ALPHA_NUM, HLL_M, HLL_REST_BITS
+
+    unions = " UNION ALL ".join(
+        f"SELECT '{n}' AS col, "
+        + expr.replace("AS STRING", "AS VARCHAR") + " AS val FROM orders"
+        for n, expr in _NDV_COLS
+    )
+    return f"""
+WITH stacked AS (
+  SELECT DISTINCT col, val FROM ({unions})
+),
+hashed AS (
+  SELECT col, {hash64_sql('val')} AS h FROM stacked
+),
+buckets AS (
+  SELECT col, h % {HLL_M} AS bucket,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+              ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+         END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT col, bucket, max(rho) AS r, count(*) AS c
+  FROM buckets GROUP BY 1, 2
+),
+per_col AS (
+  SELECT col, sum(c) AS exact_distinct, count(*) AS n_buckets,
+         sum(1::BIGINT << ({HLL_REST_BITS} - r)) AS z_present
+  FROM regs GROUP BY 1
+),
+scored AS (
+  SELECT col, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         CAST(n_buckets AS BIGINT) AS n_buckets,
+         CAST(floor({HLL_ALPHA_NUM!r} / CAST(z_present
+              + ({HLL_M} - n_buckets) * (1::BIGINT << {HLL_REST_BITS})
+              AS DOUBLE)) AS BIGINT) AS hll_est
+  FROM per_col
+)
+SELECT col, exact_distinct, n_buckets, hll_est,
+       floor(abs(CAST(hll_est AS DOUBLE) - exact_distinct)
+             / exact_distinct * 10000.0) / 10000.0 AS rel_err
+FROM scored
+"""
+
+
 #: Doc-length bucket width (chars) for the incremental stats merge.
 STATS_BUCKET_CHARS = 64
 
@@ -1099,6 +1201,7 @@ GROUP BY 1
 
 
 SPECS: dict[str, QuerySpec] = {
+    "profile_ndv_hll": QuerySpec(profile_ndv_hll, _ndv_oracle()),
     "corpus_stats_incremental_merge": QuerySpec(
         corpus_stats_incremental_merge, CORPUS_STATS_MERGE_ORACLE),
     "dq_freshness_events": QuerySpec(dq_freshness_events,
