@@ -454,10 +454,11 @@ def decode_jpeg(payload: bytes) -> DecodedImage:
     """Decode a baseline JFIF/JPEG payload to top-to-bottom RGB bytes."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as exc:
-        # Truncated/corrupt segment bytes surface as slicing errors;
-        # the caller's corrupt-payload contract is ValueError.
-        raise ValueError(f"JPEG: malformed stream ({exc})") from exc
+    except (IndexError, KeyError, struct.error) as exc:
+        # Truncated/corrupt segment bytes surface as slicing errors,
+        # and mutated component ids as scan-table KeyErrors; the
+        # caller's corrupt-payload contract is ValueError.
+        raise ValueError(f"JPEG: malformed stream ({exc!r})") from exc
 
 
 def _decode_jpeg(payload: bytes) -> DecodedImage:

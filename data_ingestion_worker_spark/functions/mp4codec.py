@@ -175,8 +175,8 @@ def decode_mp4(payload: bytes) -> DecodedMp4:
     """Demux a Motion-JPEG MP4 and decode every sample to RGB24."""
     try:
         return _decode_mp4(payload)
-    except (IndexError, struct.error) as exc:
-        raise ValueError(f"MP4: malformed stream ({exc})") from exc
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"MP4: malformed stream ({exc!r})") from exc
 
 
 def _decode_mp4(payload: bytes) -> DecodedMp4:
