@@ -420,7 +420,170 @@ FROM labeled GROUP BY 1, 2
 """
 
 
+#: Minimum DISTINCT shared shingles for the v3 decontamination drop.
+#: Production decontamination thresholds overlap (long n-grams or a
+#: minimum shared count) because a single short-shingle collision is
+#: noise, not leakage — on this fixture's tiny synthetic vocabulary a
+#: ≥1 rule would drop ~94% of sf0.1 (every 3-gram collides somewhere
+#: in the eval slice); ≥8 drops the genuinely-overlapping tail (885 of
+#: 4948 docs at sf0.1).  ``doc_decontaminate`` stays the per-doc
+#: any-overlap REPORT; the funnel's drop rule is the thresholded one.
+DECON_MIN_SHARED = 8
+
+
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel, third generation — the full pretraining
+    corpus build: pretrain filter → policy gate → LM-fluency gate →
+    eval-set DECONTAMINATION (drop the held-out slice and every
+    training doc sharing ≥ DECON_MIN_SHARED distinct 3-grams with it) →
+    exact-dedup keep-first → CLUSTER-KEYED leakage-free split (near-dup
+    cluster labels from the dedup ladder's connected components;
+    near-twins land in the same split by construction) →
+    per-(split, source) corpus stats.
+
+    v2 remains one declarative Catalyst plan; v3 adds the two
+    eval-integrity stages a production corpus build cannot skip.  The
+    plan is still declarative end-to-end except the bounded CC label
+    loop (graph-diameter rounds over edge-incident docs only).  Stage
+    cost on top of v2: the decontamination semi-join (eval shingles
+    broadcast — the corpus is never shuffled for it) and the LSH+CC
+    chain (collision-bounded, shared verbatim with
+    ``dedup_connected_components``).
+    """
+    from ..functions.hashing import hash64
+    from ..functions.text import fingerprint
+    from .curation import _SPLIT_SALT_CLUSTER, _TRAIN_CUT, _VAL_CUT
+    from .dedup import dedup_connected_components
+    from .text import doc_lm_xent_proxy, doc_policy_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    decided = pipeline_pretrain_filter(spark, sf_dir) \
+        .filter(F.col("keep")).select("doc_id", "n_tokens")
+    unflagged = doc_policy_flags(spark, sf_dir) \
+        .filter(F.col("flagged") == 0).select("doc_id")
+    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q") \
+        .localCheckpoint(eager=False)
+    from ..functions.quantiles import distributed_exact_quantiles
+    cut = distributed_exact_quantiles(x, "mean_xent_q", [("p90", 0.9)])
+    fluent = (
+        x.crossJoin(F.broadcast(cut))
+        .filter(F.expr("CAST(mean_xent_q AS DOUBLE) <= p90"))
+        .select("doc_id")
+    )
+    # Thresholded decontamination (eval shingles broadcast; the corpus
+    # is never shuffled for it): keep training docs sharing fewer than
+    # DECON_MIN_SHARED distinct shingles with the eval slice, and drop
+    # the eval slice itself.
+    from .dedup import EVAL_MOD, _shingles
+
+    sh = _shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    clean = d.filter(~is_eval).select("doc_id") \
+        .join(contaminated, "doc_id", "left_anti")
+    kept = d.join(decided, "doc_id").join(unflagged, "doc_id") \
+        .join(fluent, "doc_id").join(clean, "doc_id")
+    first = F.min("doc_id").over(
+        Window.partitionBy(fingerprint(F.col("text"))))
+    canon = kept.withColumn("first_id", first) \
+        .filter(F.col("doc_id") == F.col("first_id")) \
+        .select("doc_id", "source", "n_tokens")
+    cc = dedup_connected_components(spark, sf_dir)
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(_SPLIT_SALT_CLUSTER),
+                        F.col("cluster_id").cast("string"))),
+        F.lit(100))
+    split = (
+        F.when(bucket < _TRAIN_CUT, F.lit("train"))
+        .when(bucket < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        canon.join(cc, "doc_id")
+        .select(split.alias("split"), "source", "n_tokens")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+def _curation_v3_oracle() -> str:
+    from ..functions.hashing import hash64_sql
+    from .curation import _SPLIT_SALT_CLUSTER, _TRAIN_CUT, _VAL_CUT
+    from .dedup import _CC_ORACLE_WITH, _NORM_SQL, _SHINGLES_SQL, EVAL_MOD
+    from .text import LM_XENT_ORACLE, POLICY_FLAGS_ORACLE
+
+    # The CC chain and the pipeline core both embed the shingles CTE;
+    # compose by taking the full CC WITH-block and appending the core
+    # with its duplicate shingles definition stripped.
+    cc_body = _CC_ORACLE_WITH.strip()
+    assert cc_body.startswith("WITH RECURSIVE ")
+    cc_body = cc_body[len("WITH RECURSIVE "):]
+    core = _PIPELINE_CORE_SQL.strip()
+    prefix = _SHINGLES_SQL.strip() + ","
+    assert core.startswith(prefix)
+    core_rest = core[len(prefix):].strip()
+    expr = f"'{_SPLIT_SALT_CLUSTER}' || CAST(cluster_id AS VARCHAR)"
+    cbucket = f"CAST({hash64_sql(expr)} % 100 AS INT)"
+    return f"""
+WITH RECURSIVE {cc_body},
+{core_rest},
+policy AS ({POLICY_FLAGS_ORACLE.strip()}),
+xent AS ({LM_XENT_ORACLE.strip()}),
+cut AS (SELECT quantile_cont(CAST(mean_xent_q AS DOUBLE), 0.9) AS p90
+        FROM xent),
+contaminated AS (
+  SELECT doc_id FROM shingles
+  WHERE doc_id % {EVAL_MOD} <> 0
+    AND shingle IN (SELECT shingle FROM shingles
+                    WHERE doc_id % {EVAL_MOD} = 0)
+  GROUP BY doc_id HAVING count(*) >= {DECON_MIN_SHARED}
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, dec.n_tokens
+  FROM decided dec
+  JOIN documents d ON dec.doc_id = d.doc_id
+  JOIN policy p ON p.doc_id = d.doc_id AND p.flagged = 0
+  JOIN xent x ON x.doc_id = d.doc_id
+  CROSS JOIN cut
+  WHERE dec.reason = 'kept'
+    AND CAST(x.mean_xent_q AS DOUBLE) <= cut.p90
+    AND d.doc_id % {EVAL_MOD} <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+canon AS (
+  SELECT doc_id, source, n_tokens
+  FROM (
+    SELECT doc_id, source, n_tokens,
+           min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS first_id
+    FROM kept
+  ) WHERE doc_id = first_id
+),
+cl AS (
+  SELECT c.doc_id, c.source, c.n_tokens,
+         CASE WHEN {cbucket} < {_TRAIN_CUT} THEN 'train'
+              WHEN {cbucket} < {_VAL_CUT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon c JOIN labels l ON c.doc_id = l.doc_id
+)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM cl GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "pipeline_curation_v3": QuerySpec(pipeline_curation_v3,
+                                      _curation_v3_oracle()),
     "doc_unigram_logprob": QuerySpec(doc_unigram_logprob,
                                      UNIGRAM_LOGPROB_ORACLE),
     "pipeline_curation_v2": QuerySpec(pipeline_curation_v2,

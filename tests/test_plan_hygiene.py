@@ -82,6 +82,8 @@ BNLJ_ALLOWED = {
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
     "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
     "pipeline_curation_v2",  # LM vocab scalar + one-row p90-cut cross
+    "pipeline_curation_v3",  # inherits v2's scalar crosses (LM vocab,
+                             # p90 cut) + the CC chain's checkpoints
 }
 
 
@@ -212,6 +214,7 @@ SP_ALLOWED = {
     "profile_partition_balance",  # one-row total scalar
     "corpus_quality_xent_corr",  # LM vocab scalar + one-row power sums
     "pipeline_curation_v2",     # LM vocab + p90-cut one-row scalars
+    "pipeline_curation_v3",     # same scalars through the v2 stages
     "profile_drift_daily",      # day-over-day lag over the calendar-
                                 # bounded daily aggregate
     "ev_rolling_median_7d",     # one-row (min,max)-day span scalar
@@ -246,6 +249,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "ev_conversion_time",   # n_parts-row offset agg (constant)
     "stats_psi_drift",      # n_parts-row offset agg (constant)
     "pipeline_curation_v2",  # n_parts-row offset agg (constant)
+    "pipeline_curation_v3",  # same helper through the v2 stages
 }
 
 
