@@ -62,6 +62,11 @@ from .spec import QuerySpec
 #: zero-leakage guarantee the doc-keyed split cannot give — strictly
 #: stronger category evidence; the plain hash split stays in the local
 #: sweep and inside the graded funnel rows, which split by doc hash).
+#: ``pipeline_curation_v3`` (v2 + decontamination + cluster split) is
+#: deliberately NOT promoted over ``pipeline_curation_v2`` this round:
+#: its oracle's recursive-CTE CC chain runs ~1-2 min in DuckDB at
+#: sf0.01 and the driver's per-query latency tolerance is unknown —
+#: v3 is sweep-verified at all three SFs instead.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
