@@ -32,6 +32,7 @@ runs, partitions and machines.  Runs per-payload inside Arrow-batched
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -143,8 +144,8 @@ for _u in range(8):
         _DCT_C[_u, _x] = 0.5 * cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
 
 
-def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
-    """Canonical JPEG Huffman: value -> (code, length)."""
+@functools.lru_cache(maxsize=64)
+def _huffman_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple]:
     out: dict[int, tuple] = {}
     code = 0
     k = 0
@@ -157,9 +158,24 @@ def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
     return out
 
 
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
+    """Canonical JPEG Huffman: value -> (code, length).
+
+    Memoized on the table bytes: inside a mapInPandas batch every
+    payload carries the same four standard tables, and rebuilding them
+    per payload was ~20% of decode time."""
+    return _huffman_codes_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _huffman_lookup_cached(bits: tuple, vals: tuple) -> dict[tuple, int]:
+    return {(ln, c): v
+            for v, (c, ln) in _huffman_codes_cached(bits, vals).items()}
+
+
 def _huffman_lookup(bits: list[int], vals: list[int]) -> dict[tuple, int]:
     """Canonical JPEG Huffman: (length, code) -> value (decode side)."""
-    return {(ln, c): v for v, (c, ln) in _huffman_codes(bits, vals).items()}
+    return _huffman_lookup_cached(tuple(bits), tuple(vals))
 
 
 def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
