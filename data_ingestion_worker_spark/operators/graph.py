@@ -1592,6 +1592,40 @@ GROUP BY 1, 2
 CLOSENESS_ORACLE = _closeness_oracle()
 
 
+def graph_local_clustering(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the part co-order
+    graph: ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` for nodes with
+    degree ≥ 2 — the standard "how clique-like is this node's
+    neighborhood" readout (Watts–Strogatz), and the per-node refinement
+    of :func:`graph_triangle_count`'s global story.
+
+    Determinism: both T(v) and deg(v) are exact BIGINTs from the
+    degree-ordered triangle enumeration, and the coefficient is
+    reported in parts-per-million via *integer* division
+    ``(2·T·10⁶) div (deg·(deg−1))`` — no float ever exists, so shuffle
+    order cannot perturb a bit.
+
+    Scale shape: inherits the O(m^{3/2}) oriented wedge join from the
+    triangle count (the curse-of-the-last-reducer mitigation); the
+    coefficient itself is a zero-shuffle projection on top.
+    """
+    t = graph_triangle_count(spark, sf_dir)
+    return t.filter(F.col("degree") >= 2).select(
+        "partkey", "degree", "n_triangles",
+        F.expr("(2 * n_triangles * 1000000)"
+               " div (degree * (degree - 1))").alias("lcc_ppm"),
+    )
+
+
+LOCAL_CLUSTERING_ORACLE = f"""
+WITH tri_base AS ({TRIANGLE_ORACLE})
+SELECT partkey, degree, n_triangles,
+       (2 * n_triangles * 1000000) // (degree * (degree - 1)) AS lcc_ppm
+FROM tri_base WHERE degree >= 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),
@@ -1609,6 +1643,8 @@ SPECS: dict[str, QuerySpec] = {
     "graph_pagerank_adaptive": QuerySpec(graph_pagerank_adaptive,
                                          PAGERANK_ADAPTIVE_ORACLE),
     "graph_degree_stats": QuerySpec(graph_degree_stats, DEGREE_ORACLE),
+    "graph_local_clustering": QuerySpec(graph_local_clustering,
+                                        LOCAL_CLUSTERING_ORACLE),
     "graph_triangle_count": QuerySpec(graph_triangle_count,
                                       TRIANGLE_ORACLE),
     "graph_triangle_doulion": QuerySpec(graph_triangle_doulion,

@@ -1906,8 +1906,137 @@ FROM d
 """
 
 
+#: Wilcoxon z from the BIGINT triple (n_pairs, w2_plus, tie_term) —
+#: ONE double fragment shared verbatim by both engines.  With
+#: W⁺ = w2_plus / 2 (twice the average-rank sum keeps ½-ranks exact),
+#: z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+_WSR_Z = (
+    "(CAST(w2_plus AS DOUBLE) / 2.0"
+    " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)"
+    " / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0"
+    " - CAST(tie_term AS DOUBLE) / 48.0)"
+)
+
+
+def stats_wilcoxon_signed_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank test: per-user spend, second half of
+    the observation window vs the first — the nonparametric paired
+    companion to :func:`stats_mannwhitney_u` (which compares two
+    *independent* samples; this one tests a *within-subject* shift, the
+    before/after readout an experimenter wants when each user is their
+    own control).
+
+    Exactness: each pair's difference is an exact BIGINT (cent sums);
+    zero differences are dropped per the classic procedure, and the
+    signed ranks reuse :func:`rank_sum_stats` over |d| with the
+    positive-difference count as the "positive class" — so twice the
+    average-rank sum W⁺·2 and the tie term Σ(t³−t) are exact DECIMAL
+    sums, and the tie-corrected normal approximation is one shared
+    double fragment floored at 4 decimals.
+
+    Scale shape: the pre/post split bound is a one-row broadcast scalar
+    (the stats_psi_drift pattern); pairs come from one user-keyed
+    aggregate; ranks use the distributed-ECDF prefix sum — per-bucket
+    windows plus a |buckets|-row offset window, never a global sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("bigint").alias("cents"),
+        _epoch_s(F.col("ts")).alias("s"),
+    )
+    span = e.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
+    pre = F.expr("2 * s < s0 + s1")
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("cents")).otherwise(F.lit(0)))
+            .alias("sum1"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(F.lit(0)))
+            .alias("sum2"),
+            F.sum(F.when(pre, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~pre, 1).otherwise(0)).alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select((F.col("sum2") - F.col("sum1")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    counts = (
+        per_user.select(
+            F.abs(F.col("d")).alias("q"),
+            F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(0))
+            .alias("ip"),
+        )
+        .groupBy("q")
+        .agg(F.sum("ip").alias("cp"), F.sum(1 - F.col("ip")).alias("cn"))
+    )
+    agg = rank_sum_stats(counts)
+    stat = agg.select(
+        (F.col("np") + F.col("nn")).cast("bigint").alias("n_pairs"),
+        F.col("r2").cast("bigint").alias("w2_plus"),
+        F.col("tcorr").cast("bigint").alias("tie_term"),
+    )
+    return stat.select(
+        "n_pairs", "w2_plus", "tie_term",
+        F.expr(f"floor(({_WSR_Z}) * CAST(10000 AS DOUBLE))"
+               " / CAST(10000 AS DOUBLE)").alias("z"),
+        F.expr(f"(({_WSR_Z}) * ({_WSR_Z})) > 3.8414588206941254")
+        .alias("reject_95"),
+    )
+
+
+WILCOXON_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS s
+  FROM events
+),
+span AS (SELECT min(s) AS s0, max(s) AS s1 FROM e),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN 2 * s < s0 + s1 THEN cents ELSE 0 END) AS sum1,
+         sum(CASE WHEN 2 * s >= s0 + s1 THEN cents ELSE 0 END) AS sum2,
+         sum(CASE WHEN 2 * s < s0 + s1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN 2 * s >= s0 + s1 THEN 1 ELSE 0 END) AS n2
+  FROM e CROSS JOIN span
+  GROUP BY user_id
+),
+diffs AS (
+  SELECT sum2 - sum1 AS d FROM per_user
+  WHERE n1 > 0 AND n2 > 0 AND sum2 - sum1 <> 0
+),
+counts AS (
+  SELECT abs(d) AS q,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS cn
+  FROM diffs GROUP BY 1
+),
+cum AS (
+  SELECT cp, cp + cn AS tv,
+         sum(cp + cn) OVER (ORDER BY q) AS cum_t
+  FROM counts
+),
+agg AS (
+  SELECT CAST(sum(tv) AS BIGINT) AS n_pairs,
+         CAST(sum(cp * (2 * cum_t - tv + 1)) AS BIGINT) AS w2_plus,
+         CAST(sum(tv * tv * tv - tv) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT n_pairs, w2_plus, tie_term,
+       floor(({_WSR_Z}) * CAST(10000 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS z,
+       (({_WSR_Z}) * ({_WSR_Z})) > 3.8414588206941254 AS reject_95
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
+    "stats_wilcoxon_signed_rank": QuerySpec(stats_wilcoxon_signed_rank,
+                                            WILCOXON_ORACLE),
     "stats_two_proportion_z": QuerySpec(stats_two_proportion_z,
                                         TWO_PROP_ORACLE),
     "stats_diff_in_diff": QuerySpec(stats_diff_in_diff,
