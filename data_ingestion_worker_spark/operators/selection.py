@@ -1,0 +1,347 @@
+"""Model-based training-data selection over ``documents``.
+
+The reference (rpdevelops/data-ingestion-worker) validates rows with
+hand-written predicates (src/services/validation_service.py); a 100 TB
+pretraining pipeline replaces those with *learned* selectors.  This
+module implements the three published selector shapes end to end, each
+closed-form-trainable inside the engine (no external model artifact)
+and each verifiable against a DuckDB oracle:
+
+- :func:`doc_quality_classifier` — the GPT-3/CCNet-style quality gate:
+  a multinomial Naive-Bayes classifier trained to separate a curated
+  reference source from the rest of the crawl, applied back to every
+  document as a log-likelihood-ratio score.
+- :func:`corpus_dsir_resample` — DSIR (Xie et al., NeurIPS 2023,
+  "Data Selection for Language Models via Importance Resampling"):
+  hashed-bigram importance weights between a target-domain distribution
+  and the raw corpus, then Gumbel top-k sampling without replacement.
+- :func:`sample_priority_ppswor` — priority sampling (Duffield, Lund &
+  Thorup, JACM 2007): a single bottom-k-style pass that yields a
+  weight-proportional sample *and* its Horvitz–Thompson threshold
+  estimator.
+
+Determinism: every model count is an exact integer; every log term is
+floor-quantized on its own row before any sum (the ``doc_lm_xent_proxy``
+convention), and random draws are ``hash64`` uniforms — re-shard-stable
+and reproducible bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..functions.text import tokens
+from ..spec import QuerySpec
+from ..tables import load_table
+from .text import _TOKENS_SQL
+
+#: Curated "reference corpus" source for the NB quality classifier
+#: (config in a real deployment — GPT-3 used WebText as this class).
+NB_REF_SOURCE = "src0"
+
+#: Per-token NB log-likelihood-ratio term, floor-quantized to 1e-4 bits
+#: on its own row — ONE fragment shared verbatim by both engines over
+#: (cpos, cneg, npos, nneg, v) integer columns.  Add-one smoothing over
+#: the shared vocabulary V keeps both class likelihoods proper.
+_NB_TERM = (
+    "CAST(floor(CAST(10000 AS DOUBLE) * ("
+    "log2(CAST(cpos + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE))"
+    " - log2(CAST(cneg + 1 AS DOUBLE) / CAST(nneg + v AS DOUBLE))"
+    ")) AS BIGINT)"
+)
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality score for every document: the log-likelihood
+    ratio of its tokens under a "curated reference" unigram model vs a
+    "rest of crawl" model — the classifier-based quality gate of the
+    GPT-3 / CCNet data pipelines, trained and applied in one job.
+
+    Training is two exact hash aggregates (per-token class counts);
+    the vocabulary size and class totals are a one-row broadcast
+    scalar.  Scoring joins each token occurrence back to its model row
+    on the token key — the same partitioning the count aggregate just
+    produced, so at 100 TB the model table shards by token and never
+    funnels.  Each token's LLR term is floor-quantized to 1e-4 bits on
+    its own row; per-document sums are therefore shuffle-order-proof.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            (F.col("source") == NB_REF_SOURCE).alias("is_ref"),
+            F.explode(tokens(F.col("text"))).alias("token"),
+        )
+        .localCheckpoint(eager=False)   # feeds model counts AND scoring
+    )
+    model = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cpos"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cneg"),
+    )
+    tot = model.agg(
+        F.sum("cpos").alias("npos"),
+        F.sum("cneg").alias("nneg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = (
+        toks.join(model, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_NB_TERM).alias("term"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("term").alias("llr_q"),
+        (F.sum("term") > 0).alias("pred_ref"),
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, (source = '{NB_REF_SOURCE}') AS is_ref,
+         unnest({_TOKENS_SQL}) AS token
+  FROM documents
+),
+model AS (
+  SELECT token,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cpos,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cneg
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(cpos) AS npos, sum(cneg) AS nneg, count(*) AS v FROM model
+),
+scored AS (
+  SELECT doc_id, {_NB_TERM} AS term
+  FROM toks JOIN model USING (token) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(term) AS BIGINT) AS llr_q,
+       sum(term) > 0 AS pred_ref
+FROM scored GROUP BY 1
+"""
+
+
+#: DSIR hashed-feature space size (the paper's memory-bounding trick:
+#: model size is B buckets regardless of corpus vocabulary).
+DSIR_BUCKETS = 4096
+#: Documents drawn by the Gumbel top-k resample.
+DSIR_K = 16
+#: Target-domain predicate: which documents define p_target (config —
+#: the paper uses the downstream task's distribution).
+DSIR_TARGET_LANG = "en"
+
+#: Per-feature-occurrence importance term (log₂ p_target − log₂ p_raw,
+#: add-one smoothing over the B buckets), floor-quantized to 1e-4 bits.
+_DSIR_TERM = (
+    "CAST(floor(CAST(10000 AS DOUBLE) * ("
+    f"log2(CAST(ct + 1 AS DOUBLE) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))"
+    f" - log2(CAST(cr + 1 AS DOUBLE) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE))"
+    ")) AS BIGINT)"
+)
+
+#: Gumbel-top-k sampling key over (logw_q, h): ln w + Gumbel(0,1) with
+#: the Gumbel drawn from the 60-bit hash uniform u ∈ (0,1] — sampling
+#: without replacement with probability ∝ w (Efraimidis–Spirakis via
+#: the Gumbel-max trick), floor-quantized to 1e-4.
+_DSIR_KEY = (
+    "CAST(floor(("
+    "CAST(logw_q AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    " * CAST(0.6931471805599453 AS DOUBLE)"
+    " - ln(-ln(CAST(h + 1 AS DOUBLE)"
+    " / CAST(1152921504606846976 AS DOUBLE)))"
+    ") * CAST(10000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: importance-resample the corpus toward a target domain.
+
+    Importance weights: each document's hashed-word-bigram features are
+    scored under two add-one-smoothed multinomials — p_target (bigrams
+    of the target-language documents) and p_raw (bigrams of the whole
+    corpus) — giving ``log w(doc) = Σ_features log(p_t/p_r)``; then
+    Gumbel top-k selects ``DSIR_K`` documents without replacement with
+    probability ∝ w (the paper's resampling step, derandomized through
+    the ``hash64`` uniform so both engines draw identical samples).
+
+    Scale shape: the feature model is AT MOST ``DSIR_BUCKETS`` rows no
+    matter the corpus size (the paper's hashing trick) — it broadcasts
+    to the scoring scan, so the whole weight computation is one explode
+    + one constant-size-broadcast join + one per-doc sum; the top-k is
+    TakeOrderedAndProject.  Documents with fewer than 2 tokens have no
+    features and are excluded (their weight is undefined).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bigs = (
+        toks.select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+            F.explode(F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), "
+                "element_at(t, i + 1)))"
+            )).alias("bg"),
+        )
+        .select(
+            "doc_id", "is_t",
+            (hash64(F.col("bg")) % DSIR_BUCKETS).alias("b"),
+        )
+        .localCheckpoint(eager=False)   # feeds the model AND scoring
+    )
+    model = bigs.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    weights = (
+        bigs.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(_DSIR_TERM).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("logw_q"))
+    )
+    keyed = (
+        weights.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "h",
+            hash64(F.concat(F.lit("dsir:"),
+                            F.col("doc_id").cast("string"))),
+        )
+        .select("doc_id", "lang", "logw_q",
+                F.expr(_DSIR_KEY).alias("key_q"))
+    )
+    return keyed.orderBy(
+        F.col("key_q").desc(), F.col("doc_id").asc()
+    ).limit(DSIR_K)
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents
+),
+bigs AS (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_t,
+         {hash64_sql("t[i] || ' ' || t[i + 1]")} % {DSIR_BUCKETS} AS b
+  FROM toks, unnest(range(1, len(t))) AS gs(i)
+  WHERE len(t) >= 2
+),
+model AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM bigs GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+weights AS (
+  SELECT doc_id, CAST(sum(term) AS BIGINT) AS logw_q FROM (
+    SELECT doc_id, {_DSIR_TERM} AS term
+    FROM bigs JOIN model USING (b) CROSS JOIN tot
+  ) GROUP BY 1
+),
+keyed AS (
+  SELECT w.doc_id, d.lang, w.logw_q,
+         {hash64_sql("'dsir:' || CAST(w.doc_id AS VARCHAR)")} AS h
+  FROM weights w JOIN documents d ON w.doc_id = d.doc_id
+)
+SELECT doc_id, lang, logw_q, {_DSIR_KEY} AS key_q
+FROM keyed
+ORDER BY key_q DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
+#: Priority-sample size.
+PPSWOR_K = 12
+
+#: Log-space priority: ln(w) − ln(u) with u the 60-bit hash uniform in
+#: (0,1] — the log of Duffield–Lund–Thorup's w/u priority (monotone, so
+#: selection and threshold are unchanged; log keeps magnitudes finite).
+_PPSWOR_LPRI = (
+    "ln(CAST(greatest(n_chars, 1) AS DOUBLE))"
+    " - ln(CAST(h + 1 AS DOUBLE)"
+    " / CAST(1152921504606846976 AS DOUBLE))"
+)
+
+
+def sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (PPSWOR): a size-``PPSWOR_K``
+    weight-proportional without-replacement sample of the corpus with
+    its Horvitz–Thompson estimator, in one pass.
+
+    Each document gets priority ``w/u`` (w = ``n_chars``, u a
+    deterministic hash uniform); the k highest priorities are the
+    sample and the (k+1)-th priority τ is the estimation threshold:
+    ``max(w, τ)`` is the unbiased per-item weight estimate (Duffield,
+    Lund & Thorup, JACM 2007 — variance-optimal among k+1-sparse
+    schemes).  Everything is carried in log space (monotone), and both
+    readouts are floor-quantized at 1e-4.
+
+    Scale shape: both the sample and the threshold come from
+    TakeOrderedAndProject heads (k and k+1 rows) over one scan — each
+    partition keeps a local top-k, the driver merges k·P rows; τ
+    re-attaches as a one-row broadcast scalar.  No global sort, no
+    window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id", "n_chars",
+            hash64(F.concat(F.lit("pri:"),
+                            F.col("doc_id").cast("string"))).alias("h"),
+        )
+        .select("doc_id", "n_chars", F.expr(_PPSWOR_LPRI).alias("lpri"))
+        .localCheckpoint(eager=False)   # feeds the k and k+1 heads
+    )
+    ordered = base.orderBy(F.col("lpri").desc(), F.col("doc_id").asc())
+    tau = ordered.limit(PPSWOR_K + 1).agg(F.min("lpri").alias("tau_l"))
+    return (
+        ordered.limit(PPSWOR_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id", "n_chars",
+            F.expr("CAST(floor(lpri * CAST(10000 AS DOUBLE)) AS BIGINT)")
+            .alias("lpri_q"),
+            F.expr(
+                "CAST(floor(greatest("
+                "ln(CAST(greatest(n_chars, 1) AS DOUBLE)), tau_l)"
+                " * CAST(10000 AS DOUBLE)) AS BIGINT)"
+            ).alias("est_lnw_q"),
+        )
+    )
+
+
+PPSWOR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, n_chars, {_PPSWOR_LPRI} AS lpri FROM (
+    SELECT doc_id, n_chars,
+           {hash64_sql("'pri:' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+  )
+),
+topk1 AS (
+  SELECT * FROM base ORDER BY lpri DESC, doc_id ASC LIMIT {PPSWOR_K + 1}
+),
+tau AS (SELECT min(lpri) AS tau_l FROM topk1),
+sel AS (
+  SELECT * FROM base ORDER BY lpri DESC, doc_id ASC LIMIT {PPSWOR_K}
+)
+SELECT doc_id, n_chars,
+       CAST(floor(lpri * CAST(10000 AS DOUBLE)) AS BIGINT) AS lpri_q,
+       CAST(floor(greatest(ln(CAST(greatest(n_chars, 1) AS DOUBLE)),
+            tau_l) * CAST(10000 AS DOUBLE)) AS BIGINT) AS est_lnw_q
+FROM sel CROSS JOIN tau
+"""
+
+
+SPECS: dict[str, QuerySpec] = {
+    "doc_quality_classifier": QuerySpec(doc_quality_classifier,
+                                        QUALITY_CLASSIFIER_ORACLE),
+    "corpus_dsir_resample": QuerySpec(corpus_dsir_resample, DSIR_ORACLE),
+    "sample_priority_ppswor": QuerySpec(sample_priority_ppswor,
+                                        PPSWOR_ORACLE),
+}

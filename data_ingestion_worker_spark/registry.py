@@ -67,6 +67,15 @@ from .spec import QuerySpec
 #: its oracle's recursive-CTE CC chain runs ~1-2 min in DuckDB at
 #: sf0.01 and the driver's per-query latency tolerance is unknown —
 #: v3 is sweep-verified at all three SFs instead.
+#: Second round-6 swap: ``ann_ivf_topk`` → ``corpus_dsir_resample``.
+#: ANN held THREE graded rows (brute-force cosine, IVF, PQ/ADC) while
+#: model-based data *selection* — the published DSIR importance-
+#: resampling shape (hashed-bigram importance weights + Gumbel top-k),
+#: plus the NB quality classifier and priority sampling that landed
+#: with it in ``operators/selection.py`` — had none.  The graded window
+#: keeps the two strongest ANN members (the exact baseline and the
+#: compressed-index search); IVF stays verified in the local sweep and
+#: inside ``ann_ivf_recall``'s recall contract.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -78,7 +87,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "doc_decontaminate",
     "mm_image_ahash_dedup",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    "corpus_dsir_resample",
     "cluster_kmeans_embeddings",
     "stats_psi_drift",
     "sketch_kmv_jaccard",
@@ -109,6 +118,7 @@ def _collect() -> dict[str, QuerySpec]:
         profiling,
         quality,
         relational,
+        selection,
         similarity,
         sketches,
         stats,
@@ -120,8 +130,8 @@ def _collect() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     modules = [relational, tpch, tpch_ext, events, temporal, stats, text,
-               dedup, similarity, sketches, multimodal, profiling, quality,
-               curation, graph, layout]
+               dedup, similarity, selection, sketches, multimodal,
+               profiling, quality, curation, graph, layout]
     for mod in modules:
         for name, spec in mod.SPECS.items():
             if name in specs:

@@ -60,6 +60,11 @@ BUDGETS = {
     "agg_percentiles": 9,              # measured 7
     "sketch_hist_quantiles": 13,       # measured 10
     "graph_triangle_doulion": 9,       # measured 7
+    "graph_local_clustering": 8,       # measured 6
+    "doc_quality_classifier": 6,       # measured 4
+    "corpus_dsir_resample": 6,         # measured 4
+    "stats_wilcoxon_signed_rank": 4,   # measured 2
+    "sample_priority_ppswor": 2,       # measured 0
     "split_by_cluster": 4,             # measured 2 (CC checkpoints)
     "corpus_stats_incremental_merge": 4,   # measured 2
     "dedup_rate_estimate": 5,          # measured 3

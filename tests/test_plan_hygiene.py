@@ -35,11 +35,15 @@ BNLJ_ALLOWED = {
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
+    "doc_quality_classifier",  # one-row (Npos, Nneg, V) model scalar
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
     "stats_two_proportion_z",  # same |types|-row pair enumeration
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
+    "stats_wilcoxon_signed_rank",  # one-row pre/post split-bound scalar
+    "corpus_dsir_resample",  # one-row (Nt, Nr) model-total scalar cross
+    "sample_priority_ppswor",  # one-row tau threshold scalar cross
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
     "ev_conversion_time",  # one-row quantile row × one-row count row
     "ev_growth_accounting",  # one-row observation-window-end scalar
@@ -151,6 +155,8 @@ SP_ALLOWED = {
     "doc_salient_terms",        # one-row corpus-N scalar
     "doc_unigram_logprob",      # one-row corpus-total scalar
     "doc_bm25_rank",            # one-row (N, Σdl) scalar
+    "doc_quality_classifier",   # one-row (Npos, Nneg, V) scalar
+    "corpus_dsir_resample",     # one-row (Nt, Nr) model-total scalar
     "graph_pagerank",           # one-row |V| + per-iteration mass scalars
     "graph_hits",               # one-row L1-normalization totals
     "graph_pagerank_weighted",  # same scalars, weighted degree
@@ -160,6 +166,7 @@ SP_ALLOWED = {
     "stats_chi2_independence",  # one-row grand-total scalar
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
+    "stats_wilcoxon_signed_rank",  # same ECDF offsets + split scalar
     "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total scalar
     "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
@@ -232,6 +239,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "pipeline_filter_stats",  # |filter reasons| rows
     "stats_ks_test",        # |CDF buckets| rows (fixed bucket count)
     "stats_mannwhitney_u",  # |CDF buckets| rows (fixed bucket count)
+    "stats_wilcoxon_signed_rank",  # |CDF buckets| rows again
     "stats_auc_quality_lang",  # |CDF buckets| rows (fixed bucket count)
     "corpus_dedup_threshold_curve",  # <=9 threshold-bucket rows
     "stats_spearman_corr",  # |CDF buckets| rows (fixed bucket count)

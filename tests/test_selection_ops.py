@@ -1,0 +1,167 @@
+"""Contract tests for the model-based data-selection operators
+(operators/selection.py): each is recomputed independently in
+Python/numpy from the raw parquet, so the distributed plan must equal
+the textbook formulation — not just its own oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from data_ingestion_worker_spark.operators.selection import (
+    DSIR_BUCKETS,
+    DSIR_K,
+    DSIR_TARGET_LANG,
+    NB_REF_SOURCE,
+    PPSWOR_K,
+    corpus_dsir_resample,
+    doc_quality_classifier,
+    sample_priority_ppswor,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _toks(text: str) -> list[str]:
+    t = text.strip().lower()
+    return t.split() if t else []
+
+
+def _docs(spark) -> pd.DataFrame:
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+
+
+def test_quality_classifier_matches_python_naive_bayes(spark):
+    """The per-document LLR equals an independent add-one-smoothed
+    multinomial NB computed with plain dicts."""
+    docs = _docs(spark)
+    cpos: dict[str, int] = {}
+    cneg: dict[str, int] = {}
+    for _, r in docs.iterrows():
+        tgt = cpos if r.source == NB_REF_SOURCE else cneg
+        for t in _toks(r.text):
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(cpos) | set(cneg)
+    npos, nneg, v = sum(cpos.values()), sum(cneg.values()), len(vocab)
+
+    rows = {r.doc_id: r
+            for r in doc_quality_classifier(spark, SF_DIR).collect()}
+    checked = 0
+    for _, r in docs.iterrows():
+        ts = _toks(r.text)
+        if not ts:
+            assert r.doc_id not in rows   # no tokens -> no score row
+            continue
+        llr = sum(
+            math.floor(10000.0 * (
+                math.log2((cpos.get(t, 0) + 1) / (npos + v))
+                - math.log2((cneg.get(t, 0) + 1) / (nneg + v))
+            ))
+            for t in ts
+        )
+        got = rows[r.doc_id]
+        assert got.n_tokens == len(ts)
+        assert got.llr_q == llr
+        assert got.pred_ref == (llr > 0)
+        checked += 1
+    assert checked > 100
+    # the classifier must actually separate: reference docs should skew
+    # positive relative to the rest (sanity that training happened).
+    ref_ids = set(docs[docs.source == NB_REF_SOURCE].doc_id)
+    ref_scores = [r.llr_q for i, r in rows.items() if i in ref_ids]
+    other = [r.llr_q for i, r in rows.items() if i not in ref_ids]
+    assert np.mean(ref_scores) > np.mean(other)
+
+
+def test_dsir_matches_python_importance_resample(spark):
+    """Hashed-bigram importance weights + Gumbel top-k, recomputed with
+    dicts and math.log — the selected set and every quantized column
+    must match exactly."""
+    docs = _docs(spark)
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    doc_feats: dict[int, list[int]] = {}
+    for _, r in docs.iterrows():
+        ts = _toks(r.text)
+        if len(ts) < 2:
+            continue
+        bs = [_h64(f"{a} {b}") % DSIR_BUCKETS for a, b in zip(ts, ts[1:])]
+        doc_feats[r.doc_id] = bs
+        is_t = r.lang == DSIR_TARGET_LANG
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    lang_of = dict(zip(docs.doc_id, docs.lang))
+    expect = []
+    for doc_id, bs in doc_feats.items():
+        logw = sum(
+            math.floor(10000.0 * (
+                math.log2((ct.get(b, 0) + 1) / (nt + DSIR_BUCKETS))
+                - math.log2((cr.get(b, 0) + 1) / (nr + DSIR_BUCKETS))
+            ))
+            for b in bs
+        )
+        h = _h64(f"dsir:{doc_id}")
+        u = (h + 1) / float(1 << 60)
+        key = math.floor(
+            (logw / 10000.0 * 0.6931471805599453 - math.log(-math.log(u)))
+            * 10000.0)
+        expect.append((doc_id, lang_of[doc_id], logw, key))
+    expect.sort(key=lambda t: (-t[3], t[0]))
+    expect = expect[:DSIR_K]
+
+    got = [(r.doc_id, r.lang, r.logw_q, r.key_q)
+           for r in corpus_dsir_resample(spark, SF_DIR).collect()]
+    assert got == expect
+    # resampling toward the target domain: the selected set should be
+    # enriched in the target language vs the corpus base rate.
+    base = (docs.lang == DSIR_TARGET_LANG).mean()
+    sel = np.mean([lg == DSIR_TARGET_LANG for _, lg, _, _ in got])
+    assert sel > base
+
+
+def test_ppswor_matches_python_priority_sample(spark):
+    """Log-priorities, the top-k set, and the (k+1)-threshold estimator
+    all equal a numpy recompute of Duffield–Lund–Thorup."""
+    docs = _docs(spark)
+    pri = []
+    for _, r in docs.iterrows():
+        w = max(int(r.n_chars), 1)
+        u = (_h64(f"pri:{r.doc_id}") + 1) / float(1 << 60)
+        pri.append((r.doc_id, int(r.n_chars), w,
+                    math.log(w) - math.log(u)))
+    pri.sort(key=lambda t: (-t[3], t[0]))
+    tau = pri[PPSWOR_K][3]
+    expect = [
+        (doc_id, n_chars,
+         math.floor(lp * 10000.0),
+         math.floor(max(math.log(w), tau) * 10000.0))
+        for doc_id, n_chars, w, lp in pri[:PPSWOR_K]
+    ]
+
+    got = [(r.doc_id, r.n_chars, r.lpri_q, r.est_lnw_q)
+           for r in sample_priority_ppswor(spark, SF_DIR).collect()]
+    assert sorted(got) == sorted(expect)
+    # the estimator threshold must never lower a selected item below
+    # its own weight (max(w, tau) >= w).
+    for (_, n_chars, _, est) in got:
+        assert est >= math.floor(
+            math.log(max(n_chars, 1)) * 10000.0)
+
+
+def test_ppswor_weight_bias(spark):
+    """Long documents must be overrepresented: the mean n_chars of the
+    sample should exceed the corpus mean (weight-proportional draw)."""
+    docs = _docs(spark)
+    got = sample_priority_ppswor(spark, SF_DIR).toPandas()
+    assert got.n_chars.mean() > docs.n_chars.mean()
