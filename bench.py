@@ -119,6 +119,11 @@ HEADLINE = [
     # HITS on the directed purchase graph and RAKE keyphrase extraction.
     "graph_hits",
     "doc_keyphrase_rake",
+    # Round-6 (cont. 2): the model-based selection subsystem — NB
+    # quality classifier (train + score in one job) and DSIR
+    # importance resampling (hashed-bigram model + Gumbel top-k).
+    "doc_quality_classifier",
+    "corpus_dsir_resample",
 ]
 
 
