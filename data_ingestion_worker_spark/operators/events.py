@@ -2635,7 +2635,71 @@ FROM sums s JOIN nd ON s.event_type = nd.event_type
 """
 
 
+def ev_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type: clamp every value into
+    its type's [p5, p95] band before averaging — the robust-mean
+    readout that keeps a fat-tailed metric (revenue, latency) reportable
+    without letting single outliers own the average.
+
+    Determinism: the p5/p95 cuts come from the distributed
+    order-statistic helper (bit-identical to exact ``percentile``,
+    no corpus-wide single-reducer buffer); each clamped value is
+    floored back to an exact BIGINT on its own row, so the final mean
+    is integer arithmetic — shuffle-order-proof in both engines.
+
+    Scale shape: one fact scan feeds the cuts and the clamp (lazy
+    checkpoint); the |types|-row cut table re-attaches as a broadcast;
+    the readout is a |types|-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=False)   # feeds the cut rows AND the clamp
+    cuts = distributed_exact_quantiles(
+        e, "cents", [("lo", 0.05), ("hi", 0.95)],
+        group_cols=["event_type"],
+    )
+    clamp = ("CAST(floor(greatest(least(CAST(cents AS DOUBLE), hi), lo))"
+             " AS BIGINT)")
+    clamped = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type", F.expr(clamp).alias("wq")
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wq").alias("win_sum"),
+        F.expr("(sum(wq) * 1000) div count(1)").alias("win_mean_milli"),
+    )
+
+
+WINSORIZED_MEAN_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(cents, 0.05) AS lo,
+         quantile_cont(cents, 0.95) AS hi
+  FROM e GROUP BY 1
+),
+clamped AS (
+  SELECT e.event_type,
+         CAST(floor(greatest(least(CAST(cents AS DOUBLE), hi), lo))
+              AS BIGINT) AS wq
+  FROM e JOIN cuts USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(wq) AS BIGINT) AS win_sum,
+       CAST((sum(wq) * 1000) // count(*) AS BIGINT) AS win_mean_milli
+FROM clamped GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_winsorized_mean": QuerySpec(ev_winsorized_mean,
+                                    WINSORIZED_MEAN_ORACLE),
     "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),
     "ev_markov_transitions": QuerySpec(ev_markov_transitions,
                                        MARKOV_ORACLE),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
+from ..functions.quantiles import distributed_exact_quantiles
 from ..functions.text import tokens
 from ..spec import QuerySpec
 from ..tables import load_table
@@ -53,21 +54,16 @@ _NB_TERM = (
 )
 
 
-def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Naive-Bayes quality score for every document: the log-likelihood
-    ratio of its tokens under a "curated reference" unigram model vs a
-    "rest of crawl" model — the classifier-based quality gate of the
-    GPT-3 / CCNet data pipelines, trained and applied in one job.
+def nb_token_model(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the NB token model from a labeled ``documents`` frame.
 
-    Training is two exact hash aggregates (per-token class counts);
-    the vocabulary size and class totals are a one-row broadcast
-    scalar.  Scoring joins each token occurrence back to its model row
-    on the token key — the same partitioning the count aggregate just
-    produced, so at 100 TB the model table shards by token and never
-    funnels.  Each token's LLR term is floor-quantized to 1e-4 bits on
-    its own row; per-document sums are therefore shuffle-order-proof.
+    Returns ``(toks, model, totals)``: the exploded (doc_id, is_ref,
+    token) rows (lazily checkpointed — callers that also score reuse the
+    explode), the per-token class-count table, and the one-row
+    (npos, nneg, v) totals.  Shared by the batch classifier and the
+    streaming gate (``streaming/windows.py::nb_score_stream``) so both
+    planes score under exactly one model definition.
     """
-    d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select(
             "doc_id",
@@ -85,6 +81,25 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cneg").alias("nneg"),
         F.count(F.lit(1)).alias("v"),
     )
+    return toks, model, tot
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality score for every document: the log-likelihood
+    ratio of its tokens under a "curated reference" unigram model vs a
+    "rest of crawl" model — the classifier-based quality gate of the
+    GPT-3 / CCNet data pipelines, trained and applied in one job.
+
+    Training is two exact hash aggregates (per-token class counts);
+    the vocabulary size and class totals are a one-row broadcast
+    scalar.  Scoring joins each token occurrence back to its model row
+    on the token key — the same partitioning the count aggregate just
+    produced, so at 100 TB the model table shards by token and never
+    funnels.  Each token's LLR term is floor-quantized to 1e-4 bits on
+    its own row; per-document sums are therefore shuffle-order-proof.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks, model, tot = nb_token_model(d)
     scored = (
         toks.join(model, "token")
         .crossJoin(F.broadcast(tot))
@@ -338,9 +353,85 @@ FROM sel CROSS JOIN tau
 """
 
 
+#: Calibration deciles of the classifier score.
+CAL_CUTS = 9
+
+_CAL_BUCKET = "1 + " + " + ".join(
+    f"CAST(llr_q > c{k} AS INT)" for k in range(1, CAL_CUTS + 1)
+)
+
+
+def corpus_quality_calibration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Calibration curve of :func:`doc_quality_classifier`: bucket every
+    scored document into a decile of the LLR score, then report the
+    actual reference-class rate per bucket — the reliability diagram a
+    pipeline owner reads before trusting the classifier as a filter
+    (a well-ranked score shows ``ref_rate_ppm`` rising monotonically
+    with the bucket).
+
+    Scale shape: decile cuts come from the distributed order-statistic
+    helper (range repartition + offset broadcast, no corpus-wide
+    single-reducer buffer) and re-attach as a one-row broadcast scalar;
+    the curve itself is a 10-row aggregate.
+    """
+    scored = doc_quality_classifier(spark, sf_dir).select(
+        "doc_id", "llr_q"
+    )
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("source") == NB_REF_SOURCE).alias("is_ref")
+    )
+    j = scored.join(labels, "doc_id") \
+        .localCheckpoint(eager=False)   # feeds the cut row + assignment
+    cuts = distributed_exact_quantiles(
+        j, "llr_q",
+        [(f"c{k}", k / (CAL_CUTS + 1)) for k in range(1, CAL_CUTS + 1)],
+    )
+    b = j.crossJoin(F.broadcast(cuts)).select(
+        "is_ref", F.expr(_CAL_BUCKET).alias("bucket")
+    )
+    out = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs", "n_ref",
+        F.expr("(n_ref * 1000000) div n_docs").alias("ref_rate_ppm"),
+    )
+
+
+QUALITY_CALIBRATION_ORACLE = f"""
+WITH scored AS ({QUALITY_CLASSIFIER_ORACLE}),
+j AS (
+  SELECT s.doc_id, s.llr_q, (d.source = '{NB_REF_SOURCE}') AS is_ref
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+cuts AS (
+  SELECT {", ".join(
+      f"quantile_cont(llr_q, {k / (CAL_CUTS + 1)}) AS c{k}"
+      for k in range(1, CAL_CUTS + 1))}
+  FROM j
+),
+b AS (SELECT is_ref, {_CAL_BUCKET} AS bucket FROM j CROSS JOIN cuts),
+agg AS (
+  SELECT bucket, count(*) AS n_docs,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref
+  FROM b GROUP BY 1
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_ref * 1000000 // n_docs AS BIGINT) AS ref_rate_ppm
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_quality_classifier": QuerySpec(doc_quality_classifier,
                                         QUALITY_CLASSIFIER_ORACLE),
+    "corpus_quality_calibration": QuerySpec(corpus_quality_calibration,
+                                            QUALITY_CALIBRATION_ORACLE),
     "corpus_dsir_resample": QuerySpec(corpus_dsir_resample, DSIR_ORACLE),
     "sample_priority_ppswor": QuerySpec(sample_priority_ppswor,
                                         PPSWOR_ORACLE),

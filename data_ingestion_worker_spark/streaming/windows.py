@@ -506,3 +506,53 @@ def cusum_alarms_stream(hourly: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def nb_score_stream(docs: DataFrame, model: DataFrame,
+                    totals: DataFrame, window: str = "1 day",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming face of the NB quality gate
+    (``operators.selection.doc_quality_classifier``): score documents
+    *on arrival* under a batch-trained token model — the standard
+    deployment split where the classifier trains offline on the corpus
+    and gates the live ingest stream.
+
+    ``model``/``totals`` come from
+    ``operators.selection.nb_token_model`` (static relations), so both
+    planes share exactly one model definition and the stream's ``llr_q``
+    for a document equals the batch classifier's bit-for-bit.  The
+    token join is stream-static (stateless); per-document score state
+    lives only until the watermark passes its window.  Tokens unseen at
+    training time drop out of the inner join — the OOV convention of
+    the batch twin, whose model (trained on the same corpus) covers
+    every token by construction.
+
+    ``docs`` needs ``(doc_id bigint, ts timestamp, text string)``.
+    """
+    from ..functions.text import tokens
+    from ..operators.selection import _NB_TERM
+
+    # The watermark attaches BEFORE the model join: an arriving batch
+    # whose tokens are all OOV still advances event time (the join
+    # would otherwise swallow the rows the watermark tracker needs).
+    toks = docs.withWatermark("ts", watermark).select(
+        "ts", "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    scored = (
+        toks.join(model, "token")            # stream-static, stateless
+        .crossJoin(F.broadcast(totals))
+        .select("ts", "doc_id", F.expr(_NB_TERM).alias("term"))
+    )
+    return (
+        scored
+        .groupBy(F.window("ts", window).alias("w"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term").alias("llr_q"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "doc_id",
+            "n_tokens", "llr_q",
+            (F.col("llr_q") > 0).alias("pred_ref"),
+        )
+    )

