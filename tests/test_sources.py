@@ -400,3 +400,99 @@ def test_zorder_layout_skips_files_on_every_ordered_column(
     got = spark.read.parquet(zpath).filter("y BETWEEN 0 AND 9").count()
     want = df.filter("y BETWEEN 0 AND 9").count()
     assert got == want
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    """Write N records (response + metadata types), read through the
+    Spark face, and check every field — for both the plain and the
+    record-per-gzip-member layouts."""
+    from data_ingestion_worker_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    recs = [
+        {"rec_type": "response", "target_uri": "http://a.example/1",
+         "body": "hello world one"},
+        # Content containing blank lines AND the record magic: the
+        # parser must honor Content-Length, not split on delimiters.
+        {"rec_type": "response", "target_uri": "http://a.example/2",
+         "body": "para one\r\n\r\npara two\r\n\r\nWARC/1.0 fake magic"},
+        {"rec_type": "metadata", "target_uri": "http://a.example/2",
+         "body": "fetch-time: 12ms"},
+        {"rec_type": "response", "target_uri": "http://b.example/ü",
+         "body": "unicode ü body"},
+    ]
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc(str(d / "a.warc"), recs[:2])
+    write_warc(str(d / "b.warc.gz"), recs[2:])
+
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 4
+    by_uri_type = {(r.target_uri, r.rec_type): r for r in rows}
+    r2 = by_uri_type[("http://a.example/2", "response")]
+    # HTTP envelope stripped; embedded blank lines + magic intact.
+    assert r2.body == "para one\r\n\r\npara two\r\n\r\nWARC/1.0 fake magic"
+    assert by_uri_type[("http://a.example/2", "metadata")].body \
+        == "fetch-time: 12ms"
+    assert by_uri_type[("http://b.example/ü", "response")].body \
+        == "unicode ü body"
+    # content_length covers the HTTP envelope for response records.
+    assert r2.content_length > len(r2.body)
+    # archives parse independently (one row set per file).
+    assert {r.archive.rsplit("/", 1)[-1] for r in rows} \
+        == {"a.warc", "b.warc.gz"}
+
+
+def test_warc_corrupt_record_resync(spark, tmp_path):
+    """A truncated/garbled record must not sink the archive: the parser
+    resyncs to the next record magic (the S3 poison-object analog)."""
+    from data_ingestion_worker_spark.sources.warc import (
+        parse_warc,
+        write_warc,
+    )
+
+    good = {"rec_type": "response", "target_uri": "http://ok.example",
+            "body": "survivor"}
+    p = tmp_path / "c.warc"
+    write_warc(str(p), [good])
+    tail = p.read_bytes()
+    garbage = b"WARC/1.0\r\nWARC-Type: response\r\nNo-Length: x\r\n\r\n"
+    recs = parse_warc(garbage + tail)
+    assert [r["target_uri"] for r in recs] == ["http://ok.example"]
+    assert recs[0]["body"] == "survivor"
+
+
+def test_warc_feeds_text_operators(spark, tmp_path):
+    """End-to-end: WARC records -> documents-shaped frame -> an
+    existing text operator runs on crawl content unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.functions.text import ws_token_count
+    from data_ingestion_worker_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    d = tmp_path / "w"
+    d.mkdir()
+    write_warc(str(d / "crawl.warc.gz"), [
+        {"rec_type": "response", "target_uri": f"http://x.example/{i}",
+         "body": f"page {i} body with {i % 3} extra tokens"}
+        for i in range(10)
+    ])
+    docs = (
+        read_warc(spark, str(d))
+        .filter(F.col("rec_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("body").alias("text"),
+        )
+    )
+    counted = docs.select("doc_id", ws_token_count(F.col("text"))
+                          .alias("n")).collect()
+    assert len(counted) == 10 and all(r.n >= 6 for r in counted)
