@@ -1200,7 +1200,52 @@ GROUP BY 1
 """
 
 
+#: k-anonymity threshold: equivalence classes smaller than this leak.
+K_ANON = 5
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    (nation, market-segment) quasi-identifier: the privacy gate a
+    governance pipeline runs before publishing a dataset — any
+    equivalence class smaller than k re-identifies its members.
+
+    Output is the class-size histogram (one row per distinct class
+    size: how many classes, how many rows, and whether that size is
+    below k) — the shape an auditor reads off directly, and the same
+    two-hash-aggregate plan at any scale: groupBy the quasi-identifier,
+    then groupBy the class size.  No per-class row ever leaves the
+    cluster (reporting the risky classes themselves would be the leak).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size", "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < K_ANON).alias("below_k"),
+        )
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+       class_size < {K_ANON} AS below_k
+FROM classes GROUP BY class_size
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),
     "profile_ndv_hll": QuerySpec(profile_ndv_hll, _ndv_oracle()),
     "corpus_stats_incremental_merge": QuerySpec(
         corpus_stats_incremental_merge, CORPUS_STATS_MERGE_ORACLE),
