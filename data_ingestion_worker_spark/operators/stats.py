@@ -1906,6 +1906,88 @@ FROM d
 """
 
 
+#: Wald SPRT: H0 p=0.18 vs H1 p=0.22 on the daily purchase-conversion
+#: rate, α = β = 0.05.  The per-observation log-likelihood-ratio
+#: increments and the two decision boundaries are *Python-precomputed*
+#: micro-quantized integers embedded in BOTH query texts — the whole
+#: test is then exact BIGINT arithmetic (k·C1 + (n−k)·C2 prefix sums),
+#: no engine ever evaluates a log.
+SPRT_P0, SPRT_P1 = 0.18, 0.22
+import math as _math  # noqa: E402  (module-scope constant derivation)
+SPRT_C1 = _math.floor(1_000_000 * _math.log(SPRT_P1 / SPRT_P0))
+SPRT_C2 = _math.floor(
+    1_000_000 * _math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_A = _math.floor(1_000_000 * _math.log(0.95 / 0.05))   # accept H1
+SPRT_B = _math.floor(1_000_000 * _math.log(0.05 / 0.95))   # accept H0
+
+_SPRT_DECISION = (
+    f"CASE WHEN cum_llr_q >= {SPRT_A} THEN 'accept_h1' "
+    f"WHEN cum_llr_q <= {SPRT_B} THEN 'accept_h0' "
+    "ELSE 'continue' END"
+)
+
+
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the daily purchase
+    conversion rate — the always-valid sequential monitor that lets an
+    experimenter stop the moment the evidence crosses a boundary
+    instead of waiting for a fixed horizon.
+
+    Each day contributes ``k·C1 + (n−k)·C2`` to the running
+    log-likelihood ratio (k purchases of n events; C1/C2 the
+    micro-quantized per-observation increments); the cumulative LLR and
+    the accept-H1/accept-H0/continue decision are emitted per day.
+    Everything after the daily aggregate is exact BIGINT arithmetic.
+
+    Scale shape: one fact scan collapses to one row per day; the
+    prefix sum is an ordered window over the bounded
+    observation-window domain (the ``profile_drift_daily`` shape).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("n_purchases"),
+    )
+    llr = (F.col("n_purchases") * F.lit(SPRT_C1)
+           + (F.col("n_events") - F.col("n_purchases")) * F.lit(SPRT_C2))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("llr_day_q", llr)
+        .withColumn("cum_llr_q", F.sum("llr_day_q").over(w))
+        .select(
+            "day", "n_events", "n_purchases", "llr_day_q", "cum_llr_q",
+            F.expr(_SPRT_DECISION).alias("decision"),
+        )
+    )
+
+
+SPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT day, n_events, n_purchases,
+         n_purchases * {SPRT_C1}
+           + (n_events - n_purchases) * {SPRT_C2} AS llr_day_q
+  FROM daily
+),
+cum AS (
+  SELECT day, n_events, n_purchases, llr_day_q,
+         CAST(sum(llr_day_q) OVER (ORDER BY day) AS BIGINT) AS cum_llr_q
+  FROM scored
+)
+SELECT day, n_events, n_purchases,
+       CAST(llr_day_q AS BIGINT) AS llr_day_q, cum_llr_q,
+       {_SPRT_DECISION} AS decision
+FROM cum
+"""
+
+
 #: Wilcoxon z from the BIGINT triple (n_pairs, w2_plus, tie_term) —
 #: ONE double fragment shared verbatim by both engines.  With
 #: W⁺ = w2_plus / 2 (twice the average-rank sum keeps ½-ranks exact),
@@ -2037,6 +2119,8 @@ SPECS: dict[str, QuerySpec] = {
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
     "stats_wilcoxon_signed_rank": QuerySpec(stats_wilcoxon_signed_rank,
                                             WILCOXON_ORACLE),
+    "stats_sprt_sequential": QuerySpec(stats_sprt_sequential,
+                                       SPRT_ORACLE),
     "stats_two_proportion_z": QuerySpec(stats_two_proportion_z,
                                         TWO_PROP_ORACLE),
     "stats_diff_in_diff": QuerySpec(stats_diff_in_diff,

@@ -178,6 +178,7 @@ SP_ALLOWED = {
     "stats_spearman_corr",      # bucket-offset windows (rank tables)
     "ev_conversion_time",       # one-row delay-quantile scalar
     "corpus_dedup_threshold_curve",  # cum window over <=9 bucket rows
+    "stats_sprt_sequential",    # cum window over <=|window| daily rows
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
@@ -254,6 +255,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
     "ev_peak_concurrency",  # CONC_PARTITIONS-row offset agg (constant)
     "profile_drift_daily",  # <=|observation-window| daily rows
+    "stats_sprt_sequential",  # <=|observation-window| daily rows
     # Distributed exact-quantile helper (functions/quantiles.py): the
     # offset window runs over the constant n_parts-row per-partition
     # count aggregate, never over data (ungrouped call sites only —

@@ -1793,3 +1793,48 @@ def test_dq_freshness_matches_pandas_recompute(spark):
             assert r.completeness_micro == n_last * 7 * 1000000 // prior
         else:
             assert r.completeness_micro is None
+
+
+def test_sprt_matches_python_recompute(spark):
+    """Cumulative LLR and decisions recomputed with plain Python from
+    the raw events; boundary constants re-derived from Wald's formulas."""
+    import math
+
+    from data_ingestion_worker_spark.operators.stats import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_C1,
+        SPRT_C2,
+        SPRT_P0,
+        SPRT_P1,
+        stats_sprt_sequential,
+    )
+
+    assert SPRT_C1 == math.floor(1e6 * math.log(SPRT_P1 / SPRT_P0))
+    assert SPRT_C2 == math.floor(
+        1e6 * math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+    assert SPRT_A == math.floor(1e6 * math.log(0.95 / 0.05))
+    assert SPRT_B == math.floor(1e6 * math.log(0.05 / 0.95))
+    assert SPRT_C1 > 0 > SPRT_C2          # purchases push up, rest down
+
+    from pyspark.sql import functions as SF
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select(SF.to_date("ts").alias("day"), "event_type").toPandas()
+    daily = {}
+    for _, r in ev.iterrows():
+        n, k = daily.get(r.day, (0, 0))
+        daily[r.day] = (n + 1, k + (1 if r.event_type == "purchase" else 0))
+
+    rows = stats_sprt_sequential(spark, SF_DIR).orderBy("day").collect()
+    assert len(rows) == len(daily)
+    cum = 0
+    for row in rows:
+        n, k = daily[row.day]
+        llr = k * SPRT_C1 + (n - k) * SPRT_C2
+        cum += llr
+        assert (row.n_events, row.n_purchases) == (n, k)
+        assert row.llr_day_q == llr and row.cum_llr_q == cum
+        want = ("accept_h1" if cum >= SPRT_A
+                else "accept_h0" if cum <= SPRT_B else "continue")
+        assert row.decision == want
