@@ -1244,8 +1244,89 @@ FROM classes GROUP BY class_size
 """
 
 
+#: l-diversity threshold: every quasi-identifier class must see at least
+#: this many distinct sensitive values, or an attacker who locates a
+#: person's class learns their sensitive attribute outright.
+L_DIV = 3
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to ``dq_k_anonymity``:
+    k-anonymity alone is defeated by a *homogeneous* class (every member
+    shares the sensitive value), so governance checks the number of
+    DISTINCT sensitive values per quasi-identifier class.  Here the
+    quasi-identifier is (nation, market segment) on customers and the
+    sensitive attribute is the order priority of their purchases —
+    sensitive facts living in a joined fact table is the realistic
+    shape (medical events against patient demographics, etc.).  A
+    balance bucket joins the quasi-identifier so classes are small
+    enough that the audit actually finds homogeneous ones (the k-audit
+    keeps the coarser 2-attribute key on purpose — two audits, two
+    grains).
+
+    Output is the l-value histogram (how many classes have exactly
+    ``l`` distinct sensitive values, how many people that covers, and
+    the below-threshold flag) — like the k-audit, no per-class row
+    leaves the cluster.
+
+    Scale: join on the class key after aggregating BOTH sides to
+    per-(customer, priority) distinct pairs — the join carries one row
+    per (customer, priority), never per order; then two hash
+    aggregates.  All shuffles are on the customer key.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("sens"),
+    ).distinct()
+    classes = (
+        c.withColumn(
+            "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long"))
+        .join(pairs, "c_custkey")
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.countDistinct("sens").alias("l_value"),
+            F.countDistinct("c_custkey").alias("class_people"),
+        )
+    )
+    return (
+        classes.groupBy("l_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_people").cast("long").alias("n_people"),
+        )
+        .select(
+            "l_value", "n_classes", "n_people",
+            (F.col("l_value") < L_DIV).alias("below_l"),
+        )
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority AS sens
+  FROM orders
+),
+classes AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+         count(DISTINCT p.sens) AS l_value,
+         count(DISTINCT c.c_custkey) AS class_people
+  FROM customer c JOIN pairs p USING (c_custkey)
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(l_value AS BIGINT) AS l_value,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_people) AS BIGINT) AS n_people,
+       l_value < {L_DIV} AS below_l
+FROM classes GROUP BY l_value
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),
+    "dq_l_diversity": QuerySpec(dq_l_diversity, L_DIVERSITY_ORACLE),
     "profile_ndv_hll": QuerySpec(profile_ndv_hll, _ndv_oracle()),
     "corpus_stats_incremental_merge": QuerySpec(
         corpus_stats_incremental_merge, CORPUS_STATS_MERGE_ORACLE),

@@ -2115,7 +2115,182 @@ FROM agg
 """
 
 
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean order value differ across the five
+    order priorities?  (The k-group generalisation of the Welch/t tests
+    in this module — the reference's per-status aggregate counts
+    (``/root/reference/src/processor.py:630-672``) are the degenerate
+    "compare groups" shape; this is the inferential version.)
+
+    Exactness: per-group power sums (n, Σx, Σx²) in DECIMAL — one
+    map-side-combinable hash aggregate over orders, then a 5-row
+    reduction.  The between/within sum-of-squares need per-group
+    divisions (Σx_g²/n_g), so the final statistic is double; the inputs
+    to those divisions are exact, the group count is 5, and the result
+    is rounded at 1e-6 — ulp-order noise is ~1e-14 relative, far below
+    the rounding grain (same tolerance argument as ``agg_corr_exact``).
+
+    Scale: the expensive part is the first aggregate (partial-agg
+    combine, one shuffle of k rows per partition); everything after is
+    a constant-size k-row reduction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    per_group = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(x).alias("sx"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+    )
+    red = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sx").cast("decimal(38,4)").alias("s_tot"),
+        F.sum("sxx").cast("decimal(38,4)").alias("sxx_tot"),
+        F.sum(
+            (F.col("sx") * F.col("sx")).cast("decimal(38,4)").cast("double")
+            / F.col("ng")
+        ).alias("px"),
+    )
+    ssb = F.col("px") - (
+        (F.col("s_tot") * F.col("s_tot")).cast("decimal(38,4)").cast("double")
+        / F.col("n")
+    )
+    ssw = F.col("sxx_tot").cast("double") - F.col("px")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return red.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+ANOVA_ORACLE = """
+WITH per_group AS (
+  SELECT o_orderpriority AS g, count(*) AS ng,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS sxx
+  FROM orders GROUP BY 1
+),
+red AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         CAST(sum(sx) AS DECIMAL(38,4)) AS s_tot,
+         CAST(sum(sxx) AS DECIMAL(38,4)) AS sxx_tot,
+         sum(CAST(CAST(sx * sx AS DECIMAL(38,4)) AS DOUBLE) / ng) AS px
+  FROM per_group
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       round(((px - CAST(CAST(s_tot * s_tot AS DECIMAL(38,4)) AS DOUBLE) / n)
+              / (k - 1))
+             / ((CAST(sxx_tot AS DOUBLE) - px) / (n - k)), 6) AS f_stat,
+       round((px - CAST(CAST(s_tot * s_tot AS DECIMAL(38,4)) AS DOUBLE) / n)
+             / (CAST(sxx_tot AS DOUBLE)
+                - CAST(CAST(s_tot * s_tot AS DECIMAL(38,4)) AS DOUBLE) / n),
+             6) AS eta_sq
+FROM red
+"""
+
+
+#: (column, decimal cast) pairs for the correlation matrix — the four
+#: numeric lineitem measures, each cast to the smallest exact DECIMAL
+#: that holds it (discount/tax are 2-decimal rates).
+_CORR_MATRIX_COLS = [
+    ("l_quantity", "18,2"),
+    ("l_extendedprice", "18,2"),
+    ("l_discount", "4,2"),
+    ("l_tax", "4,2"),
+]
+
+
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of the four lineitem
+    measures (upper triangle, 6 pairs) in ONE pass: a single hash
+    aggregate computes every power sum (n, Σx_i, Σx_i², Σx_ix_j) in
+    exact DECIMAL, then the 6 correlations are derived on the one
+    result row and unpivoted with ``stack``.  This is the feature-
+    correlation screen a training pipeline runs before model fitting —
+    and the one-pass form is the 100 TB shape: one scan, one
+    map-side-combinable aggregate, zero joins, however many columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORR_MATRIX_COLS
+    dec = {c: F.col(c).cast(f"decimal({s})") for c, s in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, _ in cols:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((dec[c] * dec[c]).cast("decimal(38,4)")).alias(f"ss_{c}"))
+    pairs = [(a[0], b[0]) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for cx, cy in pairs:
+        aggs.append(
+            F.sum((dec[cx] * dec[cy]).cast("decimal(38,4)"))
+            .alias(f"sp_{cx}_{cy}"))
+    one = li.agg(*aggs)
+    n = F.col("n")
+    out = one
+    for cx, cy in pairs:
+        num = (n * F.col(f"sp_{cx}_{cy}")).cast("decimal(38,6)") \
+            - (F.col(f"s_{cx}") * F.col(f"s_{cy}")).cast("decimal(38,6)")
+        dx = (n * F.col(f"ss_{cx}")).cast("decimal(38,6)") \
+            - (F.col(f"s_{cx}") * F.col(f"s_{cx}")).cast("decimal(38,6)")
+        dy = (n * F.col(f"ss_{cy}")).cast("decimal(38,6)") \
+            - (F.col(f"s_{cy}") * F.col(f"s_{cy}")).cast("decimal(38,6)")
+        corr = num.cast("double") / (
+            F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+        out = out.withColumn(f"c_{cx}_{cy}", F.round(corr, 10))
+    stack_args = ", ".join(
+        f"'{cx}', '{cy}', c_{cx}_{cy}" for cx, cy in pairs)
+    return out.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)",
+    ).select("col_x", "col_y", "n", "corr")
+
+
+def _corr_matrix_oracle() -> str:
+    cols = _CORR_MATRIX_COLS
+    sums = ["count(*) AS n"]
+    for c, s in cols:
+        sums.append(f"sum(CAST({c} AS DECIMAL({s}))) AS s_{c}")
+        sums.append(
+            f"sum(CAST(CAST({c} AS DECIMAL({s})) * CAST({c} AS DECIMAL({s}))"
+            f" AS DECIMAL(38,4))) AS ss_{c}")
+    pairs = [(a, b) for i, (a, _) in enumerate(cols)
+             for (b, _) in cols[i + 1:]]
+    scale = {c: s for c, s in cols}
+    for cx, cy in pairs:
+        sums.append(
+            f"sum(CAST(CAST({cx} AS DECIMAL({scale[cx]}))"
+            f" * CAST({cy} AS DECIMAL({scale[cy]}))"
+            f" AS DECIMAL(38,4))) AS sp_{cx}_{cy}")
+    rows = []
+    for cx, cy in pairs:
+        num = (f"CAST(CAST(n AS DECIMAL(38,6)) * sp_{cx}_{cy}"
+               f" AS DECIMAL(38,6)) - CAST(s_{cx} * s_{cy} AS DECIMAL(38,6))")
+        dx = (f"CAST(CAST(n AS DECIMAL(38,6)) * ss_{cx} AS DECIMAL(38,6))"
+              f" - CAST(s_{cx} * s_{cx} AS DECIMAL(38,6))")
+        dy = (f"CAST(CAST(n AS DECIMAL(38,6)) * ss_{cy} AS DECIMAL(38,6))"
+              f" - CAST(s_{cy} * s_{cy} AS DECIMAL(38,6))")
+        rows.append(
+            f"SELECT '{cx}' AS col_x, '{cy}' AS col_y,"
+            f" CAST(n AS BIGINT) AS n,"
+            f" round(CAST({num} AS DOUBLE)"
+            f" / (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE))),"
+            f" 10) AS corr FROM agg")
+    return ("WITH agg AS (SELECT " + ", ".join(sums)
+            + " FROM lineitem) " + " UNION ALL ".join(rows))
+
+
+CORR_MATRIX_ORACLE = _corr_matrix_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
+    "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
     "stats_wilcoxon_signed_rank": QuerySpec(stats_wilcoxon_signed_rank,
                                             WILCOXON_ORACLE),

@@ -1491,7 +1491,68 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 character entropy per document, in integer milli-bits —
+    the compression-ratio-style quality signal: near-zero entropy means
+    degenerate/repeated text, unusually high entropy means binary
+    mojibake or encrypted junk; both tails get cut by corpus filters.
+
+    Determinism: the per-character terms ``c·log2(c)`` are floor-
+    quantized to integer micro-units BEFORE the per-document sum, so the
+    reduction is an exact integer sum in any order (house float rule).
+    Entropy then reads off the identity H = log2(n) − (Σ c·log2 c)/n.
+
+    Scale: explode to (doc, char) and hash-aggregate — the count shuffle
+    is map-side combined down to (doc × alphabet) rows, so the shuffled
+    volume is ~doc_count × ~100, independent of document length.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0)
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.floor(
+        (F.col("c") * F.log2(F.col("c"))) * F.lit(1000000.0)
+    ).cast("long")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("alphabet"),
+        F.sum(term).alias("t_micro"),
+    )
+    entropy = F.log2(F.col("n_chars")) \
+        - (F.col("t_micro") / F.lit(1000000.0)) / F.col("n_chars")
+    return per_doc.select(
+        "doc_id", "n_chars", "alphabet",
+        F.floor(entropy * 1000).cast("long").alias("entropy_mbits"),
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+  ) GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS alphabet,
+         sum(CAST(floor((c * log2(c)) * 1000000.0) AS BIGINT)) AS t_micro
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_chars, alphabet,
+       CAST(floor((log2(n_chars) - (t_micro / 1000000.0) / n_chars) * 1000)
+            AS BIGINT) AS entropy_mbits
+FROM per_doc
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_ORACLE),
     "doc_collapse_token_runs": QuerySpec(doc_collapse_token_runs,
                                          COLLAPSE_RUNS_ORACLE),
     "doc_keyphrase_rake": QuerySpec(doc_keyphrase_rake, RAKE_ORACLE),

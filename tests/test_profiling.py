@@ -254,3 +254,34 @@ def test_cusum_drop_matches_mirror_recursion(spark, sf_dir):
         for r in rs:
             s = max(0, s - (n * r.hour_count - sx))
             assert r.cusum_scaled == s, (et, r.hour)
+
+
+def test_l_diversity_matches_pandas(spark, sf_dir):
+    """The l-value histogram recomputed with pandas groupby/nunique on
+    the joined (customer × distinct order priority) pairs; people totals
+    must sum to the number of customers with ≥1 order."""
+    from data_ingestion_worker_spark.operators.profiling import (
+        L_DIV, dq_l_diversity,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.l_value: r for r in dq_l_diversity(spark, sf_dir).collect()}
+    c = load_table(spark, sf_dir, "customer").toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").toPandas().drop_duplicates()
+    import numpy as np
+    c["bal_bucket"] = np.floor(c.c_acctbal / 2000).astype("int64")
+    merged = c.merge(o, left_on="c_custkey", right_on="o_custkey")
+    cls = merged.groupby(["c_nationkey", "c_mktsegment", "bal_bucket"]).agg(
+        l_value=("o_orderpriority", "nunique"),
+        class_people=("c_custkey", "nunique"),
+    )
+    hist = cls.groupby("l_value").agg(
+        n_classes=("l_value", "size"), n_people=("class_people", "sum"))
+    assert set(got) == set(hist.index)
+    for l_val, row in hist.iterrows():
+        r = got[l_val]
+        assert (r.n_classes, r.n_people) == (row.n_classes, row.n_people)
+        assert r.below_l == (l_val < L_DIV)
+    assert sum(r.n_people for r in got.values()) == \
+        merged.c_custkey.nunique()

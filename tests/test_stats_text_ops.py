@@ -1838,3 +1838,87 @@ def test_sprt_matches_python_recompute(spark):
         want = ("accept_h1" if cum >= SPRT_A
                 else "accept_h0" if cum <= SPRT_B else "continue")
         assert row.decision == want
+
+
+def test_anova_f_matches_numpy(spark, sf_dir):
+    """One-way ANOVA recomputed with numpy group arithmetic: same F,
+    same eta², same degrees of freedom; F must also be non-negative and
+    eta² in [0, 1)."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.stats import stats_anova_f
+    from data_ingestion_worker_spark.tables import load_table
+
+    r = stats_anova_f(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice").collect()
+    groups: dict[str, list] = {}
+    for row in rows:
+        groups.setdefault(row.o_orderpriority, []).append(
+            round(row.o_totalprice, 2))
+    k, n = len(groups), sum(len(v) for v in groups.values())
+    xs = [np.array(v) for v in groups.values()]
+    grand = sum(float(x.sum()) for x in xs) / n
+    ssb = sum(len(x) * (float(x.mean()) - grand) ** 2 for x in xs)
+    ssw = sum(float(((x - x.mean()) ** 2).sum()) for x in xs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.k, r.n, r.df1, r.df2) == (k, n, k - 1, n - k)
+    assert abs(r.f_stat - f) < 1e-4
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-6
+    assert r.f_stat >= 0 and 0 <= r.eta_sq < 1
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """All six pairwise correlations must agree with np.corrcoef on the
+    same decimal-rounded inputs, and the matrix must be symmetric-
+    complete (every unordered column pair exactly once)."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.stats import (
+        _CORR_MATRIX_COLS, stats_corr_matrix,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.col_x, r.col_y): r for r in
+           stats_corr_matrix(spark, sf_dir).collect()}
+    cols = [c for c, _ in _CORR_MATRIX_COLS]
+    assert set(got) == {(a, b) for i, a in enumerate(cols)
+                        for b in cols[i + 1:]}
+    pdf = load_table(spark, sf_dir, "lineitem").select(*cols).toPandas()
+    mat = np.corrcoef(pdf[cols].round(2).to_numpy(), rowvar=False)
+    for (cx, cy), r in got.items():
+        expect = mat[cols.index(cx), cols.index(cy)]
+        assert abs(r.corr - expect) < 1e-9, (cx, cy)
+        assert r.n == len(pdf)
+
+
+def test_char_entropy_matches_python_counter(spark, sf_dir):
+    """Per-document entropy recomputed with collections.Counter and
+    float math — identical milli-bit readout, and the information-
+    theoretic bounds 0 ≤ H ≤ log2(alphabet) hold."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.text import doc_char_entropy
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in doc_char_entropy(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    checked = 0
+    for d in docs:
+        if not d.text:
+            assert d.doc_id not in got
+            continue
+        c = Counter(d.text)
+        n = sum(c.values())
+        t_micro = sum(math.floor((v * math.log2(v)) * 1e6)
+                      for v in c.values())
+        h = math.log2(n) - (t_micro / 1e6) / n
+        r = got[d.doc_id]
+        assert (r.n_chars, r.alphabet) == (n, len(c))
+        assert r.entropy_mbits == math.floor(h * 1000), d.doc_id
+        assert 0 <= r.entropy_mbits <= math.ceil(
+            math.log2(len(c)) * 1000) if len(c) > 1 else True
+        checked += 1
+    assert checked == len(got)
