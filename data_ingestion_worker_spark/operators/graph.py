@@ -1626,7 +1626,121 @@ FROM tri_base WHERE degree >= 2
 """
 
 
+#: Bounded Bellman-Ford rounds for weighted SSSP (diameter cap; nodes
+#: beyond the cap keep the best distance found within it, exactly like
+#: BFS_MAX_HOPS bounds the hop oracle).
+SSSP_ROUNDS = 4
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted edges on the customer–supplier graph: edge
+    cost ``1 + 1000 div n_orders`` — frequently-trading pairs are cheap
+    to traverse (an integer proxy for ``-log strength``), so shortest
+    paths prefer strong commercial links.  Integer weights keep the
+    min-plus algebra exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("cnt"))
+        .select("c", "s", F.expr("1 + 1000 div cnt").alias("w"))
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths: ``SSSP_ROUNDS`` rounds of
+    relational Bellman-Ford from the min-key supplier.
+
+    Each round is ``dist ⋈ edges`` (shuffle on the node key) followed
+    by a min-combine over the union with the previous front — the
+    classic iterative-relaxation shape every distributed graph engine
+    reduces to.  The dist frame never exceeds node cardinality, weights
+    and distances are integers (exact min-plus), and each round's
+    result is lazily ``localCheckpoint``-ed because round ``i+1``
+    consumes it twice (join input + union).  The oracle unrolls the
+    same rounds as nested CTEs — identical algebra, so values hash-
+    match exactly.
+    """
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=False)
+    supplier = load_table(spark, sf_dir, "supplier")
+    dist = supplier.agg(F.min("s_suppkey").alias("k")).select(
+        (F.col("k") * 2 + 1).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=False)
+    for _ in range(SSSP_ROUNDS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+        "dist",
+    )
+
+
+def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
+    parts = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+r{i} AS (
+  SELECT e.dst AS node, min(d.dist + e.w) AS dist
+  FROM {prev} d JOIN edges e ON e.src = d.node GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL SELECT node, dist FROM r{i}
+  ) GROUP BY 1
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         count(DISTINCT l_orderkey) AS cnt
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst, 1 + 1000 // cnt AS w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, 1 + 1000 // cnt AS w FROM pairs
+),
+d0 AS (
+  SELECT CAST(min(s_suppkey) * 2 + 1 AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM supplier
+),{",".join(parts)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, CAST(dist AS BIGINT) AS dist
+FROM {prev}
+"""
+
+
+SSSP_ORACLE = _sssp_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "graph_sssp_weighted": QuerySpec(graph_sssp_weighted, SSSP_ORACLE),
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),
     "graph_closeness_landmarks": QuerySpec(graph_closeness_landmarks,

@@ -465,3 +465,38 @@ def test_doulion_relative_error(spark, sf_dir):
     # deterministic for the fixture).
     frac = est.n_edges_kept / est.n_edges
     assert abs(frac - DOULION_P_MILLI / 1000.0) < 0.05
+
+
+def test_sssp_weighted_matches_python_bellman_ford(spark, sf_dir):
+    """K-round Bellman-Ford recomputed in plain Python dictionaries over
+    the same weighted edge list: identical distance map.  Also pins the
+    triangle inequality within the explored set (a relaxation that
+    still improves at round K would mean the operator under-iterated —
+    allowed by the bounded contract, but it must match the oracle's
+    bound exactly, which the dict recompute enforces)."""
+    from data_ingestion_worker_spark.operators.graph import (
+        SSSP_ROUNDS, _weighted_edges, graph_sssp_weighted,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.kind, r.key): r.dist
+           for r in graph_sssp_weighted(spark, sf_dir).collect()}
+
+    edges = [(r.src, r.dst, r.w)
+             for r in _weighted_edges(spark, sf_dir).collect()]
+    seed = load_table(spark, sf_dir, "supplier").agg(
+        {"s_suppkey": "min"}).collect()[0][0] * 2 + 1
+    dist = {seed: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    expect = {
+        ("customer" if n % 2 == 0 else "supplier", n // 2): v
+        for n, v in dist.items()
+    }
+    assert got == expect
+    assert got[("supplier", seed // 2)] == 0
+    assert all(v >= 0 for v in got.values())
