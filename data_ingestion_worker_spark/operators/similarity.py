@@ -2418,7 +2418,132 @@ s{i} AS (
     return "".join(parts) + "\n" + tail
 
 
+#: Johnson-Lindenstrauss check: number of signed (Achlioptas ±1)
+#: projections and the pair-sampling stride.
+K_JL = 16
+JL_PAIR_STEP = 10
+
+
+def _jl_sign_case(p: int) -> str:
+    """Spark-side ±1 sign for JL plane ``p`` at dimension ``d`` — the
+    same cross-engine md5 coin as ``ann_lsh_buckets``, namespaced with
+    a ``jl:`` prefix so the JL planes are independent of the LSH ones."""
+    return (
+        f"CASE WHEN cast(conv(substring(md5(concat('jl:{p}:', "
+        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+        "THEN v ELSE -v END"
+    )
+
+
+def emb_rp_distance_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance preservation audit: project the
+    64-d quantized embeddings onto ``K_JL`` deterministic ±1 hyperplanes
+    (a database-friendly Achlioptas random projection) and report, for a
+    deterministic sample of vector pairs, the squared distance before
+    and after projection plus the integer-milli ratio
+    ``proj_d2 / (K_JL · orig_d2)`` — expected ≈ 1.0 by the JL lemma.
+    This is the go/no-go check before swapping full vectors for cheap
+    projections in a 100 TB dedup/ANN pass.
+
+    Scale: the projections are K_JL parallel aggregate expressions over
+    one pass of the exploded dims (no dims × planes row explosion);
+    the pair sample is stride-based so the audit's join carries
+    ``n_vectors / JL_PAIR_STEP`` rows regardless of corpus size.  All
+    arithmetic is integer (quantized components, integer projections,
+    integer div) — exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.expr(_QVEC)).alias("d", "v")
+    ).where(
+        (F.col("vec_id") % JL_PAIR_STEP == 0)
+        | (F.col("vec_id") % JL_PAIR_STEP == 1)
+    )
+    da = dims.where(F.col("vec_id") % JL_PAIR_STEP == 0).select(
+        F.col("vec_id").alias("a_id"), "d", F.col("v").alias("va"))
+    db = dims.where(F.col("vec_id") % JL_PAIR_STEP == 1).select(
+        F.col("vec_id").alias("b_id"), "d", F.col("v").alias("vb"))
+    diff = F.col("va") - F.col("vb")
+    orig = (
+        da.join(db, (db.b_id == da.a_id + 1) & (da.d == db.d))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(diff * diff).alias("orig_d2"))
+    )
+    proj = dims.groupBy("vec_id").agg(*[
+        F.sum(F.expr(_jl_sign_case(p))).alias(f"proj{p}")
+        for p in range(K_JL)
+    ])
+    pa = proj.where(F.col("vec_id") % JL_PAIR_STEP == 0).select(
+        F.col("vec_id").alias("a_id"),
+        *[F.col(f"proj{p}").alias(f"pa{p}") for p in range(K_JL)])
+    pb = proj.where(F.col("vec_id") % JL_PAIR_STEP == 1).select(
+        F.col("vec_id").alias("b_id"),
+        *[F.col(f"proj{p}").alias(f"pb{p}") for p in range(K_JL)])
+    proj_d2 = sum(
+        ((F.col(f"pa{p}") - F.col(f"pb{p}"))
+         * (F.col(f"pa{p}") - F.col(f"pb{p}"))).cast("long")
+        for p in range(K_JL)
+    )
+    pd2 = (
+        pa.join(pb, F.col("b_id") == F.col("a_id") + 1)
+        .select("a_id", proj_d2.alias("proj_d2"))
+    )
+    return (
+        orig.join(pd2, "a_id")
+        .where(F.col("orig_d2") > 0)
+        .select(
+            "a_id", "b_id", "orig_d2", "proj_d2",
+            F.expr(f"(1000 * proj_d2) div ({K_JL} * orig_d2)")
+            .alias("ratio_milli"),
+        )
+    )
+
+
+def _jl_oracle() -> str:
+    key = "'jl:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
+    sign = (f"(CASE WHEN {hash64_sql(key)} % 2 = 0 "
+            "THEN 1 ELSE -1 END)")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT) AS v
+  FROM embeddings
+  WHERE vec_id % {JL_PAIR_STEP} IN (0, 1)
+),
+orig AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum((a.v - b.v) * (a.v - b.v)) AS orig_d2
+  FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1 AND a.d = b.d
+  WHERE a.vec_id % {JL_PAIR_STEP} = 0
+  GROUP BY 1, 2
+),
+proj AS (
+  SELECT vec_id, p, sum({sign} * v) AS proj
+  FROM qv, unnest(range(0, {K_JL})) AS pl(p)
+  GROUP BY 1, 2
+),
+pd AS (
+  SELECT a.vec_id AS a_id,
+         sum((a.proj - b.proj) * (a.proj - b.proj)) AS proj_d2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.p = b.p
+  WHERE a.vec_id % {JL_PAIR_STEP} = 0
+  GROUP BY 1
+)
+SELECT o.a_id, o.b_id, CAST(o.orig_d2 AS BIGINT) AS orig_d2,
+       CAST(p.proj_d2 AS BIGINT) AS proj_d2,
+       (1000 * CAST(p.proj_d2 AS BIGINT))
+       // ({K_JL} * CAST(o.orig_d2 AS BIGINT)) AS ratio_milli
+FROM orig o JOIN pd p USING (a_id)
+WHERE o.orig_d2 > 0
+"""
+
+
+JL_PRESERVE_ORACLE = _jl_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "emb_rp_distance_preserve": QuerySpec(emb_rp_distance_preserve,
+                                          JL_PRESERVE_ORACLE),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_TOPK_ORACLE),
     "emb_gram_matrix": QuerySpec(emb_gram_matrix, EMB_GRAM_ORACLE),
     "emb_pca_top_component": QuerySpec(emb_pca_top_component, None),

@@ -224,3 +224,48 @@ def test_winsorized_mean_matches_numpy(spark):
         assert r.win_mean_milli == (int(wq.sum()) * 1000) // len(cents)
         assert math.floor(cents.min()) * 1000 <= r.win_mean_milli \
             <= math.ceil(cents.max()) * 1000
+
+
+def test_jl_distance_preserve_matches_numpy(spark, sf_dir):
+    """JL audit recomputed with numpy: same ±1 plane matrix (from the
+    same md5 coin), same integer distances, same milli ratio — and the
+    JL lemma must actually hold on the sample (mean ratio within
+    ±4·sqrt(2/k) of 1, each pair within a wide sanity band)."""
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        JL_PAIR_STEP, K_JL, QUANT, emb_rp_distance_preserve,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = emb_rp_distance_preserve(spark, sf_dir).collect()
+    assert rows
+
+    vecs = {
+        r.vec_id: np.array([round(float(x) * QUANT) for x in r.embedding],
+                           dtype=np.int64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+        if r.vec_id % JL_PAIR_STEP in (0, 1)
+    }
+    dim = len(next(iter(vecs.values())))
+    signs = np.array([
+        [1 if int(hashlib.md5(f"jl:{p}:{d}".encode()).hexdigest()[:15],
+                  16) % 2 == 0 else -1
+         for d in range(dim)]
+        for p in range(K_JL)
+    ], dtype=np.int64)
+    ratios = []
+    for r in rows:
+        va, vb = vecs[r.a_id], vecs[r.b_id]
+        assert r.b_id == r.a_id + 1
+        orig = int(((va - vb) ** 2).sum())
+        proj = int(((signs @ va - signs @ vb) ** 2).sum())
+        assert (r.orig_d2, r.proj_d2) == (orig, proj)
+        assert r.ratio_milli == (1000 * proj) // (K_JL * orig)
+        ratios.append(r.ratio_milli / 1000.0)
+        assert 0.05 < ratios[-1] < 5.0, r.a_id
+    mean = sum(ratios) / len(ratios)
+    band = 4.0 * (2.0 / K_JL) ** 0.5 / len(ratios) ** 0.5
+    assert abs(mean - 1.0) < max(band, 0.25), mean
