@@ -28,7 +28,7 @@ and reproducible bit-for-bit in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
@@ -427,7 +427,97 @@ FROM agg
 """
 
 
+#: Out-of-fold target encoding: fold count and the hash salt (distinct
+#: from the split/kfold salts so encodings never correlate with splits).
+TE_FOLDS = 5
+_TE_SALT = "te:"
+
+
+def feat_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of ``event_type`` against the
+    milli-quantized event value — the leakage-free categorical feature
+    every tabular training pipeline ships: a row's own fold is EXCLUDED
+    from the mean it receives, so the encoding never memorizes the row's
+    target.  Output is the (category × fold) encoding table itself (the
+    broadcast-join artifact, constant-size per category), with the
+    global out-of-fold prior as the fallback for categories absent from
+    the out-fold — the standard cold-start rule.
+
+    Exactness: out-of-fold mean = (S_cat − S_cat,fold) / (n_cat −
+    n_cat,fold) from integer milli sums — subtraction instead of a
+    second pass, one aggregate over (category, fold) rows.  Integer
+    div (floor) keeps the readout bit-identical cross-engine.
+
+    Scale: one hash aggregate on (category, fold) — combiner-friendly,
+    output is k × |categories| rows however large the fact table is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000).cast("long")
+    fold = F.pmod(
+        hash64(F.concat(F.lit(_TE_SALT), F.col("event_id").cast("string"))),
+        F.lit(TE_FOLDS),
+    ).cast("int")
+    cells = (
+        ev.select(F.col("event_type").alias("category"),
+                  fold.alias("fold"), milli.alias("v"))
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("n_infold"),
+             F.sum("v").alias("s_infold"))
+        .localCheckpoint(eager=False)  # consumed twice (cells + prior)
+    )
+    w_cat = Window.partitionBy("category")
+    glob = cells.agg(F.sum("n_infold").alias("gn"),
+                     F.sum("s_infold").alias("gs"))
+    with_tot = cells.crossJoin(F.broadcast(glob)).select(
+        "category", "fold", "n_infold",
+        (F.sum("n_infold").over(w_cat) - F.col("n_infold"))
+        .alias("n_outfold"),
+        (F.sum("s_infold").over(w_cat) - F.col("s_infold"))
+        .alias("s_outfold"),
+        (F.col("gn") - F.col("n_infold")).alias("n_gout"),
+        (F.col("gs") - F.col("s_infold")).alias("s_gout"),
+    )
+    oof = F.when(
+        F.col("n_outfold") > 0,
+        F.expr("s_outfold div n_outfold"),
+    ).otherwise(F.expr("s_gout div n_gout"))
+    return with_tot.select(
+        "category", "fold",
+        F.col("n_infold").cast("long").alias("n_infold"),
+        F.col("n_outfold").cast("long").alias("n_outfold"),
+        oof.cast("long").alias("oof_mean_milli"),
+    )
+
+
+TARGET_ENCODE_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type AS category,
+         CAST({hash64_sql("'" + _TE_SALT + "' || CAST(event_id AS VARCHAR)")}
+              % {TE_FOLDS} AS INT) AS fold,
+         count(*) AS n_infold,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS s_infold
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT category, fold, n_infold,
+         sum(n_infold) OVER (PARTITION BY category) - n_infold AS n_outfold,
+         sum(s_infold) OVER (PARTITION BY category) - s_infold AS s_outfold,
+         sum(n_infold) OVER () - n_infold AS n_gout,
+         sum(s_infold) OVER () - s_infold AS s_gout
+  FROM cells
+)
+SELECT category, fold,
+       CAST(n_infold AS BIGINT) AS n_infold,
+       CAST(n_outfold AS BIGINT) AS n_outfold,
+       CAST(CASE WHEN n_outfold > 0 THEN s_outfold // n_outfold
+                 ELSE s_gout // n_gout END AS BIGINT) AS oof_mean_milli
+FROM tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "feat_target_encode_oof": QuerySpec(feat_target_encode_oof,
+                                        TARGET_ENCODE_ORACLE),
     "doc_quality_classifier": QuerySpec(doc_quality_classifier,
                                         QUALITY_CLASSIFIER_ORACLE),
     "corpus_quality_calibration": QuerySpec(corpus_quality_calibration,

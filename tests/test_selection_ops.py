@@ -269,3 +269,46 @@ def test_jl_distance_preserve_matches_numpy(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     band = 4.0 * (2.0 / K_JL) ** 0.5 / len(ratios) ** 0.5
     assert abs(mean - 1.0) < max(band, 0.25), mean
+
+
+def test_target_encode_oof_matches_pandas_and_is_leakage_free(spark, sf_dir):
+    """Encoding recomputed independently from raw rows (dict sums):
+    the recompute derives each fold's encoding from OUT-fold sums only,
+    so agreement pins the leakage-free property — a fold's own rows
+    never contribute to the mean it receives."""
+    import hashlib
+    import math
+
+    from data_ingestion_worker_spark.operators.selection import (
+        TE_FOLDS, _TE_SALT, feat_target_encode_oof,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {(r.category, r.fold): r
+           for r in feat_target_encode_oof(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value").collect()
+
+    cells: dict[tuple, list] = {}
+    for r in ev:
+        fold = int(hashlib.md5(
+            f"{_TE_SALT}{r.event_id}".encode()).hexdigest()[:15],
+            16) % TE_FOLDS
+        cells.setdefault((r.event_type, fold), []).append(
+            math.floor(r.value * 1000))
+    assert set(got) == set(cells)
+    cat_tot: dict[str, tuple] = {}
+    for (c, f), vs in cells.items():
+        n, s = cat_tot.get(c, (0, 0))
+        cat_tot[c] = (n + len(vs), s + sum(vs))
+    g_n = sum(n for n, _ in cat_tot.values())
+    g_s = sum(s for _, s in cat_tot.values())
+    for (c, f), vs in cells.items():
+        r = got[(c, f)]
+        n_out = cat_tot[c][0] - len(vs)
+        s_out = cat_tot[c][1] - sum(vs)
+        assert r.n_infold == len(vs) and r.n_outfold == n_out
+        if n_out > 0:
+            assert r.oof_mean_milli == s_out // n_out
+        else:
+            assert r.oof_mean_milli == (g_s - sum(vs)) // (g_n - len(vs))
