@@ -124,6 +124,11 @@ HEADLINE = [
     # importance resampling (hashed-bigram model + Gumbel top-k).
     "doc_quality_classifier",
     "corpus_dsir_resample",
+    # Round-6 (cont. 3): the one-pass all-pairs correlation screen and
+    # the iterative weighted SSSP (4 Bellman-Ford supersteps — the
+    # relational relaxation shape, each round one shuffle join).
+    "stats_corr_matrix",
+    "graph_sssp_weighted",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Multi-format table I/O: parquet, ORC, JSON-lines, CSV.
+"""Multi-format table I/O: parquet, ORC, JSON-lines, CSV, XML.
 
 The reference ingests exactly one format — CSV fetched from object
 storage (src/services/s3_service.py) — and emits none.  A Spark engine
@@ -18,6 +18,10 @@ so downstream code can choose by contract, not by trial:
 - **csv**: flat columns only; same explicit-schema requirement, plus
   the header/quote dialect is pinned here so every writer/reader pair
   in the engine agrees (RFC 4180, as ingest/csv_reader.py parses).
+- **xml**: Spark 4 ships the (formerly external) XML source natively;
+  same explicit-schema rule as the other row formats, row/root tags
+  pinned here.  Interchange with XML-emitting enterprise feeds — never
+  an analytics layout (full-byte scan + tag overhead).
 
 At 100 TB the format choice is a scan-cost choice: columnar formats
 (parquet/ORC) read only projected columns and push filters to stripe/
@@ -32,10 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 COLUMNAR = {"parquet", "orc"}
-ROW_BASED = {"json", "csv"}
+ROW_BASED = {"json", "csv", "xml"}
 FORMATS = COLUMNAR | ROW_BASED
 
 _CSV_OPTS = {"header": "true", "quote": '"', "escape": '"'}
+_XML_OPTS = {"rowTag": "row", "rootTag": "rows", "declaration": ""}
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -45,6 +50,9 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
+            w = w.option(k, v)
+    if fmt == "xml":
+        for k, v in _XML_OPTS.items():
             w = w.option(k, v)
     w.save(path)
 
@@ -67,4 +75,6 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         for k, v in _CSV_OPTS.items():
             r = r.option(k, v)
+    if fmt == "xml":
+        r = r.option("rowTag", _XML_OPTS["rowTag"])
     return r.load(path)

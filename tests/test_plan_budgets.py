@@ -74,6 +74,13 @@ BUDGETS = {
     "mm_roundtrip_jpeg": 1,            # measured 0 (pure mapInPandas)
     "mm_roundtrip_mp4": 1,             # measured 0 (pure mapInPandas)
     "doc_collapse_token_runs": 1,      # measured 0 (pure array algebra)
+    # round-6 (cont. 3) additions — current count + slack
+    "stats_anova_f": 4,                # measured 2 (group agg + 1-row red.)
+    "stats_corr_matrix": 3,            # measured 1 (ONE all-pairs agg)
+    "dq_l_diversity": 6,               # measured 4 (pairs-distinct + join)
+    "doc_char_entropy": 4,             # measured 2 ((doc,ch) + doc aggs)
+    "emb_rp_distance_preserve": 5,     # measured 3 (dims + proj + pair join)
+    "feat_target_encode_oof": 4,       # measured 2 (cells agg + cat window)
 }
 
 

@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "dedup_rate_estimate",  # one-row sampled-pairs x one-row doc total
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
+    "feat_target_encode_oof",  # one-row global-prior scalar cross
     "dq_freshness_events",  # one-row global-watermark broadcast cross
     "ev_survival_curve",   # one-row horizon-date broadcast cross join
     "abc_revenue_classes",  # one-row revenue-total broadcast cross join
@@ -208,6 +209,9 @@ SP_ALLOWED = {
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
+    "stats_anova_f",            # one-row k-group power-sum reduction
+    "stats_corr_matrix",        # one-row all-pairs power-sum scalar
+    "feat_target_encode_oof",   # one-row global-prior scalar
     "stats_diff_in_diff",       # one-row 4-cell power-sum scalar
     "dq_freshness_events",      # one-row global-watermark scalar
     "abc_revenue_classes",      # one-row total + offset windows over the

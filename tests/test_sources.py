@@ -245,7 +245,7 @@ def test_format_roundtrips_preserve_rows(spark, tmp_path):
 
     src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     want = sorted(map(tuple, src.collect()))
-    for fmt in ("orc", "json", "csv"):
+    for fmt in ("orc", "json", "csv", "xml"):
         path = str(tmp_path / fmt)
         write_table(src, path, fmt)
         got = read_table(spark, path, fmt, schema=src.schema)
