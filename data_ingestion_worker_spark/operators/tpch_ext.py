@@ -889,7 +889,117 @@ FROM r CROSS JOIN t
 """
 
 
+#: Rank-1 ALS: fixed alternation rounds and the milli scale of the
+#: latent factors.  Rank-1 is the relational sweet spot — each half-step
+#: is closed-form (no linear solve), yet the result is a genuine
+#: matrix-factorization popularity/affinity decomposition.
+ALS_ROUNDS = 3
+ALS_SCALE = 1000
+
+
+def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.floor("l_quantity").cast("long").alias("q"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"),
+                 F.col("l_partkey").alias("i"))
+        .agg(F.sum("q").alias("r"))
+    )
+
+
+def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization of the customer × part quantity
+    matrix — iterative machine learning as pure relational algebra:
+
+    - user half-step:  ``u = Σᵢ r·v / Σᵢ v²``  (closed form at rank 1)
+    - item half-step:  ``v = Σᵤ r·u / Σᵤ u²``
+    - mean-normalization of v each round (rank-1 ALS has a scale
+      indeterminacy — u·v invariant under u·c, v/c — so v is pinned to
+      mean ``ALS_SCALE`` with a pure-integer rescale; no sqrt anywhere).
+
+    All factors live in integer milli-units and every division is an
+    integer floor of exact BIGINT sums (operands stay ≤ ~1e16, 500×
+    inside int64), so the oracle's unrolled CTEs hash-match exactly.
+
+    Scale: each half-step is one shuffle join (ratings ⋈ factor, both
+    keyed) + one combiner-friendly aggregate; the factor frames never
+    exceed user/item cardinality and are lazily checkpointed because
+    the next half-step consumes them once per term.  This is the same
+    superstep shape as PageRank — and exactly how a full rank-k ALS
+    distributes (per-key normal equations instead of scalar division).
+    """
+    ratings = _als_ratings(spark, sf_dir).localCheckpoint(eager=False)
+    v = ratings.select("i").distinct().select(
+        "i", F.lit(ALS_SCALE).cast("long").alias("v"))
+    for _ in range(ALS_ROUNDS):
+        u = (
+            ratings.join(v, "i")
+            .groupBy("u")
+            .agg(F.sum(F.col("r") * F.col("v")).alias("num"),
+                 F.sum(F.col("v") * F.col("v")).alias("den"))
+            .select("u", F.expr(f"({ALS_SCALE} * num) div den").alias("uf"))
+            .localCheckpoint(eager=False)
+        )
+        vr = (
+            ratings.join(u, "u")
+            .groupBy("i")
+            .agg(F.sum(F.col("r") * F.col("uf")).alias("num"),
+                 F.sum(F.col("uf") * F.col("uf")).alias("den"))
+            .select("i", F.expr(f"({ALS_SCALE} * num) div den").alias("vr"))
+            .localCheckpoint(eager=False)
+        )
+        scal = vr.agg(F.count(F.lit(1)).alias("n_i"),
+                      F.sum("vr").alias("s_v"))
+        v = vr.crossJoin(F.broadcast(scal)).select(
+            "i",
+            F.expr(f"(vr * {ALS_SCALE} * n_i) div s_v").alias("v"),
+        ).localCheckpoint(eager=False)
+    return v.select(F.col("i").alias("partkey"),
+                    F.col("v").cast("long").alias("v_milli"))
+
+
+def _als_oracle(rounds: int = ALS_ROUNDS) -> str:
+    s = ALS_SCALE
+    parts = []
+    prev_v = "v0"
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+u{k} AS MATERIALIZED (
+  SELECT r.u, ({s} * sum(r.r * v.v)) // sum(v.v * v.v) AS uf
+  FROM ratings r JOIN {prev_v} v USING (i) GROUP BY 1
+),
+vr{k} AS MATERIALIZED (
+  SELECT r.i, ({s} * sum(r.r * u.uf)) // sum(u.uf * u.uf) AS vr
+  FROM ratings r JOIN u{k} u USING (u) GROUP BY 1
+),
+s{k} AS (SELECT count(*) AS n_i, sum(vr) AS s_v FROM vr{k}),
+v{k} AS MATERIALIZED (
+  SELECT i, (vr * {s} * n_i) // s_v AS v FROM vr{k}, s{k}
+)""")
+        prev_v = f"v{k}"
+    return f"""
+WITH ratings AS MATERIALIZED (
+  SELECT o_custkey AS u, l_partkey AS i,
+         sum(CAST(floor(l_quantity) AS BIGINT)) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT DISTINCT i, CAST({s} AS BIGINT) AS v FROM ratings
+),{",".join(parts)}
+SELECT i AS partkey, CAST(v AS BIGINT) AS v_milli FROM {prev_v}
+"""
+
+
+ALS_ORACLE = _als_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "rec_als_rank1": QuerySpec(rec_als_rank1, ALS_ORACLE),
     "abc_revenue_classes": QuerySpec(abc_revenue_classes, ABC_ORACLE),
     "skyline_pareto": QuerySpec(skyline_pareto, SKYLINE_ORACLE),
     "mba_part_lift": QuerySpec(mba_part_lift, MBA_ORACLE),
