@@ -2697,7 +2697,169 @@ FROM clamped GROUP BY 1
 """
 
 
+#: Split-conformal miscoverage target (α = 10% → 90% intervals) and the
+#: train share of the daily series (first 70% of the day range).
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10   # (1-α) as a rational
+CONF_TRAIN_NUM, CONF_TRAIN_DEN = 7, 10
+
+
+def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for the next-day volume
+    forecast, per event type — the distribution-free uncertainty wrapper
+    modern forecasting ships instead of Gaussian ±2σ: fit OLS on the
+    first 70% of days (train), take the ⌈(n+1)(1−α)⌉-th smallest
+    absolute residual on the held-out 30% (calibration), and report
+    ``forecast ± q̂``.  Marginal coverage ≥ 1−α holds by exchangeability
+    with NO distributional assumption (Vovk et al.; Lei et al. 2018).
+
+    Determinism: the OLS chain is the ``ev_forecast_linear`` recipe
+    (integer power sums, one fixed division chain), residuals are the
+    identical IEEE expression in both engines, and the conformal rank
+    ``k = ceil((n_cal+1)·(1−α))`` is pure integer arithmetic; the order
+    statistic ties-break on the day index.
+
+    Scale: one partial-agg shuffle into (type, day); everything after
+    runs on the calendar-bounded daily frame (the
+    ``profile_drift_daily`` window class), with the |types|-row model
+    broadcast back onto calibration days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 day").getField("start").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "c",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint")
+        .alias("x"),
+    ).select(
+        "event_type", "c", "x",
+        F.max("x").over(w).alias("mx"),
+    ).withColumn(
+        "x_split",
+        F.expr(f"(mx * {CONF_TRAIN_NUM}) div {CONF_TRAIN_DEN}"),
+    ).localCheckpoint(eager=False)  # consumed by train agg AND cal scan
+    train = idx.where(F.col("x") <= F.col("x_split")).groupBy(
+        "event_type").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("x").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("c")).alias("sxy"),
+    )
+    n = F.col("n_train")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    model = train.where(den > 0).select(
+        "event_type", "n_train",
+        (num.cast("double") / den.cast("double")).alias("slope"),
+        ((F.col("sy").cast("double")
+          - (num.cast("double") / den.cast("double"))
+          * F.col("sx").cast("double")) / n.cast("double"))
+        .alias("intercept"),
+    )
+    cal = (
+        idx.where(F.col("x") > F.col("x_split"))
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type", "x", "mx", "n_train", "slope", "intercept",
+            F.abs(F.col("c").cast("double")
+                  - (F.col("intercept")
+                     + F.col("slope") * F.col("x").cast("double")))
+            .alias("abs_r"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("abs_r", "x")
+    ranked = cal.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_cal"),
+    ).withColumn(
+        "k",
+        F.least(
+            F.expr(f"((n_cal + 1) * {CONF_ALPHA_NUM} + "
+                   f"{CONF_ALPHA_DEN - 1}) div {CONF_ALPHA_DEN}"),
+            F.col("n_cal"),
+        ),
+    )
+    forecast = (F.col("intercept")
+                + F.col("slope") * (F.col("mx") + 1).cast("double"))
+    return ranked.where(F.col("rn") == F.col("k")).select(
+        "event_type",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.round(F.col("abs_r"), 4).alias("q_hat"),
+        F.round(forecast - F.col("abs_r"), 4).alias("lo_next"),
+        F.round(forecast + F.col("abs_r"), 4).alias("hi_next"),
+    )
+
+
+CONFORMAL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+                        day) AS BIGINT) AS x
+  FROM daily
+),
+idx2 AS (
+  SELECT *, max(x) OVER (PARTITION BY event_type) AS mx,
+         (max(x) OVER (PARTITION BY event_type) * {CONF_TRAIN_NUM})
+           // {CONF_TRAIN_DEN} AS x_split
+  FROM idx
+),
+train AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+         sum(x) AS sx, sum(c) AS sy,
+         sum(x * x) AS sxx, sum(x * c) AS sxy
+  FROM idx2 WHERE x <= x_split GROUP BY 1
+),
+model AS (
+  SELECT event_type, n_train,
+         CAST(n_train * sxy - sx * sy AS DOUBLE)
+         / CAST(n_train * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n_train * sxy - sx * sy AS DOUBLE)
+             / CAST(n_train * sxx - sx * sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n_train AS DOUBLE) AS intercept
+  FROM train WHERE n_train * sxx - sx * sx > 0
+),
+cal AS (
+  SELECT i.event_type, i.x, i.mx, m.n_train, m.slope, m.intercept,
+         abs(CAST(i.c AS DOUBLE)
+             - (m.intercept + m.slope * CAST(i.x AS DOUBLE))) AS abs_r
+  FROM idx2 i JOIN model m USING (event_type)
+  WHERE i.x > i.x_split
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs_r, x) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM cal
+)
+SELECT event_type,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_cal AS BIGINT) AS n_cal,
+       round(abs_r, 4) AS q_hat,
+       round((intercept + slope * CAST(mx + 1 AS DOUBLE)) - abs_r, 4)
+         AS lo_next,
+       round((intercept + slope * CAST(mx + 1 AS DOUBLE)) + abs_r, 4)
+         AS hi_next
+FROM ranked
+WHERE rn = least(((n_cal + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN - 1})
+                 // {CONF_ALPHA_DEN}, n_cal)
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_conformal_interval": QuerySpec(stats_conformal_interval,
+                                          CONFORMAL_ORACLE),
     "ev_winsorized_mean": QuerySpec(ev_winsorized_mean,
                                     WINSORIZED_MEAN_ORACLE),
     "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),

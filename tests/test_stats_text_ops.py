@@ -1922,3 +1922,69 @@ def test_char_entropy_matches_python_counter(spark, sf_dir):
             math.log2(len(c)) * 1000) if len(c) > 1 else True
         checked += 1
     assert checked == len(got)
+
+
+def test_conformal_interval_matches_python(spark, sf_dir):
+    """Split-conformal recompute in plain Python: same train fit, same
+    calibration residual order statistic, same interval — plus the
+    conformal guarantee arithmetic: the chosen rank k covers at least
+    (1-alpha) of the calibration scores by construction."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.events import (
+        CONF_ALPHA_DEN, CONF_ALPHA_NUM, CONF_TRAIN_DEN, CONF_TRAIN_NUM,
+        stats_conformal_interval,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r
+           for r in stats_conformal_interval(spark, sf_dir).collect()}
+
+    daily_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.window("ts", "1 day").getField("start").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily_rows:
+        series[r.event_type].append((r.day, r.c))
+    for et, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        xs = [((d - d0).days, c) for d, c in pts]
+        mx = max(x for x, _ in xs)
+        x_split = (mx * CONF_TRAIN_NUM) // CONF_TRAIN_DEN
+        tr = [(x, c) for x, c in xs if x <= x_split]
+        ca = [(x, c) for x, c in xs if x > x_split]
+        n = len(tr)
+        sx = sum(x for x, _ in tr); sy = sum(c for _, c in tr)
+        sxx = sum(x * x for x, _ in tr)
+        sxy = sum(x * c for x, c in tr)
+        den = n * sxx - sx * sx
+        if den <= 0 or not ca:
+            assert et not in got
+            continue
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        resid = sorted((abs(c - (intercept + slope * x)), x)
+                       for x, c in ca)
+        n_cal = len(ca)
+        k = min(((n_cal + 1) * CONF_ALPHA_NUM + CONF_ALPHA_DEN - 1)
+                // CONF_ALPHA_DEN, n_cal)
+        q = resid[k - 1][0]
+        fc = intercept + slope * (mx + 1)
+        r = got[et]
+        assert (r.n_train, r.n_cal) == (n, n_cal)
+        assert abs(r.q_hat - round(q, 4)) < 1e-9
+        assert abs(r.lo_next - round(fc - q, 4)) < 1e-9
+        assert abs(r.hi_next - round(fc + q, 4)) < 1e-9
+        assert r.lo_next < r.hi_next
+        # coverage by construction: k of n_cal scores are <= q_hat
+        covered = sum(1 for a, _ in resid if a <= q)
+        assert covered >= k
+        assert k * CONF_ALPHA_DEN >= n_cal * CONF_ALPHA_NUM  # k/n >= 1-α
