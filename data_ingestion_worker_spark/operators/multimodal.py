@@ -1396,7 +1396,92 @@ GROUP BY ag.doc_id, ag.nf, ag.silent, ag.ts, ag.te
 """
 
 
+PNG_BYTES_SCHEMA = "doc_id bigint, png binary"
+
+
+def png_encode_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode-only half of the PNG path: payload -> real PNG bytes.
+    (The decode half is deliberately NOT here — downstream parsing
+    happens relationally, on the binary column.)"""
+    from ..functions.pngcodec import encode_png
+
+    def _enc(b: bytes) -> bytes:
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w = h = 1 + h64 % 3
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        return encode_png(w, h, raw)
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "png": pdf["payload"].map(_enc),
+        })
+
+
+def _be_int(pos: int, nbytes: int) -> F.Column:
+    """Big-endian unsigned int from PNG bytes [pos, pos+nbytes), 1-based —
+    pure column algebra over the binary type (hex + base conversion)."""
+    return F.conv(
+        F.hex(F.expr(f"substring(png, {pos}, {nbytes})")), 16, 10
+    ).cast("long")
+
+
+def mm_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata FROM the opaque binary column, relationally: emit
+    real PNG bytes (the codec's encode half through the Arrow seam),
+    then parse the signature and IHDR fields — width, height, bit
+    depth, color type — with plain column expressions on the binary
+    type (``substring``/``hex``/``conv``), never touching Python again.
+
+    This is the metadata-extraction shape a multimodal lake runs right
+    after ingest (million-file `binaryFile` scans -> header columns for
+    partition pruning): container sniffing and fixed-offset fields are
+    cheap column algebra; only genuine pixel decoding needs the Pandas
+    seam.  The oracle derives the same fields algebraically from the
+    payload-hash geometry — so a wrong byte ANYWHERE in the emitted
+    header breaks parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = with_payload(docs).mapInPandas(png_encode_only, PNG_BYTES_SCHEMA)
+    return pngs.select(
+        "doc_id",
+        (F.hex(F.expr("substring(png, 1, 8)"))
+         == F.lit("89504E470D0A1A0A")).alias("magic_ok"),
+        _be_int(9, 4).alias("ihdr_len"),
+        _be_int(17, 4).alias("width"),
+        _be_int(21, 4).alias("height"),
+        _be_int(25, 1).cast("int").alias("bit_depth"),
+        _be_int(26, 1).cast("int").alias("color_type"),
+        F.length("png").cast("long").alias("n_bytes"),
+    ).withColumn(
+        # Compressed size is codec-dependent; what IS invariant is that
+        # the container overhead (sig + IHDR/IDAT/IEND framing = 57
+        # bytes) plus at least one DEFLATE byte per scanline is present.
+        "framing_ok",
+        (F.col("n_bytes") >= 57 + F.col("height")).cast("boolean"),
+    ).drop("n_bytes")
+
+
+MM_PNG_HEADER_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64 FROM documents
+)
+SELECT doc_id,
+       TRUE AS magic_ok,
+       CAST(13 AS BIGINT) AS ihdr_len,
+       CAST(1 + h64 % 3 AS BIGINT) AS width,
+       CAST(1 + h64 % 3 AS BIGINT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(2 AS INT) AS color_type,
+       TRUE AS framing_ok
+FROM h
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "mm_png_header_parse": QuerySpec(mm_png_header_parse,
+                                     MM_PNG_HEADER_ORACLE),
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_audio_trim_silence": QuerySpec(mm_audio_trim_silence,
                                        MM_AUDIO_TRIM_ORACLE),

@@ -603,3 +603,37 @@ def test_audio_trim_silence_semantics():
     assert (r.trim_start, r.trim_end_excl) == (start, end)
     assert r.trimmed_hex == pcm[start * 2:end * 2].hex()
     assert len(r.trimmed_hex) == 4 * max(0, end - start)
+
+
+def test_png_header_parse_fields_match_decoder(spark, sf_dir):
+    """The relationally-parsed IHDR fields must agree with what the
+    actual PNG decoder reads from the same bytes (decoder as the
+    independent recompute), and the parse must be pure column algebra
+    (no BatchEvalPython after the encode seam)."""
+    from data_ingestion_worker_spark.functions.imagecodec import (
+        decode_builtin,
+    )
+    from data_ingestion_worker_spark.operators.multimodal import (
+        PNG_BYTES_SCHEMA, mm_png_header_parse, png_encode_only, with_payload,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in mm_png_header_parse(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = with_payload(docs).mapInPandas(
+        png_encode_only, PNG_BYTES_SCHEMA).collect()
+    assert len(got) == len(pngs)
+    for row in pngs:
+        img = decode_builtin(bytes(row.png))
+        r = got[row.doc_id]
+        assert (r.width, r.height) == (img.width, img.height)
+        assert r.magic_ok and r.ihdr_len == 13
+        assert r.bit_depth == 8 and r.color_type == 2
+        assert r.framing_ok
+
+    plan = mm_png_header_parse(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exactly one Python stage (the encode seam), and it precedes the
+    # projection: the header parse itself adds no Python evaluation.
+    assert plan.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in plan
