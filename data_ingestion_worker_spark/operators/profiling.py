@@ -1324,9 +1324,76 @@ FROM classes GROUP BY l_value
 """
 
 
+#: ε for the DP release (count queries, sensitivity 1 ⇒ Laplace b=1/ε).
+DP_EPSILON_MILLI = 1000
+
+
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the per-type event counts via
+    the Laplace mechanism — the third leg of the governance suite
+    (k-anonymity asks "is the class big enough", l-diversity "is it
+    varied enough", DP "what may the published AGGREGATE itself leak").
+    Count queries have sensitivity 1, so noise ~ Laplace(1/ε).
+
+    The draw is the engine's deterministic hash-uniform (re-shard-stable
+    like every random draw in this repo) pushed through the Laplace
+    inverse CDF ``-sign(u-½)·ln(1-2|u-½|)/ε``; the ln term is floor-
+    quantized to milli on its own row (the LLR convention), so the
+    released integers are bit-identical cross-engine.  A production
+    release would draw fresh randomness per release and track an ε
+    budget across queries — both seams are the salt literal and the
+    constant below.
+
+    Scale: one combiner-friendly count aggregate; the mechanism is a
+    per-row expression on the |types|-row result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n"))
+    # u in (0,1), never exactly 0 (k in 1..999999) — ln stays finite.
+    u = (F.pmod(hash64(F.concat(F.lit("dp:"), F.col("event_type"))),
+                F.lit(999999)) + 1).cast("double") / F.lit(1000000.0)
+    centered = u - F.lit(0.5)
+    # X = -sign(c)·ln(1-2|c|)/ε; ln(·) ≤ 0, so the magnitude is
+    # floor(-ln·1e6/ε_milli) and the sign follows c.
+    lap_milli = (
+        F.signum(centered)
+        * F.floor(F.log(F.lit(1.0) - 2 * F.abs(centered))
+                  * F.lit(-1000000.0) / F.lit(DP_EPSILON_MILLI))
+    ).cast("long")
+    return counts.select(
+        "event_type",
+        (F.col("true_n") * 1000 + lap_milli).alias("noisy_count_milli"),
+        F.lit(DP_EPSILON_MILLI).cast("int").alias("epsilon_milli"),
+    )
+
+
+DP_NOISY_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1
+),
+mech AS (
+  SELECT event_type, true_n,
+         (({hash64_sql("'dp:' || event_type")} % 999999 + 1)
+          / 1000000.0) - 0.5 AS centered
+  FROM counts
+)
+SELECT event_type,
+       CAST(true_n * 1000
+            + sign(centered)
+              * CAST(floor(ln(1.0 - 2 * abs(centered))
+                           * (-1000000.0) / {DP_EPSILON_MILLI}) AS BIGINT)
+            AS BIGINT) AS noisy_count_milli,
+       CAST({DP_EPSILON_MILLI} AS INT) AS epsilon_milli
+FROM mech
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),
     "dq_l_diversity": QuerySpec(dq_l_diversity, L_DIVERSITY_ORACLE),
+    "dq_dp_noisy_counts": QuerySpec(dq_dp_noisy_counts, DP_NOISY_ORACLE),
     "profile_ndv_hll": QuerySpec(profile_ndv_hll, _ndv_oracle()),
     "corpus_stats_incremental_merge": QuerySpec(
         corpus_stats_incremental_merge, CORPUS_STATS_MERGE_ORACLE),

@@ -285,3 +285,35 @@ def test_l_diversity_matches_pandas(spark, sf_dir):
         assert r.below_l == (l_val < L_DIV)
     assert sum(r.n_people for r in got.values()) == \
         merged.c_custkey.nunique()
+
+
+def test_dp_noisy_counts_mechanism_matches_python(spark, sf_dir):
+    """Laplace mechanism recomputed in plain Python (same hash-uniform,
+    same inverse CDF, same milli quantization); noise must be bounded
+    by the mechanism's tail at the fixture's u values and the true
+    count must never be released exactly (noise ≠ 0 w.p. 1 here)."""
+    import hashlib
+    import math
+
+    from data_ingestion_worker_spark.operators.profiling import (
+        DP_EPSILON_MILLI, dq_dp_noisy_counts,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r for r in dq_dp_noisy_counts(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    true = {r.event_type: r.n
+            for r in ev.groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert set(got) == set(true)
+    for et, r in got.items():
+        h = int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:15], 16)
+        u = (h % 999999 + 1) / 1e6
+        c = u - 0.5
+        mag = math.floor(math.log(1.0 - 2 * abs(c))
+                         * (-1e6) / DP_EPSILON_MILLI)
+        lap = int(math.copysign(1, c)) * mag if c != 0 else 0
+        assert r.noisy_count_milli == true[et] * 1000 + lap, et
+        assert r.epsilon_milli == DP_EPSILON_MILLI
+        # Laplace(1) at these u draws stays within ±14 counts
+        assert abs(r.noisy_count_milli - true[et] * 1000) <= 14000
