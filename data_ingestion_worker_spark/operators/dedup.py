@@ -1741,7 +1741,67 @@ FROM agg
 """
 
 
+def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram coverage — decontamination's complement: for every
+    held-out eval document, the fraction of its distinct word-3-grams
+    that occur ANYWHERE in the training corpus.  Decontamination asks
+    "does training leak into eval"; coverage asks "does the corpus even
+    speak eval's language" — the corpus-adequacy number a model team
+    reads before blaming the sampler for a bad benchmark.
+
+    Scale: the eval shingle set is tiny and broadcast; the training
+    shingles are scanned once (semi-join, no shuffle of the corpus);
+    only the covered-shingle set — bounded by the eval set's size —
+    is shuffled for the distinct.  Integer ppm readout.
+    """
+    sh = _shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).localCheckpoint(eager=False)
+    covered = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh.select("shingle").distinct()),
+              "shingle", "left_semi")
+        .select("shingle").distinct()
+    )
+    return (
+        eval_sh
+        .join(covered.withColumn("cov", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.coalesce(F.sum("cov"), F.lit(0)).cast("long")
+             .alias("n_covered"))
+        .select(
+            "doc_id", "n_shingles", "n_covered",
+            F.expr("(1000000 * n_covered) div n_shingles")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+NGRAM_COVERAGE_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+eval_sh AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+),
+covered AS (
+  SELECT DISTINCT s.shingle
+  FROM shingles s
+  WHERE s.doc_id % {EVAL_MOD} <> 0
+    AND s.shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(c.shingle) AS BIGINT) AS n_covered,
+       (1000000 * CAST(count(c.shingle) AS BIGINT)) // count(*)
+         AS coverage_ppm
+FROM eval_sh e LEFT JOIN covered c ON e.shingle = c.shingle
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_ngram_coverage": QuerySpec(corpus_ngram_coverage,
+                                       NGRAM_COVERAGE_ORACLE),
     "dedup_rate_estimate": QuerySpec(dedup_rate_estimate,
                                      DEDUP_RATE_EST_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),

@@ -409,3 +409,32 @@ def test_split_by_cluster_has_zero_leakage(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert split.count() == n_docs
     assert split.select("doc_id").distinct().count() == n_docs
+
+
+def test_ngram_coverage_matches_python_sets(spark, sf_dir):
+    """Coverage recomputed with plain Python sets over the same
+    shingles; ppm is the exact integer floor, bounded by [0, 1e6],
+    and n_covered never exceeds n_shingles."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        EVAL_MOD, _shingles, corpus_ngram_coverage,
+    )
+
+    got = {r.doc_id: r for r in
+           corpus_ngram_coverage(spark, sf_dir).collect()}
+    pairs = [(r.doc_id, r.shingle)
+             for r in _shingles(spark, sf_dir).collect()]
+    eval_docs: dict[int, set] = {}
+    train_shingles = set()
+    for d, s in pairs:
+        if d % EVAL_MOD == 0:
+            eval_docs.setdefault(d, set()).add(s)
+        else:
+            train_shingles.add(s)
+    assert set(got) == set(eval_docs)
+    for d, sh in eval_docs.items():
+        r = got[d]
+        n_cov = len(sh & train_shingles)
+        assert (r.n_shingles, r.n_covered) == (len(sh), n_cov)
+        assert r.coverage_ppm == (1000000 * n_cov) // len(sh)
+        assert 0 <= r.coverage_ppm <= 1000000
+        assert r.n_covered <= r.n_shingles
