@@ -2288,6 +2288,105 @@ def _corr_matrix_oracle() -> str:
 CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 
 
+#: BH-FDR level α = 5% (as a micro fraction, exact integer compares).
+BH_ALPHA_MICRO = 50000
+
+#: Abramowitz & Stegun 26.2.17 coefficients for Φ(x), |err| < 7.5e-8 —
+#: both engines evaluate the identical polynomial over identical doubles.
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_tail_sql(absz: str) -> str:
+    """1 − Φ(|z|) as an engine-neutral SQL expression string."""
+    t = f"(1.0 / (1.0 + {_AS_T} * {absz}))"
+    poly = (f"({_AS_B[0]} * {t} + {_AS_B[1]} * {t} * {t} "
+            f"+ {_AS_B[2]} * {t} * {t} * {t} "
+            f"+ {_AS_B[3]} * {t} * {t} * {t} * {t} "
+            f"+ {_AS_B[4]} * {t} * {t} * {t} * {t} * {t})")
+    return (f"({_INV_SQRT_2PI} * exp(-0.5 * {absz} * {absz}) * {poly})")
+
+
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the two-proportion test
+    family: the multiple-comparisons step every launch review needs
+    once it runs a test per metric pair (the raw per-pair z-tests of
+    :func:`stats_two_proportion_z` inflate false positives ~m·α).
+
+    Mechanics: two-sided p = 2(1−Φ(|z|)) via the A&S polynomial CDF
+    (identical IEEE expression both engines), floor-quantized to micro
+    on its own row; BH then ranks p ascending and rejects every pair
+    up to the LARGEST rank i with ``p_i ≤ i·α/m`` — the step-up rule,
+    decided with exact integer cross-multiplication on the quantized
+    values (``p_micro·m ≤ i·α_micro``).
+
+    Scale: the family is the |types|-pair table (bounded domain), so
+    the rank window and the step-up max run over ≤C(|types|,2) rows;
+    the fact table is aggregated once by the underlying test.
+    """
+    pairs = stats_two_proportion_z(spark, sf_dir).select(
+        "type_a", "type_b",
+        F.col("z_pooled").alias("z"),
+    )
+    tail = F.expr(_phi_tail_sql("abs(z)"))
+    p_micro = F.floor(2.0 * tail * 1000000.0).cast("long")
+    scored = pairs.select(
+        "type_a", "type_b", "z",
+        F.least(p_micro, F.lit(1000000).cast("long")).alias("p_micro"),
+    )
+    w = Window.orderBy("p_micro", "type_a", "type_b")
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "raw_le",
+        (F.col("p_micro") * F.col("m"))
+        <= (F.col("rank").cast("long") * BH_ALPHA_MICRO),
+    ).withColumn(
+        "i_star",
+        F.max(F.when(F.col("raw_le"), F.col("rank"))
+              .otherwise(F.lit(0))).over(wall),
+    )
+    return ranked.select(
+        "type_a", "type_b", "z", "p_micro",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("m").cast("int").alias("m"),
+        (F.col("rank") <= F.col("i_star")).alias("rejected"),
+    )
+
+
+BH_FDR_ORACLE = f"""
+WITH pairs AS ({TWO_PROP_ORACLE}),
+scored AS (
+  SELECT type_a, type_b, z_pooled AS z,
+         least(CAST(floor(2.0 * {_phi_tail_sql("abs(z_pooled)")}
+                          * 1000000.0) AS BIGINT),
+               1000000) AS p_micro
+  FROM pairs
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_micro, type_a, type_b) AS rank,
+         count(*) OVER () AS m
+  FROM scored
+),
+flagged AS (
+  SELECT *,
+         max(CASE WHEN p_micro * m <= rank * {BH_ALPHA_MICRO}
+                  THEN rank ELSE 0 END) OVER () AS i_star
+  FROM ranked
+)
+SELECT type_a, type_b, z, p_micro,
+       CAST(rank AS INT) AS rank, CAST(m AS INT) AS m,
+       rank <= i_star AS rejected
+FROM flagged
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
     "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
@@ -2298,6 +2397,7 @@ SPECS: dict[str, QuerySpec] = {
                                        SPRT_ORACLE),
     "stats_two_proportion_z": QuerySpec(stats_two_proportion_z,
                                         TWO_PROP_ORACLE),
+    "stats_bh_fdr": QuerySpec(stats_bh_fdr, BH_FDR_ORACLE),
     "stats_diff_in_diff": QuerySpec(stats_diff_in_diff,
                                     DIFF_IN_DIFF_ORACLE),
     "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,

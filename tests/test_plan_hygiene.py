@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
     "stats_two_proportion_z",  # same |types|-row pair enumeration
+    "stats_bh_fdr",        # inherits the pair enumeration cross
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "stats_wilcoxon_signed_rank",  # one-row pre/post split-bound scalar
@@ -180,6 +181,8 @@ SP_ALLOWED = {
     "ev_conversion_time",       # one-row delay-quantile scalar
     "corpus_dedup_threshold_curve",  # cum window over <=9 bucket rows
     "stats_sprt_sequential",    # cum window over <=|window| daily rows
+    "stats_bh_fdr",             # rank/step-up windows over the
+                                # C(|types|,2)-row pair family
     "token_bigram_pmi",         # one-row corpus-total scalars
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
@@ -269,6 +272,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "pipeline_curation_v2",  # n_parts-row offset agg (constant)
     "pipeline_curation_v3",  # same helper through the v2 stages
     "corpus_quality_calibration",  # n_parts-row offset agg (constant)
+    "stats_bh_fdr",         # C(|types|,2)-row test family
 }
 
 

@@ -1988,3 +1988,35 @@ def test_conformal_interval_matches_python(spark, sf_dir):
         covered = sum(1 for a, _ in resid if a <= q)
         assert covered >= k
         assert k * CONF_ALPHA_DEN >= n_cal * CONF_ALPHA_NUM  # k/n >= 1-α
+
+
+def test_bh_fdr_matches_python_stepup(spark, sf_dir):
+    """BH recomputed in plain Python with statistics.NormalDist as the
+    INDEPENDENT normal CDF (the operator uses the A&S polynomial):
+    p-values agree within the polynomial's published 7.5e-8 bound, and
+    the step-up decision set is identical.  Also pins monotonicity:
+    rejected pairs are exactly ranks 1..i*."""
+    import math
+    from statistics import NormalDist
+
+    from data_ingestion_worker_spark.operators.stats import (
+        BH_ALPHA_MICRO, stats_bh_fdr,
+    )
+
+    rows = sorted(stats_bh_fdr(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert rows
+    m = rows[0].m
+    assert m == len(rows)
+    nd = NormalDist()
+    i_star = 0
+    for r in rows:
+        p_exact = 2.0 * (1.0 - nd.cdf(abs(r.z)))
+        assert abs(r.p_micro / 1e6 - p_exact) < 2e-7 + 1e-6, r
+        if r.p_micro * m <= r.rank * BH_ALPHA_MICRO:
+            i_star = max(i_star, r.rank)
+    for r in rows:
+        assert r.rejected == (r.rank <= i_star), r
+    # p is non-decreasing in rank (the sort the step-up rule needs)
+    ps = [r.p_micro for r in rows]
+    assert ps == sorted(ps)
