@@ -2697,6 +2697,127 @@ FROM clamped GROUP BY 1
 """
 
 
+#: Candidate periods (days) for the periodogram, and the micro scale of
+#: the precomputed trig literals.
+FFT_PERIODS = tuple(range(2, 11))
+
+
+def _angle_literals() -> list[tuple[int, int, int, int]]:
+    """(p, k, cos_micro, sin_micro) for every phase k of every candidate
+    period p — Python-precomputed ONCE (the ``stats_benford`` literal
+    convention), so neither engine evaluates trig at query time and the
+    DFT terms are exact integer products."""
+    import math as _m
+    out = []
+    for p in FFT_PERIODS:
+        for k in range(p):
+            a = 2.0 * _m.pi * k / p
+            out.append((p, k, round(_m.cos(a) * 1e6), round(_m.sin(a) * 1e6)))
+    return out
+
+
+def ev_fft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel/DFT periodogram over the daily volume series, per event
+    type: the power of each candidate period 2..10 days on the MEAN-
+    REMOVED series, with the winning period flagged — how a pipeline
+    detects weekly seasonality without ever materializing a dense
+    spectrum.
+
+    Exactness: the series is demeaned in scaled integers
+    (``r = n·c − Σc``, the CUSUM trick — no fractional mean), the trig
+    factors are precomputed micro literals, so every DFT term is an
+    exact integer product and the two accumulators are exact integer
+    sums; only the final ``sc² + ss²`` runs in doubles (inputs ≪ 2⁵³,
+    so both engines compute the identical product).
+
+    Scale: one shuffle into (type, day); the period fan-out is a
+    54-row broadcast literal table (days × 9 periods), and the
+    argmax window runs over the 9-row-per-type period domain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 day").getField("start").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "c",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("sct"),
+    ).withColumn("r", F.col("n") * F.col("c") - F.col("sct"))
+    angles = spark.createDataFrame(
+        _angle_literals(), "p int, k int, cos_micro long, sin_micro long")
+    periods = angles.select("p").distinct()
+    terms = (
+        idx.join(F.broadcast(periods))
+        .withColumn("k", F.pmod(F.col("x"), F.col("p")).cast("int"))
+        .join(F.broadcast(angles), ["p", "k"])
+    )
+    spec = terms.groupBy("event_type", "p").agg(
+        F.sum(F.col("r") * F.col("cos_micro")).alias("sc"),
+        F.sum(F.col("r") * F.col("sin_micro")).alias("ss"),
+    )
+    power = (F.col("sc").cast("double") * F.col("sc").cast("double")
+             + F.col("ss").cast("double") * F.col("ss").cast("double"))
+    wt = Window.partitionBy("event_type")
+    return spec.select(
+        "event_type", "p",
+        F.round(power / F.lit(1e18), 6).alias("power_e18"),
+    ).withColumn(
+        "dominant",
+        F.col("power_e18")
+        == F.max("power_e18").over(wt),
+    )
+
+
+def _fft_oracle() -> str:
+    vals = ", ".join(f"({p}, {k}, {c}, {s})"
+                     for p, k, c, s in _angle_literals())
+    return f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, c,
+         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+                        day) AS BIGINT) AS x,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS sct
+  FROM daily
+),
+angles(p, k, cos_micro, sin_micro) AS (VALUES {vals}),
+terms AS (
+  SELECT i.event_type, a.p,
+         (i.n * i.c - i.sct) * a.cos_micro AS tc,
+         (i.n * i.c - i.sct) * a.sin_micro AS ts
+  FROM idx i JOIN angles a ON a.k = i.x % a.p
+),
+spec AS (
+  SELECT event_type, p,
+         CAST(sum(tc) AS BIGINT) AS sc, CAST(sum(ts) AS BIGINT) AS ss
+  FROM terms GROUP BY 1, 2
+),
+powered AS (
+  SELECT event_type, CAST(p AS INT) AS p,
+         round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / 1e18, 6)
+           AS power_e18
+  FROM spec
+)
+SELECT event_type, p, power_e18,
+       power_e18 = max(power_e18) OVER (PARTITION BY event_type)
+         AS dominant
+FROM powered
+"""
+
+
+FFT_PERIODOGRAM_ORACLE = _fft_oracle()
+
+
 #: Split-conformal miscoverage target (α = 10% → 90% intervals) and the
 #: train share of the daily series (first 70% of the day range).
 CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10   # (1-α) as a rational
@@ -2860,6 +2981,8 @@ WHERE rn = least(((n_cal + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN - 1})
 SPECS: dict[str, QuerySpec] = {
     "stats_conformal_interval": QuerySpec(stats_conformal_interval,
                                           CONFORMAL_ORACLE),
+    "ev_fft_periodogram": QuerySpec(ev_fft_periodogram,
+                                    FFT_PERIODOGRAM_ORACLE),
     "ev_winsorized_mean": QuerySpec(ev_winsorized_mean,
                                     WINSORIZED_MEAN_ORACLE),
     "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),

@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "graph_triangle_doulion",  # one-row totals x one-row sampled-count
     "dedup_rate_estimate",  # one-row sampled-pairs x one-row doc total
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
+    "ev_fft_periodogram",  # 9-row candidate-period broadcast fan-out
     "dq_validate_orders",  # one-row stats x one-row orphan-count cross
     "feat_target_encode_oof",  # one-row global-prior scalar cross
     "dq_freshness_events",  # one-row global-watermark broadcast cross

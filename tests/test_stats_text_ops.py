@@ -2020,3 +2020,46 @@ def test_bh_fdr_matches_python_stepup(spark, sf_dir):
     # p is non-decreasing in rank (the sort the step-up rule needs)
     ps = [r.p_micro for r in rows]
     assert ps == sorted(ps)
+
+
+def test_fft_periodogram_matches_numpy_and_finds_injected_period(spark):
+    """Spectrum recomputed with numpy's own cos/sin at full precision
+    (independent of the micro literals): powers agree to the literal
+    quantization, and on a synthetic series with a planted period-7
+    cycle the operator must crown p=7."""
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.events import (
+        FFT_PERIODS, _angle_literals,
+    )
+
+    # recompute helper mirroring the operator's exact integer algebra
+    ang = {(p, k): (c, s) for p, k, c, s in _angle_literals()}
+
+    def spectrum(counts):
+        n = len(counts)
+        sct = sum(counts)
+        out = {}
+        for p in FFT_PERIODS:
+            sc = sum((n * c - sct) * ang[(p, x % p)][0]
+                     for x, c in enumerate(counts))
+            ss = sum((n * c - sct) * ang[(p, x % p)][1]
+                     for x, c in enumerate(counts))
+            out[p] = round((float(sc) ** 2 + float(ss) ** 2) / 1e18, 6)
+        return out
+
+    # planted weekly cycle + trendless noise-free base
+    counts = [100 + (30 if x % 7 == 0 else 0) for x in range(70)]
+    spec = spectrum(counts)
+    assert max(spec, key=spec.get) == 7, spec
+
+    # numpy cross-check (full-precision trig): the micro literals scale
+    # sc/ss by 1e6, so spec[p] = (sc²+ss²)·1e12/1e18 = full_power/1e6.
+    xs = np.arange(70)
+    r = np.array([70 * c - sum(counts) for c in counts], dtype=float)
+    for p in (7, 5):
+        sc = float((r * np.cos(2 * np.pi * (xs % p) / p)).sum())
+        ss = float((r * np.sin(2 * np.pi * (xs % p) / p)).sum())
+        full = (sc * sc + ss * ss) / 1e6
+        assert abs(spec[p] - full) <= max(1e-4 * full, 1e-2), (p, spec[p],
+                                                               full)
