@@ -338,7 +338,93 @@ GROUP BY 1, 2
 ZORDER_ORACLE = _zorder_oracle()
 
 
+#: Candidate partition columns for the advisor (orders table).  Dates
+#: partition at month granularity — day-level would overwhelm the
+#: metastore (the small-partitions anti-pattern the advisor penalizes
+#: via the partition-count column).
+PARTITION_CANDIDATES = [
+    # (label, spark expr, duckdb expr) — the month exprs return
+    # timestamp vs date, but only the grouping granularity matters.
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("month(o_orderdate)", "date_trunc('month', o_orderdate)",
+     "date_trunc('month', o_orderdate)"),
+]
+
+
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor: for each candidate column, the expected
+    fraction of the table a uniform random equality predicate still has
+    to scan — which is exactly the collision probability
+    ``Σ (n_v/N)²`` (an HHI over the value histogram) — plus the
+    partition count (metastore pressure) and the max-partition share
+    (write skew).  The three numbers a data engineer weighs before
+    `PARTITIONED BY`: small scan fraction, sane partition count, no
+    giant partition.
+
+    Determinism: the ppm readouts are ``floor`` over ONE division of
+    two exact BIGINT-derived doubles — bigint→double conversion and
+    IEEE division are bit-identical in both engines at any magnitude
+    (unlike decimal division, whose quotient-scale rounding rules
+    differ).
+
+    Scale: one hash aggregate per candidate over the value domain, a
+    constant-size union — the fact table is scanned once per candidate
+    with combiner-friendly counts (or once total with grouping sets if
+    the candidate list grows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for name, spark_expr, _ in PARTITION_CANDIDATES:
+        hist = o.groupBy(F.expr(spark_expr).alias("v")).agg(
+            F.count(F.lit(1)).alias("nv"))
+        agg = hist.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("nv").alias("n"),
+            F.sum(F.col("nv") * F.col("nv")).alias("sq"),
+            F.max("nv").alias("mx"),
+        )
+        outs.append(agg.select(
+            F.lit(name).alias("candidate"),
+            F.col("n_partitions").cast("long").alias("n_partitions"),
+            F.floor(F.col("sq").cast("double") * 1000000.0
+                    / (F.col("n").cast("double")
+                       * F.col("n").cast("double"))).cast("long")
+            .alias("scan_frac_ppm"),
+            F.floor(F.col("mx").cast("double") * 1000000.0
+                    / F.col("n").cast("double")).cast("long")
+            .alias("max_part_ppm"),
+        ))
+    result = outs[0]
+    for d in outs[1:]:
+        result = result.unionByName(d)
+    return result
+
+
+def _partition_advisor_oracle() -> str:
+    sqls = []
+    for name, _, duck_expr in PARTITION_CANDIDATES:
+        sqls.append(f"""
+SELECT '{name}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(floor(CAST(sum(nv * nv) AS DOUBLE) * 1000000.0
+                  / (CAST(sum(nv) AS DOUBLE) * CAST(sum(nv) AS DOUBLE)))
+            AS BIGINT) AS scan_frac_ppm,
+       CAST(floor(CAST(max(nv) AS DOUBLE) * 1000000.0
+                  / CAST(sum(nv) AS DOUBLE)) AS BIGINT) AS max_part_ppm
+FROM (
+  SELECT {duck_expr} AS v, CAST(count(*) AS BIGINT) AS nv
+  FROM orders GROUP BY 1
+)""")
+    return " UNION ALL ".join(sqls)
+
+
+PARTITION_ADVISOR_ORACLE = _partition_advisor_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "layout_partition_advisor": QuerySpec(layout_partition_advisor,
+                                          PARTITION_ADVISOR_ORACLE),
     "layout_zorder_cluster": QuerySpec(layout_zorder_cluster,
                                        ZORDER_ORACLE),
     "layout_zonemap_prune": QuerySpec(layout_zonemap_prune,

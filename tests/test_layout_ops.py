@@ -114,3 +114,39 @@ def test_compaction_plan_is_start_offset_binning(spark):
         assert g.total_bytes == e["total_bytes"]
         assert g.first_file == e["first_file"]
         assert g.last_file == e["last_file"]
+
+
+def test_partition_advisor_matches_pandas_and_orders_sanely(spark, sf_dir):
+    """Advisor recomputed with pandas value_counts; and the advice must
+    be internally consistent: scan fraction is the value-histogram HHI
+    (so 1/n_partitions ≤ scan_frac ≤ max_part share ≤ 1e6)."""
+    import math
+
+    from data_ingestion_worker_spark.operators.layout import (
+        PARTITION_CANDIDATES, layout_partition_advisor,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.candidate: r
+           for r in layout_partition_advisor(spark, sf_dir).collect()}
+    assert set(got) == {name for name, _, _ in PARTITION_CANDIDATES}
+    pdf = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_orderdate").toPandas()
+    series = {
+        "o_orderpriority": pdf.o_orderpriority,
+        "o_orderstatus": pdf.o_orderstatus,
+        "month(o_orderdate)": pdf.o_orderdate.astype(
+            "datetime64[ns]").dt.to_period("M"),
+    }
+    for name, s in series.items():
+        vc = s.value_counts()
+        n = int(vc.sum())
+        sq = int((vc.astype("int64") ** 2).sum())
+        mx = int(vc.max())
+        r = got[name]
+        assert r.n_partitions == len(vc)
+        assert r.scan_frac_ppm == math.floor(float(sq) * 1e6
+                                             / (float(n) * float(n)))
+        assert r.max_part_ppm == math.floor(float(mx) * 1e6 / float(n))
+        assert (1000000 // r.n_partitions) <= r.scan_frac_ppm + 1
+        assert r.scan_frac_ppm <= r.max_part_ppm <= 1000000

@@ -232,6 +232,7 @@ SP_ALLOWED = {
     "ev_funnel_strict_window",  # one-row funnel-count scalar
     "emb_outlier_knn",          # one-row p95 scalar over the sample
     "profile_partition_balance",  # one-row total scalar
+    "layout_partition_advisor",   # one-row per-candidate summary
     "corpus_quality_xent_corr",  # LM vocab scalar + one-row power sums
     "pipeline_curation_v2",     # LM vocab + p90-cut one-row scalars
     "pipeline_curation_v3",     # same scalars through the v2 stages
