@@ -2697,6 +2697,91 @@ FROM clamped GROUP BY 1
 """
 
 
+def ev_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point LOCATION on the daily series,
+    per event type — CUSUM (``ev_cusum_changepoint``) answers *whether*
+    the level shifted; this answers *where*: the split ``t`` maximizing
+    the standardized between-segment contrast
+    ``|t·S_n − n·S_t| / sqrt(t(n−t))`` (the first step of the classic
+    binary-segmentation recursion; one split, the dominant use).
+
+    Determinism: the contrast numerator is exact integer (prefix sums
+    scaled by n); the standardization squares it into a double ratio
+    ``num²/(t(n−t))`` — both operands exact integers, so the IEEE
+    division is bit-identical and the argmax ranks identically in both
+    engines (ties break on earlier t).
+
+    Scale: one shuffle into (type, day); prefix sums and the argmax
+    window run over the calendar-bounded daily frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 day").getField("start").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    pref = daily.select(
+        "event_type", "day", "c",
+        F.sum("c").over(wo).cast("bigint").alias("st"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("sn"),
+    ).where(F.col("t") < F.col("n"))
+    num = F.col("t") * F.col("sn") - F.col("n") * F.col("st")
+    contrast = (num.cast("double") * num.cast("double")) / (
+        (F.col("t") * (F.col("n") - F.col("t"))).cast("double"))
+    scored = pref.select(
+        "event_type", "day", "t", "n", contrast.alias("g2"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("g2"), F.col("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("t").alias("split_t"),
+            "day", "n",
+            F.round(F.sqrt(F.col("g2")) / F.col("n"), 6)
+            .alias("contrast_per_n"),
+        )
+    )
+
+
+BINSEG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+pref AS (
+  SELECT event_type, day, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS st,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, t, n,
+         (CAST(t * sn - n * st AS DOUBLE)
+          * CAST(t * sn - n * st AS DOUBLE))
+         / CAST(t * (n - t) AS DOUBLE) AS g2
+  FROM pref WHERE t < n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY g2 DESC, t) AS rk
+  FROM scored
+)
+SELECT event_type, t AS split_t, day, n,
+       round(sqrt(g2) / n, 6) AS contrast_per_n
+FROM ranked WHERE rk = 1
+"""
+
+
 #: Candidate periods (days) for the periodogram, and the micro scale of
 #: the precomputed trig literals.
 FFT_PERIODS = tuple(range(2, 11))
@@ -2983,6 +3068,8 @@ SPECS: dict[str, QuerySpec] = {
                                           CONFORMAL_ORACLE),
     "ev_fft_periodogram": QuerySpec(ev_fft_periodogram,
                                     FFT_PERIODOGRAM_ORACLE),
+    "ev_binseg_changepoint": QuerySpec(ev_binseg_changepoint,
+                                       BINSEG_ORACLE),
     "ev_winsorized_mean": QuerySpec(ev_winsorized_mean,
                                     WINSORIZED_MEAN_ORACLE),
     "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),

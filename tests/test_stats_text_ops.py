@@ -2063,3 +2063,58 @@ def test_fft_periodogram_matches_numpy_and_finds_injected_period(spark):
         full = (sc * sc + ss * ss) / 1e6
         assert abs(spec[p] - full) <= max(1e-4 * full, 1e-2), (p, spec[p],
                                                                full)
+
+
+def test_binseg_matches_python_argmax_and_finds_planted_shift(spark, sf_dir):
+    """Split location recomputed with a plain Python argmax over the
+    same daily series; and on a synthetic series with a planted level
+    shift the standardized contrast must pick the true split."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_binseg_changepoint,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.event_type: r
+           for r in ev_binseg_changepoint(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.window("ts", "1 day").getField("start").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.day, r.c))
+
+    def argmax_split(counts):
+        n = len(counts)
+        sn = sum(counts)
+        st = 0
+        best = (-1.0, None)
+        for t in range(1, n):
+            st += counts[t - 1]
+            num = t * sn - n * st
+            g2 = (float(num) * float(num)) / float(t * (n - t))
+            if g2 > best[0]:
+                best = (g2, t)
+        return best[1], best[0]
+
+    for et, pts in series.items():
+        pts.sort()
+        counts = [c for _, c in pts]
+        t_star, g2 = argmax_split(counts)
+        r = got[et]
+        assert r.split_t == t_star, et
+        assert r.day == pts[t_star - 1][0]
+        assert abs(r.contrast_per_n - round(g2 ** 0.5 / len(counts), 6)) \
+            < 1e-9
+
+    # planted shift: 30 days at 100, then 30 days at 160
+    counts = [100] * 30 + [160] * 30
+    t_star, _ = argmax_split(counts)
+    assert t_star == 30
