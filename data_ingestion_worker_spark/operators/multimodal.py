@@ -1396,6 +1396,90 @@ GROUP BY ag.doc_id, ag.nf, ag.silent, ag.ts, ag.te
 """
 
 
+WAV_BYTES_SCHEMA = "doc_id bigint, wav binary"
+
+
+def wav_encode_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode-only half of the WAV path (see :func:`png_encode_only`)."""
+    from ..functions.audiocodec import encode_wav
+
+    def _enc(b: bytes) -> bytes:
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        rate = 8000 * (1 + h64 % 3)
+        channels = 1 + h64 % 2
+        n_frames = 1 + h64 % 5
+        pcm = hashlib.sha256(b).digest()[: n_frames * channels * 2]
+        return encode_wav(rate, channels, pcm)
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "wav": pdf["payload"].map(_enc),
+        })
+
+
+def _le_int(col: str, pos: int, nbytes: int) -> F.Column:
+    """Little-endian unsigned int from bytes [pos, pos+nbytes), 1-based —
+    the byte-order mirror of :func:`_be_int` (RIFF/WAVE is LE where PNG
+    is BE; a lake's header parser needs both)."""
+    total = F.lit(0).cast("long")
+    for i in range(nbytes):
+        byte = F.conv(
+            F.hex(F.expr(f"substring({col}, {pos + i}, 1)")), 16, 10
+        ).cast("long")
+        total = total + byte * F.lit(256 ** i).cast("long")
+    return total
+
+
+def mm_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE header metadata parsed relationally from the binary
+    column — the little-endian companion of :func:`mm_png_header_parse`:
+    magic tags as hex compares, fmt-chunk fields (PCM tag, channels,
+    sample rate, block align, bits) as LE byte-weighted sums, and the
+    data-chunk length cross-checked against the frame geometry.  The
+    oracle re-derives every field from the payload-hash recipe, so a
+    wrong byte anywhere in the emitted container breaks parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = with_payload(docs).mapInPandas(wav_encode_only, WAV_BYTES_SCHEMA)
+    # Layout: RIFF(4) size(4) WAVE(4) 'fmt '(4) len(4) fmt(16) 'data'(4)
+    # len(4) pcm...  => fmt starts at byte 21, data length at byte 41.
+    return wavs.select(
+        "doc_id",
+        (F.hex(F.expr("substring(wav, 1, 4)")) == F.lit("52494646"))
+        .alias("riff_ok"),
+        (F.hex(F.expr("substring(wav, 9, 4)")) == F.lit("57415645"))
+        .alias("wave_ok"),
+        _le_int("wav", 21, 2).cast("int").alias("audio_format"),
+        _le_int("wav", 23, 2).cast("int").alias("channels"),
+        _le_int("wav", 25, 4).cast("int").alias("sample_rate"),
+        _le_int("wav", 33, 2).cast("int").alias("block_align"),
+        _le_int("wav", 35, 2).cast("int").alias("bits_per_sample"),
+        _le_int("wav", 41, 4).cast("long").alias("data_len"),
+    ).withColumn(
+        "n_frames",
+        F.expr("data_len div block_align").cast("int"),
+    )
+
+
+MM_WAV_HEADER_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64 FROM documents
+)
+SELECT doc_id,
+       TRUE AS riff_ok, TRUE AS wave_ok,
+       CAST(1 AS INT) AS audio_format,
+       CAST(1 + h64 % 2 AS INT) AS channels,
+       CAST(8000 * (1 + h64 % 3) AS INT) AS sample_rate,
+       CAST(2 * (1 + h64 % 2) AS INT) AS block_align,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST((1 + h64 % 5) * (1 + h64 % 2) * 2 AS BIGINT) AS data_len,
+       CAST(1 + h64 % 5 AS INT) AS n_frames
+FROM h
+"""
+
+
 PNG_BYTES_SCHEMA = "doc_id bigint, png binary"
 
 
@@ -1482,6 +1566,8 @@ FROM h
 SPECS: dict[str, QuerySpec] = {
     "mm_png_header_parse": QuerySpec(mm_png_header_parse,
                                      MM_PNG_HEADER_ORACLE),
+    "mm_wav_header_parse": QuerySpec(mm_wav_header_parse,
+                                     MM_WAV_HEADER_ORACLE),
     "mm_decode_stub": QuerySpec(mm_decode_stub, MM_DECODE_ORACLE),
     "mm_audio_trim_silence": QuerySpec(mm_audio_trim_silence,
                                        MM_AUDIO_TRIM_ORACLE),

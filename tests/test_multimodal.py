@@ -637,3 +637,29 @@ def test_png_header_parse_fields_match_decoder(spark, sf_dir):
     # projection: the header parse itself adds no Python evaluation.
     assert plan.count("ArrowEvalPython") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_wav_header_parse_fields_match_decoder(spark, sf_dir):
+    """LE-parsed fmt/data fields must agree with the actual RIFF
+    decoder reading the same bytes; geometry identity data_len =
+    n_frames·block_align must hold on every row."""
+    from data_ingestion_worker_spark.functions.audiocodec import decode_wav
+    from data_ingestion_worker_spark.operators.multimodal import (
+        WAV_BYTES_SCHEMA, mm_wav_header_parse, wav_encode_only, with_payload,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in mm_wav_header_parse(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = with_payload(docs).mapInPandas(
+        wav_encode_only, WAV_BYTES_SCHEMA).collect()
+    assert len(got) == len(wavs)
+    for row in wavs:
+        wav = decode_wav(bytes(row.wav))
+        r = got[row.doc_id]
+        assert r.riff_ok and r.wave_ok
+        assert (r.channels, r.sample_rate) == (wav.channels,
+                                               wav.sample_rate)
+        assert r.n_frames == wav.n_frames
+        assert r.audio_format == 1 and r.bits_per_sample == 16
+        assert r.data_len == r.n_frames * r.block_align
