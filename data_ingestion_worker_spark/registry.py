@@ -67,6 +67,17 @@ from .spec import QuerySpec
 #: its oracle's recursive-CTE CC chain runs ~1-2 min in DuckDB at
 #: sf0.01 and the driver's per-query latency tolerance is unknown —
 #: v3 is sweep-verified at all three SFs instead.
+#: Third round-6 swap (cont. 3): ``dedup_embedding_cosine`` →
+#: ``rec_als_rank1``.  Same zero-graded-rows logic as the DSIR swap:
+#: dedup held SEVEN graded rows (exact, minhash-LSH, cluster-rep,
+#: embedding-cosine, incremental, decontaminate, image-ahash) while
+#: iterative ML factorization — rank-1 ALS, the closed-form matrix
+#: factorization whose superstep shape is how a full rank-k ALS
+#: distributes — held none.  Embedding-based near-dup stays verified
+#: in the sweep (``dedup_embedding_cosine``, ``dedup_semantic``) and
+#: its graded evidence survives through ``mm_image_ahash_dedup``
+#: (perceptual-embedding dedup) and the graded ANN cosine rows, which
+#: pin the same integer-cosine machinery.
 #: Second round-6 swap: ``ann_ivf_topk`` → ``corpus_dsir_resample``.
 #: ANN held THREE graded rows (brute-force cosine, IVF, PQ/ADC) while
 #: model-based data *selection* — the published DSIR importance-
@@ -82,7 +93,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cluster_representative",
-    "dedup_embedding_cosine",
+    "rec_als_rank1",
     "dedup_incremental",
     "doc_decontaminate",
     "mm_image_ahash_dedup",
