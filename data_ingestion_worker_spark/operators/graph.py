@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64, hash64_sql
 from ..spec import QuerySpec
 from ..tables import load_table
 
@@ -1739,7 +1740,124 @@ FROM {prev}
 SSSP_ORACLE = _sssp_oracle()
 
 
+#: Random-walk sampling: walk length and the seed stride (every
+#: WALK_SEED_MOD-th supplier node starts one walk).
+WALK_STEPS = 4
+WALK_SEED_MOD = 10
+
+
+def graph_random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the customer–supplier
+    graph: from every ``WALK_SEED_MOD``-th supplier, a ``WALK_STEPS``-hop
+    walk whose "random" neighbor choice at each step is the argmin of
+    the cross-engine hash ``h(seed:step:dst)`` — the DeepWalk/node2vec
+    sampling primitive (walk corpora feed embedding trainers), made
+    re-shard-stable the same way every draw in this engine is.
+
+    Each step is one shuffle join (frontier ⋈ edges on the current
+    node) followed by a per-walk argmin — min_by on the hash, a
+    combiner-friendly aggregate, never a window over the edge fan-out.
+    The frontier stays one row per walk.  The argmin key is the
+    zero-padded hash string concatenated with the dst — ONE totally
+    ordered VARCHAR both engines compare identically, so even a
+    60-bit hash collision (absent in practice) breaks ties the same
+    way.  The oracle unrolls the same steps.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    supplier = load_table(spark, sf_dir, "supplier")
+    seeds = (
+        supplier.where(F.col("s_suppkey") % WALK_SEED_MOD == 0)
+        .select((F.col("s_suppkey") * 2 + 1).cast("long").alias("seed"))
+    )
+    walk = seeds.select(
+        "seed", F.col("seed").alias("node"),
+        F.lit(0).cast("int").alias("step"),
+    ).localCheckpoint(eager=False)
+    out = walk
+    for s in range(1, WALK_STEPS + 1):
+        hop = (
+            walk.join(edges, walk.node == edges.src)
+            .select(
+                "seed",
+                F.col("dst"),
+                hash64(F.concat(
+                    F.col("seed").cast("string"), F.lit(f":{s}:"),
+                    F.col("dst").cast("string"))).alias("h"),
+            )
+            .select(
+                "seed",
+                F.concat(
+                    F.lpad(F.col("h").cast("string"), 19, "0"),
+                    F.lit(":"), F.col("dst").cast("string"),
+                ).alias("pick_key"),
+            )
+            .groupBy("seed")
+            .agg(F.min("pick_key").alias("pick"))
+            .select(
+                "seed",
+                F.split(F.col("pick"), ":").getItem(1)
+                .cast("long").alias("node"),
+                F.lit(s).cast("int").alias("step"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(hop)
+        walk = hop
+    return out.select(
+        "seed", "step",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").alias("key"),
+    )
+
+
+def _walk_oracle(steps: int = WALK_STEPS) -> str:
+    parts = []
+    prev = "w0"
+    h = hash64_sql("CAST(seed AS VARCHAR) || ':{s}:' || "
+                   "CAST(e.dst AS VARCHAR)")
+    for s in range(1, steps + 1):
+        parts.append(f"""
+w{s} AS MATERIALIZED (
+  SELECT seed,
+         CAST(string_split(min(lpad(CAST({h.replace('{s}', str(s))}
+                  AS VARCHAR), 19, '0') || ':'
+                  || CAST(e.dst AS VARCHAR)), ':')[2] AS BIGINT) AS node,
+         {s} AS step
+  FROM {prev} w JOIN edges e ON e.src = w.node
+  GROUP BY seed
+)""")
+        prev = f"w{s}"
+    sel = "\nUNION ALL\n".join(
+        f"SELECT seed, step, node FROM w{s}" for s in range(steps + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+w0 AS (
+  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS seed,
+         CAST(s_suppkey * 2 + 1 AS BIGINT) AS node, 0 AS step
+  FROM supplier WHERE s_suppkey % {WALK_SEED_MOD} = 0
+),{",".join(parts)}
+SELECT seed, CAST(step AS INT) AS step,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key
+FROM ({sel})
+"""
+
+
+RANDOM_WALK_ORACLE = _walk_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "graph_random_walk_sample": QuerySpec(graph_random_walk_sample,
+                                          RANDOM_WALK_ORACLE),
     "graph_sssp_weighted": QuerySpec(graph_sssp_weighted, SSSP_ORACLE),
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),

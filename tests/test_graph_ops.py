@@ -500,3 +500,41 @@ def test_sssp_weighted_matches_python_bellman_ford(spark, sf_dir):
     assert got == expect
     assert got[("supplier", seed // 2)] == 0
     assert all(v >= 0 for v in got.values())
+
+
+def test_random_walk_follows_edges_and_hash_argmin(spark, sf_dir):
+    """Every consecutive (step, step+1) pair must be a real edge, and
+    each transition must be the true hash-argmin over the current
+    node's neighbors (recomputed with hashlib)."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_ingestion_worker_spark.operators.graph import (
+        WALK_SEED_MOD, WALK_STEPS, _edges, graph_random_walk_sample,
+    )
+
+    rows = graph_random_walk_sample(spark, sf_dir).collect()
+    assert rows
+    adj = defaultdict(set)
+    for r in _edges(spark, sf_dir).collect():
+        adj[r.src].add(r.dst)
+
+    def node_id(r):
+        return r.key * 2 + (0 if r.kind == "customer" else 1)
+
+    walks = defaultdict(dict)
+    for r in rows:
+        walks[r.seed][r.step] = node_id(r)
+    for seed, path in walks.items():
+        assert seed % 2 == 1 and (seed // 2) % WALK_SEED_MOD == 0
+        assert set(path) == set(range(WALK_STEPS + 1))
+        assert path[0] == seed
+        for s in range(1, WALK_STEPS + 1):
+            cur, nxt = path[s - 1], path[s]
+            neigh = adj[cur]
+            assert nxt in neigh, (seed, s)
+            def key(d):
+                h = int(hashlib.md5(
+                    f"{seed}:{s}:{d}".encode()).hexdigest()[:15], 16)
+                return f"{h:019d}:{d}"
+            assert key(nxt) == min(key(d) for d in neigh), (seed, s)
