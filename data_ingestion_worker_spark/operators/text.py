@@ -994,6 +994,102 @@ _LM_TERM = (
 )
 
 
+#: Kneser-Ney term: with discount d = 3/4,
+#:   P_KN(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/B
+#:              = ((4·c12 − 3)·B + 3·n1f·n1b) / (4·c1·B)
+#: — an exact integer rational, so −log₂p is a difference of two log₂
+#: of BIGINTs, floor-quantized at 1e-4 bits on its own row.
+_KN_TERM = (
+    "CAST(floor(CAST(10000 AS DOUBLE) * ("
+    "log2(CAST(4 AS DOUBLE) * c1 * b) - "
+    "log2(CAST(4 * c12 - 3 AS DOUBLE) * b "
+    "+ CAST(3 AS DOUBLE) * n1f * n1b))) AS BIGINT)"
+)
+
+
+def doc_lm_xent_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram LM (absolute discount d = 3/4) — the smoothing real LM
+    toolkits (KenLM, SRILM) actually use: probability mass freed by
+    discounting observed bigrams is re-spent proportionally to each
+    word's CONTINUATION diversity ``N1+(·w2)`` rather than its raw
+    frequency, which is what makes KN beat add-one on burst words
+    ("francisco" is frequent but only ever follows "san").
+
+    Exactness: with d = 3/4, P_KN is the exact integer rational
+    ``((4·c12−3)·B + 3·N1+(w1·)·N1+(·w2)) / (4·c1·B)``; each bigram's
+    −log₂p is a difference of logs of exact integers, floor-quantized
+    on its own row (the add-one op's convention).
+
+    Scale shape: identical to :func:`doc_lm_xent_proxy` plus two more
+    combiner-friendly model aggregates (forward/backward continuation
+    counts, both bounded by vocabulary) and the one-row bigram-type
+    scalar — the big intermediates still partition by bigram/word.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+        .filter(F.size("t") >= 2)
+    bigs = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2))"
+        )).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"),
+             F.col("p.w2").alias("w2")) \
+        .localCheckpoint(eager=False)   # model counts AND scoring
+    c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")) \
+        .localCheckpoint(eager=False)   # counts AND both continuation aggs
+    c1 = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1f = c12.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    b = c12.agg(F.count(F.lit(1)).alias("b"))
+    scored = (
+        bigs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(n1f, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(b))
+        .select("doc_id", F.expr(_KN_TERM).alias("term"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term").alias("xent_q"),
+        F.expr("sum(term) div count(1)").alias("mean_xent_q"),
+    )
+
+
+LM_XENT_KN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS gs(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY 1),
+n1b AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+bt AS (SELECT count(*) AS b FROM c12),
+scored AS (
+  SELECT big.doc_id, {_KN_TERM} AS term
+  FROM big
+  JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+  JOIN c1 ON big.w1 = c1.w1
+  JOIN n1f ON big.w1 = n1f.w1
+  JOIN n1b ON big.w2 = n1b.w2
+  CROSS JOIN bt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS xent_q,
+       CAST(sum(term) // count(*) AS BIGINT) AS mean_xent_q
+FROM scored GROUP BY 1
+"""
+
+
 def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under a corpus bigram language model
     (add-one smoothing) — the KenLM-style perplexity-filter proxy used
@@ -1559,6 +1655,7 @@ SPECS: dict[str, QuerySpec] = {
     "corpus_zipf_fit": QuerySpec(corpus_zipf_fit, ZIPF_FIT_ORACLE),
     "doc_policy_flags": QuerySpec(doc_policy_flags, POLICY_FLAGS_ORACLE),
     "doc_lm_xent_proxy": QuerySpec(doc_lm_xent_proxy, LM_XENT_ORACLE),
+    "doc_lm_xent_kn": QuerySpec(doc_lm_xent_kn, LM_XENT_KN_ORACLE),
     "corpus_quality_xent_corr": QuerySpec(corpus_quality_xent_corr,
                                           QUALITY_XENT_CORR_ORACLE),
     "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_ORACLE),

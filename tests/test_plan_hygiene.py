@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
+    "doc_lm_xent_kn",      # one-row bigram-type-count scalar cross
     "doc_quality_classifier",  # one-row (Npos, Nneg, V) model scalar
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
@@ -229,6 +230,7 @@ SP_ALLOWED = {
     "stats_psi_drift",          # one-row span/decile/total scalars
     "ev_churn_features",        # one-row reference-timestamp scalar
     "doc_lm_xent_proxy",        # one-row vocabulary-size scalar
+    "doc_lm_xent_kn",           # one-row bigram-type-count scalar
     "ev_funnel_strict_window",  # one-row funnel-count scalar
     "emb_outlier_knn",          # one-row p95 scalar over the sample
     "profile_partition_balance",  # one-row total scalar

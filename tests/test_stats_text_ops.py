@@ -2118,3 +2118,54 @@ def test_binseg_matches_python_argmax_and_finds_planted_shift(spark, sf_dir):
     counts = [100] * 30 + [160] * 30
     t_star, _ = argmax_split(counts)
     assert t_star == 30
+
+
+def test_kn_xent_matches_python_model(spark, sf_dir):
+    """The KN model recomputed in plain Python (counts, continuation
+    counts, the d=3/4 rational, per-term quantization) — identical
+    per-doc sums; every smoothed probability must lie in (0, 1]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.text import doc_lm_xent_kn
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.doc_id: r for r in doc_lm_xent_kn(spark, sf_dir).collect()}
+
+    # same tokenization as the operator (trim/lower/whitespace split)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("CASE WHEN length(trim(lower(text))) = 0 "
+                         "THEN array() ELSE split(trim(lower(text)), "
+                         "'\\\\s+') END").alias("t")).collect()
+    bigrams = []
+    per_doc = defaultdict(list)
+    for d in docs:
+        t = list(d.t)
+        if len(t) < 2:
+            assert d.doc_id not in got
+            continue
+        bs = list(zip(t[:-1], t[1:]))
+        bigrams.extend(bs)
+        per_doc[d.doc_id] = bs
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    n1f = Counter(w1 for w1, _ in c12)
+    n1b = Counter(w2 for _, w2 in c12)
+    b = len(c12)
+    for doc, bs in per_doc.items():
+        total = 0
+        for w1, w2 in bs:
+            num = (4 * c12[(w1, w2)] - 3) * b + 3 * n1f[w1] * n1b[w2]
+            den = 4 * c1[w1] * b
+            p = num / den
+            assert 0.0 < p <= 1.0 + 1e-12, (w1, w2, p)
+            total += math.floor(1e4 * (math.log2(float(4 * c1[w1] * b))
+                                       - math.log2(float((4 * c12[(w1, w2)]
+                                                          - 3) * b)
+                                                   + 3.0 * n1f[w1]
+                                                   * n1b[w2])))
+        r = got[doc]
+        assert (r.n_bigrams, r.xent_q) == (len(bs), total), doc
+        assert r.mean_xent_q == total // len(bs)
