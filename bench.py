@@ -129,6 +129,12 @@ HEADLINE = [
     # relational relaxation shape, each round one shuffle join).
     "stats_corr_matrix",
     "graph_sssp_weighted",
+    # The two model-table flagships added late in round 6: rank-1 ALS
+    # (3 alternation supersteps — the iterative-factorization cost) and
+    # the Kneser-Ney LM (two extra continuation-count model aggregates
+    # over the add-one proxy's shape).
+    "rec_als_rank1",
+    "doc_lm_xent_kn",
 ]
 
 
