@@ -471,6 +471,104 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user behavioural Markov chain: the
+    conditional entropy H(next | current) per state, occupancy-weighted
+    into the chain's bits-per-event rate — the compressibility number
+    for a behaviour stream (how predictable users are; the information-
+    theoretic sibling of :func:`ev_markov_transitions`).
+
+    Exactness: every entropy term is ``n_ij·(log₂n_i − log₂n_ij)/n_i``
+    over exact integer counts, floor-quantized to micro-bits on its own
+    pair row; per-state sums and the occupancy weighting
+    ``Σ n_i·H_i / N`` are then exact integer arithmetic.
+
+    Scale: the pair counts are the transitions op's |types|²-row
+    aggregate; everything after runs on that bounded matrix, with the
+    total-pairs scalar attached as a one-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    with_row = pairs.select(
+        "from_type", "n",
+        F.sum("n").over(tot).cast("bigint").alias("n_i"),
+    )
+    term = F.floor(
+        F.col("n").cast("double")
+        * (F.log2(F.col("n_i")) - F.log2(F.col("n")))
+        * F.lit(1000000.0) / F.col("n_i").cast("double")
+    ).cast("long")
+    per_state = (
+        with_row.select("from_type", "n_i", term.alias("t"))
+        .groupBy("from_type")
+        .agg(F.max("n_i").alias("n_from"),
+             F.sum("t").alias("h_cond_micro"))
+        .localCheckpoint(eager=False)   # rows AND the rate scalar
+    )
+    rate = per_state.agg(
+        F.sum("n_from").alias("n_total"),
+        F.expr("CAST(sum(n_from * h_cond_micro) div sum(n_from) "
+               "AS BIGINT)").alias("rate_micro"),
+    )
+    return per_state.crossJoin(F.broadcast(rate)).select(
+        "from_type",
+        F.col("n_from").cast("long").alias("n_from"),
+        F.col("h_cond_micro").cast("long").alias("h_cond_micro"),
+        F.expr("(1000000 * n_from) div n_total").alias("occupancy_ppm"),
+        F.col("rate_micro").cast("long").alias("entropy_rate_micro"),
+    )
+
+
+MARKOV_ENTROPY_ORACLE = """
+WITH pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  )
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+with_row AS (
+  SELECT from_type, n,
+         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_i
+  FROM pairs
+),
+per_state AS (
+  SELECT from_type, max(n_i) AS n_from,
+         sum(CAST(floor(CAST(n AS DOUBLE)
+                        * (log2(n_i) - log2(n))
+                        * 1000000.0 / CAST(n_i AS DOUBLE)) AS BIGINT))
+           AS h_cond_micro
+  FROM with_row GROUP BY 1
+),
+rate AS (
+  SELECT sum(n_from) AS n_total,
+         sum(n_from * h_cond_micro) // sum(n_from) AS rate_micro
+  FROM per_state
+)
+SELECT from_type,
+       CAST(n_from AS BIGINT) AS n_from,
+       CAST(h_cond_micro AS BIGINT) AS h_cond_micro,
+       (1000000 * CAST(n_from AS BIGINT)) // CAST(n_total AS BIGINT)
+         AS occupancy_ppm,
+       CAST(rate_micro AS BIGINT) AS entropy_rate_micro
+FROM per_state, rate
+"""
+
+
 MARKOV_ORACLE = """
 WITH pairs AS (
   SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
@@ -3070,6 +3168,8 @@ SPECS: dict[str, QuerySpec] = {
                                     FFT_PERIODOGRAM_ORACLE),
     "ev_binseg_changepoint": QuerySpec(ev_binseg_changepoint,
                                        BINSEG_ORACLE),
+    "ev_markov_entropy_rate": QuerySpec(ev_markov_entropy_rate,
+                                        MARKOV_ENTROPY_ORACLE),
     "ev_winsorized_mean": QuerySpec(ev_winsorized_mean,
                                     WINSORIZED_MEAN_ORACLE),
     "ev_kendall_tau_daily": QuerySpec(ev_kendall_tau_daily, KENDALL_ORACLE),

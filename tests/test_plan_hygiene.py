@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "corpus_mix_sample",   # one-row min-lang-count broadcast cross join
     "sketch_hll_union",    # one-row merged-registers x one-row exact count
     "ev_markov_stationary",  # one-row state-count broadcast cross join
+    "ev_markov_entropy_rate",  # one-row rate scalar broadcast cross
     "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
@@ -196,6 +197,7 @@ SP_ALLOWED = {
                                 # at one row (constant size, not data)
     "corpus_dup_quality_profile",  # same injected bloom-filter subquery
     "ev_markov_stationary",     # one-row state-count scalar
+    "ev_markov_entropy_rate",   # one-row occupancy-rate scalar
     "stats_benford",            # total window over the <=9-digit agg
     "corpus_growth_curve",      # one-row max-id scalar + cum window over
                                 # the <=10 decile rows

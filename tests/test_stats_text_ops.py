@@ -2169,3 +2169,49 @@ def test_kn_xent_matches_python_model(spark, sf_dir):
         r = got[doc]
         assert (r.n_bigrams, r.xent_q) == (len(bs), total), doc
         assert r.mean_xent_q == total // len(bs)
+
+
+def test_markov_entropy_rate_matches_python(spark, sf_dir):
+    """Per-state conditional entropy and the occupancy-weighted rate
+    recomputed in plain Python; information bounds hold: 0 ≤ H_i ≤
+    log2(#successors), and the rate is inside [min H_i, max H_i]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from data_ingestion_worker_spark.operators.events import (
+        ev_markov_entropy_rate,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    got = {r.from_type: r
+           for r in ev_markov_entropy_rate(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type").collect()
+    streams = defaultdict(list)
+    for r in ev:
+        streams[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = Counter()
+    for u, rows in streams.items():
+        rows.sort()
+        for a, b in zip(rows, rows[1:]):
+            pairs[(a[2], b[2])] += 1
+    n_i = Counter()
+    for (f, _), c in pairs.items():
+        n_i[f] += c
+    h = {}
+    for f, nf in n_i.items():
+        h[f] = sum(math.floor(c * (math.log2(nf) - math.log2(c))
+                              * 1e6 / nf)
+                   for (ff, _), c in pairs.items() if ff == f)
+    n_tot = sum(n_i.values())
+    rate = sum(n_i[f] * h[f] for f in h) // n_tot
+    assert set(got) == set(h)
+    for f, r in got.items():
+        assert (r.n_from, r.h_cond_micro) == (n_i[f], h[f]), f
+        assert r.occupancy_ppm == (1000000 * n_i[f]) // n_tot
+        assert r.entropy_rate_micro == rate
+        succ = sum(1 for (ff, _) in pairs if ff == f)
+        assert -len(pairs) <= r.h_cond_micro \
+            <= math.ceil(math.log2(succ) * 1e6) + len(pairs)
+    assert min(x.h_cond_micro for x in got.values()) - 1 <= rate \
+        <= max(x.h_cond_micro for x in got.values()) + 1
