@@ -727,6 +727,74 @@ FROM pc JOIN nn ON pc.community = nn.community CROSS JOIN d
 MODULARITY_ORACLE = _lpa_oracle(tail=MODULARITY_TAIL)
 
 
+def graph_community_conductance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Conductance of every LPA community — modularity's cut-based
+    companion: ``φ_c = cut_c / min(vol_c, 2m − vol_c)`` (fraction of a
+    community's edge volume that escapes it; low φ = well-separated).
+    Modularity rewards density above random expectation; conductance
+    directly prices the CUT, which is what a partitioner (or a
+    bucketing layout derived from communities) actually pays at scale.
+
+    Integer-exact: over the directed edge list, vol_c = edges leaving
+    the community's nodes (exact count), cut_c = vol_c − intra_dir, D =
+    2m a one-row scalar — conductance in integer ppm.
+
+    Scale: the LPA rounds dominate; scoring is one edges⋈labels⋈labels
+    join (shuffle on node) + a per-community aggregate, exactly the
+    modularity plan with a different readout.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = _lpa_labels(edges)
+    lu, lv = labels.alias("lu"), labels.alias("lv")
+    per_c = (
+        edges.join(lu, edges.src == F.col("lu.node"))
+        .join(lv, edges.dst == F.col("lv.node"))
+        .groupBy(F.col("lu.label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("vol"),
+            F.sum((F.col("lu.label") == F.col("lv.label")).cast("long"))
+            .alias("intra_dir"),
+        )
+        .localCheckpoint(eager=False)   # rows AND the D scalar
+    )
+    d = per_c.agg(F.sum("vol").alias("dd"))
+    out = per_c.crossJoin(F.broadcast(d)).select(
+        "community",
+        F.col("vol").cast("long").alias("vol"),
+        (F.col("vol") - F.col("intra_dir")).cast("long")
+        .alias("cut_edges"),
+        F.least(F.col("vol"), F.col("dd") - F.col("vol")).alias("denom"),
+    )
+    return out.where(F.col("denom") > 0).select(
+        "community", "vol", "cut_edges",
+        F.expr("(1000000 * cut_edges) div denom").alias("conductance_ppm"),
+    )
+
+
+CONDUCTANCE_TAIL = """
+, nodes AS (SELECT node, label FROM {prev}),
+pc AS (
+  SELECT lu.label AS community,
+         CAST(count(*) AS BIGINT) AS vol,
+         CAST(sum(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS intra_dir
+  FROM edges e JOIN nodes lu ON e.src = lu.node
+               JOIN nodes lv ON e.dst = lv.node
+  GROUP BY 1
+),
+d AS (SELECT CAST(sum(vol) AS BIGINT) AS dd FROM pc)
+SELECT community, vol,
+       CAST(vol - intra_dir AS BIGINT) AS cut_edges,
+       (1000000 * (vol - intra_dir)) // least(vol, dd - vol)
+         AS conductance_ppm
+FROM pc, d
+WHERE least(vol, dd - vol) > 0
+"""
+
+CONDUCTANCE_ORACLE = _lpa_oracle(tail=CONDUCTANCE_TAIL)
+
+
 #: Hub cutoff for common-neighbor similarity: customers linked to more
 #: than this many suppliers are dropped before pairing (the graph twin
 #: of the shingle DF cutoff — a hub's pair expansion is O(deg²) and its
@@ -1859,6 +1927,8 @@ SPECS: dict[str, QuerySpec] = {
     "graph_random_walk_sample": QuerySpec(graph_random_walk_sample,
                                           RANDOM_WALK_ORACLE),
     "graph_sssp_weighted": QuerySpec(graph_sssp_weighted, SSSP_ORACLE),
+    "graph_community_conductance": QuerySpec(graph_community_conductance,
+                                             CONDUCTANCE_ORACLE),
     "graph_pagerank": QuerySpec(graph_pagerank, PAGERANK_ORACLE),
     "graph_hits": QuerySpec(graph_hits, HITS_ORACLE),
     "graph_closeness_landmarks": QuerySpec(graph_closeness_landmarks,

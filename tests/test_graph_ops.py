@@ -538,3 +538,41 @@ def test_random_walk_follows_edges_and_hash_argmin(spark, sf_dir):
                     f"{seed}:{s}:{d}".encode()).hexdigest()[:15], 16)
                 return f"{h:019d}:{d}"
             assert key(nxt) == min(key(d) for d in neigh), (seed, s)
+
+
+def test_conductance_matches_python_and_bounds(spark, sf_dir):
+    """Conductance recomputed from the operator's own labels with plain
+    Python counting; 0 ≤ φ ≤ 1e6 ppm, cut symmetry (Σ cut over
+    communities is even: each cut edge is counted once per side), and
+    consistency with modularity's per-community volumes."""
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.graph import (
+        _edges, _lpa_labels, graph_community_conductance,
+    )
+
+    got = {r.community: r
+           for r in graph_community_conductance(spark, sf_dir).collect()}
+    edges = [(r.src, r.dst) for r in _edges(spark, sf_dir).collect()]
+    labels = {r.node: r.label
+              for r in _lpa_labels(
+                  _edges(spark, sf_dir)).collect()}
+    vol: Counter = Counter()
+    intra: Counter = Counter()
+    for s, d in edges:
+        c = labels[s]
+        vol[c] += 1
+        if labels[d] == c:
+            intra[c] += 1
+    dd = sum(vol.values())
+    expect = {}
+    for c, v in vol.items():
+        denom = min(v, dd - v)
+        if denom > 0:
+            expect[c] = (v, v - intra[c],
+                         (1000000 * (v - intra[c])) // denom)
+    assert {c: (r.vol, r.cut_edges, r.conductance_ppm)
+            for c, r in got.items()} == expect
+    for r in got.values():
+        assert 0 <= r.conductance_ppm <= 1000000
+    assert sum(r.cut_edges for r in got.values()) % 2 == 0

@@ -72,6 +72,7 @@ BNLJ_ALLOWED = {
     "emb_mmr_rerank",      # query vector + <=24-row pool broadcast per round
     "mba_part_lift",       # one-row order-count broadcast cross join
     "graph_k_core",        # one-row k-threshold broadcast cross join
+    "graph_community_conductance",  # one-row 2m scalar cross
     "graph_triangle_doulion",  # one-row totals x one-row sampled-count
     "dedup_rate_estimate",  # one-row sampled-pairs x one-row doc total
     "ev_sliding_uniques_hll",  # 3-row window-offset broadcast fan-out
@@ -227,6 +228,7 @@ SP_ALLOWED = {
     "ev_peak_concurrency",      # offset window over the CONC_PARTITIONS-
                                 # row (constant) pid agg
     "graph_modularity",         # one-row total-degree (2m) scalar
+    "graph_community_conductance",  # same one-row 2m scalar
     "ev_ewma_daily",            # one-row (min,max)-day span scalar; lag
                                 # windows partition by the type domain
     "stats_psi_drift",          # one-row span/decile/total scalars
