@@ -6,7 +6,11 @@ ONE final aggregation buffer; over billions of distinct cents / delay /
 quantized-xent values that single buffer is the last driver-side
 bottleneck class in the engine (round-5 verdict, "What's wrong" #3).
 This helper computes the *same* order statistic with bounded state
-everywhere:
+everywhere (one documented boundary: on inputs containing BOTH signed
+zeros, the builtin aggregate's Java total order puts −0.0 before 0.0
+while this helper's SQL sort normalizes them — equal values, possibly
+different zero sign; unreachable from the engine's decimal/count/
+quantization-derived measures — see tests/test_quantiles.py):
 
 1. range-repartition the values (``repartitionByRange`` — equal values
    can never straddle a partition boundary, so per-partition ranks plus
