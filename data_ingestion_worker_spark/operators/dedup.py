@@ -1749,10 +1749,16 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     speak eval's language" — the corpus-adequacy number a model team
     reads before blaming the sampler for a bad benchmark.
 
-    Scale: the eval shingle set is tiny and broadcast; the training
-    shingles are scanned once (semi-join, no shuffle of the corpus);
-    only the covered-shingle set — bounded by the eval set's size —
-    is shuffled for the distinct.  Integer ppm readout.
+    Scale: the eval slice here is ``doc_id % EVAL_MOD == 0`` (~1% of
+    corpus shingles), so the broadcast holds only while that slice fits
+    the broadcast threshold — a fixture-friendly hint, not a 100 TB
+    invariant.  At the 100 TB target the eval side grows with the
+    corpus: drop the ``F.broadcast`` and let AQE pick the join (a
+    shuffle semi-join on ``shingle`` is the real shape; the training
+    corpus is still scanned once, and only shingle keys shuffle — never
+    documents).  Integer ppm readout.  (Real decontamination against a
+    FIXED benchmark suite — ``doc_decontaminate`` — does stay
+    broadcast-sized, since benchmarks don't grow with the corpus.)
     """
     sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0

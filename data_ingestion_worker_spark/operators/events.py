@@ -481,7 +481,12 @@ def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: every entropy term is ``n_ij·(log₂n_i − log₂n_ij)/n_i``
     over exact integer counts, floor-quantized to micro-bits on its own
     pair row; per-state sums and the occupancy weighting
-    ``Σ n_i·H_i / N`` are then exact integer arithmetic.
+    ``Σ n_i·H_i / N`` are then exact integer arithmetic.  Accepted
+    risk: ``log₂`` is libm-dependent, so if a term's micro-bit product
+    lands EXACTLY on an integer boundary a 1-ulp JVM/DuckDB divergence
+    flips the floor by ±1 (see ``graph._AA_WEIGHTS``).  Integer-count
+    log arguments make boundary landings measure-zero in practice; no
+    flake observed across the 3-SF sweep.
 
     Scale: the pair counts are the transitions op's |types|²-row
     aggregate; everything after runs on that bounded matrix, with the

@@ -363,10 +363,11 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     giant partition.
 
     Determinism: the ppm readouts are ``floor`` over ONE division of
-    two exact BIGINT-derived doubles — bigint→double conversion and
-    IEEE division are bit-identical in both engines at any magnitude
-    (unlike decimal division, whose quotient-scale rounding rules
-    differ).
+    exact integer-derived doubles — the nv² sum is carried in
+    DECIMAL(38,0) (BIGINT would wrap at nv ~ 7e10, i.e. a
+    low-cardinality candidate over a 100 TB fact table) and converted
+    to double once; at test SFs the sum is < 2^53 so the conversion is
+    exact in both engines, and IEEE division is bit-identical.
 
     Scale: one hash aggregate per candidate over the value domain, a
     constant-size union — the fact table is scanned once per candidate
@@ -381,7 +382,12 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = hist.agg(
             F.count(F.lit(1)).alias("n_partitions"),
             F.sum("nv").alias("n"),
-            F.sum(F.col("nv") * F.col("nv")).alias("sq"),
+            # nv² in DECIMAL(38,0): at 100 TB a low-cardinality candidate
+            # (o_orderstatus, nv ~ 7e10) makes nv² > 2^63 — BIGINT would
+            # wrap (or raise under ANSI).  Same convention as the Welch /
+            # TOST squares in stats.py.
+            F.sum(F.col("nv").cast("decimal(38,0)")
+                  * F.col("nv").cast("decimal(38,0)")).alias("sq"),
             F.max("nv").alias("mx"),
         )
         outs.append(agg.select(
@@ -407,7 +413,7 @@ def _partition_advisor_oracle() -> str:
         sqls.append(f"""
 SELECT '{name}' AS candidate,
        CAST(count(*) AS BIGINT) AS n_partitions,
-       CAST(floor(CAST(sum(nv * nv) AS DOUBLE) * 1000000.0
+       CAST(floor(CAST(sum(CAST(nv AS DECIMAL(38,0)) * CAST(nv AS DECIMAL(38,0))) AS DOUBLE) * 1000000.0
                   / (CAST(sum(nv) AS DOUBLE) * CAST(sum(nv) AS DOUBLE)))
             AS BIGINT) AS scan_frac_ppm,
        CAST(floor(CAST(max(nv) AS DOUBLE) * 1000000.0

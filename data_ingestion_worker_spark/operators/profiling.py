@@ -1339,7 +1339,12 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     like every random draw in this repo) pushed through the Laplace
     inverse CDF ``-sign(u-½)·ln(1-2|u-½|)/ε``; the ln term is floor-
     quantized to milli on its own row (the LLR convention), so the
-    released integers are bit-identical cross-engine.  A production
+    released integers are bit-identical cross-engine.  Accepted risk:
+    ``ln`` is libm-dependent; if the milli product lands exactly on an
+    integer boundary a 1-ulp JVM/DuckDB divergence flips the floor by
+    ±1.  The argument domain here is the finite grid
+    {2k/1e6 : k ≤ 499999}, none of whose ln·1e6/ε values is integral
+    (boundary landings are structurally excluded, not just unlikely).  A production
     release would draw fresh randomness per release and track an ε
     budget across queries — both seams are the salt literal and the
     constant below.

@@ -2125,10 +2125,14 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-group power sums (n, Σx, Σx²) in DECIMAL — one
     map-side-combinable hash aggregate over orders, then a 5-row
     reduction.  The between/within sum-of-squares need per-group
-    divisions (Σx_g²/n_g), so the final statistic is double; the inputs
-    to those divisions are exact, the group count is 5, and the result
-    is rounded at 1e-6 — ulp-order noise is ~1e-14 relative, far below
-    the rounding grain (same tolerance argument as ``agg_corr_exact``).
+    divisions (Σx_g²/n_g); each group's quotient is ONE division of
+    exact decimal-derived doubles (bit-identical in both engines), and
+    is floor-quantized to a BIGINT on its own row BEFORE the cross-group
+    sum — so the reduction is an integer sum, independent of shuffle
+    order (the chi2 convention; a raw double Σ of the quotients would
+    be order-dependent).  Unit grain keeps the sum < 2^63 even at
+    sf100 (px ~ 1e18); the ≤ k units of quantisation are identical in
+    both engines and ~1e-12 relative, far below the 1e-6 readout grain.
 
     Scale: the expensive part is the first aggregate (partial-agg
     combine, one shuffle of k rows per partition); everything after is
@@ -2147,10 +2151,12 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sx").cast("decimal(38,4)").alias("s_tot"),
         F.sum("sxx").cast("decimal(38,4)").alias("sxx_tot"),
         F.sum(
-            (F.col("sx") * F.col("sx")).cast("decimal(38,4)").cast("double")
-            / F.col("ng")
-        ).alias("px"),
-    )
+            F.floor(
+                (F.col("sx") * F.col("sx")).cast("decimal(38,4)")
+                .cast("double") / F.col("ng")
+            ).cast("long")
+        ).alias("px_units"),
+    ).withColumn("px", F.col("px_units").cast("double"))
     ssb = F.col("px") - (
         (F.col("s_tot") * F.col("s_tot")).cast("decimal(38,4)").cast("double")
         / F.col("n")
@@ -2180,7 +2186,8 @@ red AS (
   SELECT count(*) AS k, sum(ng) AS n,
          CAST(sum(sx) AS DECIMAL(38,4)) AS s_tot,
          CAST(sum(sxx) AS DECIMAL(38,4)) AS sxx_tot,
-         sum(CAST(CAST(sx * sx AS DECIMAL(38,4)) AS DOUBLE) / ng) AS px
+         CAST(sum(CAST(floor(CAST(CAST(sx * sx AS DECIMAL(38,4)) AS DOUBLE)
+                             / ng) AS BIGINT)) AS DOUBLE) AS px
   FROM per_group
 )
 SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
@@ -2317,7 +2324,11 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics: two-sided p = 2(1−Φ(|z|)) via the A&S polynomial CDF
     (identical IEEE expression both engines), floor-quantized to micro
-    on its own row; BH then ranks p ascending and rejects every pair
+    on its own row (accepted risk: the polynomial uses ``exp``, which
+    is libm-dependent — a p_micro landing exactly on an integer
+    boundary could floor apart by 1 ulp cross-engine; unobserved across
+    the 3-SF sweep, and a flip only matters if it also crosses the
+    step-up threshold); BH then ranks p ascending and rejects every pair
     up to the LARGEST rank i with ``p_i ≤ i·α/m`` — the step-up rule,
     decided with exact integer cross-multiplication on the quantized
     values (``p_micro·m ≤ i·α_micro``).

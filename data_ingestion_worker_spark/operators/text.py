@@ -1019,7 +1019,11 @@ def doc_lm_xent_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: with d = 3/4, P_KN is the exact integer rational
     ``((4·c12−3)·B + 3·N1+(w1·)·N1+(·w2)) / (4·c1·B)``; each bigram's
     −log₂p is a difference of logs of exact integers, floor-quantized
-    on its own row (the add-one op's convention).
+    on its own row (the add-one op's convention).  Accepted risk:
+    ``log₂`` is libm-dependent, so a micro-bit product landing exactly
+    on an integer boundary could floor apart by 1 cross-engine —
+    integer log arguments make that measure-zero-ish but not excluded;
+    unobserved across the 3-SF sweep.
 
     Scale shape: identical to :func:`doc_lm_xent_proxy` plus two more
     combiner-friendly model aggregates (forward/backward continuation
@@ -1597,6 +1601,11 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer micro-units BEFORE the per-document sum, so the
     reduction is an exact integer sum in any order (house float rule).
     Entropy then reads off the identity H = log2(n) − (Σ c·log2 c)/n.
+    Accepted risk: ``log2`` is libm-dependent; ``c·log2(c)·1e6`` landing
+    exactly on an integer would floor apart by 1 ulp cross-engine (only
+    possible boundary cases with integer c are exact powers of two,
+    where log2 is exact in BOTH libms — so the floor is stable there;
+    elsewhere boundary landings are measure-zero).
 
     Scale: explode to (doc, char) and hash-aggregate — the count shuffle
     is map-side combined down to (doc × alphabet) rows, so the shuffled
