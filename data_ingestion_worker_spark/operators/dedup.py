@@ -1104,29 +1104,76 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     )
 
 
-#: Shared WITH-prefix: LSH pairs -> undirected edges -> recursive
-#: reachability.  ``labels`` is the CC fixpoint both the plain CC oracle
-#: and the cluster-representative oracle select from.
+#: Unrolled min-label-propagation rounds for the CC oracle.  Empirical
+#: rounds-to-fixpoint on the fixture LSH graph: 3 at sf0.001, 2 at
+#: sf0.01, 3 at sf0.1 (near-dup clusters are shallow — diameter 2-3);
+#: 8 is a ~3× margin.  If a component's diameter ever exceeded the
+#: unroll, the oracle does NOT silently grade a wrong fixpoint: the
+#: ``labels`` CTE appends (-1, -1) sentinel rows whenever the last two
+#: rounds still differ, so the driver's hash compare fails loudly.
+_CC_ORACLE_ROUNDS = 8
+
+
+def _cc_label_rounds() -> str:
+    """One CTE per propagation round over edge-incident nodes only:
+    ``new(v) = min(old(v), min over edges (u,v) of old(u))`` — the same
+    superstep the Spark loop in :func:`dedup_connected_components`
+    executes, unrolled to a bounded chain (the ALS/SSSP oracle pattern
+    from ``tpch_ext``) instead of DuckDB's recursive all-pairs
+    reachability, which took 1-2 min at sf0.01 seeding the closure from
+    every document.  Each round is one join + one aggregate over the
+    edge subgraph.
+    """
+    rounds = []
+    prev = "l0"
+    for i in range(1, _CC_ORACLE_ROUNDS + 1):
+        cur = f"l{i}"
+        # AS MATERIALIZED is load-bearing: each round references its
+        # predecessor twice, so inlining would re-expand the whole
+        # LSH pipeline 2^rounds times (observed as a file-handle
+        # explosion before DuckDB even planned the query).
+        rounds.append(f"""{cur} AS MATERIALIZED (
+  SELECT e.dst AS doc_id,
+         min(least(ld.cluster_id, ls.cluster_id)) AS cluster_id
+  FROM edges e
+  JOIN {prev} ls ON ls.doc_id = e.src
+  JOIN {prev} ld ON ld.doc_id = e.dst
+  GROUP BY e.dst
+)""")
+        prev = cur
+    return ",\n".join(rounds)
+
+
+#: Shared WITH-prefix: LSH pairs -> undirected edges -> bounded
+#: label-propagation rounds.  ``labels`` is the CC fixpoint both the
+#: plain CC oracle and the cluster-representative oracle select from
+#: (isolated docs attach with label = own id, mirroring the Spark op).
 _CC_ORACLE_WITH = f"""
-WITH RECURSIVE {_SHINGLES_SQL.strip()},
+WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL.strip()},
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2
    AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM pairs
   UNION SELECT d2, d1 FROM pairs
 ),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges
 ),
+{_cc_label_rounds()},
 labels AS (
-  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+  SELECT d.doc_id, COALESCE(lk.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN l{_CC_ORACLE_ROUNDS} lk ON d.doc_id = lk.doc_id
+  UNION ALL
+  SELECT -1 AS doc_id, -1 AS cluster_id
+  FROM l{_CC_ORACLE_ROUNDS} a
+  JOIN l{_CC_ORACLE_ROUNDS - 1} b ON a.doc_id = b.doc_id
+  WHERE a.cluster_id <> b.cluster_id
 )
 """
 

@@ -526,8 +526,8 @@ def _curation_v3_oracle() -> str:
     # compose by taking the full CC WITH-block and appending the core
     # with its duplicate shingles definition stripped.
     cc_body = _CC_ORACLE_WITH.strip()
-    assert cc_body.startswith("WITH RECURSIVE ")
-    cc_body = cc_body[len("WITH RECURSIVE "):]
+    assert cc_body.startswith("WITH ")
+    cc_body = cc_body[len("WITH "):]
     core = _PIPELINE_CORE_SQL.strip()
     prefix = _SHINGLES_SQL.strip() + ","
     assert core.startswith(prefix)
@@ -535,7 +535,7 @@ def _curation_v3_oracle() -> str:
     expr = f"'{_SPLIT_SALT_CLUSTER}' || CAST(cluster_id AS VARCHAR)"
     cbucket = f"CAST({hash64_sql(expr)} % 100 AS INT)"
     return f"""
-WITH RECURSIVE {cc_body},
+WITH {cc_body},
 {core_rest},
 policy AS ({POLICY_FLAGS_ORACLE.strip()}),
 xent AS ({LM_XENT_ORACLE.strip()}),

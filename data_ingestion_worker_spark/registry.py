@@ -62,11 +62,17 @@ from .spec import QuerySpec
 #: zero-leakage guarantee the doc-keyed split cannot give — strictly
 #: stronger category evidence; the plain hash split stays in the local
 #: sweep and inside the graded funnel rows, which split by doc hash).
-#: ``pipeline_curation_v3`` (v2 + decontamination + cluster split) is
-#: deliberately NOT promoted over ``pipeline_curation_v2`` this round:
-#: its oracle's recursive-CTE CC chain runs ~1-2 min in DuckDB at
-#: sf0.01 and the driver's per-query latency tolerance is unknown —
-#: v3 is sweep-verified at all three SFs instead.
+#: Round-7 swap, same strongest-member rule: ``pipeline_curation_v2``
+#: → ``pipeline_curation_v3``.  v3 is v2 plus the two eval-integrity
+#: stages a production corpus build cannot skip (thresholded eval-set
+#: decontamination and the cluster-keyed leakage-free split), i.e. it
+#: executes every v2 stage and strictly subsumes its evidence.  The r6
+#: blocker — the v3 oracle's recursive-CTE connected-components chain
+#: ran 1-2 min in DuckDB at sf0.01 — is gone: the CC oracle is now an
+#: unrolled bounded-iteration label-propagation chain (the ALS/SSSP
+#: oracle pattern; 8 materialized rounds vs the observed ≤3-round
+#: fixpoint, with a loud non-convergence sentinel), bringing the v3
+#: oracle to ~0.2 s.  v2 stays verified in the local 3-SF sweep.
 #: Third round-6 swap (cont. 3): ``dedup_embedding_cosine`` →
 #: ``rec_als_rank1``.  Same zero-graded-rows logic as the DSIR swap:
 #: dedup held SEVEN graded rows (exact, minhash-LSH, cluster-rep,
@@ -104,7 +110,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "sketch_kmv_jaccard",
     "scd2_incremental_merge",
     "doc_lm_xent_proxy",
-    "pipeline_curation_v2",
+    "pipeline_curation_v3",
     "ev_cusum_changepoint",
     "split_by_cluster",
     "pack_sequences",
