@@ -35,9 +35,17 @@ double (|x| ≤ 2⁵³ for integers — true of every engine site: cents,
 day counts, quantized scores); Spark's percentile interpolates on
 doubles anyway, so the readout is unchanged.
 
-Differences from the aggregate form (documented, not observable at the
-engine's call sites): NULL values are ignored (same), but an empty
-input yields an empty frame rather than a single all-NULL row.
+Empty-input semantics match the aggregate form: an ungrouped call
+returns one all-NULL row, a grouped call an empty frame (NULL values
+are ignored in both, same as the aggregate).
+
+Round 7 additions: (a) histogram mode (``weight_col``) — repeat-heavy
+callers pre-aggregate to (value, count) so every cost scales with
+distinct values; (b) the ungrouped path computes the n_parts-row
+offset table and the final interpolation on the driver (control-plane
+collect, the consumer.py routing convention), removing the
+SinglePartition offset window, the explode/union target build and the
+per/pivot aggregates from the plan.
 """
 
 from __future__ import annotations
@@ -54,6 +62,7 @@ def distributed_exact_quantiles(
     probs: Sequence[tuple[str, float]],
     group_cols: Sequence[str] = (),
     count_alias: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact ``percentile(value_col, p)`` per group, distributed.
 
@@ -62,14 +71,28 @@ def distributed_exact_quantiles(
     column per alias, plus an optional BIGINT row count
     (``count_alias``).  Results are bit-identical to Spark's exact
     ``percentile`` aggregate for double-representable inputs.
+
+    weight_col: histogram mode — each input row stands for ``w ≥ 1``
+    copies of the value (``percentile(v, p, w)`` semantics).  Callers
+    whose values repeat heavily (integer cents, quantized scores)
+    pre-aggregate to ``(value, count)`` and pass the count here: every
+    downstream cost — the range-sampling pass, the shuffle, the rank
+    window — then scales with the number of DISTINCT values (domain-
+    bounded) instead of corpus rows.  Ranks index the expanded multiset
+    via per-partition running weight sums, so the readout is the same
+    order statistic bit-for-bit; duplicate values across histogram rows
+    are harmless (any row bracketing the target index carries the same
+    value).
     """
     g = list(group_cols)
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # Checkpoint the projection first: repartitionByRange runs a
     # *sampling* job over its child before the shuffle, which would
     # otherwise execute an expensive upstream subtree twice.
+    w_cols = [F.col(weight_col).cast("bigint").alias("_w")] \
+        if weight_col is not None else []
     v0 = (
-        df.select(*g, F.col(value_col).cast("double").alias("_v"))
+        df.select(*g, F.col(value_col).cast("double").alias("_v"), *w_cols)
         .filter(F.col("_v").isNotNull())
         .localCheckpoint(eager=False)
     )
@@ -82,7 +105,11 @@ def distributed_exact_quantiles(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    pc = v.groupBy(*g, "_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    if not g:
+        return _ungrouped_quantiles(v, probs, count_alias,
+                                    weighted=weight_col is not None)
+    cnt_expr = F.sum("_w") if weight_col is not None else F.count(F.lit(1))
+    pc = v.groupBy(*g, "_pid").agg(cnt_expr.alias("_cnt"))
     # The offset windows run over the constant-size (n_parts × |groups|)
     # count table, never over data — bounded-domain windows by
     # construction.
@@ -116,11 +143,35 @@ def distributed_exact_quantiles(
         )
     targets = halves[0].unionByName(halves[1])
     wr = Window.partitionBy(*(g + ["_pid"])).orderBy("_v")
-    ranked = v.withColumn(
-        "_lr", (F.row_number().over(wr) - F.lit(1)).cast("bigint")
-    )
     # targets is ≤ 2·|probs|·|groups| rows — always broadcastable.
-    vals = ranked.join(F.broadcast(targets), g + ["_pid", "_lr"])
+    if weight_col is None:
+        ranked = v.withColumn(
+            "_lr", (F.row_number().over(wr) - F.lit(1)).cast("bigint")
+        )
+        vals = ranked.join(F.broadcast(targets), g + ["_pid", "_lr"])
+    else:
+        # Histogram mode: a row covers expanded-multiset indexes
+        # [_cb, _cb + _w); the target's local rank falls in exactly one
+        # row's span.  Equi keys (group, _pid) keep this a broadcast
+        # HASH join — the span predicate rides along as a residual
+        # condition, so no nested-loop shape enters the plan.
+        ranked = v.withColumn(
+            "_cb",
+            (F.sum("_w").over(
+                wr.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+             - F.col("_w")).cast("bigint"),
+        )
+        t = targets
+        for c in ["_pid"] + g:
+            t = t.withColumnRenamed(c, f"_t_{c}")
+        cond = (F.col("_t__pid") == F.col("_pid")) \
+            & (F.col("_lr") >= F.col("_cb")) \
+            & (F.col("_lr") < F.col("_cb") + F.col("_w"))
+        for c in g:
+            cond = cond & (F.col(f"_t_{c}") == F.col(c))
+        vals = ranked.join(F.broadcast(t), cond) \
+            .drop("_cb", "_w", "_lr", *[f"_t_{c}" for c in ["_pid"] + g])
     per = vals.groupBy(*g, "_qa").agg(
         F.max("_pos").alias("_pos"),
         F.max(F.when(F.col("_b") == "lo", F.col("_v"))).alias("_vlo"),
@@ -138,8 +189,102 @@ def distributed_exact_quantiles(
         .agg(F.max("_q"))
     if count_alias is not None:
         nrow = off.select(*g, F.col("_n").alias(count_alias)).distinct()
-        if g:
-            out = out.join(F.broadcast(nrow), g)
-        else:
-            out = out.crossJoin(F.broadcast(nrow))
+        out = out.join(F.broadcast(nrow), g)
     return out
+
+
+def _ungrouped_quantiles(v: DataFrame, probs, count_alias,
+                         weighted: bool) -> DataFrame:
+    """Ungrouped fast path: the offset table is exactly ``n_parts`` rows
+    — control-plane size — so it is collected and the target (partition,
+    local-rank) pairs plus the final interpolation are computed on the
+    driver, replacing the SinglePartition offset window, the explode /
+    union target build, and the per/pivot aggregates with two tiny jobs
+    (offset collect + a ≤ ``2·|probs|``-row bracket-value collect).
+    Cluster-side work is unchanged: one range shuffle, one per-partition
+    rank (or running-weight) window, one broadcast-hash lookup.
+
+    Bit-parity: ``position = p·(n−1)``, the floor/ceil bracketing and
+    the ``(hi−pos)·v_lo + (pos−lo)·v_hi`` interpolation are IEEE-double
+    ops evaluated in the same operand order as Spark's Percentile —
+    Python floats ARE IEEE doubles, so the driver-side readout is
+    bit-identical to the SQL form it replaces (pinned by
+    tests/test_quantiles.py against the percentile aggregate).
+    """
+    import math
+
+    spark = v.sparkSession
+    schema = ", ".join(f"{a} double" for a, _ in probs)
+    if count_alias is not None:
+        schema += f", {count_alias} bigint"
+    cnt_expr = F.sum("_w") if weighted else F.count(F.lit(1))
+    pc = sorted(
+        v.groupBy("_pid").agg(cnt_expr.alias("_cnt")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    n = sum(r["_cnt"] for r in pc)
+    if n == 0:
+        # One all-NULL row, exactly like the percentile aggregate.
+        nulls = tuple(None for _ in probs) \
+            + ((None,) if count_alias is not None else ())
+        return spark.createDataFrame([nulls], schema)
+    offs = []
+    acc = 0
+    for r in pc:
+        offs.append((r["_pid"], acc, r["_cnt"]))
+        acc += r["_cnt"]
+
+    def locate(idx: int) -> tuple[int, int]:
+        for pid, off, cnt in offs:
+            if off <= idx < off + cnt:
+                return pid, idx - off
+        raise AssertionError(f"index {idx} outside offset table")
+
+    pos_by_alias: dict[str, float] = {}
+    targets = []
+    for a, p in probs:
+        # Spark's Percentile: position = p * (count - 1), Long→Double.
+        pos = float(p) * float(n - 1)
+        pos_by_alias[a] = pos
+        for b, idx in (("lo", math.floor(pos)), ("hi", math.ceil(pos))):
+            pid, lr = locate(idx)
+            targets.append((pid, lr, a, b))
+    tdf = spark.createDataFrame(
+        targets, "_t__pid int, _lr bigint, _qa string, _b string")
+    wr = Window.partitionBy("_pid").orderBy("_v")
+    if not weighted:
+        ranked = v.withColumn(
+            "_lr", (F.row_number().over(wr) - F.lit(1)).cast("bigint"))
+        vals = ranked.join(
+            F.broadcast(tdf),
+            (F.col("_t__pid") == F.col("_pid"))
+            & (tdf["_lr"] == ranked["_lr"]))
+    else:
+        ranked = v.withColumn(
+            "_cb",
+            (F.sum("_w").over(
+                wr.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+             - F.col("_w")).cast("bigint"),
+        )
+        vals = ranked.join(
+            F.broadcast(tdf),
+            (F.col("_t__pid") == F.col("_pid"))
+            & (F.col("_lr") >= F.col("_cb"))
+            & (F.col("_lr") < F.col("_cb") + F.col("_w")))
+    got = {(r["_qa"], r["_b"]): r["_v"]
+           for r in vals.select("_qa", "_b", "_v").collect()}
+    out_row = []
+    for a, _ in probs:
+        pos = pos_by_alias[a]
+        vlo, vhi = got[(a, "lo")], got[(a, "hi")]
+        if math.ceil(pos) == math.floor(pos):
+            q = vlo
+        else:
+            # Spark's interpolation, operand for operand.
+            q = (float(math.ceil(pos)) - pos) * vlo \
+                + (pos - float(math.floor(pos))) * vhi
+        out_row.append(float(q))
+    if count_alias is not None:
+        out_row.append(int(n))
+    return spark.createDataFrame([tuple(out_row)], schema)

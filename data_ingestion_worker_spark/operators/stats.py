@@ -1614,10 +1614,17 @@ def psi_cuts(ref_cents: DataFrame) -> DataFrame:
     order-statistic helper — bit-identical to ``percentile`` but with
     no corpus-wide single aggregation buffer (over billions of distinct
     cents the exact-percentile map was the one remaining 100× risk).
+    Round 7: histogram mode — cents repeat heavily (sf0.1: 100k events,
+    ~18k distinct cents), so the reference half pre-aggregates to
+    ``(cents, count)`` and the helper's sampling pass / range shuffle /
+    rank window all run over distinct values (domain-bounded) instead
+    of events; the count aggregate itself is map-side combinable.
     """
+    hist = ref_cents.groupBy("cents").agg(F.count(F.lit(1)).alias("_w"))
     return distributed_exact_quantiles(
-        ref_cents, "cents",
+        hist, "cents",
         [(f"c{k}", k / PSI_BUCKETS) for k in range(1, PSI_BUCKETS)],
+        weight_col="_w",
     )
 
 
@@ -1657,9 +1664,15 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0))
         .alias("n_cur"),
     )
-    tot = counts.agg(F.sum("n_ref").alias("tr"),
-                     F.sum("n_cur").alias("tc"))
-    return counts.crossJoin(F.broadcast(tot)).select(
+    # Totals via a window over the PSI_BUCKETS-row counts frame (a
+    # constant-size relation — the allowlisted bounded-domain SP-window
+    # pattern), saving the separate scalar-broadcast job.
+    wall = Window.partitionBy()
+    return counts.select(
+        "bucket", "n_ref", "n_cur",
+        F.sum("n_ref").over(wall).alias("tr"),
+        F.sum("n_cur").over(wall).alias("tc"),
+    ).select(
         "bucket", "n_ref", "n_cur",
         F.expr(_PSI_TERM).alias("psi_term_micro"),
     )
