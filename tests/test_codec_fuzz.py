@@ -91,3 +91,23 @@ def test_fuzz_avi():
 
 def test_fuzz_wav():
     _fuzz(decode_wav, encode_wav(8000, 2, bytes(range(64))), 6)
+
+
+def test_fuzz_jpeg_progressive():
+    from data_ingestion_worker_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    _fuzz(decode_jpeg, encode_jpeg_progressive(16, 11, _gradient(16, 11)),
+          7)
+
+
+def test_fuzz_avi_mjpeg():
+    from data_ingestion_worker_spark.functions.videocodec import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    fixture = encode_avi_mjpeg(8, 6, [_gradient(8, 6), _gradient(8, 6)])
+    _fuzz(decode_avi, fixture, 8)
+    _fuzz(lambda b: demux_avi_mjpeg(b), fixture, 9)

@@ -1,4 +1,4 @@
-"""Baseline JPEG codec contracts (functions/jpegcodec.py).
+"""Baseline + progressive JPEG codec contracts (functions/jpegcodec.py).
 
 JPEG is lossy, so unlike the BMP/PPM/PNG/WAV/AVI codecs the round-trip
 contract is a *bounded reconstruction error*, not byte equality.  These
@@ -12,7 +12,12 @@ tests pin:
   IDCT scale) — independent of the encoder, so a compensating
   encoder/decoder bug pair cannot hide;
 - marker/stream structure, padding (non-block-aligned dims), 4:2:0
-  MCU interleave, and the corrupt-payload error paths.
+  MCU interleave, and the corrupt-payload error paths;
+- progressive (SOF2): ``decode(encode_jpeg_progressive(x)) ==
+  decode(encode_jpeg(x))`` BIT-FOR-BIT (both encoders quantize the same
+  coefficients; progressive merely reorders their transmission), a
+  hand-built non-interleaved DC+AC scan pair, and progressive corrupt
+  paths.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ from data_ingestion_worker_spark.functions.jpegcodec import (
     _DC_LUMA_VALS,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -134,7 +140,8 @@ def test_error_paths():
     good = _hand_built_gray_block()
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])                         # truncated stream
-    # Progressive (SOF2) must be rejected, not mis-decoded.
+    # A baseline-shaped scan (Ss=0, Se=63) inside an SOF2 frame is
+    # malformed — a progressive DC scan must have Se=0.
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError):
         decode_jpeg(prog)
@@ -200,3 +207,105 @@ def test_422_asymmetric_sampling_roundtrip():
     assert (img.width, img.height) == (20, 13)
     dec = np.frombuffer(img.pixels, np.uint8).reshape(13, 20, 3)
     assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 16
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2)
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (20, 13), (33, 17)])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_decodes_bit_identical_to_baseline(dims, sub):
+    """The strongest possible progressive contract: both encoders
+    quantize the exact same coefficient blocks, so the decoded pixels
+    must be BIT-identical — any divergence in the scan encoders, the
+    successive-approximation refinement, the EOB-run bookkeeping or the
+    non-interleaved block geometry breaks equality."""
+    w, h = dims
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([np.abs((xx * 7 + yy * 3) % 510 - 255),
+                    np.abs((xx * 2 + yy * 5 + 60) % 510 - 255),
+                    np.abs((yy * 9 + 11) % 510 - 255)],
+                   axis=-1).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(w, h, rgb.tobytes(), 85, sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, rgb.tobytes(), 85, sub))
+    assert (prog.width, prog.height, prog.mode) == (w, h, "RGB")
+    assert prog.pixels == base.pixels
+
+
+def test_progressive_stream_is_sof2_and_deterministic():
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    a = encode_jpeg_progressive(16, 16, rgb.tobytes())
+    b = encode_jpeg_progressive(16, 16, rgb.tobytes())
+    assert a == b
+    assert b"\xff\xc2" in a and b"\xff\xc0" not in a[2:]
+    assert a[:2] == b"\xff\xd8" and a[-2:] == b"\xff\xd9"
+    # libjpeg's default script: 10 scans for 3-component YCbCr.
+    assert a.count(b"\xff\xda") >= 10
+    assert sniff_format(a) == "JPEG"
+
+
+def test_progressive_decode_is_bit_stable():
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    rgb = np.stack([xx * 10 % 256, yy * 14 % 256, (xx + yy) * 6 % 256],
+                   axis=-1).astype(np.uint8)
+    enc = encode_jpeg_progressive(24, 16, rgb.tobytes(), 75, "420")
+    assert decode_jpeg(enc).pixels == decode_jpeg(enc).pixels
+
+
+def _hand_built_gray_progressive() -> bytes:
+    """Single-component 8x8 SOF2 stream with a NON-INTERLEAVED DC scan
+    (ns=1 exercises the component-grid traversal the 3-component
+    encoder never emits) followed by a full-band AC scan at Ah=Al=0.
+    Entropy bytes reuse the spec vector of the baseline hand-built
+    block (DC diff 5, all AC zero), so the decode must equal the
+    baseline hand-built image: every pixel 138."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    sof = bytes((8,)) + struct.pack(">HH", 8, 8) + bytes((1, 1, 0x11, 0))
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, bits, vals in ((0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+                            (1, _AC_LUMA_BITS, _AC_LUMA_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    # Scan 1: DC only, Ss=Se=0, Ah=Al=0; diff 5 = '100' + '101',
+    # 1-padded -> 1001011 1 -> 0x97.
+    sos = bytes((1, 1, 0x00, 0, 0, 0x00))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes((0x97,))
+    # Scan 2: AC 1..63, Ah=Al=0; EOB = '1010', 1-padded -> 0xAF.
+    sos = bytes((1, 1, 0x00, 1, 63, 0x00))
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes((0xAF,))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_built_progressive_noninterleaved_scans():
+    img = decode_jpeg(_hand_built_gray_progressive())
+    assert (img.width, img.height, img.mode, img.format) \
+        == (8, 8, "L", "JPEG")
+    assert img.pixels == bytes([138]) * (8 * 8 * 3)
+
+
+def test_progressive_corrupt_paths():
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    good = encode_jpeg_progressive(16, 16, rgb.tobytes())
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:60])                         # truncated headers
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-40])                        # truncated scans
+    # SOF2 frame with no scans at all.
+    i = good.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:i] + b"\xff\xd9")
+    # Flipped entropy bytes must error or decode — never crash with a
+    # non-ValueError (the mapInPandas corrupt-payload contract).
+    flipped = bytearray(good)
+    for j in range(i + 20, min(len(flipped) - 2, i + 60)):
+        flipped[j] ^= 0x55
+    try:
+        decode_jpeg(bytes(flipped))
+    except ValueError:
+        pass

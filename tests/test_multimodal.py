@@ -663,3 +663,92 @@ def test_wav_header_parse_fields_match_decoder(spark, sf_dir):
         assert r.n_frames == wav.n_frames
         assert r.audio_format == 1 and r.bits_per_sample == 16
         assert r.data_len == r.n_frames * r.block_align
+
+
+def test_avi_mjpeg_roundtrip_and_frame_isolation():
+    """MJPEG-in-AVI (r7): every 00dc chunk is an independent baseline
+    JPEG.  Pins (a) strict decode_avi == per-frame decode_jpeg over the
+    demuxed payloads (two decode routes, same pixels), (b) corrupting
+    one frame's SOI fails ONLY that frame on the demux route while the
+    strict route rejects the whole file."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.functions.jpegcodec import decode_jpeg
+    from data_ingestion_worker_spark.functions.videocodec import (
+        decode_avi,
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    w, h = 12, 10
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for i in range(3):
+        arr = np.stack([(xx * 5 + i * 30) % 256, (yy * 7 + i * 10) % 256,
+                        (xx + yy + i) % 256], axis=-1).astype(np.uint8)
+        frames.append(arr.tobytes())
+    avi = encode_avi_mjpeg(w, h, frames, fps=10, quality=90)
+    vid = decode_avi(avi)
+    assert (vid.width, vid.height, vid.fps, vid.n_frames) == (w, h, 10, 3)
+    dw, dh, fps, payloads = demux_avi_mjpeg(avi)
+    assert (dw, dh, fps, len(payloads)) == (w, h, 10, 3)
+    for i, p in enumerate(payloads):
+        assert p[:2] == b"\xff\xd8"          # real JPEG per chunk
+        assert decode_jpeg(p).pixels == vid.frames[i]
+    # Lossy tolerance against the source frames.
+    for dec, orig in zip(vid.frames, frames):
+        d = np.frombuffer(dec, np.uint8).astype(int)
+        o = np.frombuffer(orig, np.uint8).astype(int)
+        assert int(np.abs(d - o).max()) <= 24
+
+    # Corrupt the SECOND frame's SOI: demux isolates, strict rejects.
+    pos = avi.find(b"00dc")
+    pos = avi.find(b"00dc", pos + 1)
+    bad = bytearray(avi)
+    bad[pos + 8] ^= 0xFF
+    bad[pos + 9] ^= 0xFF
+    _w, _h, _fps, pl2 = demux_avi_mjpeg(bytes(bad))
+    decoded = []
+    for i, p in enumerate(pl2):
+        try:
+            decode_jpeg(p)
+            decoded.append(i)
+        except ValueError:
+            pass
+    assert decoded == [0, 2]                 # frame 1 poisoned, alone
+    with _pytest.raises(ValueError):
+        decode_avi(bytes(bad))
+
+
+def test_avi_mjpeg_rejects_cross_contract_streams():
+    """A DIB AVI through demux_avi_mjpeg and geometry-lying MJPG frames
+    through decode_avi must both raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_ingestion_worker_spark.functions.jpegcodec import encode_jpeg
+    from data_ingestion_worker_spark.functions.videocodec import (
+        decode_avi,
+        demux_avi_mjpeg,
+        encode_avi,
+        encode_avi_mjpeg,
+    )
+
+    dib = encode_avi(2, 2, [bytes(range(12))])
+    with _pytest.raises(ValueError):
+        demux_avi_mjpeg(dib)
+
+    # Frame geometry must match the container header: rebuild a
+    # 2x2-declared MJPG stream whose single 00dc body is an 8x8 JPEG.
+    jpeg_8x8 = encode_jpeg(8, 8, bytes(192))
+    mj = encode_avi_mjpeg(2, 2, [bytes(12)], fps=10)
+    movi_at = mj.index(b"LIST", mj.index(b"movi") - 8)
+    movi_body = b"movi" + b"00dc" + struct.pack("<I", len(jpeg_8x8)) \
+        + jpeg_8x8 + (b"\x00" if len(jpeg_8x8) & 1 else b"")
+    out = mj[:movi_at] + b"LIST" \
+        + struct.pack("<I", len(movi_body)) + movi_body
+    out = b"RIFF" + struct.pack("<I", len(out) - 8) + out[8:]
+    with _pytest.raises(ValueError):
+        decode_avi(out)
