@@ -35,6 +35,9 @@ the 60-bit md5 hash of their natural keys.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +58,29 @@ class JobProcessor:
         self.spark = spark
         self.store = store
         self.user_id = user_id
+        #: Cumulative EXCLUSIVE wall seconds per lifecycle stage
+        #: (ingest / validate / route / consolidate) — the streaming
+        #: bench reads this so a jobs/min move is attributable to a
+        #: stage instead of being one opaque number (r6 verdict ask #3).
+        self.stage_seconds: dict[str, float] = {}
+        self._stage_stack: list[float] = []
+
+    @contextmanager
+    def _stage(self, name: str):
+        """Attribute wall time to ``name``, exclusive of nested stages
+        (consolidate runs inside route's frame; its time must not be
+        double-counted)."""
+        start = time.perf_counter()
+        self._stage_stack.append(0.0)
+        try:
+            yield
+        finally:
+            elapsed = time.perf_counter() - start
+            child = self._stage_stack.pop()
+            self.stage_seconds[name] = (
+                self.stage_seconds.get(name, 0.0) + elapsed - child)
+            if self._stage_stack:
+                self._stage_stack[-1] += elapsed
 
     # ------------------------------------------------------------------ T3
 
@@ -103,10 +129,20 @@ class JobProcessor:
         self._set_job(job_id, job_status=F.lit("PROCESSING"),
                       job_process_start=F.current_timestamp())
 
-        raw = read_contacts_csv(self.spark, csv_path)
-        batch = _project_contacts(raw)                       # P1
-        total_rows = batch.count()
+        with self._stage("ingest"):
+            raw = read_contacts_csv(self.spark, csv_path)
+            batch = _project_contacts(raw)                   # P1
+            total_rows = batch.count()
 
+        with self._stage("validate"):
+            self._initial_validate(job_id, batch, total_rows)
+        with self._stage("route"):
+            self._recount_and_route(job_id, total_rows=total_rows)
+
+    def _initial_validate(self, job_id: int, batch: DataFrame,
+                          total_rows: int) -> None:
+        """Validate + merge for :meth:`initial` (split out so the stage
+        accounting brackets exactly the validation work)."""
         # Annotate the FULL batch every run (crash-resume safety): issues
         # are re-derived from the same inputs on replay, so a crash
         # between the staging merge and the issues merge cannot leave
@@ -146,13 +182,20 @@ class JobProcessor:
         self._merge_issues_and_links(job_id, annot.filter(
             F.col("issue_type").isNotNull()
         ))
-        self._recount_and_route(job_id, total_rows=total_rows)
 
     # --------------------------------------------------------------- §3.3
 
     def reprocess(self, job_id: int) -> None:
         """Re-validate the (user-edited) staging rows — never the CSV."""
         self._set_job(job_id, job_status=F.lit("PROCESSING"))
+        with self._stage("validate"):
+            self._reprocess_validate(job_id)
+        with self._stage("route"):
+            self._recount_and_route(job_id)
+
+    def _reprocess_validate(self, job_id: int) -> None:
+        """Validate + merge for :meth:`reprocess` (split out so the
+        stage accounting brackets exactly the validation work)."""
         staging = self.store.read("staging").filter(
             F.col("staging_job_id") == job_id
         )
@@ -192,12 +235,15 @@ class JobProcessor:
         failing = annot.filter(F.col("issue_type").isNotNull())
         self._merge_issues_and_links(job_id, failing, reprocess=True)
         self._auto_resolve(job_id)
-        self._recount_and_route(job_id)
 
     # --------------------------------------------------------------- §3.4
 
     def consolidate(self, job_id: int) -> None:
         """READY staging -> contacts; staging -> SUCCESS; job -> COMPLETED."""
+        with self._stage("consolidate"):
+            self._consolidate(job_id)
+
+    def _consolidate(self, job_id: int) -> None:
         staging = self.store.read("staging").filter(
             (F.col("staging_job_id") == job_id)
         )
@@ -399,6 +445,25 @@ class JobProcessor:
     def discard_staging_row(self, staging_id: int) -> None:
         """Mark a staging row DISCARD (excluded from reprocess + dups)."""
         self.update_staging_row(staging_id, status="DISCARD")
+
+    def discard_failing_rows(self, job_id: int | None = None) -> int:
+        """Bulk 'discard all failing' review action: every ISSUE staging
+        row (optionally one job's) goes DISCARD in ONE staging write —
+        the set-based form of :meth:`discard_staging_row` (a per-row
+        loop would publish one table version per row).  Returns the
+        number of rows discarded."""
+        staging = self.store.read("staging")
+        cond = F.col("staging_status") == "ISSUE"
+        if job_id is not None:
+            cond = cond & (F.col("staging_job_id") == job_id)
+        n = staging.filter(cond).count()
+        if n:
+            self.store.overwrite("staging", staging.withColumn(
+                "staging_status",
+                F.when(cond, F.lit("DISCARD"))
+                 .otherwise(F.col("staging_status")),
+            ))
+        return n
 
 
 def _project_contacts(df: DataFrame) -> DataFrame:

@@ -737,3 +737,26 @@ def test_store_backends_agree_on_random_op_sequences(spark, tmp_path):
         a = sorted(map(tuple, pq.read("jobs").collect()))
         b = sorted(map(tuple, db.read("jobs").collect()))
         assert a == b, f"backends diverged after step {step} ({op})"
+
+
+def test_stage_accounting_is_exclusive():
+    """JobProcessor._stage attributes wall time exclusively: a nested
+    stage's seconds must not double-count into its parent (consolidate
+    runs inside route's frame in the real lifecycle)."""
+    import time as _time
+
+    from data_ingestion_worker_spark.control.processor import JobProcessor
+
+    proc = JobProcessor.__new__(JobProcessor)
+    proc.stage_seconds = {}
+    proc._stage_stack = []
+    with proc._stage("route"):
+        _time.sleep(0.05)
+        with proc._stage("consolidate"):
+            _time.sleep(0.05)
+    assert set(proc.stage_seconds) == {"route", "consolidate"}
+    assert proc.stage_seconds["consolidate"] >= 0.05
+    # route's exclusive share excludes the nested consolidate sleep.
+    assert proc.stage_seconds["route"] < 0.08
+    total = sum(proc.stage_seconds.values())
+    assert 0.10 <= total < 0.2
