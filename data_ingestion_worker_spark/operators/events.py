@@ -2915,8 +2915,11 @@ def ev_fft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``r = n·c − Σc``, the CUSUM trick — no fractional mean), the trig
     factors are precomputed micro literals, so every DFT term is an
     exact integer product and the two accumulators are exact integer
-    sums; only the final ``sc² + ss²`` runs in doubles (inputs ≪ 2⁵³,
-    so both engines compute the identical product).
+    sums — carried in DECIMAL(38,0), since ``r·cos_micro`` is ~1e18
+    per term and a skewed daily count would wrap BIGINT at the 100 TB
+    target (the layout-advisor/Welch squaring convention); only the
+    final ``sc² + ss²`` runs in doubles (test-SF sums ≪ 2⁵³, so the
+    decimal→double conversion is exact in both engines).
 
     Scale: one shuffle into (type, day); the period fan-out is a
     54-row broadcast literal table (days × 9 periods), and the
@@ -2944,8 +2947,10 @@ def ev_fft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(angles), ["p", "k"])
     )
     spec = terms.groupBy("event_type", "p").agg(
-        F.sum(F.col("r") * F.col("cos_micro")).alias("sc"),
-        F.sum(F.col("r") * F.col("sin_micro")).alias("ss"),
+        F.sum(F.col("r").cast("decimal(38,0)")
+              * F.col("cos_micro")).alias("sc"),
+        F.sum(F.col("r").cast("decimal(38,0)")
+              * F.col("sin_micro")).alias("ss"),
     )
     power = (F.col("sc").cast("double") * F.col("sc").cast("double")
              + F.col("ss").cast("double") * F.col("ss").cast("double"))
@@ -2980,13 +2985,14 @@ idx AS (
 angles(p, k, cos_micro, sin_micro) AS (VALUES {vals}),
 terms AS (
   SELECT i.event_type, a.p,
-         (i.n * i.c - i.sct) * a.cos_micro AS tc,
-         (i.n * i.c - i.sct) * a.sin_micro AS ts
+         CAST(i.n * i.c - i.sct AS DECIMAL(38,0)) * a.cos_micro AS tc,
+         CAST(i.n * i.c - i.sct AS DECIMAL(38,0)) * a.sin_micro AS ts
   FROM idx i JOIN angles a ON a.k = i.x % a.p
 ),
 spec AS (
   SELECT event_type, p,
-         CAST(sum(tc) AS BIGINT) AS sc, CAST(sum(ts) AS BIGINT) AS ss
+         CAST(sum(tc) AS DECIMAL(38,0)) AS sc,
+         CAST(sum(ts) AS DECIMAL(38,0)) AS ss
   FROM terms GROUP BY 1, 2
 ),
 powered AS (

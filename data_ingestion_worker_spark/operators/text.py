@@ -1656,6 +1656,134 @@ FROM per_doc
 """
 
 
+#: Number of BPE merge supersteps the trainer runs (each merge is one
+#: pair-count aggregate + one argmax + one literal replace over the
+#: word-symbol table).
+BPE_MERGES = 8
+
+
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer VOCABULARY TRAINING over the corpus (Sennrich et
+    al. 2016, the algorithm behind GPT/Llama tokenizers), as relational
+    supersteps: count adjacent symbol pairs weighted by word frequency,
+    merge the most frequent pair everywhere, repeat — ``BPE_MERGES``
+    rounds, emitting the learned merge table (the tokenizer artifact a
+    training pipeline ships).
+
+    Representation: each word is a symbol string ``||s1||s2||...||``
+    ('||' separators, symbols never contain '|').  One merge step is
+    then the LITERAL string replace ``'|L||R|' -> '|LR|'``: replace
+    scans left-to-right and resumes after each replacement in both
+    engines, which is exactly BPE's non-overlapping left-to-right merge
+    order (for "a a a" with merge (a,a) only the first pair merges),
+    and the shared single separator char between adjacent pairs means
+    back-to-back pairs ("a b a b") still both match.  No UDF, no fold —
+    the merge is one Catalyst string expression.
+
+    Exactness: integer pair counts; argmax tie-break (count DESC, left,
+    right — binary string order in both engines); the oracle unrolls
+    the same ``BPE_MERGES`` supersteps as a materialized CTE chain (the
+    CC-oracle pattern).
+
+    Scale: the word table is ONE corpus shuffle (vocabulary-bounded —
+    distinct words x frequency, not corpus rows); every superstep runs
+    on that bounded state: an explode to adjacent pairs (~avg word
+    length x vocab), a combiner-friendly count, a 1-row argmax collect
+    (control plane, like the CC convergence check), and a map-only
+    replace.  Per-round ``localCheckpoint`` truncates the lineage the
+    same way the CC label loop does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wk = words.select(
+        F.concat(F.lit("||"),
+                 F.array_join(F.split(F.col("w"), ""), "||"),
+                 F.lit("||")).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    for step in range(1, BPE_MERGES + 1):
+        syms = wk.select(
+            "freq",
+            F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|").alias("syms"),
+        ).filter(F.size("syms") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS l, "
+                "element_at(syms, i + 1) AS r))"
+            )).alias("pr"),
+        ).groupBy("pr.l", "pr.r").agg(F.sum("freq").alias("cnt"))
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((step, left, right, left + right,
+                       int(best[0]["cnt"])))
+        wk = wk.select(
+            F.replace(F.col("s"),
+                      F.lit(f"|{left}||{right}|"),
+                      F.lit(f"|{left}{right}|")).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "step int, lft string, rgt string, merged string, "
+        "pair_count bigint")
+
+
+def _bpe_oracle() -> str:
+    steps = []
+    prev = "w0"
+    finals = []
+    for k in range(1, BPE_MERGES + 1):
+        steps.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq
+        FROM {prev} WHERE len(string_split(trim(s, '|'), '||')) >= 2) t
+  CROSS JOIN UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT replace(s, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS s, freq
+  FROM {prev} CROSS JOIN b{k} b
+)""")
+        finals.append(
+            f"SELECT {k} AS step, l AS lft, r AS rgt, l || r AS merged, "
+            f"cnt AS pair_count FROM b{k}")
+        prev = f"w{k}"
+    step_sql = ",\n".join(steps)
+    final_sql = " UNION ALL ".join(finals)
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS w FROM documents
+),
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+  WHERE length(w) > 0 AND NOT contains(w, '|') GROUP BY 1
+),
+w0 AS MATERIALIZED (
+  SELECT '||' || array_to_string(string_split(w, ''), '||') || '||' AS s,
+         freq
+  FROM words
+),
+{step_sql}
+{final_sql}
+"""
+
+
+BPE_TRAIN_ORACLE = _bpe_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_ORACLE),
     "doc_collapse_token_runs": QuerySpec(doc_collapse_token_runs,
@@ -1688,4 +1816,5 @@ SPECS: dict[str, QuerySpec] = {
     "doc_lang_id": QuerySpec(doc_lang_id, LANG_ID_ORACLE),
     "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_ORACLE),
     "doc_topwords": QuerySpec(doc_topwords, TOPWORDS_ORACLE),
+    "corpus_bpe_train": QuerySpec(corpus_bpe_train, BPE_TRAIN_ORACLE),
 }

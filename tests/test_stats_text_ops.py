@@ -2215,3 +2215,60 @@ def test_markov_entropy_rate_matches_python(spark, sf_dir):
             <= math.ceil(math.log2(succ) * 1e6) + len(pairs)
     assert min(x.h_cond_micro for x in got.values()) - 1 <= rate \
         <= max(x.h_cond_micro for x in got.values()) + 1
+
+
+def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
+    """corpus_bpe_train's merge table must equal a from-scratch Python
+    BPE (Sennrich 2016) over the same word-frequency table — pinning
+    the pair counting, the (count DESC, left, right) argmax tie-break,
+    and the left-to-right non-overlapping merge semantics of the
+    literal-replace trick (including the 'a a a' overlap case and the
+    back-to-back 'a b a b' case)."""
+    from data_ingestion_worker_spark.operators.text import (
+        BPE_MERGES,
+        corpus_bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "aaa abab lowest newer new",
+        "wider new newer aaa abab",
+        "abab banana bananas low",
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "s", len(t), len(t.split())) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string, n_chars long, "
+        "n_tokens long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # Pure-Python reference BPE.
+    from collections import Counter
+    freqs = Counter(w for t in texts for w in t.lower().split())
+    words = {w: list(w) for w in freqs}
+    expect = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((step, left, right, left + right, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    got = [(r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+           for r in sorted(corpus_bpe_train(spark, sf).collect())]
+    assert got == expect
