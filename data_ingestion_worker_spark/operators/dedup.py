@@ -1852,12 +1852,117 @@ GROUP BY 1
 """
 
 
+#: Anchor gram length for substring-duplication detection: a shared
+#: span shorter than this is invisible; every span >= SUBSTR_L chars is
+#: detected exactly (stride 1).  Production substring dedup uses 50-100
+#: token anchors (Lee et al. 2022); 30 chars fits the fixture docs.
+SUBSTR_L = 30
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr dedup, re-expressed relationally): for
+    every ordered doc pair sharing at least one SUBSTR_L-char gram,
+    the number of distinct shared anchor grams and the length of the
+    LONGEST exactly-shared character span.
+
+    Relational shape instead of a suffix array: every char position
+    emits its L-gram's hash64 (one row per position — the text is never
+    re-shuffled, only 8-byte anchors); anchors join on equality
+    (collision-bounded, the LSH-bands argument); aligned matches on one
+    diagonal (pa − pb) with consecutive positions form gaps-and-islands
+    runs, and a run of length m anchors is an exactly-shared span of
+    L + m − 1 chars.  Within-pair work is bounded by true duplication,
+    not document length.
+
+    At 100 TB: anchor rows scale with corpus CHARS — winnowing (keep
+    only window-minimum anchor hashes) or a position stride S drops the
+    constant while still catching every span >= L + S − 1; the join
+    stays collision-bounded either way.  Self-pairs (within-doc
+    repetition) are excluded here (``doc_repetition_signals`` covers
+    within-doc); hash64 anchor collisions are the standard accepted
+    false-positive rate (~n²/2⁶⁰).
+    """
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length("text") >= SUBSTR_L)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {SUBSTR_L} + 1), "
+            f"i -> struct(i AS pos, "
+            f"substring(text, i, {SUBSTR_L}) AS gram))"
+        )).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"),
+             hash64(F.col("g.gram")).alias("gh"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    hits = a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+        F.col("a.gh").alias("gh"),
+        F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
+    ).localCheckpoint(eager=False)   # feeds the run windows + the count
+    shared = hits.groupBy("d1", "d2").agg(
+        F.countDistinct("gh").alias("n_shared_grams"))
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("pa")
+    runs = (
+        hits.select("d1", "d2", (F.col("pa") - F.col("pb")).alias("diag"),
+                    "pa").distinct()
+        .withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("d1", "d2")
+        .agg((F.max("run_len") + F.lit(SUBSTR_L) - 1).cast("bigint")
+             .alias("longest_span_chars"))
+    )
+    return shared.join(runs, ["d1", "d2"])
+
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {hash64_sql(f"substr(text, i, {SUBSTR_L})")} AS gh
+  FROM documents
+  CROSS JOIN UNNEST(range(1, length(text) - {SUBSTR_L} + 2)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+hits AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.gh, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b
+    ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT d1, d2, CAST(count(DISTINCT gh) AS BIGINT) AS n_shared_grams
+  FROM hits GROUP BY 1, 2
+),
+isl AS (
+  SELECT d1, d2, diag, pa,
+         pa - row_number() OVER (PARTITION BY d1, d2, diag
+                                 ORDER BY pa) AS grp
+  FROM (SELECT DISTINCT d1, d2, pa - pb AS diag, pa FROM hits)
+),
+runs AS (
+  SELECT d1, d2,
+         CAST(max(run_len) + {SUBSTR_L} - 1 AS BIGINT)
+           AS longest_span_chars
+  FROM (SELECT d1, d2, diag, grp, count(*) AS run_len
+        FROM isl GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2
+)
+SELECT s.d1, s.d2, s.n_shared_grams, r.longest_span_chars
+FROM shared s JOIN runs r ON s.d1 = r.d1 AND s.d2 = r.d2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "corpus_ngram_coverage": QuerySpec(corpus_ngram_coverage,
                                        NGRAM_COVERAGE_ORACLE),
     "dedup_rate_estimate": QuerySpec(dedup_rate_estimate,
                                      DEDUP_RATE_EST_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_substring_spans": QuerySpec(dedup_substring_spans,
+                                        SUBSTRING_SPANS_ORACLE),
     "dedup_incremental_lsh": QuerySpec(dedup_incremental_lsh,
                                        DEDUP_INCREMENTAL_LSH_ORACLE),
     "dedup_bloom_prefilter": QuerySpec(dedup_bloom_prefilter,

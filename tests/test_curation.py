@@ -438,3 +438,35 @@ def test_ngram_coverage_matches_python_sets(spark, sf_dir):
         assert r.coverage_ppm == (1000000 * n_cov) // len(sh)
         assert 0 <= r.coverage_ppm <= 1000000
         assert r.n_covered <= r.n_shingles
+
+
+def test_substring_spans_exact_lengths(spark, tmp_path):
+    """dedup_substring_spans must report the exact longest shared span:
+    two docs sharing one 45-char span (longest run = 45 - L + 1 anchor
+    grams on one diagonal) and a third doc with no >= L overlap."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        SUBSTR_L,
+        dedup_substring_spans,
+    )
+
+    span = "the quick brown fox jumps over the lazy dog."  # 44 chars
+    assert len(span) == 44 >= SUBSTR_L
+    # The shared region extends one space on EACH side of `span` (both
+    # prefixes end in ' ', both tails start with ' ') -> 46 chars.
+    texts = [
+        (0, "AAAA " + span + " unique tail zero " + "x" * 40),
+        (1, "BB " + span + " different tail one " + "y" * 40),
+        (2, "completely unrelated text " + "z" * 60),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "s", len(t), len(t.split())) for i, t in texts],
+        "doc_id long, text string, source string, n_chars long, "
+        "n_tokens long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = dedup_substring_spans(spark, sf).collect()
+    assert [(r["d1"], r["d2"]) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r["longest_span_chars"] == 46
+    assert r["n_shared_grams"] == 46 - SUBSTR_L + 1
