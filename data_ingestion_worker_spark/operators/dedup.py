@@ -1955,12 +1955,111 @@ FROM shared s JOIN runs r ON s.d1 = r.d1 AND s.d2 = r.d2
 """
 
 
+#: Winnowing window (Schleimer et al. 2003, the MOSS fingerprinter):
+#: keeping only each window's minimum anchor hash guarantees detection
+#: of every shared span >= SUBSTR_L + WINNOW_W - 1 chars while keeping
+#: ~2/(W+1) of the anchor rows.
+WINNOW_W = 8
+
+
+def dedup_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring-duplication detection — the 100 TB form of
+    :func:`dedup_substring_spans` with the volume knob made real
+    instead of a docstring claim: each document keeps only the MINIMUM
+    anchor hash of every ``WINNOW_W``-position window (ties broken by
+    rightmost position, the robust-winnowing rule), cutting anchor rows
+    to ~2/(W+1) while guaranteeing any exactly-shared span of at least
+    ``SUBSTR_L + WINNOW_W − 1`` chars still collides (both documents
+    must select the same minimum inside a fully-shared window).
+
+    Emits per colliding pair the count of distinct shared winnowed
+    fingerprints.  Span-length reconstruction stays with the exact
+    variant; the contract between the two —
+    winnowed pairs ⊆ exact pairs, and every exact pair whose span meets
+    the guarantee appears here — is pinned by
+    ``tests/test_curation.py::test_winnowing_detection_contract``.
+
+    Shapes: the window minimum is one bounded window frame per document
+    (rows-between over positions — partition size is document length,
+    never corpus); everything after runs on the winnowed ~2/(W+1)
+    subset, and the pair join is collision-bounded like the exact
+    variant.
+    """
+    d = load_table(spark, sf_dir, "documents") \
+        .filter(F.length("text") >= SUBSTR_L)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {SUBSTR_L} + 1), "
+            f"i -> struct(i AS pos, "
+            f"substring(text, i, {SUBSTR_L}) AS gram))"
+        )).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"),
+             hash64(F.col("g.gram")).alias("gh"))
+    # TRUE winnowing: every full window of W consecutive anchors
+    # selects its minimum hash, rightmost position on ties (struct-min
+    # over (gh, -pos) — lexicographic struct ordering gives min hash,
+    # then max position).  Selection is per-window, so a window fully
+    # inside a shared region picks the SAME fingerprint in both
+    # documents — that is the detection guarantee; a per-position
+    # neighbor-comparison shortcut would make selection depend on
+    # hashes outside the shared region and silently weaken it.
+    frame = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np")))
+        .over(frame).alias("fp"),
+        F.count(F.lit(1)).over(frame).alias("wlen"),
+    ).filter(F.col("wlen") == WINNOW_W) \
+        .select("doc_id", F.col("fp.gh").alias("gh")).distinct()
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))).groupBy(
+        F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+    ).agg(F.countDistinct(F.col("a.gh")).alias("n_shared_fps"))
+
+
+SUBSTRING_WINNOW_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {hash64_sql(f"substr(text, i, {SUBSTR_L})")} AS gh
+  FROM documents
+  CROSS JOIN UNNEST(range(1, length(text) - {SUBSTR_L} + 2)) AS u(i)
+  WHERE length(text) >= {SUBSTR_L}
+),
+marked AS (
+  SELECT doc_id,
+         min({{'g': gh, 'np': -pos}}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW
+           AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW
+           AND {WINNOW_W - 1} FOLLOWING) AS wlen
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp.g AS gh FROM marked
+  WHERE wlen = {WINNOW_W}
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(count(DISTINCT a.gh) AS BIGINT) AS n_shared_fps
+FROM sel a JOIN sel b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "corpus_ngram_coverage": QuerySpec(corpus_ngram_coverage,
                                        NGRAM_COVERAGE_ORACLE),
     "dedup_rate_estimate": QuerySpec(dedup_rate_estimate,
                                      DEDUP_RATE_EST_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_substring_winnowed": QuerySpec(dedup_substring_winnowed,
+                                           SUBSTRING_WINNOW_ORACLE),
     "dedup_substring_spans": QuerySpec(dedup_substring_spans,
                                         SUBSTRING_SPANS_ORACLE),
     "dedup_incremental_lsh": QuerySpec(dedup_incremental_lsh,

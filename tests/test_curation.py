@@ -470,3 +470,30 @@ def test_substring_spans_exact_lengths(spark, tmp_path):
     r = rows[0]
     assert r["longest_span_chars"] == 46
     assert r["n_shared_grams"] == 46 - SUBSTR_L + 1
+
+
+def test_winnowing_detection_contract(spark, sf_dir):
+    """Winnowing's two-sided contract against the exact variant on the
+    real fixture corpus: (a) every winnowed pair shares a real anchor
+    (winnowed ⊆ exact pairs), (b) every exact pair whose longest shared
+    span meets the guarantee (>= SUBSTR_L + WINNOW_W - 1 chars) is
+    still detected after winnowing — the Schleimer et al. guarantee,
+    which holds only for per-window selection."""
+    from data_ingestion_worker_spark.operators.dedup import (
+        SUBSTR_L,
+        WINNOW_W,
+        dedup_substring_spans,
+        dedup_substring_winnowed,
+    )
+
+    exact = {(r["d1"], r["d2"]): r["longest_span_chars"]
+             for r in dedup_substring_spans(spark, sf_dir).collect()}
+    winnowed = {(r["d1"], r["d2"])
+                for r in dedup_substring_winnowed(spark, sf_dir).collect()}
+    assert winnowed, "fixture corpus must contain duplicated spans"
+    assert winnowed <= set(exact)
+    guarantee = SUBSTR_L + WINNOW_W - 1
+    must_detect = {p for p, span in exact.items() if span >= guarantee}
+    assert must_detect <= winnowed, (
+        f"pairs with span >= {guarantee} missed: "
+        f"{sorted(must_detect - winnowed)[:5]}")
