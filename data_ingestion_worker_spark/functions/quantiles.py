@@ -178,8 +178,14 @@ def distributed_exact_quantiles(
         F.max(F.when(F.col("_b") == "hi", F.col("_v"))).alias("_vhi"),
     )
     # Spark's interpolation, operand for operand (Long−Double promotes).
+    # The equal-VALUE short-circuit mirrors Percentile.scala's
+    # ``if (higherKey == lowerKey) return lowerKey``: without it,
+    # (ceil−pos)·v + (pos−floor)·v re-derives v through two float
+    # products whose sum can be 1 ulp off (found by the Hypothesis
+    # parity test on a tiny-p, repeated-value input).
     qcol = F.when(
-        F.ceil("_pos") == F.floor("_pos"), F.col("_vlo")
+        (F.ceil("_pos") == F.floor("_pos"))
+        | (F.col("_vlo") == F.col("_vhi")), F.col("_vlo")
     ).otherwise(
         (F.ceil("_pos") - F.col("_pos")) * F.col("_vlo")
         + (F.col("_pos") - F.floor("_pos")) * F.col("_vhi")
@@ -278,7 +284,10 @@ def _ungrouped_quantiles(v: DataFrame, probs, count_alias,
     for a, _ in probs:
         pos = pos_by_alias[a]
         vlo, vhi = got[(a, "lo")], got[(a, "hi")]
-        if math.ceil(pos) == math.floor(pos):
+        if math.ceil(pos) == math.floor(pos) or vlo == vhi:
+            # Second disjunct = Percentile.scala's equal-value
+            # short-circuit: interpolating between two equal values
+            # can land 1 ulp off the value itself.
             q = vlo
         else:
             # Spark's interpolation, operand for operand.

@@ -196,3 +196,36 @@ if _HAS_HYPOTHESIS:
         for i in range(len(probs)):
             g, w = got[f"q{i}"], want[f"q{i}"]
             assert g == w and str(g) == str(w), (vals, probs, i, g, w)
+
+
+@pytest.mark.parametrize("seed,n", [(11, 1), (12, 40), (13, 500)])
+def test_weighted_histogram_mode_matches_percentile(spark, seed, n):
+    """Histogram mode (weight_col) must be bit-identical to the
+    percentile aggregate over the EXPANDED multiset — heavy ties and
+    skewed weights included (the psi cents shape)."""
+    rng = random.Random(seed)
+    hist = [(float(rng.choice([1, 2, 2, 3, 1000]))
+             if rng.random() < 0.5 else round(rng.uniform(-50, 50), 3),
+             rng.randint(1, 9)) for _ in range(n)]
+    hdf = spark.createDataFrame(hist, "x double, w long")
+    expanded = spark.createDataFrame(
+        [(v,) for v, w in hist for _ in range(w)], "x double")
+    got = distributed_exact_quantiles(hdf, "x", PROBS, count_alias="n",
+                                      weight_col="w").collect()
+    want = _exact(expanded, "x", PROBS) \
+        .withColumn("n", F.lit(sum(w for _, w in hist))).collect()
+    _assert_bit_equal(got, want)
+
+
+def test_weighted_histogram_mode_with_duplicate_value_rows(spark):
+    """Duplicate histogram rows for the SAME value (e.g. a pre-agg that
+    was not fully combined) must still index the expanded multiset
+    correctly — any row bracketing the target rank carries the value."""
+    hist = [(5.0, 3), (5.0, 2), (1.0, 1), (9.0, 4)]
+    hdf = spark.createDataFrame(hist, "x double, w long")
+    expanded = spark.createDataFrame(
+        [(v,) for v, w in hist for _ in range(w)], "x double")
+    got = distributed_exact_quantiles(hdf, "x", PROBS,
+                                      weight_col="w").collect()
+    want = _exact(expanded, "x", PROBS).collect()
+    _assert_bit_equal(got, want)
