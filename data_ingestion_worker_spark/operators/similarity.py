@@ -350,9 +350,11 @@ FROM per_dim GROUP BY label
 """
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = per-label centroid; each query
-    probes its ``nprobe`` best cells, then exact top-k inside them.
+def _ivf_cells(spark: SparkSession, sf_dir: str, nprobe: int):
+    """Coarse-quantizer cell selection shared by the plain IVF search
+    and the composed IVF-PQ index: returns ``(e, cells)`` where ``e``
+    is the checkpointed quantized corpus and ``cells`` the
+    (query_id, cell) pairs of each query's ``nprobe`` best cells.
 
     The centroid of label L is mean(vectors of L); since cosine is
     scale-invariant, cos(q, mean) == cos(q, sum) and the *sum* vector
@@ -406,6 +408,13 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("cr") <= nprobe)
         .select("query_id", F.col("c_label").alias("cell"))
     )
+    return e, cells
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF-style ANN: cell selection via :func:`_ivf_cells`, then the
+    exact integer-cosine top-k inside the probed cells."""
+    e, cells = _ivf_cells(spark, sf_dir, nprobe)
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("qv0").alias("qq"))
@@ -1168,6 +1177,27 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_topk``.
     """
     dims, vnorm, cent, msize, assign = _pq_state(spark, sf_dir)
+    lut = _pq_query_lut(dims, vnorm, cent, msize)
+    adc = (
+        assign.select("vec_id", "m", "code")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_milli").alias("adc_milli"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_milli").asc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "rank", "adc_milli")
+    )
+
+
+def _pq_query_lut(dims, vnorm, cent, msize) -> DataFrame:
+    """Per-query ADC lookup table (query_id, m, code, lut_milli) —
+    shared by the flat PQ scan and the composed IVF-PQ index."""
     cnorm = cent.groupBy("m", "code").agg(
         F.sum(F.col("s") * F.col("s")).alias("ns")
     )
@@ -1182,7 +1212,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = vnorm.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", F.col("nv").alias("nq")
     )
-    lut = (
+    return (
         qdots.join(F.broadcast(cnorm), ["m", "code"])
         .join(F.broadcast(msize), ["m", "code"])
         .join(F.broadcast(qn), ["query_id", "m"])
@@ -1193,10 +1223,39 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "m", "code", "lut_milli")
     )
+
+
+#: IVF-PQ probes this many coarse cells per query (the FAISS default
+#: regime is nprobe ≪ n_cells; 2 of this corpus's label cells).
+IVFPQ_NPROBE = 2
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production vector index — IVF-PQ (Jégou et al.
+    2011; the FAISS IndexIVFPQ shape): the coarse quantizer prunes the
+    corpus to each query's ``IVFPQ_NPROBE`` best cells, and only those
+    cells' members are scored, via the PQ/ADC integer-milli lookup
+    table instead of their raw vectors.  ``ann_ivf_topk`` models the
+    pruning alone and ``ann_pq_adc_topk`` the compression alone; this
+    operator is their composition, which is what actually runs in a
+    production ANN service.
+
+    Scale shape: cells cut candidates to ~nprobe/n_cells of the corpus
+    BEFORE any scoring; the scan side is the codes table (PQ_M small
+    ints per vector) filtered by a broadcast of the (query, cell)
+    pairs; the LUT broadcasts; one partial-agg shuffle, then the
+    per-query top-k window.
+    """
+    e, cells = _ivf_cells(spark, sf_dir, IVFPQ_NPROBE)
+    dims, vnorm, cent, msize, assign = _pq_state(spark, sf_dir)
+    lut = _pq_query_lut(dims, vnorm, cent, msize)
+    labels = e.select("vec_id", "label")
     adc = (
         assign.select("vec_id", "m", "code")
-        .join(F.broadcast(lut), ["m", "code"])
+        .join(labels, "vec_id")
+        .join(F.broadcast(cells), F.col("label") == F.col("cell"))
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("lut_milli").alias("adc_milli"))
     )
@@ -1485,6 +1544,63 @@ SELECT query_id, vec_id, CAST(r AS INT) AS rank, adc_milli FROM (
   FROM adc
 ) WHERE r <= {TOP_K}
 """
+
+
+def _ivfpq_oracle() -> str:
+    """Composed IVF-PQ oracle: the PQ training chain + the IVF coarse
+    assignment chain (disjoint CTE names by construction), then the ADC
+    scan restricted to each query's probed cells."""
+    ivf_body = _IVF_BASE.strip()
+    assert ivf_body.startswith("WITH ")
+    ivf_body = ivf_body[len("WITH "):]
+    return _pq_ctes() + ",\n" + ivf_body + f""",
+cells_p AS (
+  SELECT query_id, c_label AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cell_cos DESC, c_label) AS cr FROM assign
+  ) WHERE cr <= {IVFPQ_NPROBE}
+),
+qd AS (
+  SELECT vec_id AS query_id, m, d, v FROM dims WHERE vec_id < {N_QUERIES}
+),
+qdots AS (
+  SELECT q.query_id, q.m, c.code, sum(q.v * c.s) AS dot
+  FROM qd q JOIN cent1 c ON q.m = c.m AND q.d = c.d
+  GROUP BY 1, 2, 3
+),
+qn AS (
+  SELECT vec_id AS query_id, m, nv AS nq
+  FROM vnorm WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+  SELECT query_id, m, code,
+         CAST(round((CAST(nq AS DOUBLE) + {_PQ_SCORE}) * 1000.0) AS BIGINT)
+           AS lut_milli
+  FROM qdots
+  JOIN cnorm1 USING (m, code)
+  JOIN msize1 USING (m, code)
+  JOIN qn USING (query_id, m)
+),
+adc_p AS (
+  SELECT c.query_id, a.vec_id, CAST(sum(l.lut_milli) AS BIGINT) AS adc_milli
+  FROM assign1 a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN cells_p c ON c.cell = e.label
+  JOIN lut l ON a.m = l.m AND a.code = l.code
+            AND l.query_id = c.query_id
+  WHERE a.vec_id <> c.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, CAST(r AS INT) AS rank, adc_milli FROM (
+  SELECT query_id, vec_id, adc_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_milli, vec_id) AS r
+  FROM adc_p
+) WHERE r <= {TOP_K}
+"""
+
+
+ANN_IVFPQ_ORACLE = _ivfpq_oracle()
 
 
 ANN_PQ_RECALL_ORACLE = _pq_ctes() + f""",
@@ -2575,6 +2691,7 @@ SPECS: dict[str, QuerySpec] = {
                                    _hybrid_rrf_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
+    "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_ORACLE),
     "ann_pq_recall": QuerySpec(ann_pq_recall, ANN_PQ_RECALL_ORACLE),
     "emb_coreset_maxmin": QuerySpec(emb_coreset_maxmin, _coreset_oracle()),
     "emb_hamming_topk": QuerySpec(emb_hamming_topk, EMB_HAMMING_ORACLE),

@@ -547,3 +547,38 @@ def test_als_rank1_matches_python_alternation(spark, sf_dir):
     # factors (not raw popularity), and milli-quantization ties flatten
     # the v ranking — sf0.001 measures ρ≈0.50.
     assert rho > 0.3, rho
+
+
+def test_ivfpq_is_pq_scoring_inside_probed_cells(spark, sf_dir):
+    """The composed IVF-PQ index must be exactly: the flat PQ/ADC
+    scoring restricted to each query's probed coarse cells — (a) every
+    returned candidate's label is one of the query's IVFPQ_NPROBE
+    cells, (b) its adc_milli equals the flat PQ scan's score for the
+    same (query, candidate) pair bit-for-bit."""
+    from data_ingestion_worker_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        _ivf_cells,
+        ann_ivfpq_topk,
+        ann_pq_adc_topk,
+    )
+
+    _e, cells_df = _ivf_cells(spark, sf_dir, IVFPQ_NPROBE)
+    cells = {}
+    for r in cells_df.collect():
+        cells.setdefault(r["query_id"], set()).add(r["cell"])
+    labels = {r["vec_id"]: r["label"] for r in _e.select(
+        "vec_id", "label").collect()}
+    flat = {(r["query_id"], r["vec_id"]): r["adc_milli"]
+            for r in ann_pq_adc_topk(spark, sf_dir).collect()}
+    rows = ann_ivfpq_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["vec_id"]] in cells[r["query_id"]]
+        # The flat scan keeps only its own top-k, so only overlapping
+        # pairs are comparable — but where both kept the pair, the
+        # score must be identical (same codes, same LUT).
+        key = (r["query_id"], r["vec_id"])
+        if key in flat:
+            assert flat[key] == r["adc_milli"]
+    overlap = sum((r["query_id"], r["vec_id"]) in flat for r in rows)
+    assert overlap > 0, "no overlap with the flat PQ top-k - vacuous"
