@@ -582,3 +582,55 @@ def test_ivfpq_is_pq_scoring_inside_probed_cells(spark, sf_dir):
             assert flat[key] == r["adc_milli"]
     overlap = sum((r["query_id"], r["vec_id"]) in flat for r in rows)
     assert overlap > 0, "no overlap with the flat PQ top-k - vacuous"
+
+
+def test_ivfpq_recall_is_priced_against_flat_pq(spark, sf_dir):
+    """Cell pruning can only REMOVE candidates, so on shared scoring
+    the composed index's exact-L2 recall is <= the flat PQ scan's —
+    and must stay non-trivial (the index is useful).  This prices the
+    nprobe dial the way ann_ivf_recall prices plain IVF."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        _QVEC,
+        N_QUERIES,
+        TOP_K,
+        ann_ivfpq_topk,
+        ann_pq_adc_topk,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QVEC).alias("qv"))
+    q = e.filter(F.col("vec_id") < N_QUERIES) \
+        .withColumnRenamed("vec_id", "query_id") \
+        .withColumnRenamed("qv", "qq")
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr("aggregate(zip_with(qq, qv, (x, y) -> x * y), "
+                 "cast(0 as bigint), (acc, v) -> acc + v)")
+    na = F.expr("aggregate(transform(qq, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    nb = F.expr("aggregate(transform(qv, x -> x * x), "
+                "cast(0 as bigint), (acc, v) -> acc + v)")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"),
+                                               F.col("vec_id"))
+    exact = defaultdict(set)
+    for r in (pairs.select("query_id", "vec_id",
+                           (na + nb - 2 * dot).alias("dist2"))
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= TOP_K).collect()):
+        exact[r["query_id"]].add(r["vec_id"])
+
+    def recall(df):
+        got = defaultdict(set)
+        for r in df.collect():
+            got[r["query_id"]].add(r["vec_id"])
+        hits = sum(len(got[q] & exact[q]) for q in exact)
+        return hits / (len(exact) * TOP_K)
+
+    r_flat = recall(ann_pq_adc_topk(spark, sf_dir))
+    r_ivfpq = recall(ann_ivfpq_topk(spark, sf_dir))
+    assert 0.0 < r_ivfpq <= r_flat + 1e-12, (r_ivfpq, r_flat)
