@@ -271,3 +271,26 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
             assert got[r.event_id] == (best[1], best[2]), r.event_id
             n_matched += 1
     assert n_matched > 0
+
+
+def test_seasonal_decompose_reconstructs_the_series(spark, sf_dir):
+    """Additive-decomposition identity: on full-window days,
+    trend + seasonal + remainder must reconstruct the observed count
+    within quantization (each term is one micro floor, so <= 2 micro
+    of slack); edge days carry NULL components."""
+    from data_ingestion_worker_spark.operators.events import (
+        ev_seasonal_decompose,
+    )
+
+    rows = ev_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    full = [r for r in rows if r["trend_micro"] is not None]
+    assert full, "no full 7-day windows in the fixture - vacuous"
+    for r in full:
+        recon = (r["trend_micro"] + r["seasonal_micro"]
+                 + r["remainder_micro"])
+        assert abs(r["c"] * 1_000_000 - recon) <= 2, r
+    for r in rows:
+        if r["trend_micro"] is None:
+            assert r["seasonal_micro"] is None
+            assert r["remainder_micro"] is None
