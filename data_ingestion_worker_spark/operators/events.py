@@ -2965,112 +2965,6 @@ def ev_fft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of the daily volume
-    series per event type (the STL-lite every metrics pipeline runs
-    before alerting): trend = centered 7-day moving average (full
-    windows only), seasonal = per-weekday mean of the detrended
-    series, remainder = detrended − seasonal.
-
-    Exactness: the trend numerator is the integer 7-day window sum
-    ``t7`` (a RANGE window over the day index, so calendar gaps cannot
-    smuggle an 8-day window in); the detrended value is the exact
-    integer ``7·c − t7`` (everything scaled by 7 instead of dividing);
-    the three micro readouts are each ONE floor over ONE division of
-    exact integers — bit-identical cross-engine, the house rule.
-
-    Scale: one shuffle into (type, day); the trend window partitions by
-    type over the bounded daily spine; the seasonal aggregate is a
-    (type × 7)-row reduction broadcast back.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.window("ts", "1 day").getField("start").alias("day"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    wt = Window.partitionBy("event_type")
-    idx = daily.select(
-        "event_type", "day", "c",
-        F.datediff(F.col("day"), F.min("day").over(wt)).alias("x"),
-    )
-    wr = Window.partitionBy("event_type").orderBy("x") \
-        .rangeBetween(-3, 3)
-    t = idx.select(
-        "event_type", "day", "c",
-        F.when(F.count(F.lit(1)).over(wr) == 7,
-               F.sum("c").over(wr)).alias("t7"),
-        F.dayofweek("day").alias("dow"),
-    ).localCheckpoint(eager=False)   # feeds seasonal agg + final rows
-    det = (F.lit(7) * F.col("c") - F.col("t7"))        # 7 * detrended
-    seas = (
-        t.filter(F.col("t7").isNotNull())
-        .groupBy("event_type", "dow")
-        .agg(F.sum(det).alias("sd"), F.count(F.lit(1)).alias("nd"))
-        .select(
-            "event_type", "dow",
-            F.floor(F.col("sd").cast("double") * 1000000.0
-                    / (7.0 * F.col("nd").cast("double")))
-            .cast("long").alias("seasonal_micro"),
-        )
-    )
-    return (
-        t.join(seas, ["event_type", "dow"], "left")
-        .select(
-            "event_type", "day", "c",
-            F.floor(F.col("t7").cast("double") * 1000000.0 / 7.0)
-            .cast("long").alias("trend_micro"),
-            F.when(F.col("t7").isNotNull(), F.col("seasonal_micro"))
-            .alias("seasonal_micro"),
-            F.when(
-                F.col("t7").isNotNull(),
-                F.floor(det.cast("double") * 1000000.0 / 7.0)
-                .cast("long") - F.col("seasonal_micro"),
-            ).alias("remainder_micro"),
-        )
-    )
-
-
-SEASONAL_DECOMPOSE_ORACLE = """
-WITH daily AS (
-  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
-         CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
-),
-idx AS (
-  SELECT event_type, day, c,
-         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
-                        day) AS BIGINT) AS x
-  FROM daily
-),
-t AS (
-  SELECT event_type, day, c,
-         CASE WHEN count(*) OVER w = 7
-              THEN sum(c) OVER w END AS t7,
-         dayofweek(day) + 1 AS dow
-  FROM idx
-  WINDOW w AS (PARTITION BY event_type ORDER BY x
-               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-),
-seas AS (
-  SELECT event_type, dow,
-         CAST(floor(CAST(sum(7 * c - t7) AS DOUBLE) * 1000000.0
-                    / (7.0 * CAST(count(*) AS DOUBLE))) AS BIGINT)
-           AS seasonal_micro
-  FROM t WHERE t7 IS NOT NULL GROUP BY 1, 2
-)
-SELECT t.event_type, t.day, t.c,
-       CAST(floor(CAST(t7 AS DOUBLE) * 1000000.0 / 7.0) AS BIGINT)
-         AS trend_micro,
-       CASE WHEN t7 IS NOT NULL THEN s.seasonal_micro END
-         AS seasonal_micro,
-       CASE WHEN t7 IS NOT NULL THEN
-         CAST(floor(CAST(7 * c - t7 AS DOUBLE) * 1000000.0 / 7.0)
-              AS BIGINT) - s.seasonal_micro END AS remainder_micro
-FROM t LEFT JOIN seas s
-  ON t.event_type = s.event_type AND t.dow = s.dow
-"""
-
-
 def _fft_oracle() -> str:
     vals = ", ".join(f"({p}, {k}, {c}, {s})"
                      for p, k, c, s in _angle_literals())
@@ -3281,8 +3175,6 @@ WHERE rn = least(((n_cal + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN - 1})
 SPECS: dict[str, QuerySpec] = {
     "stats_conformal_interval": QuerySpec(stats_conformal_interval,
                                           CONFORMAL_ORACLE),
-    "ev_seasonal_decompose": QuerySpec(ev_seasonal_decompose,
-                                          SEASONAL_DECOMPOSE_ORACLE),
     "ev_fft_periodogram": QuerySpec(ev_fft_periodogram,
                                     FFT_PERIODOGRAM_ORACLE),
     "ev_binseg_changepoint": QuerySpec(ev_binseg_changepoint,

@@ -276,21 +276,24 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
 def test_seasonal_decompose_reconstructs_the_series(spark, sf_dir):
     """Additive-decomposition identity: on full-window days,
     trend + seasonal + remainder must reconstruct the observed count
-    within quantization (each term is one micro floor, so <= 2 micro
-    of slack); edge days carry NULL components."""
+    within quantization (three floor-4 readouts, each flooring down by
+    < 1e-4, so 0 <= n - sum < 3e-4); edge days carry a NULL trend."""
     from data_ingestion_worker_spark.operators.events import (
         ev_seasonal_decompose,
     )
 
     rows = ev_seasonal_decompose(spark, sf_dir).collect()
     assert rows
-    full = [r for r in rows if r["trend_micro"] is not None]
+    full = [r for r in rows if r["trend7"] is not None]
     assert full, "no full 7-day windows in the fixture - vacuous"
     for r in full:
-        recon = (r["trend_micro"] + r["seasonal_micro"]
-                 + r["remainder_micro"])
-        assert abs(r["c"] * 1_000_000 - recon) <= 2, r
-    for r in rows:
-        if r["trend_micro"] is None:
-            assert r["seasonal_micro"] is None
-            assert r["remainder_micro"] is None
+        diff = r["n"] - (r["trend"] + r["seasonal"] + r["remainder"])
+        assert -1e-9 <= diff < 3.0001e-4, r
+        # trend7 is the raw integer 7-day window sum.
+        assert r["trend"] == _math_floor4(r["trend7"] / 7.0)
+
+
+def _math_floor4(x: float) -> float:
+    import math
+
+    return math.floor(x * 10000.0) / 10000.0
