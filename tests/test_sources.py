@@ -496,3 +496,48 @@ def test_warc_feeds_text_operators(spark, tmp_path):
     counted = docs.select("doc_id", ws_token_count(F.col("text"))
                           .alias("n")).collect()
     assert len(counted) == 10 and all(r.n >= 6 for r in counted)
+
+
+def test_tar_shard_roundtrip_and_corrupt_isolation(spark, tmp_path):
+    """read_tar_shards must recover exactly what write_tar_shards laid
+    down (key and payload), and a corrupted shard file must poison only
+    its own members: a garbage-header shard drops whole, a truncated
+    shard yields the members before the break."""
+    import os
+
+    from data_ingestion_worker_spark.sources.binary import read_tar_shards
+    from data_ingestion_worker_spark.sources.writers import write_tar_shards
+
+    rows = [(f"doc{i:03d}", bytes([i]) * (50 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, payload binary")
+    out = str(tmp_path / "shards")
+    n = write_tar_shards(df, out, n_shards=4, ext="bin")
+    assert n == 4
+
+    got = {r["key"]: (bytes(r["payload"]), r["ext"], r["shard"])
+           for r in read_tar_shards(spark, out).collect()}
+    assert set(got) == {k for k, _ in rows}
+    for k, payload in rows:
+        assert got[k][0] == payload
+        assert got[k][1] == "bin"
+        assert got[k][2].startswith("shard-")
+
+    # Corrupt one shard's header block entirely: its members vanish,
+    # every other shard's members survive.
+    victim = sorted(os.listdir(out))[0]
+    lost = {k for k, (_, _, s) in got.items() if s == victim}
+    assert lost
+    with open(os.path.join(out, victim), "r+b") as f:
+        f.write(b"\xff" * 512)
+    after = {r["key"] for r in read_tar_shards(spark, out).collect()}
+    assert after == set(got) - lost
+
+    # Truncated shard: members before the cut survive.
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(df, out2, n_shards=1, ext="bin")
+    shard = os.path.join(out2, sorted(os.listdir(out2))[0])
+    size = os.path.getsize(shard)
+    with open(shard, "r+b") as f:
+        f.truncate(size // 2)
+    partial = {r["key"] for r in read_tar_shards(spark, out2).collect()}
+    assert partial and partial < {k for k, _ in rows}
