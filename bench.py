@@ -118,9 +118,12 @@ HEADLINE = [
     "stats_psi_drift",
     "doc_lm_xent_proxy",
     "mm_image_ahash_dedup",
-    # The v2 funnel (policy + LM-fluency gates on top of e2e) — the
-    # heaviest single launchable; e2e stays for the stage-cost delta.
+    # The funnel ladder: e2e -> v2 (policy + LM-fluency gates) -> v3
+    # (+ decontamination + cluster-keyed split; driver-graded since r7,
+    # benched since r7 at ~9.8 s after the CC-oracle and quantile-path
+    # work — the stage costs read off the three adjacent lines).
     "pipeline_curation_v2",
+    "pipeline_curation_v3",
     # HITS on the directed purchase graph and RAKE keyphrase extraction.
     "graph_hits",
     "doc_keyphrase_rake",
