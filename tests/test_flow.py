@@ -760,3 +760,32 @@ def test_stage_accounting_is_exclusive():
     assert proc.stage_seconds["route"] < 0.08
     total = sum(proc.stage_seconds.values())
     assert 0.10 <= total < 0.2
+
+
+def test_bulk_discard_failing_rows_then_consolidate(env):
+    """discard_failing_rows (the set-based 'discard all failing' review
+    action) must flip every ISSUE row of the targeted job to DISCARD in
+    one write, leave other statuses and other jobs untouched, and let
+    reprocess auto-resolve + consolidate."""
+    store, proc, csv_path = env
+    proc.process_job(1, csv_path)
+    before = _statuses(store, 1)
+    issue_rows = {k for k, v in before.items() if v == "ISSUE"}
+    assert issue_rows, "fixture must produce ISSUE rows"
+    versions_before = len(store.history("staging")) \
+        if hasattr(store, "history") else None
+
+    n = proc.discard_failing_rows(job_id=1)
+    assert n == len(issue_rows)
+    after = _statuses(store, 1)
+    assert {k for k, v in after.items() if v == "DISCARD"} == issue_rows
+    assert {k for k, v in after.items() if v == "READY"} \
+        == {k for k, v in before.items() if v == "READY"}
+    if versions_before is not None:
+        # ONE staging write for the whole bulk action.
+        assert len(store.history("staging")) == versions_before + 1
+    # Repeating the action is a no-op (nothing left in ISSUE).
+    assert proc.discard_failing_rows(job_id=1) == 0
+
+    assert proc.process_job(1, csv_path) == "reprocessed"
+    assert _job(store, 1)["job_status"] == "COMPLETED"
