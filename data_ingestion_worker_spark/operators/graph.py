@@ -1473,6 +1473,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _normalize(raw: DataFrame, out: str) -> DataFrame:
+        # The raw frame feeds both the one-row total and the division;
+        # the lazy checkpoint also truncates the per-round lineage —
+        # without it each half-step re-plans every earlier round and
+        # the final plan carries O(rounds²) exchanges (audit caught
+        # this at 134 exchanges for 4 rounds; 8 after).
+        raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(F.sum("raw").alias("tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
             "node", F.expr(f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT)")
