@@ -674,10 +674,15 @@ def _kmeans_scores_and_assign(dims, vnorm, cent):
             .drop("r")
         )
         if it < KM_ITERS - 1:
+            # Each round's centroid table is consumed TWICE in the next
+            # round (cnorm + dots) and would otherwise re-plan every
+            # earlier round — the HITS lineage lesson; the lazy
+            # checkpoint makes each round one materialized superstep.
             cent = (
                 dims.join(assign.select("vec_id", "cluster"), "vec_id")
                 .groupBy("cluster", "d")
                 .agg(F.sum("v").alias("s"))
+                .localCheckpoint(eager=False)
             )
     return scores, assign
 
