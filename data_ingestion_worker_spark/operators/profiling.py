@@ -1395,6 +1395,80 @@ FROM mech
 """
 
 
+#: Candidate columns for functional-dependency discovery over orders —
+#: the schema-inference profile (Metanome/HoloClean family): which
+#: column pairs satisfy A -> B, exactly or approximately.
+#: (label, expression) — expressions are valid verbatim in both
+#: engines.  year(o_orderdate) -> o_orderstatus is the interesting
+#: approximate FD (TPC-H statuses correlate with order age); the
+#: high-cardinality o_custkey leg exercises the ndv-heavy direction.
+FD_CANDIDATES = [("o_orderstatus", "o_orderstatus"),
+                 ("o_orderpriority", "o_orderpriority"),
+                 ("order_year", "year(o_orderdate)"),
+                 ("o_custkey", "o_custkey")]
+
+
+def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate functional-dependency discovery over the
+    candidate columns: ``A -> B`` holds iff every A value maps to one B
+    value, i.e. ``ndv(A) == ndv(A, B)``; the violation ratio
+    ``(ndv(A,B) − ndv(A)) / ndv(A)`` (ppm) grades the approximate FDs
+    data-repair tools act on.  The classic single-table profiling pass
+    a pipeline runs before trusting a column as a join/partition key or
+    a derivable attribute (the o_custkey legs exercise the
+    high-cardinality direction; order_year -> o_orderstatus is the
+    gradable approximate FD — statuses correlate with order age).
+
+    Scale shape: one pass per directed pair in a constant-size UNION —
+    each leg is a combiner-friendly distinct-count aggregate (grouped
+    partials, no global expand), and the readout is |pairs| rows.
+    Integer ppm readout (one floor over one exact-integer division).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for lhs, le in FD_CANDIDATES:
+        for rhs, re_ in FD_CANDIDATES:
+            if lhs == rhs:
+                continue
+            agg = o.agg(
+                F.countDistinct(F.expr(le)).alias("n_lhs"),
+                F.countDistinct(F.expr(le), F.expr(re_)).alias("n_pair"),
+            )
+            outs.append(agg.select(
+                F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
+                F.col("n_lhs").cast("long").alias("n_lhs"),
+                F.col("n_pair").cast("long").alias("n_pair"),
+                (F.col("n_pair") == F.col("n_lhs")).alias("holds"),
+                F.expr("(1000000 * (n_pair - n_lhs)) div n_lhs")
+                .cast("long").alias("violation_ppm"),
+            ))
+    result = outs[0]
+    for d in outs[1:]:
+        result = result.unionByName(d)
+    return result
+
+
+def _fd_oracle() -> str:
+    legs = []
+    for lhs, le in FD_CANDIDATES:
+        for rhs, re_ in FD_CANDIDATES:
+            if lhs == rhs:
+                continue
+            legs.append(f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(count(DISTINCT {le}) AS BIGINT) AS n_lhs,
+       CAST(count(DISTINCT ({le}, {re_})) AS BIGINT) AS n_pair,
+       count(DISTINCT ({le}, {re_})) = count(DISTINCT {le}) AS holds,
+       (1000000 * (CAST(count(DISTINCT ({le}, {re_})) AS BIGINT)
+                   - CAST(count(DISTINCT {le}) AS BIGINT)))
+         // CAST(count(DISTINCT {le}) AS BIGINT) AS violation_ppm
+FROM orders""")
+    return " UNION ALL ".join(legs)
+
+
+FD_ORACLE = _fd_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
     "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),
     "dq_l_diversity": QuerySpec(dq_l_diversity, L_DIVERSITY_ORACLE),
@@ -1413,6 +1487,8 @@ SPECS: dict[str, QuerySpec] = {
     "dq_validate_documents": QuerySpec(dq_validate_documents,
                                        DQ_DOCS_ORACLE),
     "sample_stratified": QuerySpec(sample_stratified, STRATIFIED_ORACLE),
+    "profile_functional_deps": QuerySpec(profile_functional_deps,
+                                           FD_ORACLE),
     "profile_join_key_skew": QuerySpec(profile_join_key_skew,
                                        SKEW_PROFILE_ORACLE),
     "ev_anomaly_zscore": QuerySpec(ev_anomaly_zscore, ANOMALY_ORACLE),

@@ -214,6 +214,8 @@ SP_ALLOWED = {
     "graph_bfs_distance",       # one-row seed-node scalar
     "dq_validate_orders",       # one-row rule-metric scalars
     "dq_validate_documents",    # one-row rule-metric scalars
+    "profile_functional_deps",  # one-row ndv scalars per candidate pair
+                                # (constant-size union of 12 legs)
     "ev_survival_curve",        # one-row horizon scalar + cum windows
                                 # over the <=31-day lifetime agg
     "stats_cuped_uplift",       # one-row pooled power-sum scalar
