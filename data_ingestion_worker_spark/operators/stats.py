@@ -2411,8 +2411,237 @@ FROM flagged
 """
 
 
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test: do the event-value distributions differ
+    across the k event types?  The k-group generalisation of
+    :func:`stats_mannwhitney_u` (rank-based one-way ANOVA — the
+    nonparametric twin of :func:`stats_anova_f`, robust to the heavy
+    right tail event values actually have).
+
+    Exactness: same no-per-row-ranks trick as Mann–Whitney — with tied
+    values sharing one average rank, twice the group rank sum is
+    ``2R_g = Σ_q c_gq·(2·cum_q − tv_q + 1)``, a function of the
+    per-(group, distinct-value) counts alone, so every rank statistic
+    is an exact DECIMAL sum.  The per-group quotient ``R_g²/n_g`` is
+    ONE division of decimal-derived doubles floor-quantized to a BIGINT
+    on its own row BEFORE the cross-group sum (the
+    :func:`stats_anova_f` convention, so the k-row reduction is an
+    integer sum in any shuffle order).  H and its tie-corrected variant
+    are then one identical double expression in both engines, floored
+    at 4 decimals.
+
+    Scale shape — one (group × distinct-value) hash aggregate, the
+    distributed-ECDF prefix sum over pooled per-value counts
+    (:func:`with_cumulative_tv`: per-bucket windows + a |buckets|-row
+    offset window as the only serial step), a broadcast join back, and
+    a k-row reduction.  Never a global sort, never per-row ranks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    counts = (
+        ev.groupBy(F.col("event_type").alias("g"), q.alias("q"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds pooled ECDF + the join back
+    )
+    pooled = counts.groupBy("q").agg(F.sum("c").alias("tv"))
+    cum = with_cumulative_tv(pooled).localCheckpoint(eager=False)
+    ties = cum.agg(
+        F.sum("tv").cast("long").alias("n"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)") * F.col("tv") * F.col("tv")
+            - F.col("tv")
+        ).cast("long").alias("tcorr"),
+    )
+    two_avg = F.lit(2) * F.col("cum") - F.col("tv") + F.lit(1)
+    per_group = (
+        counts.join(cum.select("q", "tv", "cum"), "q")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * two_avg.cast("decimal(38,0)")
+            ).alias("r2"),
+        )
+    )
+    red = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.floor(
+                (F.col("r2") * F.col("r2")).cast("decimal(38,0)")
+                .cast("double") / (F.lit(4) * F.col("ng"))
+            ).cast("long")
+        ).alias("px_units"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("px_units").cast("double")
+        / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    cfac = F.lit(1.0) - F.col("tcorr").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return red.select(
+        "k", "n",
+        (F.col("k") - 1).cast("long").alias("df"),
+        (F.floor(h * F.lit(10000.0)) / F.lit(10000.0)).alias("h"),
+        (F.floor(h / cfac * F.lit(10000.0)) / F.lit(10000.0))
+        .alias("h_tie_corrected"),
+    )
+
+
+KRUSKAL_ORACLE = """
+WITH counts AS (
+  SELECT event_type AS g, CAST(floor(value * 1000.0) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT q, sum(c) AS tv,
+         sum(sum(c)) OVER (ORDER BY q) AS cum
+  FROM counts GROUP BY q
+),
+ties AS (
+  SELECT CAST(sum(tv) AS BIGINT) AS n,
+         CAST(sum(CAST(tv AS DECIMAL(38,0)) * tv * tv - tv) AS BIGINT)
+           AS tcorr
+  FROM cum
+),
+per_group AS (
+  SELECT g, sum(c) AS ng,
+         sum(CAST(c AS DECIMAL(38,0))
+             * CAST(2 * cum - tv + 1 AS DECIMAL(38,0))) AS r2
+  FROM counts JOIN cum USING (q) GROUP BY g
+),
+red AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(floor(CAST(CAST(r2 * r2 AS DECIMAL(38,0)) AS DOUBLE)
+                        / (4 * ng)) AS BIGINT)) AS px_units
+  FROM per_group
+)
+SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+       floor((12.0 * px_units / (CAST(n AS DOUBLE) * (n + 1.0))
+              - 3.0 * (n + 1.0)) * 10000.0) / 10000.0 AS h,
+       floor((12.0 * px_units / (CAST(n AS DOUBLE) * (n + 1.0))
+              - 3.0 * (n + 1.0))
+             / (1.0 - CAST(tcorr AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n * n - n))
+             * 10000.0) / 10000.0 AS h_tie_corrected
+FROM red CROSS JOIN ties
+"""
+
+
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each user's
+    propensity to purchase CHANGE between the first and second half of
+    their own observed lifetime?  The within-subject companion to the
+    two-proportion z test (which compares *independent* groups and is
+    invalid on before/after pairs of the same users).
+
+    Pairing: per user, the midpoint of their observed span (min/max
+    event time in integer microseconds); ``x`` = any purchase at or
+    before the midpoint, ``y`` = any purchase after.  The statistic
+    only involves the discordant counts ``b = Σ(x ∧ ¬y)`` and
+    ``c = Σ(¬x ∧ y)``: with continuity correction
+    ``χ² = (|b−c|−1)²/(b+c)`` — all integers except one final division,
+    floored at 4 decimals.  The midpoint comparison ``2·ts ≤ mn+mx``
+    stays in integer microseconds, so there is no rounding boundary to
+    disagree on cross-engine.
+
+    Scale: one per-user aggregate for the bounds, one key-co-partitioned
+    join of the purchase slice back onto those bounds, one per-user
+    flag aggregate, then a single-row reduction with map-side combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    ).localCheckpoint(eager=False)  # feeds the join AND the left spine
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"))
+    flags = (
+        pur.join(bounds, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.lit(2) * F.col("us") <= F.col("mn") + F.col("mx"),
+                       F.lit(1)).otherwise(F.lit(0))
+            ).alias("x"),
+            F.max(
+                F.when(F.lit(2) * F.col("us") > F.col("mn") + F.col("mx"),
+                       F.lit(1)).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    full = bounds.join(flags, "user_id", "left").select(
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    red = full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("n_both"),
+        F.sum(F.col("x") * (1 - F.col("y"))).cast("long").alias("b_first"),
+        F.sum((1 - F.col("x")) * F.col("y")).cast("long").alias("c_second"),
+    )
+    b, c = F.col("b_first"), F.col("c_second")
+    num = (F.abs(b - c) - F.lit(1))
+    stat = F.when(
+        b + c > 0,
+        (num * num).cast("double") / (b + c).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return red.select(
+        "n_users", "n_both", "b_first", "c_second",
+        (F.floor(stat * F.lit(10000.0)) / F.lit(10000.0)).alias("chi2"),
+        (stat > F.lit(3.8414588206941254)).alias("reject_95"),
+    )
+
+
+MCNEMAR_ORACLE = """
+WITH bounds AS (
+  SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT e.user_id,
+         max(CASE WHEN 2 * epoch_us(e.ts) <= b.mn + b.mx
+                  THEN 1 ELSE 0 END) AS x,
+         max(CASE WHEN 2 * epoch_us(e.ts) > b.mn + b.mx
+                  THEN 1 ELSE 0 END) AS y
+  FROM events e JOIN bounds b USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+),
+paired AS (
+  SELECT coalesce(f.x, 0) AS x, coalesce(f.y, 0) AS y
+  FROM bounds b LEFT JOIN flags f USING (user_id)
+),
+red AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x * y) AS BIGINT) AS n_both,
+         CAST(sum(x * (1 - y)) AS BIGINT) AS b_first,
+         CAST(sum((1 - x) * y) AS BIGINT) AS c_second
+  FROM paired
+)
+SELECT n_users, n_both, b_first, c_second,
+       floor(CASE WHEN b_first + c_second > 0
+                  THEN CAST((abs(b_first - c_second) - 1)
+                            * (abs(b_first - c_second) - 1) AS DOUBLE)
+                       / (b_first + c_second)
+                  ELSE 0.0 END * 10000.0) / 10000.0 AS chi2,
+       CASE WHEN b_first + c_second > 0
+            THEN CAST((abs(b_first - c_second) - 1)
+                      * (abs(b_first - c_second) - 1) AS DOUBLE)
+                 / (b_first + c_second)
+            ELSE 0.0 END > 3.8414588206941254 AS reject_95
+FROM red
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
+    "stats_kruskal_wallis": QuerySpec(stats_kruskal_wallis, KRUSKAL_ORACLE),
+    "stats_mcnemar": QuerySpec(stats_mcnemar, MCNEMAR_ORACLE),
     "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),
     "stats_wilcoxon_signed_rank": QuerySpec(stats_wilcoxon_signed_rank,
