@@ -1784,8 +1784,248 @@ w0 AS MATERIALIZED (
 BPE_TRAIN_ORACLE = _bpe_oracle()
 
 
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language annotator
+    (:func:`doc_lang_id`'s marker-word prediction) and the gold ``lang``
+    label — the chance-corrected agreement score a weak-supervision
+    pipeline computes before trusting an automatic labeler (raw
+    accuracy is inflated whenever one class dominates; kappa subtracts
+    the agreement two independent raters would reach by chance).
+
+    Exactness: multi-class kappa is a pure integer identity —
+    ``κ = (N·Σᵢnᵢᵢ − Σᵢ rᵢ·cᵢ) / (N² − Σᵢ rᵢ·cᵢ)`` with rᵢ/cᵢ the
+    row/column marginals of the confusion matrix.  Every term is an
+    exact product of counts (DECIMAL(38,0) before multiplying, so the
+    N² and marginal products cannot wrap at any scale); the single
+    final division is one double op floored at 6 decimals.
+
+    Scale: one (pred × label) hash aggregate over documents (bounded by
+    the language-domain square, ~25 cells), two marginal reductions of
+    that cell table, and a constant-size join — the corpus is read
+    once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = {code: marker_count(F.col("text"), m)
+         for code, m in LANG_MARKERS.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+               & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] > 0),
+              F.lit("de"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    cells = (
+        d.select(pred.alias("p"), F.col("lang").alias("l"))
+        .groupBy("p", "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds both marginals + diagonal
+    )
+    rows = cells.groupBy("p").agg(F.sum("c").alias("r"))
+    cols = cells.groupBy("l").agg(F.sum("c").alias("cc"))
+    rc = (
+        rows.join(cols, rows["p"] == cols["l"])
+        .agg(F.sum(
+            F.col("r").cast("decimal(38,0)") * F.col("cc")
+        ).alias("sum_rc"))
+    )
+    diag = cells.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("p") == F.col("l"), F.col("c"))
+              .otherwise(F.lit(0))).cast("decimal(38,0)").alias("n_agree"),
+    )
+    red = diag.crossJoin(F.broadcast(rc))
+    po = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("sum_rc").cast("double") / (
+        (F.col("n") * F.col("n")).cast("decimal(38,0)").cast("double"))
+    kappa = (
+        (F.col("n") * F.col("n_agree") - F.col("sum_rc"))
+        .cast("decimal(38,0)").cast("double")
+        / ((F.col("n") * F.col("n")).cast("decimal(38,0)")
+           - F.col("sum_rc")).cast("double")
+    )
+    return red.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("sum_rc").cast("long").alias("sum_rc"),
+        (F.floor(po * F.lit(1000000.0)).cast("long")).alias("po_ppm"),
+        (F.floor(pe * F.lit(1000000.0)).cast("long")).alias("pe_ppm"),
+        (F.floor(kappa * F.lit(1000000.0)) / F.lit(1000000.0))
+        .alias("kappa"),
+    )
+
+
+COHENS_KAPPA_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         {_S['en']} AS s_en, {_S['de']} AS s_de,
+         {_S['es']} AS s_es, {_S['fr']} AS s_fr
+  FROM documents
+),
+cells AS (
+  SELECT CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+    WHEN s_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS p, lang AS l, count(*) AS c
+  FROM s GROUP BY 1, 2
+),
+rc AS (
+  SELECT sum(CAST(r.r AS DECIMAL(38,0)) * c.cc) AS sum_rc
+  FROM (SELECT p, sum(c) AS r FROM cells GROUP BY 1) r
+  JOIN (SELECT l, sum(c) AS cc FROM cells GROUP BY 1) c ON r.p = c.l
+),
+diag AS (
+  SELECT CAST(sum(c) AS DECIMAL(38,0)) AS n,
+         CAST(sum(CASE WHEN p = l THEN c ELSE 0 END)
+              AS DECIMAL(38,0)) AS n_agree
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(sum_rc AS BIGINT) AS sum_rc,
+       CAST(floor(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS po_ppm,
+       CAST(floor(CAST(sum_rc AS DOUBLE)
+                  / CAST(CAST(n * n AS DECIMAL(38,0)) AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS pe_ppm,
+       floor(CAST(CAST(n * n_agree - sum_rc AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(n * n AS DECIMAL(38,0)) - sum_rc AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS kappa
+FROM diag CROSS JOIN rc
+"""
+
+
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between each source's unigram
+    token distribution and the whole-corpus distribution — the
+    symmetric, bounded [0,1] drift score data-mixing pipelines use to
+    rank how far each source sits from the mix it feeds.
+
+    Fan-out-free construction: the naive H(M)-based form needs a term
+    for every (source, vocab-token) pair including tokens the source
+    LACKS — a |vocab|×|sources| blow-up.  The mixture-KL form
+    ``JSD = ½Σ p·log2(2p/(p+q)) + ½Σ q·log2(2q/(p+q))`` collapses the
+    absent-token tail exactly: when p = 0 the q-term is q·log2(2) = q,
+    so the whole tail sums to ``1 − Σ_{present} q`` — an exact integer
+    count ratio.  Every remaining term lives on the (source, token)
+    count table the corpus already materializes.
+
+    Determinism: per-row terms ``a·log2(2aN/(aN+ct·Ns))`` and
+    ``ct·log2(2ct·Ns/(aN+ct·Ns))`` are floor-quantized to integer
+    micro-units on their own rows before the per-source sum (house
+    float rule; the log2 ulp-at-floor-boundary risk is the documented
+    accepted one — see :func:`doc_char_entropy`).
+
+    Scale: one (source × token) hash aggregate, one token-keyed join to
+    the vocabulary-bounded corpus count table, one broadcast of the
+    per-source totals, one per-source reduction.  No pair of documents
+    and no (source × vocab) product is ever formed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    counts = (
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+        .localCheckpoint(eager=False)  # feeds corpus rollup + the join
+    )
+    corpus = counts.groupBy("tok").agg(F.sum("a").alias("ct"))
+    totals = counts.groupBy("source").agg(F.sum("a").alias("ns"))
+    n = corpus.agg(F.sum("ct").cast("long").alias("n"))
+    j = (
+        counts.join(corpus, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    ad = F.col("a").cast("double")
+    ctd = F.col("ct").cast("double")
+    nsd = F.col("ns").cast("double")
+    nd = F.col("n").cast("double")
+    denom = ad * nd + ctd * nsd
+    t_p = F.floor(
+        ad * (F.log2(F.lit(2.0) * ad * nd) - F.log2(denom))
+        * F.lit(1000000.0)
+    ).cast("long")
+    t_q = F.floor(
+        ctd * (F.log2(F.lit(2.0) * ctd * nsd) - F.log2(denom))
+        * F.lit(1000000.0)
+    ).cast("long")
+    per_source = j.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.max("n").alias("n_corpus"),
+        F.sum(t_p).alias("s_p"),
+        F.sum(t_q).alias("s_q"),
+        F.sum("ct").cast("long").alias("ct_present"),
+    )
+    jsd = F.lit(0.5) * (
+        F.col("s_p").cast("double")
+        / (F.lit(1000000.0) * F.col("n_tokens"))
+        + F.col("s_q").cast("double")
+        / (F.lit(1000000.0) * F.col("n_corpus"))
+        + F.lit(1.0)
+        - F.col("ct_present").cast("double") / F.col("n_corpus")
+    )
+    return per_source.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(jsd * F.lit(1000000.0)).cast("long").alias("jsd_micro"),
+    )
+
+
+JS_DIVERGENCE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2
+),
+corpus AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS ct FROM counts GROUP BY 1
+),
+totals AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM counts GROUP BY 1
+),
+n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus),
+per_source AS (
+  SELECT c.source,
+         max(t.ns) AS n_tokens,
+         max(n.n) AS n_corpus,
+         sum(CAST(floor(CAST(a AS DOUBLE)
+               * (log2(2.0 * a * n.n) - log2(CAST(a AS DOUBLE) * n.n
+                                             + CAST(ct AS DOUBLE) * t.ns))
+               * 1000000.0) AS BIGINT)) AS s_p,
+         sum(CAST(floor(CAST(ct AS DOUBLE)
+               * (log2(2.0 * ct * t.ns) - log2(CAST(a AS DOUBLE) * n.n
+                                               + CAST(ct AS DOUBLE) * t.ns))
+               * 1000000.0) AS BIGINT)) AS s_q,
+         CAST(sum(ct) AS BIGINT) AS ct_present
+  FROM counts c
+  JOIN corpus USING (tok)
+  JOIN totals t USING (source)
+  CROSS JOIN n
+  GROUP BY 1
+)
+SELECT source, n_tokens,
+       CAST(floor(0.5 * (CAST(s_p AS DOUBLE) / (1000000.0 * n_tokens)
+                         + CAST(s_q AS DOUBLE) / (1000000.0 * n_corpus)
+                         + 1.0
+                         - CAST(ct_present AS DOUBLE) / n_corpus)
+                  * 1000000.0) AS BIGINT) AS jsd_micro
+FROM per_source
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_ORACLE),
+    "stats_cohens_kappa": QuerySpec(stats_cohens_kappa,
+                                    COHENS_KAPPA_ORACLE),
+    "corpus_js_divergence": QuerySpec(corpus_js_divergence,
+                                      JS_DIVERGENCE_ORACLE),
     "doc_collapse_token_runs": QuerySpec(doc_collapse_token_runs,
                                          COLLAPSE_RUNS_ORACLE),
     "doc_keyphrase_rake": QuerySpec(doc_keyphrase_rake, RAKE_ORACLE),
