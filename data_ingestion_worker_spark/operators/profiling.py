@@ -1469,7 +1469,216 @@ FROM orders""")
 FD_ORACLE = _fd_oracle()
 
 
+#: t-closeness threshold (ppm of the [0,1] ordered-EMD scale): classes
+#: whose sensitive-attribute distribution sits further than this from
+#: the global one leak attribute information even when k-anonymous.
+T_CLOSE_PPM = 150000
+
+
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the k-anonymity /
+    l-diversity ladder: a class can be large (k) and diverse (l) yet
+    still leak if its sensitive-value DISTRIBUTION differs from the
+    table's (e.g. a class that is 90% '1-URGENT' when the corpus is
+    20%).  Distance is the Earth Mover's Distance for ordered
+    attributes (Li et al. 2007): ``t = (1/(m−1)) Σᵢ |CumP_i − CumQ_i|``
+    over the m ordinal sensitive values.
+
+    Exactness + shape: the global distribution is a bounded-domain
+    m-row aggregate collected to the driver (the BPE-argmax
+    control-plane pattern), so the per-class EMD becomes m conditional
+    sums with LITERAL global cumulatives — ONE hash aggregate per
+    class, no densifying (class × domain) fan-out, no window.  Every
+    cumulative difference ``cumg_j·N − cum_j·n_g`` is an exact
+    DECIMAL(38,0) product; the single division happens once per class
+    at readout, floored to integer ppm.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select("c_nationkey", "c_mktsegment",
+             F.col("o_orderpriority").alias("sens"))
+    glob = (
+        joined.groupBy("sens").agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy("sens").collect()
+    )  # bounded sensitive domain (5 priorities) — control-plane collect
+    if len(glob) < 2:
+        raise ValueError("t-closeness needs >= 2 sensitive values")
+    n_total = sum(r["ct"] for r in glob)
+    cums, run = [], 0
+    for r in glob:
+        run += r["ct"]
+        cums.append((r["sens"], run))
+    m = len(cums)
+    counts = joined.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    cg = [
+        F.sum(F.when(F.col("sens") <= F.lit(p), F.col("cnt"))
+              .otherwise(F.lit(0))).alias(f"cg{i}")
+        for i, (p, _) in enumerate(cums)
+    ]
+    per_class = counts.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("ng"), *cg)
+    diff_sum = None
+    for i, (_, cum_j) in enumerate(cums):
+        d = F.abs(
+            F.col(f"cg{i}").cast("decimal(38,0)") * F.lit(n_total)
+            - F.lit(cum_j) * F.col("ng").cast("decimal(38,0)")
+        )
+        diff_sum = d if diff_sum is None else diff_sum + d
+    t_ppm = F.floor(
+        F.lit(1000000.0) * diff_sum.cast("double")
+        / (F.lit(float(m - 1)) * F.col("ng").cast("double")
+           * F.lit(float(n_total)))
+    ).cast("long")
+    return per_class.select(
+        "c_nationkey", "c_mktsegment",
+        F.col("ng").cast("long").alias("n_rows"),
+        t_ppm.alias("t_ppm"),
+        (t_ppm > T_CLOSE_PPM).alias("above_t"),
+    )
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH joined AS (
+  SELECT c_nationkey, c_mktsegment, o_orderpriority AS sens
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+gdist AS (
+  SELECT sens, count(*) AS ct FROM joined GROUP BY 1
+),
+gcum AS (
+  SELECT sens, sum(ct) OVER (ORDER BY sens) AS cum,
+         sum(ct) OVER () AS n_total,
+         count(*) OVER () AS m
+  FROM gdist
+),
+counts AS (
+  SELECT c_nationkey, c_mktsegment, sens, count(*) AS cnt
+  FROM joined GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, sum(cnt) AS ng
+  FROM counts GROUP BY 1, 2
+),
+dense AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.ng,
+         g.sens, g.cum, g.n_total, g.m
+  FROM classes cl CROSS JOIN gcum g
+),
+cumg AS (
+  SELECT d.c_nationkey, d.c_mktsegment, d.ng, d.cum, d.n_total, d.m,
+         (SELECT coalesce(sum(c.cnt), 0) FROM counts c
+          WHERE c.c_nationkey = d.c_nationkey
+            AND c.c_mktsegment = d.c_mktsegment
+            AND c.sens <= d.sens) AS cg
+  FROM dense d
+),
+per_class AS (
+  SELECT c_nationkey, c_mktsegment, max(ng) AS ng,
+         max(n_total) AS n_total, max(m) AS m,
+         sum(abs(CAST(cg AS DECIMAL(38,0)) * n_total
+                 - CAST(cum AS DECIMAL(38,0)) * ng)) AS diff_sum
+  FROM cumg GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(ng AS BIGINT) AS n_rows,
+       CAST(floor(1000000.0 * CAST(diff_sum AS DOUBLE)
+                  / (CAST(m - 1 AS DOUBLE) * ng * n_total))
+            AS BIGINT) AS t_ppm,
+       CAST(floor(1000000.0 * CAST(diff_sum AS DOUBLE)
+                  / (CAST(m - 1 AS DOUBLE) * ng * n_total))
+            AS BIGINT) > {T_CLOSE_PPM} AS above_t
+FROM per_class
+"""
+
+
+#: Directed inclusion-dependency candidates (dependent column ⊆
+#: referenced column) — the foreign-key discovery matrix: the six real
+#: FK edges of the schema, the reverse direction of two of them (held
+#: only when every referenced row is used), and one type-compatible
+#: nonsense pair the algorithm must reject.
+IND_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def profile_inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) discovery across the
+    schema — the cross-table companion to
+    :func:`profile_functional_deps`: ``A ⊆ B`` holds iff every distinct
+    value of the dependent column appears in the referenced column.
+    Reports exact INDs and grades the near-misses by containment ppm
+    (Metanome-style), which is how profilers rank FK candidates on
+    dirty data.
+
+    Scale shape: one leg per candidate in a constant-size UNION; each
+    leg aggregates BOTH sides to distinct values first (combiner-
+    friendly, so the join carries one row per distinct key, never per
+    row), then one left join + one count — AQE picks broadcast for the
+    small dimension sides.  Integer ppm readout.
+    """
+    outs = []
+    for dt, dc, rt, rc_ in IND_CANDIDATES:
+        da = load_table(spark, sf_dir, dt).select(
+            F.col(dc).cast("long").alias("v")).distinct()
+        db = load_table(spark, sf_dir, rt).select(
+            F.col(rc_).cast("long").alias("v")).distinct() \
+            .withColumn("present", F.lit(1))
+        agg = da.join(db, "v", "left").agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("present").isNull(), F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_missing"),
+        )
+        outs.append(agg.select(
+            F.lit(f"{dt}.{dc}").alias("dep"),
+            F.lit(f"{rt}.{rc_}").alias("ref"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_missing").cast("long").alias("n_missing"),
+            (F.col("n_missing") == 0).alias("holds"),
+            F.expr("(1000000 * (n_distinct - n_missing)) div n_distinct")
+            .cast("long").alias("contained_ppm"),
+        ))
+    result = outs[0]
+    for d in outs[1:]:
+        result = result.unionByName(d)
+    return result
+
+
+def _ind_oracle() -> str:
+    legs = []
+    for dt, dc, rt, rc_ in IND_CANDIDATES:
+        legs.append(f"""
+SELECT '{dt}.{dc}' AS dep, '{rt}.{rc_}' AS ref,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE r.v IS NULL) AS BIGINT) AS n_missing,
+       count(*) FILTER (WHERE r.v IS NULL) = 0 AS holds,
+       (1000000 * (CAST(count(*) AS BIGINT)
+                   - CAST(count(*) FILTER (WHERE r.v IS NULL) AS BIGINT)))
+         // CAST(count(*) AS BIGINT) AS contained_ppm
+FROM (SELECT DISTINCT CAST({dc} AS BIGINT) AS v FROM {dt}) d
+LEFT JOIN (SELECT DISTINCT CAST({rc_} AS BIGINT) AS v FROM {rt}) r
+  USING (v)""")
+    return " UNION ALL ".join(legs)
+
+
+INCLUSION_DEPS_ORACLE = _ind_oracle()
+
+
 SPECS: dict[str, QuerySpec] = {
+    "dq_t_closeness": QuerySpec(dq_t_closeness, T_CLOSENESS_ORACLE),
+    "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,
+                                        INCLUSION_DEPS_ORACLE),
     "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),
     "dq_l_diversity": QuerySpec(dq_l_diversity, L_DIVERSITY_ORACLE),
     "dq_dp_noisy_counts": QuerySpec(dq_dp_noisy_counts, DP_NOISY_ORACLE),
