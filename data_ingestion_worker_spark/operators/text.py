@@ -1694,17 +1694,41 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way the CC label loop does.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    wk = _bpe_word_symbols(_bpe_words(d))
+    _, merges = _bpe_merge_chain(wk)
+    return spark.createDataFrame(
+        merges,
+        "step int, lft string, rgt string, merged string, "
+        "pair_count bigint")
+
+
+def _bpe_words(d: DataFrame) -> DataFrame:
+    """Corpus word-frequency table BPE trains on ('|'-bearing and empty
+    tokens excluded — '|' is the symbol separator)."""
+    return (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
         .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     )
-    wk = words.select(
+
+
+def _bpe_word_symbols(words: DataFrame) -> DataFrame:
+    """Adds the boundary-marked symbol string ``s`` (``||c1||c2||``)
+    the merge chain rewrites; keeps all input columns."""
+    return words.withColumn(
+        "s",
         F.concat(F.lit("||"),
                  F.array_join(F.split(F.col("w"), ""), "||"),
-                 F.lit("||")).alias("s"),
-        "freq",
+                 F.lit("||")),
     ).localCheckpoint(eager=False)
+
+
+def _bpe_merge_chain(wk: DataFrame) -> tuple[DataFrame, list[tuple]]:
+    """Run the ``BPE_MERGES`` supersteps over a word-symbol frame with
+    columns ``s`` (symbol string) and ``freq``; extra columns pass
+    through untouched.  Returns (final frame, merge table rows).
+    Shared by :func:`corpus_bpe_train` (which ships the merges) and
+    :func:`corpus_bpe_encode` (which ships the rewritten words)."""
     merges: list[tuple] = []
     for step in range(1, BPE_MERGES + 1):
         syms = wk.select(
@@ -1725,16 +1749,120 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right = best[0]["l"], best[0]["r"]
         merges.append((step, left, right, left + right,
                        int(best[0]["cnt"])))
-        wk = wk.select(
+        wk = wk.withColumn(
+            "s",
             F.replace(F.col("s"),
                       F.lit(f"|{left}||{right}|"),
-                      F.lit(f"|{left}{right}|")).alias("s"),
-            "freq",
+                      F.lit(f"|{left}{right}|")),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges,
-        "step int, lft string, rgt string, merged string, "
-        "pair_count bigint")
+    return wk, merges
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the BPE vocabulary
+    :func:`corpus_bpe_train` learns — the second half of the tokenizer
+    story, and the number a budget planner actually needs: real
+    post-merge token counts per document (whitespace/char counts
+    systematically mis-price short-word-heavy docs).
+
+    Construction: the same ``BPE_MERGES`` merge supersteps run over the
+    word-symbol table (carrying the original word through the rewrite),
+    so each distinct word ends as its merged symbol sequence; the
+    per-document readout is then one (doc, word) count aggregate joined
+    to that vocabulary-bounded encoding table.  Exactness: token counts
+    are integers; the compression readout is one integer division.
+
+    Scale: training state is vocabulary-bounded (distinct words ×
+    frequency, never corpus rows); the per-doc aggregate shuffles
+    (doc × distinct-word) rows once; the encoding join is
+    vocabulary-sized (AQE broadcasts it at any corpus scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _bpe_words(d)
+    wk, _ = _bpe_merge_chain(_bpe_word_symbols(words))
+    word_tok = wk.select(
+        "w",
+        F.size(
+            F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+        ).cast("long").alias("n_sym"),
+    )
+    per_doc_word = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = per_doc_word.join(word_tok, "w").groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sym")).cast("long")
+        .alias("n_bpe_tokens"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+    )
+    return enc.select(
+        "doc_id", "n_words", "n_bpe_tokens", "n_chars",
+        F.expr("(1000000 * (n_chars - n_bpe_tokens)) div n_chars")
+        .cast("long").alias("saved_ppm"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        steps.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq
+        FROM {prev} WHERE len(string_split(trim(s, '|'), '||')) >= 2) t
+  CROSS JOIN UNNEST(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT w, replace(s, '|' || b.l || '||' || b.r || '|',
+                    '|' || b.l || b.r || '|') AS s, freq
+  FROM {prev} CROSS JOIN b{k} b
+)""")
+        prev = f"w{k}"
+    step_sql = ",\n".join(steps)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+),
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks
+  WHERE length(w) > 0 AND NOT contains(w, '|') GROUP BY 1
+),
+w0 AS MATERIALIZED (
+  SELECT w,
+         '||' || array_to_string(string_split(w, ''), '||') || '||' AS s,
+         freq
+  FROM words
+),
+{step_sql},
+enc AS (
+  SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_sym
+  FROM {prev}
+),
+per_doc_word AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE length(w) > 0 AND NOT contains(w, '|') GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(sum(cnt * n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars
+  FROM per_doc_word JOIN enc USING (w) GROUP BY 1
+)
+SELECT doc_id, n_words, n_bpe_tokens, n_chars,
+       (1000000 * (n_chars - n_bpe_tokens)) // n_chars AS saved_ppm
+FROM agg
+"""
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
 def _bpe_oracle() -> str:
@@ -2057,4 +2185,5 @@ SPECS: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, FINGERPRINT_ORACLE),
     "doc_topwords": QuerySpec(doc_topwords, TOPWORDS_ORACLE),
     "corpus_bpe_train": QuerySpec(corpus_bpe_train, BPE_TRAIN_ORACLE),
+    "corpus_bpe_encode": QuerySpec(corpus_bpe_encode, BPE_ENCODE_ORACLE),
 }

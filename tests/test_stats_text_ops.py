@@ -2272,3 +2272,21 @@ def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
     got = [(r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
            for r in sorted(corpus_bpe_train(spark, sf).collect())]
     assert got == expect
+
+    # corpus_bpe_encode must price each document with the SAME final
+    # word encodings the Python reference reached (the `words` dict
+    # after all merges).
+    from data_ingestion_worker_spark.operators.text import (
+        corpus_bpe_encode,
+    )
+
+    enc = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"],
+                         r["saved_ppm"])
+           for r in corpus_bpe_encode(spark, sf).collect()}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n_words = len(toks)
+        n_bpe = sum(len(words[w]) for w in toks)
+        n_chars = sum(len(w) for w in toks)
+        saved = (1000000 * (n_chars - n_bpe)) // n_chars
+        assert enc[i] == (n_words, n_bpe, n_chars, saved), f"doc {i}"
