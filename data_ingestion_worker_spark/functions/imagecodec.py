@@ -60,6 +60,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "PNG"
     if payload[:3] == b"\xff\xd8\xff":
         return "JPEG"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "GIF"
     return None
 
 
@@ -234,4 +236,9 @@ def decode_builtin(payload: bytes) -> DecodedImage:
         from .jpegcodec import decode_jpeg  # deferred: jpegcodec imports us
 
         return decode_jpeg(payload)
-    raise ValueError("no builtin codec for payload (not BMP/PPM/PNG/JPEG)")
+    if fmt == "GIF":
+        from .gifcodec import decode_gif_still  # deferred: imports us
+
+        return decode_gif_still(payload)
+    raise ValueError(
+        "no builtin codec for payload (not BMP/PPM/PNG/JPEG/GIF)")

@@ -840,6 +840,132 @@ def mjpeg_frame_sample(
         })
 
 
+def gif_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL LZW-codec work per payload: derive WxH RGB pixels from the
+    payload hash, ``encode_gif_rgb`` them (exact palette, variable-width
+    LZW, sub-block framing), then decode through the ``decode_builtin``
+    dispatch — magic sniffing, LZW decompression (incl. the KwKwK
+    continuation), color-table lookup and the compositing canvas are all
+    on the gated path.  GIF is palette-lossless, so byte equality is the
+    contract (like BMP/PNG, unlike JPEG)."""
+    from ..functions.gifcodec import encode_gif_rgb
+    from ..functions.imagecodec import decode_builtin
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + (h64 // 4) % 3
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_builtin(encode_gif_rgb(w, h, [raw]))
+        return (img.width, img.height, img.mode, img.format,
+                img.pixels.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+            "pixel_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real GIF (LZW) encode/decode round-trip ->
+    decoded metadata + pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(gif_roundtrip, ROUNDTRIP_SCHEMA)
+
+
+#: Same algebraic-recompute gate as BMP/PNG: the pixels Spark must
+#: produce THROUGH palette build + LZW compress/decompress are the
+#: leading sha256 bytes, in hex.
+MM_GIF_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id,
+       CAST(1 + h64 % 3 AS INT) AS width,
+       CAST(1 + (h64 // 4) % 3 AS INT) AS height,
+       'P' AS mode, 'GIF' AS format,
+       substr(sha_hex, 1,
+              CAST((1 + h64 % 3) * (1 + (h64 // 4) % 3) * 6 AS INT))
+         AS pixel_hex
+FROM h
+"""
+
+
+GIF_FRAMES_SCHEMA = ("doc_id bigint, frame_idx int, delay_cs int, "
+                     "frame_hex string")
+
+
+def gif_frame_sample(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ANIMATED-GIF frame sampling through the real codec: derive
+    ``nf`` per-frame RGB buffers and per-frame delays from the payload
+    hash, encode them as one animated GIF89a (GCE delay blocks +
+    NETSCAPE loop), decode it back, and emit every 2nd frame with its
+    delay — the decoded delay gates the Graphic Control Extension
+    parse, the frame bytes gate per-frame LZW + compositing."""
+    from ..functions.gifcodec import decode_gif, encode_gif_rgb
+
+    def _rows(doc_id: int, b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 2
+        nf = 2 + h64 % 3
+        frames = [
+            hashlib.sha256(b + str(i).encode()).digest()[: w * h * 3]
+            for i in range(nf)
+        ]
+        g = decode_gif(encode_gif_rgb(w, h, frames,
+                                      [10 * i for i in range(nf)]))
+        return [
+            (doc_id, i, g.delays_cs[i], g.frames[i].hex())
+            for i in range(len(g.frames)) if i % 2 == 0
+        ]
+
+    for pdf in batches:
+        rows = [r for d, p in zip(pdf["doc_id"], pdf["payload"])
+                for r in _rows(int(d), p)]
+        yield pd.DataFrame({
+            "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "frame_idx": pd.Series([r[1] for r in rows], dtype="int32"),
+            "delay_cs": pd.Series([r[2] for r in rows], dtype="int32"),
+            "frame_hex": pd.Series([r[3] for r in rows], dtype="object"),
+        })
+
+
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> real animated-GIF encode/decode -> every-2nd-frame
+    explode with decoded GCE delays."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(gif_frame_sample,
+                                          GIF_FRAMES_SCHEMA)
+
+
+#: Frame bytes are the leading sha256 of (payload || idx); the delay is
+#: 10·idx — Spark must reproduce BOTH through the GIF container walk.
+MM_GIF_FRAMES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, text FROM documents
+),
+n AS (
+  SELECT doc_id, h64, 2 + h64 % 3 AS nf,
+         CAST(1 + h64 % 3 AS INT) AS w, text
+  FROM h
+)
+SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+       CAST(10 * i.i AS INT) AS delay_cs,
+       substr(sha256(text || CAST(i.i AS VARCHAR)), 1,
+              CAST(w * 2 * 6 AS INT)) AS frame_hex
+FROM n CROSS JOIN UNNEST(range(n.nf)) AS i(i)
+WHERE i.i % 2 = 0
+"""
+
+
 def mm_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> MJPEG-in-AVI mux -> demux + per-frame JPEG
     decode (isolated) -> one gated row per frame."""
@@ -1772,6 +1898,8 @@ SPECS: dict[str, QuerySpec] = {
                                         MM_AUDIO_RESAMPLE_ORACLE),
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
+    "mm_roundtrip_gif": QuerySpec(mm_roundtrip_gif, MM_GIF_ORACLE),
+    "mm_gif_frames": QuerySpec(mm_gif_frames, MM_GIF_FRAMES_ORACLE),
     "mm_roundtrip_jpeg": QuerySpec(mm_roundtrip_jpeg, MM_JPEG_ORACLE),
     "mm_roundtrip_jpeg_progressive": QuerySpec(
         mm_roundtrip_jpeg_progressive, MM_JPEG_PROG_ORACLE),

@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "doc_lm_xent_kn",      # one-row bigram-type-count scalar cross
+    "stats_kruskal_wallis",  # one-row (n, tcorr) tie-scalar cross
+    "stats_cohens_kappa",  # one-row Σrᵢcᵢ marginal-product scalar cross
+    "corpus_js_divergence",  # one-row corpus-token-total scalar cross
     "doc_quality_classifier",  # one-row (Npos, Nneg, V) model scalar
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
@@ -177,6 +180,14 @@ SP_ALLOWED = {
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
     "stats_wilcoxon_signed_rank",  # same ECDF offsets + split scalar
+    "stats_kruskal_wallis",     # same ECDF offsets + one-row (n, tcorr)
+                                # tie scalar + k-row final reduction
+    "stats_mcnemar",            # one-row discordant-count scalar
+    "stats_cohens_kappa",       # one-row confusion-total scalars over
+                                # the bounded language-domain cell table
+    "corpus_js_divergence",     # one-row corpus-token-total scalar
+    "profile_inclusion_deps",   # one-row per-candidate (nd, missing)
+                                # scalars in a constant-size UNION
     "ev_rfm_segmentation",      # one-row ref-ts + quintile-cutoff scalars
     "corpus_token_budget_plan",  # one-row integer-total scalar
     "stats_auc_quality_lang",   # same distributed-ECDF bucket offsets
