@@ -2360,6 +2360,104 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 THEIL_SCALE = 1_000_000
 
 
+def ev_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the daily volume of each event type —
+    the SIGNIFICANCE half of the robust-trend pair
+    (:func:`ev_trend_theil_sen` gives the slope; MK says whether a
+    monotone trend exists at all, with no distributional assumption).
+
+    Exactness: everything up to the last line is integer —
+    ``S = Σ_{i<j} sign(n_j − n_i)`` over day pairs, and the
+    tie-corrected variance ``18·Var = N(N−1)(2N+5) − Σ_t t(t−1)(2t+5)``
+    over the tie groups of equal daily counts.  The continuity-
+    corrected z is one identical double expression, floored at 4
+    decimals.
+
+    Scale shape — the :func:`ev_trend_theil_sen` contract: the pair
+    blow-up is over the *calendar spine* (C(days, 2) per type,
+    corpus-size-independent), the raw table collapses to the dense
+    daily aggregate first, and the tie groups come from one more
+    bounded aggregate of that spine.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events")) \
+        .localCheckpoint(eager=False)  # feeds the pair join twice + ties
+    a, b = dense.alias("a"), dense.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(F.signum(F.col("b.n") - F.col("a.n")).cast("long"))
+             .alias("s"))
+    )
+    ties = (
+        dense.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("long").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    j = s.join(ties, "event_type")
+    nd = F.col("n_days")
+    var18 = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term"))
+    sigma = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sigma)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type", "n_days", "s",
+        var18.cast("long").alias("var18"),
+        (F.floor(z * F.lit(10000.0)) / F.lit(10000.0)).alias("z"),
+        (z * z > F.lit(3.8414588206941254)).alias("reject_95"),
+    )
+
+
+MANN_KENDALL_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.n > a.n THEN 1
+                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND b.day > a.day
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t) AS BIGINT) AS n_days,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, n, count(*) AS t FROM dense GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT event_type, n_days, s,
+         n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+  FROM s JOIN ties USING (event_type)
+),
+zz AS (
+  SELECT event_type, n_days, s, CAST(var18 AS BIGINT) AS var18,
+         CASE WHEN s > 0
+              THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              WHEN s < 0
+              THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS zraw
+  FROM j
+)
+SELECT event_type, n_days, s, var18,
+       floor(zraw * 10000.0) / 10000.0 AS z,
+       zraw * zraw > 3.8414588206941254 AS reject_95
+FROM zz
+"""
+
+
 def ev_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend of daily volume per event type: the
     median of all pairwise day-slopes, plus the median-residual
@@ -3192,6 +3290,8 @@ SPECS: dict[str, QuerySpec] = {
                                     FORECAST_LINEAR_ORACLE),
     "ev_forecast_backtest": QuerySpec(ev_forecast_backtest,
                                       FORECAST_BACKTEST_ORACLE),
+    "ev_trend_mann_kendall": QuerySpec(ev_trend_mann_kendall,
+                                        MANN_KENDALL_ORACLE),
     "ev_trend_theil_sen": QuerySpec(ev_trend_theil_sen,
                                     TREND_THEIL_SEN_ORACLE),
     "ev_seasonal_decompose": QuerySpec(ev_seasonal_decompose,

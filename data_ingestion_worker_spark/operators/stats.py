@@ -2411,6 +2411,108 @@ FROM flagged
 """
 
 
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with group MEDIANS) for equal
+    variances across the five order priorities — the assumption check
+    that decides whether :func:`stats_anova_f`'s pooled-variance F is
+    trustworthy (classic ANOVA is anti-conservative under heteroscedas-
+    ticity; Brown–Forsythe's median centers are the robust variant).
+
+    Construction: per-group medians come from the house
+    :func:`distributed_exact_quantiles` helper (bounded state at any
+    scale, bit-identical to Spark's ``percentile``); each row's
+    absolute deviation ``|x − med_g|`` is floor-quantized to integer
+    WHOLE currency units on its own row (coarse enough that the
+    per-group ``(Σz)²/n_g`` quotient stays inside BIGINT through
+    sf1000; deviations here are ~1e5, so the grain costs ~1e-5
+    relative), and the test is then EXACTLY the
+    one-way ANOVA of those integers — the same DECIMAL power-sum /
+    per-group-quotient-floored reduction as :func:`stats_anova_f`.
+
+    Scale: one ranged quantile pass (helper), one broadcast join of the
+    5-row median table, one combiner-friendly power-sum aggregate, one
+    k-row reduction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+        .alias("x"),
+    ).localCheckpoint(eager=False)  # feeds the quantile pass + the join
+    med = distributed_exact_quantiles(
+        base, "x", [("med", 0.5)], group_cols=["g"])
+    z = base.join(F.broadcast(med), "g").select(
+        "g",
+        F.floor(F.abs(F.col("x") - F.col("med"))).cast("long").alias("z"),
+    )
+    per_group = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("sz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+    )
+    red = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sz").cast("decimal(38,0)").alias("s_tot"),
+        F.sum("szz").cast("decimal(38,0)").alias("szz_tot"),
+        F.sum(
+            F.floor(
+                (F.col("sz") * F.col("sz")).cast("decimal(38,0)")
+                .cast("double") / F.col("ng")
+            ).cast("long")
+        ).alias("px_units"),
+    ).withColumn("px", F.col("px_units").cast("double"))
+    ssb = F.col("px") - (
+        (F.col("s_tot") * F.col("s_tot")).cast("decimal(38,0)")
+        .cast("double") / F.col("n")
+    )
+    ssw = F.col("szz_tot").cast("double") - F.col("px")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return red.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+LEVENE_BF_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM orders
+),
+med AS (
+  SELECT g, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1
+),
+z AS (
+  SELECT g, CAST(floor(abs(x - med)) AS BIGINT) AS z
+  FROM base JOIN med USING (g)
+),
+per_group AS (
+  SELECT g, count(*) AS ng,
+         sum(CAST(z AS DECIMAL(38,0))) AS sz,
+         sum(CAST(z AS DECIMAL(38,0)) * z) AS szz
+  FROM z GROUP BY 1
+),
+red AS (
+  SELECT count(*) AS k, sum(ng) AS n,
+         CAST(sum(sz) AS DECIMAL(38,0)) AS s_tot,
+         CAST(sum(szz) AS DECIMAL(38,0)) AS szz_tot,
+         CAST(sum(CAST(floor(CAST(CAST(sz * sz AS DECIMAL(38,0)) AS DOUBLE)
+                             / ng) AS BIGINT)) AS DOUBLE) AS px
+  FROM per_group
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+       round(((px - CAST(CAST(s_tot * s_tot AS DECIMAL(38,0)) AS DOUBLE) / n)
+              / (k - 1))
+             / ((CAST(szz_tot AS DOUBLE) - px) / (n - k)), 6) AS f_stat
+FROM red
+"""
+
+
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal–Wallis H test: do the event-value distributions differ
     across the k event types?  The k-group generalisation of
@@ -2641,6 +2743,7 @@ FROM red
 SPECS: dict[str, QuerySpec] = {
     "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
     "stats_kruskal_wallis": QuerySpec(stats_kruskal_wallis, KRUSKAL_ORACLE),
+    "stats_levene_bf": QuerySpec(stats_levene_bf, LEVENE_BF_ORACLE),
     "stats_mcnemar": QuerySpec(stats_mcnemar, MCNEMAR_ORACLE),
     "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),

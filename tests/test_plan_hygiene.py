@@ -182,6 +182,8 @@ SP_ALLOWED = {
     "stats_wilcoxon_signed_rank",  # same ECDF offsets + split scalar
     "stats_kruskal_wallis",     # same ECDF offsets + one-row (n, tcorr)
                                 # tie scalar + k-row final reduction
+    "stats_levene_bf",          # median-cut scalars (quantile helper)
+                                # + one-row power-sum reduction
     "stats_mcnemar",            # one-row discordant-count scalar
     "stats_cohens_kappa",       # one-row confusion-total scalars over
                                 # the bounded language-domain cell table
