@@ -1336,6 +1336,89 @@ WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
 """
 
 
+#: Translate-based simplified American Soundex (the common SQL
+#: variant): letter -> digit map over a-z; 0 marks vowels/h/w/y, which
+#: are dropped after run-collapsing.  Both engines build the code from
+#: the SAME column algebra, so parity is by construction — there is no
+#: builtin to disagree with (Spark's F.soundex has no DuckDB twin).
+_SOUNDEX_MAP = "01230120022455012623010202"
+_SOUNDEX_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _soundex_expr(col: F.Column) -> F.Column:
+    """Soundex code of a lowercase word as pure Catalyst string algebra:
+    translate to digits, collapse runs (fixed replace chain — each pass
+    halves a run, 5 passes cover words to length 32), drop the first
+    code, drop zeros, pad to first-letter + 3 digits."""
+    d = F.translate(col, _SOUNDEX_ALPHA, _SOUNDEX_MAP)
+    for _ in range(5):
+        for digit in "0123456":
+            d = F.replace(d, F.lit(digit * 2), F.lit(digit))
+    tail = F.replace(F.substring(d, 2, 32), F.lit("0"), F.lit(""))
+    return F.concat(
+        F.upper(F.substring(col, 1, 1)),
+        F.substring(F.concat(tail, F.lit("000")), 1, 3),
+    )
+
+
+def _soundex_sql(expr: str) -> str:
+    """DuckDB rendering of the SAME construction, operand for operand."""
+    d = f"translate({expr}, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_MAP}')"
+    for _ in range(5):
+        for digit in "0123456":
+            d = f"replace({d}, '{digit * 2}', '{digit}')"
+    return (f"upper(substr({expr}, 1, 1)) || "
+            f"substr(replace(substr({d}, 2, 32), '0', '') || '000', 1, 3)")
+
+
+def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-key blocking for entity resolution: block part names on
+    the SOUNDEX of their final token instead of the token itself — the
+    classic way misspelled/variant name records ("SMITH"/"SMYTHE") land
+    in the same candidate block when exact-key blocking
+    (:func:`dedup_fuzzy_names`) would miss them.  Survivors are scored
+    with the same edit-distance gate.
+
+    Cost shape is the blocking contract again: distinct names first,
+    pairs generated only inside phonetic blocks (Σ|block|², never
+    |corpus|²), levenshtein only on candidates.  The soundex key itself
+    is one chain of translate/replace string expressions — map-side,
+    no UDF, identical algebra in both engines.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("noun", F.element_at(F.split("name", " "), -1))
+        .withColumn("code", _soundex_expr(F.col("noun")))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.code") == F.col("b.code"))
+               & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.code").alias("code"),
+                F.col("a.name").alias("n1"), F.col("b.name").alias("n2"),
+                F.levenshtein(F.col("a.name"), F.col("b.name"))
+                .alias("dist"))
+        .filter(F.col("dist") <= LEV_MAX)
+    )
+
+
+DEDUP_PHONETIC_ORACLE = f"""
+WITH names AS (
+  SELECT name, {_soundex_sql('noun')} AS code
+  FROM (
+    SELECT DISTINCT p_name AS name, split_part(p_name, ' ', -1) AS noun
+    FROM part
+  )
+)
+SELECT a.code AS code, a.name AS n1, b.name AS n2,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b ON a.code = b.code AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {LEV_MAX}
+"""
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate pairs against the
     exact-Jaccard (>= 0.2) ground truth — the measurement harness that
@@ -2069,6 +2152,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(dedup_incremental,
                                    DEDUP_INCREMENTAL_ORACLE),
     "dedup_fuzzy_names": QuerySpec(dedup_fuzzy_names, DEDUP_FUZZY_ORACLE),
+    "dedup_phonetic_blocking": QuerySpec(dedup_phonetic_blocking,
+                                          DEDUP_PHONETIC_ORACLE),
     "doc_decontaminate": QuerySpec(doc_decontaminate, DECONTAMINATE_ORACLE),
     "dedup_connected_components": QuerySpec(dedup_connected_components,
                                             DEDUP_CC_ORACLE),

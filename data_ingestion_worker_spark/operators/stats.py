@@ -2411,6 +2411,108 @@ FROM flagged
 """
 
 
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of a
+    composite score, here the three per-order charge components (gross,
+    discounted, final charged — the q1 pricing identities) treated as
+    items of an "order value" scale.  The measurement-theory statistic
+    a feature pipeline checks before averaging correlated signals into
+    one index (α near 1 ⇒ the components measure one construct; α near
+    0 ⇒ averaging them is meaningless).
+
+    Exactness: α = k/(k−1) · (1 − Σᵢ(n·Σxᵢ² − (Σxᵢ)²)/(n·ΣT² − (ΣT)²))
+    — the n² variance denominators cancel, so every term is an exact
+    DECIMAL power sum and the whole statistic is ONE double division at
+    readout, rounded to 6 decimals.
+
+    Scale: one map-side-combinable per-order aggregate (items derive
+    from lineitem columns row-wise), one constant-size reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    tx = F.col("l_tax").cast("decimal(18,2)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(ep).cast("decimal(38,4)").alias("x1"),
+        F.sum((ep * (F.lit(1) - dc)).cast("decimal(38,4)")).alias("x2"),
+        F.sum((ep * (F.lit(1) - dc) * (F.lit(1) + tx))
+              .cast("decimal(38,6)")).cast("decimal(38,6)").alias("x3"),
+    )
+    t = (F.col("x1").cast("decimal(38,6)") + F.col("x2") + F.col("x3"))
+    red = per_order.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").cast("decimal(38,4)").alias("s1"),
+        F.sum((F.col("x1") * F.col("x1")).cast("decimal(38,4)"))
+        .alias("q1"),
+        F.sum("x2").cast("decimal(38,4)").alias("s2"),
+        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,4)"))
+        .alias("q2"),
+        F.sum("x3").cast("decimal(38,6)").alias("s3"),
+        F.sum((F.col("x3") * F.col("x3")).cast("decimal(38,6)"))
+        .alias("q3"),
+        F.sum(t.cast("decimal(38,6)")).alias("st"),
+        F.sum((t * t).cast("decimal(38,6)")).alias("qt"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _var_num(s: str, q: str) -> F.Column:
+        return (nd * F.col(q).cast("double")
+                - F.col(s).cast("double") * F.col(s).cast("double"))
+
+    item_vars = (_var_num("s1", "q1") + _var_num("s2", "q2")
+                 + _var_num("s3", "q3"))
+    tot_var = _var_num("st", "qt")
+    alpha = F.lit(1.5) * (F.lit(1.0) - item_vars / tot_var)  # k/(k-1)=1.5
+    return red.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.lit(3).cast("int").alias("k_items"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+CRONBACH_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS x1,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4))) AS x2,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(18,2)))
+                       AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS x3
+  FROM lineitem GROUP BY 1
+),
+red AS (
+  SELECT count(*) AS n,
+         CAST(sum(x1) AS DECIMAL(38,4)) AS s1,
+         sum(CAST(x1 * x1 AS DECIMAL(38,4))) AS q1,
+         CAST(sum(x2) AS DECIMAL(38,4)) AS s2,
+         sum(CAST(x2 * x2 AS DECIMAL(38,4))) AS q2,
+         CAST(sum(x3) AS DECIMAL(38,6)) AS s3,
+         sum(CAST(x3 * x3 AS DECIMAL(38,6))) AS q3,
+         sum(CAST(CAST(x1 AS DECIMAL(38,6)) + x2 + x3
+                  AS DECIMAL(38,6))) AS st,
+         sum(CAST((CAST(x1 AS DECIMAL(38,6)) + x2 + x3)
+                  * (CAST(x1 AS DECIMAL(38,6)) + x2 + x3)
+                  AS DECIMAL(38,6))) AS qt
+  FROM per_order
+)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(3 AS INT) AS k_items,
+       round(1.5 * (1.0 -
+         ((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          + (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+             - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)))
+         / (CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS alpha
+FROM red
+"""
+
+
 def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown–Forsythe test (Levene's test with group MEDIANS) for equal
     variances across the five order priorities — the assumption check
@@ -2744,6 +2846,8 @@ SPECS: dict[str, QuerySpec] = {
     "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
     "stats_kruskal_wallis": QuerySpec(stats_kruskal_wallis, KRUSKAL_ORACLE),
     "stats_levene_bf": QuerySpec(stats_levene_bf, LEVENE_BF_ORACLE),
+    "stats_cronbach_alpha": QuerySpec(stats_cronbach_alpha,
+                                      CRONBACH_ORACLE),
     "stats_mcnemar": QuerySpec(stats_mcnemar, MCNEMAR_ORACLE),
     "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),

@@ -184,6 +184,7 @@ SP_ALLOWED = {
                                 # tie scalar + k-row final reduction
     "stats_levene_bf",          # median-cut scalars (quantile helper)
                                 # + one-row power-sum reduction
+    "stats_cronbach_alpha",     # one-row power-sum reduction
     "stats_mcnemar",            # one-row discordant-count scalar
     "stats_cohens_kappa",       # one-row confusion-total scalars over
                                 # the bounded language-domain cell table
