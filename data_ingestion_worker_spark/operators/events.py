@@ -2360,6 +2360,135 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 THEIL_SCALE = 1_000_000
 
 
+#: Aggregation block sizes (days) for the Hurst variance-plot — powers
+#: of two so every log2(m) regressor is an EXACT small integer.
+HURST_BLOCKS = (1, 2, 4, 8)
+
+
+def ev_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of each event type's daily volume series by the
+    aggregated-variance method: block the series at sizes m ∈
+    {1,2,4,8}, regress log2 Var(block mean) on log2 m — the slope β
+    gives H = 1 + β/2 (H ≈ 0.5 ⇒ memoryless traffic; H → 1 ⇒
+    long-range-dependent load, which breaks naive capacity planning
+    and i.i.d.-based anomaly thresholds).
+
+    Exactness: block sums are integers; each size's variance numerator
+    ``B·Σs² − (Σs)²`` is exact DECIMAL; the per-size ``log2`` readout
+    is floor-quantized to micro-units on its own row (house float
+    rule; the log2-ulp-at-floor-boundary caveat of
+    :func:`ev_fft_periodogram` applies); and because the block sizes
+    are powers of two the OLS regressors x = log2 m are EXACT integers
+    0..3, so the slope is a ratio of exact integer sums — one double
+    division, floored at 4 decimals.
+
+    Scale shape: the fan-out is |spine| × |HURST_BLOCKS| map-side rows
+    over the calendar-bounded dense daily spine, then two bounded hash
+    aggregates and a k-row OLS reduction — corpus size never enters.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type")
+    di = dense.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w)).alias("i"),
+        "n",
+    )
+    fan = di.select(
+        "event_type", "i", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"), F.lit(x).alias("x"))
+            for x, m in enumerate(HURST_BLOCKS)
+        ])).alias("blk"),
+    ).select("event_type", "i", "n",
+             F.col("blk.m").alias("m"), F.col("blk.x").alias("x"))
+    blocks = (
+        fan.groupBy("event_type", "m", "x",
+                    F.expr("i div m").alias("b"))
+        .agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("m"))   # complete blocks only
+    )
+    vs = blocks.groupBy("event_type", "m", "x").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("sq"),
+    )
+    var_num = (F.col("nb") * F.col("sq")
+               - F.col("ss") * F.col("ss")).cast("decimal(38,0)")
+    vmean = var_num.cast("double") / (
+        F.col("nb").cast("double") * F.col("nb")
+        * F.col("m") * F.col("m"))
+    pts = vs.filter(var_num > 0).select(
+        "event_type", "x",
+        F.floor(F.log2(vmean) * F.lit(1000000.0)).cast("long").alias("y"),
+    )
+    ols = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_points"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).filter(F.col("k_points") >= 2)
+    slope = (
+        (F.col("k_points") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("k_points") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    )
+    h = F.lit(1.0) + slope / F.lit(2000000.0)
+    return ols.select(
+        "event_type", "k_points",
+        (F.floor(h * F.lit(10000.0)) / F.lit(10000.0)).alias("hurst"),
+    )
+
+
+_HURST_SIZES_SQL = ", ".join(
+    f"({m}, {x})" for x, m in enumerate(HURST_BLOCKS))
+HURST_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+di AS (
+  SELECT event_type,
+         date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+           AS i,
+         n
+  FROM dense
+),
+fan AS (
+  SELECT event_type, i, n, t.m, t.x
+  FROM di CROSS JOIN (VALUES {_HURST_SIZES_SQL}) t(m, x)
+),
+blocks AS (
+  SELECT event_type, m, x, i // m AS b,
+         CAST(sum(n) AS BIGINT) AS s, count(*) AS c
+  FROM fan GROUP BY 1, 2, 3, 4
+  HAVING count(*) = m
+),
+vs AS (
+  SELECT event_type, m, x, count(*) AS nb,
+         sum(CAST(s AS DECIMAL(38,0))) AS ss,
+         sum(CAST(s AS DECIMAL(38,0)) * s) AS sq
+  FROM blocks GROUP BY 1, 2, 3
+),
+pts AS (
+  SELECT event_type, x,
+         CAST(floor(log2(CAST(CAST(nb * sq - ss * ss AS DECIMAL(38,0))
+                              AS DOUBLE)
+                         / (CAST(nb AS DOUBLE) * nb * m * m))
+                    * 1000000.0) AS BIGINT) AS y
+  FROM vs WHERE CAST(nb * sq - ss * ss AS DECIMAL(38,0)) > 0
+),
+ols AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k_points,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+  FROM pts GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT event_type, k_points,
+       floor((1.0 + (CAST(k_points * sxy - sx * sy AS DOUBLE)
+                     / (k_points * sxx - sx * sx)) / 2000000.0)
+             * 10000.0) / 10000.0 AS hurst
+FROM ols
+"""
+
+
 def ev_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall trend test on the daily volume of each event type —
     the SIGNIFICANCE half of the robust-trend pair
@@ -3290,6 +3419,7 @@ SPECS: dict[str, QuerySpec] = {
                                     FORECAST_LINEAR_ORACLE),
     "ev_forecast_backtest": QuerySpec(ev_forecast_backtest,
                                       FORECAST_BACKTEST_ORACLE),
+    "ev_hurst_exponent": QuerySpec(ev_hurst_exponent, HURST_ORACLE),
     "ev_trend_mann_kendall": QuerySpec(ev_trend_mann_kendall,
                                         MANN_KENDALL_ORACLE),
     "ev_trend_theil_sen": QuerySpec(ev_trend_theil_sen,

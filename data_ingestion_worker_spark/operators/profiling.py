@@ -1469,6 +1469,145 @@ FROM orders""")
 FD_ORACLE = _fd_oracle()
 
 
+#: KMV sketch size for cross-column content matching.
+KMV_COL_K = 64
+
+#: Columns whose value domains the content matcher sketches — the key
+#: columns a schema-matching pass would test (true FK twins, the
+#: reverse legs, and unrelated keys the matcher must score low).
+KMV_COL_CANDIDATES = [
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("customer", "c_custkey"), ("customer", "c_nationkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("part", "p_partkey"), ("supplier", "s_suppkey"),
+]
+
+
+def profile_column_kmv_overlap(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Cross-table column-content matching from KMV sketches — the
+    approximate, symmetric complement to
+    :func:`profile_inclusion_deps`: instead of testing a directed
+    "every value appears" claim, estimate the JACCARD of every column
+    pair's value domain from bottom-K sketches alone (Beyer et al.
+    2007).  This is how a schema matcher ranks "these two columns hold
+    the same kind of identifier" across tables it has never joined —
+    o_custkey/c_custkey must score high, c_nationkey/p_partkey low.
+
+    Scale: each column contributes ONE bounded sketch (distinct →
+    hash → two-phase bottom-K, the ``sketch_kmv_distinct`` shape);
+    every pairwise comparison afterwards touches only K-sized arrays
+    broadcast-joined — no cross-table value join ever forms.
+    Determinism: k-minima of the keyed md5 hash are grouping-invariant;
+    the Jaccard readout floors one exact integer ratio.
+    """
+    parts = []
+    for t, c in KMV_COL_CANDIDATES:
+        parts.append(
+            load_table(spark, sf_dir, t).select(
+                F.lit(f"{t}.{c}").alias("col"),
+                F.col(c).cast("bigint").cast("string").alias("v"),
+            ).distinct()
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionByName(p)
+    hashed = vals.select("col", hash64(F.col("v")).alias("h")) \
+        .localCheckpoint(eager=False)   # sketch build + per-column counts
+    mins = (
+        hashed.groupBy("col", F.spark_partition_id().alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, KMV_COL_K)
+            .alias("mins"),
+        )
+    )
+    sk = (
+        mins.groupBy("col")
+        .agg(
+            F.sum("c").alias("n"),
+            F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
+                    1, KMV_COL_K).alias("arr"),
+        )
+        .localCheckpoint(eager=False)   # consumed as both pair sides
+    )
+    a = sk.select(F.col("col").alias("c1"),
+                  F.col("arr").alias("arr1"), F.col("n").alias("n1"))
+    b = sk.select(F.col("col").alias("c2"),
+                  F.col("arr").alias("arr2"), F.col("n").alias("n2"))
+    pairs = a.join(F.broadcast(b), F.col("c1") < F.col("c2")) \
+        .withColumn(
+            "merged",
+            F.expr(f"slice(array_sort(array_union(arr1, arr2)), "
+                   f"1, {KMV_COL_K})"),
+        )
+    cnt = F.size(F.array_intersect(
+        F.array_intersect(F.col("merged"), F.col("arr1")), F.col("arr2")
+    )).cast("long")
+    k_used = F.size("merged").cast("long")
+    return pairs.select(
+        "c1", "c2",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        k_used.alias("k_used"),
+        cnt.alias("inter_cnt"),
+        F.expr(f"(1000000 * size(array_intersect(array_intersect(merged, "
+               f"arr1), arr2))) div size(merged)")
+        .cast("long").alias("jaccard_ppm"),
+    )
+
+
+def _kmv_col_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT DISTINCT '{t}.{c}' AS col, "
+        f"CAST(CAST({c} AS BIGINT) AS VARCHAR) AS v FROM {t}"
+        for t, c in KMV_COL_CANDIDATES)
+    return f"""
+WITH vals AS ({branches}),
+hashed AS (
+  SELECT col, {hash64_sql('v')} AS h FROM vals
+),
+sz AS (SELECT col, CAST(count(*) AS BIGINT) AS n FROM hashed GROUP BY 1),
+rk AS (
+  SELECT col, h FROM (
+    SELECT col, h,
+           row_number() OVER (PARTITION BY col ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= {KMV_COL_K}
+),
+prs AS (
+  SELECT a.col AS c1, b.col AS c2, a.n AS n1, b.n AS n2
+  FROM sz a JOIN sz b ON a.col < b.col
+),
+uh AS (
+  SELECT DISTINCT p.c1, p.c2, s.h
+  FROM prs p JOIN rk s ON s.col = p.c1 OR s.col = p.c2
+),
+uk AS (
+  SELECT c1, c2, h FROM (
+    SELECT c1, c2, h,
+           row_number() OVER (PARTITION BY c1, c2 ORDER BY h) AS r
+    FROM uh
+  ) WHERE r <= {KMV_COL_K}
+),
+ust AS (
+  SELECT u.c1, u.c2, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_cnt
+  FROM uk u
+  LEFT JOIN rk a ON a.col = u.c1 AND a.h = u.h
+  LEFT JOIN rk b ON b.col = u.c2 AND b.h = u.h
+  GROUP BY 1, 2
+)
+SELECT p.c1, p.c2, p.n1, p.n2, u.k_used, u.inter_cnt,
+       (1000000 * u.inter_cnt) // u.k_used AS jaccard_ppm
+FROM prs p JOIN ust u ON p.c1 = u.c1 AND p.c2 = u.c2
+"""
+
+
+KMV_COL_OVERLAP_ORACLE = _kmv_col_oracle()
+
+
 #: t-closeness threshold (ppm of the [0,1] ordered-EMD scale): classes
 #: whose sensitive-attribute distribution sits further than this from
 #: the global one leak attribute information even when k-anonymous.
@@ -1677,6 +1816,8 @@ INCLUSION_DEPS_ORACLE = _ind_oracle()
 
 SPECS: dict[str, QuerySpec] = {
     "dq_t_closeness": QuerySpec(dq_t_closeness, T_CLOSENESS_ORACLE),
+    "profile_column_kmv_overlap": QuerySpec(profile_column_kmv_overlap,
+                                             KMV_COL_OVERLAP_ORACLE),
     "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,
                                         INCLUSION_DEPS_ORACLE),
     "dq_k_anonymity": QuerySpec(dq_k_anonymity, K_ANONYMITY_ORACLE),

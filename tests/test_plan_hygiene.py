@@ -69,6 +69,10 @@ BNLJ_ALLOWED = {
     "ev_markov_stationary",  # one-row state-count broadcast cross join
     "ev_markov_entropy_rate",  # one-row rate scalar broadcast cross
     "sketch_kmv_jaccard",  # |sources|-row sketch table × itself (pair enum)
+    "profile_column_kmv_overlap",  # |candidate-columns|-row sketch
+                                   # table × itself (pair enum)
+    "ev_hurst_exponent",   # calendar-spine crosses of _dense_daily (the
+                           # one-row span scalar + bounded type list)
     "corpus_growth_curve",  # one-row max-doc-id broadcast cross join (x2)
     "ann_pq_recall",       # K query vectors broadcast (exact L2 truth side)
     "emb_coreset_maxmin",  # one-row new-center broadcast per maxmin round
@@ -185,6 +189,8 @@ SP_ALLOWED = {
     "stats_levene_bf",          # median-cut scalars (quantile helper)
                                 # + one-row power-sum reduction
     "stats_cronbach_alpha",     # one-row power-sum reduction
+    "ev_hurst_exponent",        # one-row (min,max)-day span scalar of
+                                # the calendar spine
     "stats_mcnemar",            # one-row discordant-count scalar
     "stats_cohens_kappa",       # one-row confusion-total scalars over
                                 # the bounded language-domain cell table
