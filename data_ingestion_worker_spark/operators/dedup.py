@@ -250,6 +250,83 @@ def corpus_dedup_threshold_curve(spark: SparkSession,
     )
 
 
+#: (bands, rows) configurations the LSH planner prices — every MinHash
+#: budget from 16 to 32 hashes, steep to shallow s-curves.
+LSH_PLAN_CONFIGS = [
+    (16, 1), (8, 2), (4, 4), (2, 8), (1, 16),
+    (32, 1), (16, 2), (8, 4), (4, 8), (2, 16),
+]
+
+
+def _lsh_detect_micro(b: int, r: int, s: float) -> int:
+    """P(candidate | similarity s) = 1 − (1 − s^r)^b, in micro-units.
+    Python-precomputed at plan-build time (the Benford convention), so
+    neither engine evaluates a transcendental at query time."""
+    return int((1.0 - (1.0 - s ** r) ** b) * 1000000)
+
+
+def corpus_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price every (bands, rows) MinHash-LSH configuration against the
+    corpus's OWN observed pair-similarity histogram: expected recall of
+    the near-dup pairs each config would catch, plus its s-curve
+    midpoint — the planning table an engineer reads before committing a
+    signature budget at 100 TB (where re-running LSH with the wrong
+    (b, r) costs a full corpus pass).
+
+    Construction: the sub-quadratic pair table buckets by floor(10·J)
+    (the :func:`corpus_dedup_threshold_curve` shape); detection
+    probabilities ``1 − (1 − s^r)^b`` at each bucket midpoint are
+    Python-precomputed micro-literals (config × bucket, ≤100 rows,
+    broadcast), so the expected-recall readout is exact integer
+    products and one integer division per config.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    bucket = F.least(F.lit(9), F.floor(F.col("jaccard") * 10.0)) \
+        .cast("int")
+    per = pairs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    lookup = spark.createDataFrame(
+        [(b, r, bk, _lsh_detect_micro(b, r, (bk + 0.5) / 10.0),
+          int(((1.0 / b) ** (1.0 / r)) * 1000))
+         for b, r in LSH_PLAN_CONFIGS for bk in range(10)],
+        "b int, r int, bucket int, p_micro bigint, s50_milli int")
+    j = per.join(F.broadcast(lookup), "bucket")
+    agg = j.groupBy("b", "r").agg(
+        F.max("s50_milli").alias("s50_milli"),
+        F.sum("n_bucket").cast("long").alias("n_pairs"),
+        F.sum(F.col("n_bucket") * F.col("p_micro")).alias("caught_micro"),
+    )
+    return agg.select(
+        "b", "r", "s50_milli", "n_pairs",
+        F.expr("caught_micro div n_pairs").cast("long")
+        .alias("expected_recall_ppm"),
+    )
+
+
+def _lsh_planner_oracle() -> str:
+    rows = ", ".join(
+        f"({b}, {r}, {bk}, {_lsh_detect_micro(b, r, (bk + 0.5) / 10.0)}, "
+        f"{int(((1.0 / b) ** (1.0 / r)) * 1000)})"
+        for b, r in LSH_PLAN_CONFIGS for bk in range(10))
+    return f"""
+WITH per AS (
+  SELECT least(9, CAST(floor(jaccard * 10.0) AS INT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_bucket
+  FROM (
+    WITH {_SHINGLES_SQL.strip()},{_jaccard_oracle_body('shingles')}
+  ) jac
+  GROUP BY 1
+),
+lookup(b, r, bucket, p_micro, s50_milli) AS (VALUES {rows})
+SELECT b, r, max(s50_milli) AS s50_milli,
+       CAST(sum(n_bucket) AS BIGINT) AS n_pairs,
+       (sum(n_bucket * p_micro) // sum(n_bucket)) AS expected_recall_ppm
+FROM per JOIN lookup USING (bucket)
+GROUP BY 1, 2
+"""
+
+
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: for every (source, source) pair,
     how many near-dup document pairs straddle it — the provenance
@@ -2160,6 +2237,8 @@ SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine,
                                         DEDUP_EMB_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "corpus_lsh_band_planner": QuerySpec(corpus_lsh_band_planner,
+                                         _lsh_planner_oracle()),
     "dedup_jaccard_prefix_filter": QuerySpec(dedup_jaccard_prefix_filter,
                                              DEDUP_JACCARD_ORACLE),
     "dedup_cluster_representative": QuerySpec(dedup_cluster_representative,

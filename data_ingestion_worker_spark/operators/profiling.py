@@ -1608,6 +1608,91 @@ FROM prs p JOIN ust u ON p.c1 = u.c1 AND p.c2 = u.c2
 KMV_COL_OVERLAP_ORACLE = _kmv_col_oracle()
 
 
+#: Relative-difference bucket edges (ppm) for the reconciliation report.
+RECONCILE_EDGES = (0, 100, 1000, 10000, 100000, 1000000)
+
+
+def dq_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: does ``orders.o_totalprice``
+    equal the order's summed line charges
+    ``Σ extendedprice·(1−discount)·(1+tax)``?  The classic
+    header-vs-detail consistency gate a warehouse runs before trusting
+    either table (on this driver's synthetic data the invariant does
+    NOT hold, and the report says so loudly — that is the point of the
+    audit).
+
+    Output is the relative-difference histogram (one row per ppm
+    bucket + one for headerless/detail-less orders), not per-order
+    rows: the auditor's readout, and constant-size at any scale.
+    Exactness: charges are exact DECIMAL sums; the single relative
+    division per order is double with identical operands; bucketing
+    compares the floored ppm to integer edges.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    tx = F.col("l_tax").cast("decimal(18,2)")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum((ep * (F.lit(1) - dc) * (F.lit(1) + tx))
+              .cast("decimal(38,6)")).alias("charge"))
+    j = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+    ).join(charges, o["o_orderkey"] == charges["l_orderkey"], "left")
+    ppm = F.floor(
+        F.abs(F.col("total").cast("double")
+              - F.col("charge").cast("double"))
+        / F.col("total").cast("double") * F.lit(1000000.0)
+    ).cast("long")
+    bucket = F.when(F.col("charge").isNull(), F.lit("no_lineitems"))
+    lo = None
+    for edge in RECONCILE_EDGES:
+        label = f"<={edge}ppm" if edge else "exact"
+        cond = (ppm <= edge) if edge else (ppm == 0)
+        bucket = bucket.when(cond, F.lit(label))
+        lo = edge
+    bucket = bucket.otherwise(F.lit(f">{lo}ppm"))
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _reconcile_bucket_sql() -> str:
+    cases = ["WHEN charge IS NULL THEN 'no_lineitems'"]
+    for edge in RECONCILE_EDGES:
+        if edge:
+            cases.append(f"WHEN ppm <= {edge} THEN '<={edge}ppm'")
+        else:
+            cases.append("WHEN ppm = 0 THEN 'exact'")
+    cases.append(f"ELSE '>{RECONCILE_EDGES[-1]}ppm'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+RECONCILE_ORACLE = f"""
+WITH charges AS (
+  SELECT l_orderkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))
+                  AS DECIMAL(38,6))) AS charge
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(floor(abs(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                        - CAST(charge AS DOUBLE))
+                    / CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS ppm,
+         charge
+  FROM orders LEFT JOIN charges ON o_orderkey = l_orderkey
+)
+SELECT {_reconcile_bucket_sql()} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY 1
+"""
+
+
 #: t-closeness threshold (ppm of the [0,1] ordered-EMD scale): classes
 #: whose sensitive-attribute distribution sits further than this from
 #: the global one leak attribute information even when k-anonymous.
@@ -1816,6 +1901,8 @@ INCLUSION_DEPS_ORACLE = _ind_oracle()
 
 SPECS: dict[str, QuerySpec] = {
     "dq_t_closeness": QuerySpec(dq_t_closeness, T_CLOSENESS_ORACLE),
+    "dq_reconcile_orders": QuerySpec(dq_reconcile_orders,
+                                     RECONCILE_ORACLE),
     "profile_column_kmv_overlap": QuerySpec(profile_column_kmv_overlap,
                                              KMV_COL_OVERLAP_ORACLE),
     "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,
