@@ -1608,6 +1608,96 @@ FROM prs p JOIN ust u ON p.c1 = u.c1 AND p.c2 = u.c2
 KMV_COL_OVERLAP_ORACLE = _kmv_col_oracle()
 
 
+#: String columns the pattern profiler scans.
+PATTERN_COLUMNS = [("customer", "c_name"), ("part", "p_name"),
+                   ("orders", "o_orderpriority")]
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _pattern_expr(col: F.Column) -> F.Column:
+    """Collapsed value pattern (profiler classic): digits → 9, lower →
+    a, upper → A, runs of each meta-char collapsed (6 replace passes
+    cover values to length 64); punctuation passes through."""
+    p = F.translate(col, "0123456789", "9" * 10)
+    p = F.translate(p, _LOWER, "a" * 26)
+    p = F.translate(p, _UPPER, "A" * 26)
+    for _ in range(6):
+        for ch in "9aA":
+            p = F.replace(p, F.lit(ch * 2), F.lit(ch))
+    return p
+
+
+def _pattern_sql(expr: str) -> str:
+    p = f"translate({expr}, '0123456789', '{'9' * 10}')"
+    p = f"translate({p}, '{_LOWER}', '{'a' * 26}')"
+    p = f"translate({p}, '{_UPPER}', '{'A' * 26}')"
+    for _ in range(6):
+        for ch in "9aA":
+            p = f"replace({p}, '{ch * 2}', '{ch}')"
+    return p
+
+
+def profile_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-pattern histogram (the classic data-profiler feature:
+    'this column is 99.8% ``Aa#9``, plus 40 rows of something else'):
+    map every string value to its collapsed character-class pattern and
+    report the top 5 patterns per column with counts — the fastest way
+    to spot mixed formats, stray whitespace, or an upstream schema
+    drift in a column that is 'just strings'.
+
+    The pattern itself is a translate/replace Catalyst chain (the
+    soundex idiom — no UDF, identical algebra in both engines); cost is
+    one map-side pass per column plus a hash aggregate whose output is
+    pattern-domain-bounded, and the top-5 window runs over that bounded
+    aggregate, never over rows.
+    """
+    outs = []
+    for t, c in PATTERN_COLUMNS:
+        outs.append(
+            load_table(spark, sf_dir, t).select(
+                F.lit(f"{t}.{c}").alias("col"),
+                _pattern_expr(F.col(c).cast("string")).alias("pattern"),
+            )
+        )
+    vals = outs[0]
+    for o in outs[1:]:
+        vals = vals.unionByName(o)
+    per = vals.groupBy("col", "pattern").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col").orderBy(F.desc("n"), "pattern")
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("col", "pattern", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _pattern_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col, "
+        f"{_pattern_sql(f'CAST({c} AS VARCHAR)')} AS pattern FROM {t}"
+        for t, c in PATTERN_COLUMNS)
+    return f"""
+WITH vals AS ({branches}),
+per AS (
+  SELECT col, pattern, CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2
+)
+SELECT col, pattern, n, CAST(rank AS INT) AS rank FROM (
+  SELECT col, pattern, n,
+         row_number() OVER (PARTITION BY col
+                            ORDER BY n DESC, pattern) AS rank
+  FROM per
+) WHERE rank <= 5
+"""
+
+
+VALUE_PATTERNS_ORACLE = _pattern_oracle()
+
+
 #: Relative-difference bucket edges (ppm) for the reconciliation report.
 RECONCILE_EDGES = (0, 100, 1000, 10000, 100000, 1000000)
 
@@ -1903,6 +1993,8 @@ SPECS: dict[str, QuerySpec] = {
     "dq_t_closeness": QuerySpec(dq_t_closeness, T_CLOSENESS_ORACLE),
     "dq_reconcile_orders": QuerySpec(dq_reconcile_orders,
                                      RECONCILE_ORACLE),
+    "profile_value_patterns": QuerySpec(profile_value_patterns,
+                                        VALUE_PATTERNS_ORACLE),
     "profile_column_kmv_overlap": QuerySpec(profile_column_kmv_overlap,
                                              KMV_COL_OVERLAP_ORACLE),
     "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,
