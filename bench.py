@@ -143,6 +143,12 @@ HEADLINE = [
     # over the add-one proxy's shape).
     "rec_als_rank1",
     "doc_lm_xent_kn",
+    # Round-7 (cont.): the tokenizer APPLY half (8 merge supersteps +
+    # the per-doc pricing join — the full train+encode cost in one job)
+    # and the GIF LZW codec round-trip (variable-width LZW compress +
+    # decompress per payload is the measured cost).
+    "corpus_bpe_encode",
+    "mm_roundtrip_gif",
 ]
 
 
