@@ -73,6 +73,15 @@ from .spec import QuerySpec
 #: oracle pattern; 8 materialized rounds vs the observed ≤3-round
 #: fixpoint, with a loud non-convergence sentinel), bringing the v3
 #: oracle to ~0.2 s.  v2 stays verified in the local 3-SF sweep.
+#: Round-7 (cont.) swap, same zero-graded-rows logic: ``dedup_exact``
+#: → ``corpus_bpe_encode``.  Tokenization — the artifact every training
+#: pipeline ships — held no graded row while dedup held six (minhash,
+#: cluster-rep, incremental, decontaminate, image-ahash, plus the exact
+#: fingerprints exercised INSIDE ``dedup_incremental`` and the graded
+#: funnel rows); the BPE encode row grades the full train+encode chain
+#: (8 merge supersteps, unrolled materialized-CTE oracle) plus the
+#: per-document pricing join.  ``dedup_exact`` stays in the local
+#: 3-SF sweep.
 #: Third round-6 swap (cont. 3): ``dedup_embedding_cosine`` →
 #: ``rec_als_rank1``.  Same zero-graded-rows logic as the DSIR swap:
 #: dedup held SEVEN graded rows (exact, minhash-LSH, cluster-rep,
@@ -96,7 +105,7 @@ from .spec import QuerySpec
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
-    "dedup_exact",
+    "corpus_bpe_encode",
     "dedup_minhash_lsh",
     "dedup_cluster_representative",
     "rec_als_rank1",
