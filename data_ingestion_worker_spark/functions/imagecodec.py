@@ -62,6 +62,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "JPEG"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "GIF"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "TIFF"
     return None
 
 
@@ -240,5 +242,9 @@ def decode_builtin(payload: bytes) -> DecodedImage:
         from .gifcodec import decode_gif_still  # deferred: imports us
 
         return decode_gif_still(payload)
+    if fmt == "TIFF":
+        from .tiffcodec import decode_tiff  # deferred: imports us
+
+        return decode_tiff(payload)
     raise ValueError(
-        "no builtin codec for payload (not BMP/PPM/PNG/JPEG/GIF)")
+        "no builtin codec for payload (not BMP/PPM/PNG/JPEG/GIF/TIFF)")

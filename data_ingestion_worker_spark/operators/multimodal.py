@@ -872,6 +872,62 @@ def gif_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
+def tiff_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL TIFF-LZW codec work per payload: derive WxH RGB pixels from
+    the payload hash, ``encode_tiff`` them (single LZW strip, IFD tag
+    table), decode through the ``decode_builtin`` dispatch — magic
+    sniffing, IFD walk, MSB-first early-change LZW decompression all on
+    the gated path.  Baseline TIFF is lossless, so byte equality is the
+    contract."""
+    from ..functions.imagecodec import decode_builtin
+    from ..functions.tiffcodec import encode_tiff
+
+    def _rt(b: bytes):
+        b = bytes(b)
+        h64 = _hash64_py(b)
+        w, h = 1 + h64 % 3, 1 + (h64 // 9) % 3
+        raw = hashlib.sha256(b).digest()[: w * h * 3]
+        img = decode_builtin(encode_tiff(w, h, raw, "RGB", compression=5))
+        return (img.width, img.height, img.mode, img.format,
+                img.pixels.hex())
+
+    for pdf in batches:
+        metas = pdf["payload"].map(_rt)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "width": metas.map(lambda m: m[0]).astype("int32"),
+            "height": metas.map(lambda m: m[1]).astype("int32"),
+            "mode": metas.map(lambda m: m[2]),
+            "format": metas.map(lambda m: m[3]),
+            "pixel_hex": metas.map(lambda m: m[4]),
+        })
+
+
+def mm_roundtrip_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> real TIFF (LZW strip) encode/decode round-trip
+    -> decoded metadata + pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(tiff_roundtrip, ROUNDTRIP_SCHEMA)
+
+
+#: Same algebraic-recompute gate as BMP/PNG/GIF: the pixels Spark must
+#: produce THROUGH the IFD walk + LZW inflate are the leading sha256
+#: bytes, in hex.
+MM_TIFF_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_H64} AS h64, sha256(text) AS sha_hex FROM documents
+)
+SELECT doc_id,
+       CAST(1 + h64 % 3 AS INT) AS width,
+       CAST(1 + (h64 // 9) % 3 AS INT) AS height,
+       'RGB' AS mode, 'TIFF' AS format,
+       substr(sha_hex, 1,
+              CAST((1 + h64 % 3) * (1 + (h64 // 9) % 3) * 6 AS INT))
+         AS pixel_hex
+FROM h
+"""
+
+
 def mm_roundtrip_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> real GIF (LZW) encode/decode round-trip ->
     decoded metadata + pixels."""
@@ -1899,6 +1955,7 @@ SPECS: dict[str, QuerySpec] = {
     "mm_roundtrip_bmp": QuerySpec(mm_roundtrip_bmp, MM_ROUNDTRIP_ORACLE),
     "mm_roundtrip_png": QuerySpec(mm_roundtrip_png, MM_PNG_ORACLE),
     "mm_roundtrip_gif": QuerySpec(mm_roundtrip_gif, MM_GIF_ORACLE),
+    "mm_roundtrip_tiff": QuerySpec(mm_roundtrip_tiff, MM_TIFF_ORACLE),
     "mm_gif_frames": QuerySpec(mm_gif_frames, MM_GIF_FRAMES_ORACLE),
     "mm_roundtrip_jpeg": QuerySpec(mm_roundtrip_jpeg, MM_JPEG_ORACLE),
     "mm_roundtrip_jpeg_progressive": QuerySpec(
