@@ -2027,6 +2027,106 @@ FROM diag CROSS JOIN rc
 """
 
 
+def stats_mutual_information(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Mutual information (and normalized MI) between a document's
+    language and its source — the feature-selection / leakage screen:
+    high MI says one column largely determines the other (a split
+    stratified on source would then leak language balance, and a
+    "language" feature adds little beyond "source").
+
+    Exactness: MI = (1/N)·Σ c_xy·log2(N·c_xy/(c_x·c_y)) with every log2
+    argument an exact integer product; each cell's term is floor-
+    quantized to micro-units on its own row (house float rule, the
+    usual log2-ulp caveat), and the marginal entropies reuse the
+    :func:`doc_char_entropy` identity.  NMI divides two quantized
+    integers once.
+
+    Scale: one (lang × source) hash aggregate (domain-bounded cells),
+    two marginal reductions OF that cell table, broadcast joins back —
+    the corpus is read once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cxy")).localCheckpoint(eager=False)
+    mx = cells.groupBy("lang").agg(F.sum("cxy").alias("cx"))
+    my = cells.groupBy("source").agg(F.sum("cxy").alias("cy"))
+    n = cells.agg(F.sum("cxy").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.floor(
+        F.col("cxy") * (
+            F.log2(F.col("cxy").cast("double") * F.col("n"))
+            - F.log2(F.col("cx").cast("double") * F.col("cy"))
+        ) * F.lit(1000000.0)
+    ).cast("long")
+    hterm = lambda c: F.floor(  # noqa: E731 — local readout fragment
+        F.col(c) * F.log2(F.col(c).cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    red = j.agg(
+        F.max("n").alias("n"),
+        F.sum(term).alias("mi_sum"),
+    )
+    hx = mx.agg(F.sum(hterm("cx")).alias("hx_sum"))
+    hy = my.agg(F.sum(hterm("cy")).alias("hy_sum"))
+    out = red.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nd = F.col("n").cast("double")
+    mi = F.col("mi_sum").cast("double") / (F.lit(1000000.0) * nd)
+    h_of = lambda s: F.log2(nd) \
+        - F.col(s).cast("double") / (F.lit(1000000.0) * nd)  # noqa: E731
+    nmi = mi / F.least(h_of("hx_sum"), h_of("hy_sum"))
+    return out.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(mi * F.lit(1000000.0)).cast("long").alias("mi_micro"),
+        F.floor(h_of("hx_sum") * F.lit(1000000.0)).cast("long")
+        .alias("h_lang_micro"),
+        F.floor(h_of("hy_sum") * F.lit(1000000.0)).cast("long")
+        .alias("h_source_micro"),
+        F.floor(nmi * F.lit(1000000.0)).cast("long").alias("nmi_ppm"),
+    )
+
+
+MUTUAL_INFO_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS cxy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+my AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
+red AS (
+  SELECT max(n.n) AS n,
+         sum(CAST(floor(cxy * (log2(CAST(cxy AS DOUBLE) * n.n)
+                               - log2(CAST(cx AS DOUBLE) * cy))
+                        * 1000000.0) AS BIGINT)) AS mi_sum
+  FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+),
+hx AS (SELECT sum(CAST(floor(cx * log2(CAST(cx AS DOUBLE)) * 1000000.0)
+                       AS BIGINT)) AS hx_sum FROM mx),
+hy AS (SELECT sum(CAST(floor(cy * log2(CAST(cy AS DOUBLE)) * 1000000.0)
+                       AS BIGINT)) AS hy_sum FROM my)
+SELECT n AS n_docs,
+       CAST(floor(CAST(mi_sum AS DOUBLE) / (1000000.0 * n) * 1000000.0)
+            AS BIGINT) AS mi_micro,
+       CAST(floor((log2(CAST(n AS DOUBLE))
+                   - CAST(hx_sum AS DOUBLE) / (1000000.0 * n))
+                  * 1000000.0) AS BIGINT) AS h_lang_micro,
+       CAST(floor((log2(CAST(n AS DOUBLE))
+                   - CAST(hy_sum AS DOUBLE) / (1000000.0 * n))
+                  * 1000000.0) AS BIGINT) AS h_source_micro,
+       CAST(floor((CAST(mi_sum AS DOUBLE) / (1000000.0 * n))
+                  / least(log2(CAST(n AS DOUBLE))
+                          - CAST(hx_sum AS DOUBLE) / (1000000.0 * n),
+                          log2(CAST(n AS DOUBLE))
+                          - CAST(hy_sum AS DOUBLE) / (1000000.0 * n))
+                  * 1000000.0) AS BIGINT) AS nmi_ppm
+FROM red CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence (bits) between each source's unigram
     token distribution and the whole-corpus distribution — the
@@ -2154,6 +2254,8 @@ SPECS: dict[str, QuerySpec] = {
                                     COHENS_KAPPA_ORACLE),
     "corpus_js_divergence": QuerySpec(corpus_js_divergence,
                                       JS_DIVERGENCE_ORACLE),
+    "stats_mutual_information": QuerySpec(stats_mutual_information,
+                                          MUTUAL_INFO_ORACLE),
     "doc_collapse_token_runs": QuerySpec(doc_collapse_token_runs,
                                          COLLAPSE_RUNS_ORACLE),
     "doc_keyphrase_rake": QuerySpec(doc_keyphrase_rake, RAKE_ORACLE),

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "stats_kruskal_wallis",  # one-row (n, tcorr) tie-scalar cross
     "stats_cohens_kappa",  # one-row Σrᵢcᵢ marginal-product scalar cross
     "corpus_js_divergence",  # one-row corpus-token-total scalar cross
+    "stats_mutual_information",  # one-row N / H(x) / H(y) scalar crosses
     "doc_quality_classifier",  # one-row (Npos, Nneg, V) model scalar
     "stats_welch_ttest",   # |types|-row stats table × itself (pair enum)
     "stats_tost_equivalence",  # same |types|-row pair enumeration
@@ -189,6 +190,8 @@ SP_ALLOWED = {
     "stats_levene_bf",          # median-cut scalars (quantile helper)
                                 # + one-row power-sum reduction
     "stats_cronbach_alpha",     # one-row power-sum reduction
+    "stats_mutual_information",  # one-row MI/entropy reductions over
+                                 # the bounded (lang x source) cells
     "ev_hurst_exponent",        # one-row (min,max)-day span scalar of
                                 # the calendar spine
     "stats_mcnemar",            # one-row discordant-count scalar
