@@ -1608,6 +1608,74 @@ FROM prs p JOIN ust u ON p.c1 = u.c1 AND p.c2 = u.c2
 KMV_COL_OVERLAP_ORACLE = _kmv_col_oracle()
 
 
+#: Candidate column combinations the key profiler tests (single
+#: columns, the true composite key of lineitem, and non-keys the
+#: algorithm must grade rather than bless).
+UCC_CANDIDATES = [
+    ("orders", ["o_orderkey"]),
+    ("orders", ["o_custkey"]),
+    ("orders", ["o_custkey", "o_orderdate"]),
+    ("lineitem", ["l_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("lineitem", ["l_partkey", "l_suppkey"]),
+    ("customer", ["c_custkey"]),
+    ("customer", ["c_nationkey", "c_mktsegment"]),
+]
+
+
+def profile_unique_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination (candidate-key) discovery — the third
+    leg of the Metanome profiling trio next to
+    :func:`profile_functional_deps` (FDs) and
+    :func:`profile_inclusion_deps` (INDs): a column set is a key iff
+    its distinct count equals the row count; near-keys are graded by
+    duplication ppm (how many rows share an already-seen key value),
+    which is what decides whether a column set can serve as a merge/
+    upsert key on dirty data.
+
+    Scale shape: one combiner-friendly distinct-count aggregate per
+    candidate in a constant-size UNION; integer ppm readout.
+    """
+    outs = []
+    for t, cols in UCC_CANDIDATES:
+        tb = load_table(spark, sf_dir, t)
+        agg = tb.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+        )
+        outs.append(agg.select(
+            F.lit(f"{t}({', '.join(cols)})").alias("candidate"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+            F.expr("(1000000 * (n_rows - n_distinct)) div n_rows")
+            .cast("long").alias("duplication_ppm"),
+        ))
+    result = outs[0]
+    for d in outs[1:]:
+        result = result.unionByName(d)
+    return result
+
+
+def _ucc_oracle() -> str:
+    legs = []
+    for t, cols in UCC_CANDIDATES:
+        tup = ", ".join(cols)
+        legs.append(f"""
+SELECT '{t}({tup})' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT ({tup})) AS BIGINT) AS n_distinct,
+       count(DISTINCT ({tup})) = count(*) AS is_key,
+       (1000000 * (CAST(count(*) AS BIGINT)
+                   - CAST(count(DISTINCT ({tup})) AS BIGINT)))
+         // CAST(count(*) AS BIGINT) AS duplication_ppm
+FROM {t}""")
+    return " UNION ALL ".join(legs)
+
+
+UNIQUE_KEYS_ORACLE = _ucc_oracle()
+
+
 #: String columns the pattern profiler scans.
 PATTERN_COLUMNS = [("customer", "c_name"), ("part", "p_name"),
                    ("orders", "o_orderpriority")]
@@ -1995,6 +2063,8 @@ SPECS: dict[str, QuerySpec] = {
                                      RECONCILE_ORACLE),
     "profile_value_patterns": QuerySpec(profile_value_patterns,
                                         VALUE_PATTERNS_ORACLE),
+    "profile_unique_keys": QuerySpec(profile_unique_keys,
+                                     UNIQUE_KEYS_ORACLE),
     "profile_column_kmv_overlap": QuerySpec(profile_column_kmv_overlap,
                                              KMV_COL_OVERLAP_ORACLE),
     "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,

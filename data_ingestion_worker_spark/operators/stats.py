@@ -2383,6 +2383,81 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-DOWN over the same two-proportion family —
+    the FWER-controlling companion to :func:`stats_bh_fdr`'s FDR
+    step-up: Holm guarantees P(any false rejection) ≤ α (the bar for
+    ship/no-ship decisions), where BH only bounds the expected
+    false-discovery fraction (the bar for screening).  Running both on
+    one family is exactly how a launch review reads a metric batch.
+
+    Mechanics: same A&S-polynomial p-values floor-quantized per row
+    (the exp-ulp caveat carries over); Holm rejects ranks below the
+    FIRST i with ``p_(i) > α/(m−i+1)`` — decided with exact integer
+    cross-multiplication ``p_micro·(m−rank+1) > α_micro`` and one
+    min-window over the bounded pair family.
+    """
+    pairs = stats_two_proportion_z(spark, sf_dir).select(
+        "type_a", "type_b",
+        F.col("z_pooled").alias("z"),
+    )
+    tail = F.expr(_phi_tail_sql("abs(z)"))
+    p_micro = F.floor(2.0 * tail * 1000000.0).cast("long")
+    scored = pairs.select(
+        "type_a", "type_b", "z",
+        F.least(p_micro, F.lit(1000000).cast("long")).alias("p_micro"),
+    )
+    w = Window.orderBy("p_micro", "type_a", "type_b")
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "viol",
+        (F.col("p_micro") * (F.col("m") - F.col("rank") + 1))
+        > F.lit(BH_ALPHA_MICRO).cast("long"),
+    ).withColumn(
+        "i_stop",
+        F.min(F.when(F.col("viol"), F.col("rank"))
+              .otherwise(F.col("m") + 1)).over(wall),
+    )
+    return ranked.select(
+        "type_a", "type_b", "z", "p_micro",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("m").cast("int").alias("m"),
+        (F.col("rank") < F.col("i_stop")).alias("rejected"),
+    )
+
+
+HOLM_ORACLE = f"""
+WITH pairs AS ({TWO_PROP_ORACLE}),
+scored AS (
+  SELECT type_a, type_b, z_pooled AS z,
+         least(CAST(floor(2.0 * {_phi_tail_sql("abs(z_pooled)")}
+                          * 1000000.0) AS BIGINT),
+               1000000) AS p_micro
+  FROM pairs
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_micro, type_a, type_b) AS rank,
+         count(*) OVER () AS m
+  FROM scored
+),
+flagged AS (
+  SELECT *,
+         min(CASE WHEN p_micro * (m - rank + 1) > {BH_ALPHA_MICRO}
+                  THEN rank ELSE m + 1 END) OVER () AS i_stop
+  FROM ranked
+)
+SELECT type_a, type_b, z, p_micro,
+       CAST(rank AS INT) AS rank, CAST(m AS INT) AS m,
+       rank < i_stop AS rejected
+FROM flagged
+"""
+
+
 BH_FDR_ORACLE = f"""
 WITH pairs AS ({TWO_PROP_ORACLE}),
 scored AS (
@@ -2408,6 +2483,78 @@ SELECT type_a, type_b, z, p_micro,
        CAST(rank AS INT) AS rank, CAST(m AS INT) AS m,
        rank <= i_star AS rejected
 FROM flagged
+"""
+
+
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for each event type's share of total
+    traffic — the binomial CI that stays inside [0,1] and behaves at
+    small counts, i.e. what a dashboard should show instead of the
+    Wald ±1.96·√(p̂q̂/n) taught-but-wrong interval.
+
+    Exactness: k and n are exact integers from one aggregate; the
+    interval is a single double expression of (k, n, z²) with the
+    z-critical literal shared with the rest of the module, floored to
+    ppm per bound.
+
+    Scale: one map-side-combinable count aggregate (k rows out), one
+    one-row total broadcast back — the events table is read once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("k")) \
+        .localCheckpoint(eager=False)   # feeds the total + the readout
+    tot = per.agg(F.sum("k").cast("long").alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    z2 = F.lit(3.8414588206941254)      # 1.959964² — module convention
+    kd, nd = F.col("k").cast("double"), F.col("n").cast("double")
+    p = kd / nd
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = F.sqrt(z2) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd
+        + z2 / (F.lit(4.0) * nd * nd)
+    ) / denom
+    return j.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.floor(p * F.lit(1000000.0)).cast("long").alias("p_ppm"),
+        F.floor((center - half) * F.lit(1000000.0)).cast("long")
+        .alias("lo_ppm"),
+        F.floor((center + half) * F.lit(1000000.0)).cast("long")
+        .alias("hi_ppm"),
+    )
+
+
+WILSON_CI_ORACLE = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM per)
+SELECT event_type, k, n,
+       CAST(floor(CAST(k AS DOUBLE) / n * 1000000.0) AS BIGINT) AS p_ppm,
+       CAST(floor(((CAST(k AS DOUBLE) / n
+                    + 3.8414588206941254 / (2.0 * n))
+                   / (1.0 + 3.8414588206941254 / n)
+                   - sqrt(3.8414588206941254)
+                     * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 3.8414588206941254
+                              / (4.0 * CAST(n AS DOUBLE) * n))
+                     / (1.0 + 3.8414588206941254 / n))
+                  * 1000000.0) AS BIGINT) AS lo_ppm,
+       CAST(floor(((CAST(k AS DOUBLE) / n
+                    + 3.8414588206941254 / (2.0 * n))
+                   / (1.0 + 3.8414588206941254 / n)
+                   + sqrt(3.8414588206941254)
+                     * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 3.8414588206941254
+                              / (4.0 * CAST(n AS DOUBLE) * n))
+                     / (1.0 + 3.8414588206941254 / n))
+                  * 1000000.0) AS BIGINT) AS hi_ppm
+FROM per CROSS JOIN tot
 """
 
 
@@ -2848,6 +2995,9 @@ SPECS: dict[str, QuerySpec] = {
     "stats_levene_bf": QuerySpec(stats_levene_bf, LEVENE_BF_ORACLE),
     "stats_cronbach_alpha": QuerySpec(stats_cronbach_alpha,
                                       CRONBACH_ORACLE),
+    "stats_wilson_ci": QuerySpec(stats_wilson_ci, WILSON_CI_ORACLE),
+    "stats_holm_bonferroni": QuerySpec(stats_holm_bonferroni,
+                                       HOLM_ORACLE),
     "stats_mcnemar": QuerySpec(stats_mcnemar, MCNEMAR_ORACLE),
     "stats_corr_matrix": QuerySpec(stats_corr_matrix, CORR_MATRIX_ORACLE),
     "stats_cuped_uplift": QuerySpec(stats_cuped_uplift, CUPED_ORACLE),

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "stats_tost_equivalence",  # same |types|-row pair enumeration
     "stats_two_proportion_z",  # same |types|-row pair enumeration
     "stats_bh_fdr",        # inherits the pair enumeration cross
+    "stats_holm_bonferroni",  # same pair enumeration + one-row scalars
+    "stats_wilson_ci",     # one-row traffic-total scalar cross
     "stats_ks_test",       # one-row per-sample-N broadcast cross join
     "stats_mannwhitney_u",  # one-row per-sample-N broadcast cross join
     "stats_wilcoxon_signed_rank",  # one-row pre/post split-bound scalar
@@ -192,6 +194,10 @@ SP_ALLOWED = {
     "stats_cronbach_alpha",     # one-row power-sum reduction
     "stats_mutual_information",  # one-row MI/entropy reductions over
                                  # the bounded (lang x source) cells
+    "profile_unique_keys",       # one-row per-candidate distinct-count
+                                 # scalars in a constant-size UNION
+    "stats_wilson_ci",           # one-row traffic-total scalar
+    "stats_holm_bonferroni",     # pair-family windows (bounded domain)
     "ev_hurst_exponent",        # one-row (min,max)-day span scalar of
                                 # the calendar spine
     "stats_mcnemar",            # one-row discordant-count scalar
@@ -222,6 +228,7 @@ SP_ALLOWED = {
     "corpus_dup_quality_profile",  # same injected bloom-filter subquery
     "ev_markov_stationary",     # one-row state-count scalar
     "ev_markov_entropy_rate",   # one-row occupancy-rate scalar
+    "stats_holm_bonferroni",  # same C(|types|,2)-row pair-family windows
     "stats_benford",            # total window over the <=9-digit agg
     "corpus_growth_curve",      # one-row max-id scalar + cum window over
                                 # the <=10 decile rows
@@ -306,6 +313,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "pipeline_curation_v3",  # same helper through the v2 stages
     "corpus_quality_calibration",  # n_parts-row offset agg (constant)
     "stats_bh_fdr",         # C(|types|,2)-row test family
+    "stats_holm_bonferroni",  # same C(|types|,2)-row test family
 }
 
 
