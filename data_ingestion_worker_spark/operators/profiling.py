@@ -564,6 +564,98 @@ def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lags (hours) the multi-lag ACF evaluates.
+ACF_MAX_LAG = 6
+
+
+def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of hourly volume per event type at lags
+    1..6 hours — the full ACF diagnostics table behind
+    :func:`ev_autocorr_lag1`'s single number (the decay shape is what
+    distinguishes short memory from the long-range dependence
+    :func:`ev_hurst_exponent` prices, and picks the seasonal lag).
+
+    Calendar semantics: pairs join on hour-bucket arithmetic
+    (``eh + lag``), so a silent gap hour breaks the pair instead of
+    sliding the series together (the lag-window ROWS semantics would).
+    The per-(type, lag) Pearson moments are exact BIGINT sums; the
+    correlation evaluates the shared fragment, rounded at 6.
+
+    Scale: the hourly aggregate is calendar-bounded; the lag fan-out is
+    |hours| × ACF_MAX_LAG map-side rows joined back on the bucketed
+    hour key — corpus size enters only through the first groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c")).select(
+        "event_type",
+        F.expr("cast(cast(hour as timestamp) as long) div 3600")
+        .alias("eh"),
+        "c",
+    ).localCheckpoint(eager=False)   # both sides of the lag join
+    fan = hourly.select(
+        "event_type", "eh", F.col("c").alias("x"),
+        F.explode(F.array(*[F.lit(k) for k in
+                            range(1, ACF_MAX_LAG + 1)])).alias("lag"),
+    )
+    b = hourly.select("event_type", F.col("eh").alias("ehb"),
+                      F.col("c").alias("y"))
+    pairs = fan.join(
+        b,
+        (fan["event_type"] == b["event_type"])
+        & (F.col("ehb") == F.col("eh") + F.col("lag")),
+    ).select(fan["event_type"], "lag", "x", "y")
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.filter(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        "event_type", F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(F.expr(_PEARSON_R), 6).alias("acf"),
+    )
+
+
+ACF_LAGS_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT // 3600 AS eh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+fan AS (
+  SELECT event_type, eh, c AS x, l.lag
+  FROM hourly CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))
+                          AS lag) l
+),
+pairs AS (
+  SELECT f.event_type, f.lag, f.x, h.c AS y
+  FROM fan f JOIN hourly h
+    ON h.event_type = f.event_type AND h.eh = f.eh + f.lag
+),
+agg AS (
+  SELECT event_type, CAST(lag AS INT) AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n AS n_pairs, round({_PEARSON_R}, 6) AS acf
+FROM agg
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
 AUTOCORR_ORACLE = f"""
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
@@ -2065,6 +2157,7 @@ SPECS: dict[str, QuerySpec] = {
                                         VALUE_PATTERNS_ORACLE),
     "profile_unique_keys": QuerySpec(profile_unique_keys,
                                      UNIQUE_KEYS_ORACLE),
+    "ev_acf_lags": QuerySpec(ev_acf_lags, ACF_LAGS_ORACLE),
     "profile_column_kmv_overlap": QuerySpec(profile_column_kmv_overlap,
                                              KMV_COL_OVERLAP_ORACLE),
     "profile_inclusion_deps": QuerySpec(profile_inclusion_deps,

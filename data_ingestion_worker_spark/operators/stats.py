@@ -2486,6 +2486,112 @@ FROM flagged
 """
 
 
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test on order totals: skewness and excess
+    kurtosis from exact power sums, JB = n/6·(S² + K²/4) — the gate a
+    pipeline runs before applying any z-score/t-test machinery that
+    assumes normal-ish tails (order values are right-skewed, and this
+    test says so with a number).
+
+    Exactness: values floor to WHOLE currency units so the 4th power
+    sum stays inside DECIMAL(38,0) through sf100 (x⁴ ≈ 6e22 per row ×
+    1.5e11 rows ≈ 1e34); Σx..Σx⁴ are exact DECIMAL in one combiner-
+    friendly aggregate, and every moment identity afterwards is the
+    same double expression in both engines, floored at 4 decimals.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice").cast("decimal(18,2)")) \
+        .cast("decimal(38,0)")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,0)")).alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,0)")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (r4 - F.lit(4.0) * mean * r3
+          + F.lit(6.0) * mean * mean * r2
+          - F.lit(3.0) * mean * mean * mean * mean)
+    skew = m3 / (m2 * F.sqrt(m2))
+    exkurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (skew * skew
+                            + exkurt * exkurt / F.lit(4.0))
+    f4 = lambda c: F.floor(c * F.lit(10000.0)) / F.lit(10000.0)  # noqa
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        f4(skew).alias("skewness"),
+        f4(exkurt).alias("excess_kurtosis"),
+        f4(jb).alias("jb_stat"),
+        (jb > F.lit(5.991464547107979)).alias("reject_95"),  # chi2(2)
+    )
+
+
+JARQUE_BERA_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,0))) AS s1,
+         sum(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS s2,
+         sum(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS s3,
+         sum(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0))
+                  * CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,0)) AS DECIMAL(38,0))) AS s4
+  FROM orders
+),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM agg
+),
+mm AS (
+  SELECT n, r2 - mean * mean AS m2,
+         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+            - 3.0 * mean * mean * mean * mean AS m4
+  FROM m
+),
+stat AS (
+  SELECT n,
+         m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exkurt
+  FROM mm
+)
+SELECT n,
+       floor(skew * 10000.0) / 10000.0 AS skewness,
+       floor(exkurt * 10000.0) / 10000.0 AS excess_kurtosis,
+       floor((CAST(n AS DOUBLE) / 6.0
+              * (skew * skew + exkurt * exkurt / 4.0)) * 10000.0)
+         / 10000.0 AS jb_stat,
+       (CAST(n AS DOUBLE) / 6.0
+        * (skew * skew + exkurt * exkurt / 4.0))
+         > 5.991464547107979 AS reject_95
+FROM stat
+"""
+
+
 def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Wilson score interval for each event type's share of total
     traffic — the binomial CI that stays inside [0,1] and behaves at
@@ -2996,6 +3102,8 @@ SPECS: dict[str, QuerySpec] = {
     "stats_cronbach_alpha": QuerySpec(stats_cronbach_alpha,
                                       CRONBACH_ORACLE),
     "stats_wilson_ci": QuerySpec(stats_wilson_ci, WILSON_CI_ORACLE),
+    "stats_jarque_bera": QuerySpec(stats_jarque_bera,
+                                   JARQUE_BERA_ORACLE),
     "stats_holm_bonferroni": QuerySpec(stats_holm_bonferroni,
                                        HOLM_ORACLE),
     "stats_mcnemar": QuerySpec(stats_mcnemar, MCNEMAR_ORACLE),

@@ -192,6 +192,7 @@ SP_ALLOWED = {
     "stats_levene_bf",          # median-cut scalars (quantile helper)
                                 # + one-row power-sum reduction
     "stats_cronbach_alpha",     # one-row power-sum reduction
+    "stats_jarque_bera",        # one-row power-sum reduction
     "stats_mutual_information",  # one-row MI/entropy reductions over
                                  # the bounded (lang x source) cells
     "profile_unique_keys",       # one-row per-candidate distinct-count
