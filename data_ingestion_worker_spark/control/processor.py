@@ -3,9 +3,17 @@
 Reference: ``src/processor.py`` — a sequential per-row loop over three
 entry points (initial §3.2, reprocessing §3.3, consolidation §3.4 of
 SURVEY.md).  Here each lifecycle step is a handful of DataFrame plans and
-one MERGE per table per batch; there is no per-row Python anywhere.
+one MERGE per table per MICROBATCH — not per job: all jobs drained by one
+streaming trigger go through ONE annotate plan, ONE staging MERGE, ONE
+issues MERGE, ONE links MERGE and ONE routing write (r7 verdict ask #1;
+the per-job form paid ~8 versioned-table writes per job, each a
+fixed-latency Spark job, which is what capped the streaming lifecycle at
+~12 jobs/min on local[32]).  The single-job entry points (``initial``,
+``reprocess``, ``process_job``) are one-element batches of the same code
+path, so there is exactly one codification of each flow.
 
-Semantics preserved (and pinned by tests/test_flow.py):
+Semantics preserved (and pinned by tests/test_flow.py +
+tests/test_batch_processing.py):
 
 - **T3 routing** (processor.py:43-122): COMPLETED -> skip;
   NEEDS_REVIEW + staging -> reprocess; otherwise initial (resume-safe).
@@ -28,6 +36,15 @@ Semantics preserved (and pinned by tests/test_flow.py):
   replaced by idempotent write ordering (contacts first — a replay after
   any crash point converges), mirroring the reference's restart story.
 
+Batch-snapshot note: within one batch the J2 existing-email check reads
+the contacts table as of batch START, so job B does not see contacts
+that job A (same batch) consolidates.  The reference has the same
+non-determinism whenever two workers poll SQS concurrently (its
+transaction only guards one job); strictly sequential semantics are
+recoverable by processing jobs one per batch (consumer
+``maxFilesPerTrigger`` / the single-job entry points).  A1 duplicate
+detection is per-job either way — the (job, email) window.
+
 Deterministic ids replace DB sequences (replay-safe by construction):
 staging_id = job_id * 10^9 + row_number; issue_id / issue_item_id from
 the 60-bit md5 hash of their natural keys.
@@ -37,6 +54,7 @@ from __future__ import annotations
 
 import time
 from contextlib import contextmanager
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +66,10 @@ from ..plans.validation_pipeline import annotate_contacts
 from .store import ControlStore
 
 REQUIRED = ["email", "first_name", "last_name", "company"]
+
+#: Passenger column carrying each row's job id through the shared
+#: multi-job plans (annotate / MERGEs).  Long, never NULL.
+JOB_COL = "batch_job_id"
 
 
 class JobProcessor:
@@ -85,28 +107,77 @@ class JobProcessor:
     # ------------------------------------------------------------------ T3
 
     def process_job(self, job_id: int, csv_path: str) -> str:
-        """Routing state machine; returns the action taken."""
-        jobs = self.store.read("jobs")
-        job = jobs.filter(F.col("job_id") == job_id).collect()
-        status = job[0]["job_status"] if job else None
-        if status == "COMPLETED":
-            return "skipped_completed"            # P8 guard
-        if not job:
-            self._ensure_job(job_id, csv_path)
-        has_staging = (
-            self.store.read("staging")
-            .filter(F.col("staging_job_id") == job_id)
-            .limit(1).count() > 0
-        )
-        if status == "NEEDS_REVIEW" and has_staging:
-            self.reprocess(job_id)
-            return "reprocessed"
-        self.initial(job_id, csv_path)
-        return "initial"
+        """Routing state machine; returns the action taken.  One-element
+        batch of :meth:`process_jobs`; an ingest failure re-raises (the
+        caller owns dead-lettering — streaming/consumer.py)."""
+        actions, errors = self.process_jobs([(job_id, csv_path)])
+        if job_id in errors:
+            raise errors[job_id]
+        return actions[job_id]
+
+    def process_jobs(
+        self, jobs: list[tuple[int, str]],
+    ) -> tuple[dict[int, str], dict[int, Exception]]:
+        """Route + process EVERY job of a microbatch through shared plans.
+
+        Returns ``(actions, errors)``: per-job action string
+        (skipped_completed / reprocessed / initial), and per-job ingest
+        exceptions (a job whose CSV cannot be read drops out of the
+        batch without failing the others — reference S3/T10 row-level
+        isolation, lifted to job level).  The routing reads are one
+        jobs-table collect + one staging existence aggregate, bounded by
+        message count — control-plane, never data-plane.
+        """
+        if not jobs:
+            return {}, {}
+        # Duplicate message for the same job inside one trigger: keep
+        # the first occurrence (the per-job loop got the same effect
+        # from idempotent replay; inside one shared plan a literal
+        # duplicate would double the pre-MERGE frames).
+        seen: set[int] = set()
+        jobs = [(j, k) for j, k in jobs
+                if not (j in seen or seen.add(j))]
+        ids = [j for j, _ in jobs]
+        status = {
+            int(r["job_id"]): r["job_status"]
+            for r in self.store.read("jobs")
+            .filter(F.col("job_id").isin(ids))
+            .select("job_id", "job_status").collect()
+        }
+        has_staging = {
+            int(r["staging_job_id"])
+            for r in self.store.read("staging")
+            .filter(F.col("staging_job_id").isin(ids))
+            .select("staging_job_id").distinct().collect()
+        }
+        actions: dict[int, str] = {}
+        to_initial: list[tuple[int, str]] = []
+        to_reprocess: list[int] = []
+        for job_id, csv_path in jobs:
+            st = status.get(job_id)
+            if st == "COMPLETED":
+                actions[job_id] = "skipped_completed"       # P8 guard
+            elif st == "NEEDS_REVIEW" and job_id in has_staging:
+                to_reprocess.append(job_id)
+                actions[job_id] = "reprocessed"
+            else:
+                to_initial.append((job_id, csv_path))
+                actions[job_id] = "initial"
+        if to_reprocess:
+            self.reprocess_batch(to_reprocess)
+        errors: dict[int, Exception] = {}
+        if to_initial:
+            errors = self.initial_batch(to_initial)
+            for job_id in errors:
+                actions.pop(job_id, None)
+        return actions, errors
 
     def _ensure_job(self, job_id: int, csv_path: str) -> None:
+        self._ensure_jobs([(job_id, csv_path)])
+
+    def _ensure_jobs(self, jobs: list[tuple[int, str]]) -> None:
         new = self.spark.createDataFrame(
-            [(job_id, self.user_id, csv_path, "PENDING")],
+            [(j, self.user_id, k, "PENDING") for j, k in jobs],
             "job_id long, job_user_id string, job_s3_object_key string, "
             "job_status string",
         ).withColumn("job_created_at", F.current_timestamp())
@@ -114,138 +185,209 @@ class JobProcessor:
                           insert_only=True)
 
     def _set_job(self, job_id: int, **cols: F.Column) -> None:
+        self._set_jobs({job_id: cols})
+
+    def _set_jobs(self, updates: dict[int, dict[str, F.Column]]) -> None:
+        """Point-update several job rows in ONE published table version.
+
+        A chained CASE per column — fine at control-plane cardinality
+        (one entry per message in a microbatch, reference
+        SQS_MAX_NUMBER_OF_MESSAGES-bounded), and every batch costs one
+        write instead of one per job.
+        """
+        if not updates:
+            return
         jobs = self.store.read("jobs")
-        updated = jobs.withColumns({
-            name: F.when(F.col("job_id") == job_id, value)
-                   .otherwise(F.col(name))
-            for name, value in cols.items()
-        })
-        self.store.overwrite("jobs", updated)
+        names: list[str] = []
+        for cols in updates.values():
+            for name in cols:
+                if name not in names:
+                    names.append(name)
+        new_cols = {}
+        for name in names:
+            expr = F.col(name)
+            for job_id, cols in updates.items():
+                if name in cols:
+                    expr = (F.when(F.col("job_id") == job_id, cols[name])
+                             .otherwise(expr))
+            new_cols[name] = expr
+        self.store.overwrite("jobs", jobs.withColumns(new_cols))
 
     # --------------------------------------------------------------- §3.2
 
     def initial(self, job_id: int, csv_path: str) -> None:
-        """Initial processing: CSV -> validated staging -> issues -> route."""
-        self._set_job(job_id, job_status=F.lit("PROCESSING"),
-                      job_process_start=F.current_timestamp())
+        """Initial processing: CSV -> validated staging -> issues -> route.
+        One-element batch; an ingest failure re-raises (per-job contract).
+        """
+        errors = self.initial_batch([(job_id, csv_path)])
+        if job_id in errors:
+            raise errors[job_id]
 
+    def initial_batch(
+        self, jobs: list[tuple[int, str]],
+    ) -> dict[int, Exception]:
+        """§3.2 for a whole microbatch: one annotate plan, one MERGE per
+        table.  Returns per-job ingest exceptions (those jobs stay
+        PROCESSING and are retried/dead-lettered by the caller; the
+        others complete normally)."""
+        self._ensure_jobs(jobs)
+        self._set_jobs({
+            j: dict(job_status=F.lit("PROCESSING"),
+                    job_process_start=F.current_timestamp())
+            for j, _ in jobs
+        })
+
+        errors: dict[int, Exception] = {}
         with self._stage("ingest"):
-            raw = read_contacts_csv(self.spark, csv_path)
-            batch = _project_contacts(raw)                   # P1
-            total_rows = batch.count()
+            parts = []
+            for job_id, csv_path in jobs:
+                # Per-job error isolation at the only per-job seam left:
+                # dialect sniffing / file access (driver-side, bounded
+                # prefix reads).  A job whose CSV is missing must not
+                # take down the batch plan.
+                try:
+                    raw = read_contacts_csv(self.spark, csv_path)
+                    parts.append(
+                        _project_contacts(raw).withColumn(
+                            JOB_COL, F.lit(job_id).cast("long"))
+                    )
+                except Exception as e:  # noqa: BLE001
+                    errors[job_id] = e
+            if not parts:
+                return errors
+            batch = reduce(DataFrame.unionByName, parts)
+            totals = {
+                int(r[JOB_COL]): int(r["cnt"])
+                for r in batch.groupBy(JOB_COL)
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            for job_id, _ in jobs:
+                if job_id not in errors:
+                    totals.setdefault(job_id, 0)
 
         with self._stage("validate"):
-            self._initial_validate(job_id, batch, total_rows)
-        with self._stage("route"):
-            self._recount_and_route(job_id, total_rows=total_rows)
+            # Annotate the FULL batch every run (crash-resume safety):
+            # issues are re-derived from the same inputs on replay, so a
+            # crash between the staging merge and the issues merge cannot
+            # leave ISSUE rows with no issue records and let consolidation
+            # slip through.  Idempotency comes from the insert-only MERGEs
+            # below (the J5 anti-join on (job_id, row_hash) lives inside
+            # store.upsert), not from pre-shrinking the batch.
+            annot = self._annotate(batch, job_col=JOB_COL)
 
-    def _initial_validate(self, job_id: int, batch: DataFrame,
-                          total_rows: int) -> None:
-        """Validate + merge for :meth:`initial` (split out so the stage
-        accounting brackets exactly the validation work)."""
-        # Annotate the FULL batch every run (crash-resume safety): issues
-        # are re-derived from the same inputs on replay, so a crash
-        # between the staging merge and the issues merge cannot leave
-        # ISSUE rows with no issue records and let consolidation slip
-        # through.  Idempotency comes from the insert-only MERGEs below
-        # (the J5 anti-join on (job_id, row_hash) lives inside
-        # store.upsert), not from pre-shrinking the batch.
-        annot = self._annotate(batch, job_id=job_id)
+            # Staging MERGE (insert-only on (job_id, row_hash) — ADR-001).
+            staging_new = annot.select(
+                (F.col(JOB_COL) * F.lit(1_000_000_000).cast("long")
+                 + F.col("row_number")).alias("staging_id"),
+                F.col(JOB_COL).alias("staging_job_id"),
+                F.col("email").alias("staging_email"),
+                F.col("first_name").alias("staging_first_name"),
+                F.col("last_name").alias("staging_last_name"),
+                F.col("company").alias("staging_company"),
+                F.current_timestamp().alias("staging_created_at"),
+                F.when(F.col("issue_type").isNull(), "READY")
+                 .otherwise("ISSUE").alias("staging_status"),
+                F.col("row_hash").alias("staging_row_hash"),
+                F.col("row_number").alias("staging_row_number"),
+            )
+            self.store.upsert(
+                "staging", _pad(staging_new, self.store, "staging"),
+                insert_only=True)
 
-        # Staging MERGE (insert-only on (job_id, row_hash) — ADR-001).
-        staging_new = annot.select(
-            (F.lit(job_id).cast("long") * F.lit(1_000_000_000).cast("long")
-             + F.col("row_number")).alias("staging_id"),
-            F.lit(job_id).alias("staging_job_id"),
-            F.col("email").alias("staging_email"),
-            F.col("first_name").alias("staging_first_name"),
-            F.col("last_name").alias("staging_last_name"),
-            F.col("company").alias("staging_company"),
-            F.current_timestamp().alias("staging_created_at"),
-            F.when(F.col("issue_type").isNull(), "READY")
-             .otherwise("ISSUE").alias("staging_status"),
-            F.col("row_hash").alias("staging_row_hash"),
-            F.col("row_number").alias("staging_row_number"),
-        )
-        self.store.upsert("staging", _pad(staging_new, self.store, "staging"),
-                          insert_only=True)
+            # Mid-job heartbeat (reference T4: src/processor.py:179,216-233
+            # bumps job_processed_rows every 10 rows; the set-based
+            # analogue is a stage boundary): staging is merged, issues not
+            # yet derived — publish the counts now so a status poll during
+            # a long batch sees movement before the terminal route lands.
+            self._set_jobs({
+                j: dict(job_total_rows=F.lit(n).cast("long"),
+                        job_processed_rows=F.lit(n).cast("long"))
+                for j, n in totals.items()
+            })
 
-        # Mid-job heartbeat (reference T4: src/processor.py:179,216-233
-        # bumps job_processed_rows every 10 rows; the set-based analogue
-        # is a stage boundary): staging is merged, issues not yet
-        # derived — publish the counts now so a status poll during a
-        # long batch sees movement before the terminal route lands.
-        self._set_job(job_id,
-                      job_total_rows=F.lit(total_rows).cast("long"),
-                      job_processed_rows=F.lit(total_rows).cast("long"))
+            self._merge_issues_and_links(
+                annot.filter(F.col("issue_type").isNotNull()))
 
-        self._merge_issues_and_links(job_id, annot.filter(
-            F.col("issue_type").isNotNull()
-        ))
+        self._route_batch(list(totals), totals=totals)
+        return errors
 
     # --------------------------------------------------------------- §3.3
 
     def reprocess(self, job_id: int) -> None:
         """Re-validate the (user-edited) staging rows — never the CSV."""
-        self._set_job(job_id, job_status=F.lit("PROCESSING"))
+        self.reprocess_batch([job_id])
+
+    def reprocess_batch(self, ids: list[int]) -> None:
+        """§3.3 for a whole microbatch: one annotate plan over every
+        job's live staging rows, one write per table."""
+        self._set_jobs({j: dict(job_status=F.lit("PROCESSING"))
+                        for j in ids})
         with self._stage("validate"):
-            self._reprocess_validate(job_id)
-        with self._stage("route"):
-            self._recount_and_route(job_id)
-
-    def _reprocess_validate(self, job_id: int) -> None:
-        """Validate + merge for :meth:`reprocess` (split out so the
-        stage accounting brackets exactly the validation work)."""
-        staging = self.store.read("staging").filter(
-            F.col("staging_job_id") == job_id
-        )
-        batch = staging.select(
-            F.col("staging_id"),
-            F.col("staging_email").alias("email"),
-            F.col("staging_first_name").alias("first_name"),
-            F.col("staging_last_name").alias("last_name"),
-            F.col("staging_company").alias("company"),
-            F.col("staging_row_number").alias("row_number"),
-            F.col("staging_status"),
-        )
-        live = batch.filter(F.col("staging_status") != "DISCARD")   # P4
-        annot = self._annotate(live, job_id=job_id)
-
-        # Flip staging statuses set-wise (READY vs ISSUE; DISCARD kept).
-        status_updates = annot.select(
-            "staging_id",
-            F.when(F.col("issue_type").isNull(), "READY")
-             .otherwise("ISSUE").alias("new_status"),
-        )
-        updated = (
-            staging.join(status_updates, "staging_id", "left")
-            .withColumn(
-                "staging_status",
-                F.coalesce("new_status", "staging_status"),
+            staging = self.store.read("staging").filter(
+                F.col("staging_job_id").isin(ids)
             )
-            .drop("new_status")
-        )
-        others = self.store.read("staging").filter(
-            F.col("staging_job_id") != job_id
-        )
-        self.store.overwrite("staging", others.unionByName(
-            _pad(updated, self.store, "staging")
-        ))
+            batch = staging.select(
+                F.col("staging_id"),
+                F.col("staging_job_id").alias(JOB_COL),
+                F.col("staging_email").alias("email"),
+                F.col("staging_first_name").alias("first_name"),
+                F.col("staging_last_name").alias("last_name"),
+                F.col("staging_company").alias("company"),
+                F.col("staging_row_number").alias("row_number"),
+                F.col("staging_status"),
+            )
+            live = batch.filter(F.col("staging_status") != "DISCARD")  # P4
+            annot = self._annotate(live, job_col=JOB_COL)
 
-        failing = annot.filter(F.col("issue_type").isNotNull())
-        self._merge_issues_and_links(job_id, failing, reprocess=True)
-        self._auto_resolve(job_id)
+            # Flip staging statuses set-wise (READY vs ISSUE; DISCARD
+            # kept) — staging_id is globally unique, so one join covers
+            # every job in the batch.
+            status_updates = annot.select(
+                "staging_id",
+                F.when(F.col("issue_type").isNull(), "READY")
+                 .otherwise("ISSUE").alias("new_status"),
+            )
+            updated = (
+                staging.join(status_updates, "staging_id", "left")
+                .withColumn(
+                    "staging_status",
+                    F.coalesce("new_status", "staging_status"),
+                )
+                .drop("new_status")
+            )
+            others = self.store.read("staging").filter(
+                ~F.col("staging_job_id").isin(ids)
+            )
+            self.store.overwrite("staging", others.unionByName(
+                _pad(updated, self.store, "staging")
+            ))
+
+            failing = annot.filter(F.col("issue_type").isNotNull())
+            self._merge_issues_and_links(failing, reprocess=True)
+            self._auto_resolve(ids)
+        self._route_batch(ids)
 
     # --------------------------------------------------------------- §3.4
 
     def consolidate(self, job_id: int) -> None:
         """READY staging -> contacts; staging -> SUCCESS; job -> COMPLETED."""
         with self._stage("consolidate"):
-            self._consolidate(job_id)
+            self._consolidate_batch([job_id])
+            self._set_jobs({job_id: dict(
+                job_status=F.lit("COMPLETED"),
+                job_process_end=F.current_timestamp(),
+            )})
 
-    def _consolidate(self, job_id: int) -> None:
+    def _consolidate_batch(self, ids: list[int]) -> None:
+        """Contacts insert + staging SUCCESS flip for every listed job —
+        the job-status write is the CALLER's (so a routing batch can fold
+        it into its single jobs write).  Idempotent order preserved:
+        contacts first (insert-only on the staging_id FK), then staging,
+        then status — any crash point replays to the same end state."""
+        if not ids:
+            return
         staging = self.store.read("staging").filter(
-            (F.col("staging_job_id") == job_id)
+            F.col("staging_job_id").isin(ids)
         )
         ready = staging.filter(F.col("staging_status") == "READY")
         # contact_repository.py:58-60: rows that lost required fields are
@@ -266,8 +408,6 @@ class JobProcessor:
             F.col("staging_company").alias("contact_company"),
             F.current_timestamp().alias("contact_created_at"),
         )
-        # Idempotent order: contacts first (insert-only on staging_id FK),
-        # then statuses — any crash point replays to the same end state.
         self.store.upsert("contacts", contacts_new, insert_only=True)
 
         all_staging = self.store.read("staging")
@@ -276,18 +416,17 @@ class JobProcessor:
             all_staging.withColumn(
                 "staging_status",
                 F.when(
-                    (F.col("staging_job_id") == job_id)
+                    F.col("staging_job_id").isin(ids)
                     & (F.col("staging_status") == "READY"),
                     "SUCCESS",
                 ).otherwise(F.col("staging_status")),
             ),
         )
-        self._set_job(job_id, job_status=F.lit("COMPLETED"),
-                      job_process_end=F.current_timestamp())
 
     # ------------------------------------------------------------ helpers
 
-    def _annotate(self, rows: DataFrame, job_id: int) -> DataFrame:
+    def _annotate(self, rows: DataFrame, job_id: int = 1,
+                  job_col: str | None = None) -> DataFrame:
         """A1 + J2/J3 + F4 over ``rows`` — delegates to the flagship
         plan's ``annotate_contacts`` so the validation semantics have
         exactly one codification (pinned by the flagship DuckDB oracle).
@@ -302,18 +441,20 @@ class JobProcessor:
             .distinct()
         )
         return annotate_contacts(rows, existing, job_id=job_id,
-                                 row_col="row_number")
+                                 row_col="row_number", job_col=job_col)
 
-    def _merge_issues_and_links(self, job_id: int, failing: DataFrame,
+    def _merge_issues_and_links(self, failing: DataFrame,
                                 reprocess: bool = False) -> None:
-        """T6 get_or_create + T7 link dedup + T8 un-resolve."""
+        """T6 get_or_create + T7 link dedup + T8 un-resolve, for every
+        job in the batch at once.  ``failing`` must carry ``JOB_COL``
+        (long), issue_type/key/msg, and row_number or staging_id."""
         issues_new = (
-            failing.groupBy("issue_type", "issue_key")
+            failing.groupBy(JOB_COL, "issue_type", "issue_key")
             .agg(F.first("issue_msg").alias("issue_description"))
             .select(
-                hash64(F.concat_ws(":", F.lit(job_id), "issue_type",
+                hash64(F.concat_ws(":", JOB_COL, "issue_type",
                                    "issue_key")).alias("issue_id"),
-                F.lit(job_id).alias("issues_job_id"),
+                F.col(JOB_COL).alias("issues_job_id"),
                 "issue_type", "issue_key",
                 F.lit(False).alias("issue_resolved"),
                 "issue_description",
@@ -344,18 +485,21 @@ class JobProcessor:
             self.store.upsert("issues", cleared)
 
         # Links: failing staging row <-> its issue (pair-unique, T7).
-        staging = self.store.read("staging").filter(
-            F.col("staging_job_id") == job_id
-        ).select("staging_row_number", "staging_id")
-        with_sid = (
-            failing.select("issue_type", "issue_key", "row_number")
-            .join(staging,
-                  F.col("row_number") == F.col("staging_row_number"))
-            if "staging_id" not in failing.columns
-            else failing.select("issue_type", "issue_key", "staging_id")
-        )
+        if "staging_id" in failing.columns:
+            with_sid = failing.select(JOB_COL, "issue_type", "issue_key",
+                                      "staging_id")
+        else:
+            staging = self.store.read("staging").select(
+                "staging_job_id", "staging_row_number", "staging_id")
+            with_sid = failing.select(
+                JOB_COL, "issue_type", "issue_key", "row_number"
+            ).join(
+                staging,
+                (F.col(JOB_COL) == F.col("staging_job_id"))
+                & (F.col("row_number") == F.col("staging_row_number")),
+            )
         links = with_sid.select(
-            hash64(F.concat_ws(":", F.lit(job_id), "issue_type",
+            hash64(F.concat_ws(":", JOB_COL, "issue_type",
                                "issue_key")).alias("item_issue_id"),
             F.col("staging_id").alias("item_staging_id"),
         ).withColumn(
@@ -364,14 +508,14 @@ class JobProcessor:
         )
         self.store.upsert("issue_items", links, insert_only=True)
 
-    def _auto_resolve(self, job_id: int) -> None:
+    def _auto_resolve(self, ids: list[int]) -> None:
         """A7/T8: resolve issues whose linked rows all left ISSUE status."""
         issues = self.store.read("issues").filter(
-            (F.col("issues_job_id") == job_id) & (~F.col("issue_resolved"))
+            F.col("issues_job_id").isin(ids) & (~F.col("issue_resolved"))
         )
         links = self.store.read("issue_items")
         staging = self.store.read("staging").filter(
-            F.col("staging_job_id") == job_id
+            F.col("staging_job_id").isin(ids)
         )
         open_counts = (
             links.join(staging,
@@ -395,29 +539,54 @@ class JobProcessor:
 
     def _recount_and_route(self, job_id: int,
                            total_rows: int | None = None) -> None:
-        """A5 recount from authoritative tables, then route (T3 tail)."""
-        staged = (
-            self.store.read("staging")
-            .filter(F.col("staging_job_id") == job_id).count()
-        )
-        unresolved = (
-            self.store.read("issues")
-            .filter((F.col("issues_job_id") == job_id)
-                    & (~F.col("issue_resolved"))).count()
-        )
-        counts = dict(
-            job_total_rows=F.lit(total_rows if total_rows is not None
-                                 else staged).cast("long"),
-            job_processed_rows=F.lit(staged).cast("long"),
-            job_issue_count=F.lit(unresolved).cast("long"),   # ADR-002
-        )
-        if unresolved > 0:
-            # One combined write (counts + status) per route, not two —
-            # every _set_job publishes a full jobs-table version.
-            self._set_job(job_id, job_status=F.lit("NEEDS_REVIEW"), **counts)
-        else:
-            self._set_job(job_id, **counts)
-            self.consolidate(job_id)
+        """A5 recount + T3 tail for one job (kept for callers/tests)."""
+        totals = {job_id: total_rows} if total_rows is not None else None
+        self._route_batch([job_id], totals=totals)
+
+    def _route_batch(self, ids: list[int],
+                     totals: dict[int, int] | None = None) -> None:
+        """A5 recount from authoritative tables, then route (T3 tail) —
+        ONE jobs-table write carries every job's counts AND terminal
+        status.  COMPLETED lands after contacts + staging SUCCESS (the
+        idempotent order), NEEDS_REVIEW in the same write."""
+        with self._stage("route"):
+            staged = {
+                int(r["staging_job_id"]): int(r["cnt"])
+                for r in self.store.read("staging")
+                .filter(F.col("staging_job_id").isin(ids))
+                .groupBy("staging_job_id")
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            unresolved = {
+                int(r["issues_job_id"]): int(r["cnt"])
+                for r in self.store.read("issues")
+                .filter(F.col("issues_job_id").isin(ids)
+                        & (~F.col("issue_resolved")))
+                .groupBy("issues_job_id")
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+        to_complete = [j for j in ids if unresolved.get(j, 0) == 0]
+        with self._stage("consolidate"):
+            self._consolidate_batch(to_complete)
+        with self._stage("route"):
+            updates: dict[int, dict[str, F.Column]] = {}
+            for j in ids:
+                n_staged = staged.get(j, 0)
+                total = (totals.get(j) if totals and totals.get(j) is not None
+                         else n_staged)
+                cols = dict(
+                    job_total_rows=F.lit(total).cast("long"),
+                    job_processed_rows=F.lit(n_staged).cast("long"),
+                    job_issue_count=F.lit(unresolved.get(j, 0))
+                    .cast("long"),                             # ADR-002
+                )
+                if unresolved.get(j, 0) > 0:
+                    cols["job_status"] = F.lit("NEEDS_REVIEW")
+                else:
+                    cols["job_status"] = F.lit("COMPLETED")
+                    cols["job_process_end"] = F.current_timestamp()
+                updates[j] = cols
+            self._set_jobs(updates)
 
     # ------------------------------------------- human-in-the-loop surface
 

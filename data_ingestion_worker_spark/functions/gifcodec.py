@@ -291,6 +291,15 @@ def _deinterlace(idx: bytes, width: int, height: int) -> bytes:
 
 
 def decode_gif(payload: bytes) -> DecodedGif:
+    # Disposal-2 divergence note (r7 ADVICE, kept as-is by design): this
+    # decoder restores disposed rects — and initializes uncovered canvas
+    # — to the OPAQUE global background color, per the GIF89a spec text.
+    # Mainstream renderers (browsers, Pillow) instead treat those
+    # regions as TRANSPARENT on an RGBA canvas.  The in-repo round-trip
+    # gates only compare against the matched encoder's fixtures, where
+    # the two models agree; when frame BYTES of real crawled animated
+    # GIFs are compared against a third-party decoder, background-
+    # disposed pixels will differ (RGB background vs alpha=0).
     """Decode a GIF87a/89a payload to full-canvas RGB frames (frames
     composited per the disposal model onto the running canvas)."""
     if payload[:6] not in (GIF87_SIG, GIF89_SIG):

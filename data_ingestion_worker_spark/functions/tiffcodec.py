@@ -175,10 +175,11 @@ def encode_tiff(width: int, height: int, pixels: bytes,
         raise ValueError("TIFF: encoder supports compression 1 and 5")
     # Layout: header(8) + strip + IFD
     strip_off = 8
-    ifd_off = strip_off + len(strip)
-    if ifd_off % 2:                      # IFD must be word-aligned
-        strip = strip + b"\x00"
-        ifd_off += 1
+    strip_len = len(strip)               # tag 279 counts the DATA only —
+    ifd_off = strip_off + strip_len      # the alignment pad below is
+    if ifd_off % 2:                      # layout, not strip content
+        strip = strip + b"\x00"          # (a strict reader treats an
+        ifd_off += 1                     # overlong count as corruption)
     entries = []
 
     def tag(t: int, typ: int, cnt: int, val: int) -> None:
@@ -201,7 +202,7 @@ def encode_tiff(width: int, height: int, pixels: bytes,
     tag(273, 4, 1, strip_off)            # StripOffsets LONG
     tag(277, 3, 1, spp)                  # SamplesPerPixel
     tag(278, 3, 1, height)               # RowsPerStrip
-    tag(279, 4, 1, len(strip))           # StripByteCounts
+    tag(279, 4, 1, strip_len)            # StripByteCounts (unpadded)
     tag(284, 3, 1, 1)                    # PlanarConfiguration chunky
     ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
            + struct.pack("<I", 0) + bits_extra)

@@ -1332,6 +1332,15 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval shingle set — Spark broadcasts the eval side, so the training
     corpus is never shuffled at all; cost is one scan of the training
     shingles regardless of corpus size.
+
+    Scale caveat (r7 verdict #4): because the fixture's eval slice is a
+    ~1% MODULUS of the corpus, this broadcast grows linearly with the
+    corpus and holds only while that slice fits the broadcast
+    threshold.  A real benchmark suite is fixed-size (broadcast is the
+    right call); an eval set that scales with the corpus should drop
+    the ``F.broadcast`` hint and let AQE pick the join — a shuffle
+    semi-join on ``shingle`` where only shingle keys move, never
+    documents.
     """
     sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0

@@ -1725,6 +1725,17 @@ def profile_unique_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what decides whether a column set can serve as a merge/
     upsert key on dirty data.
 
+    NULL semantics (r7 ADVICE): the distinct count is over the
+    NULL-SAFE composite — ``countDistinct(struct(*cols))`` here,
+    ``count(DISTINCT ROW(...))`` in the oracle — so a tuple containing
+    NULLs counts as a value and two all-NULL rows are duplicates.
+    That is the Metanome UCC convention for dirty data (bare
+    ``countDistinct(a, b)`` silently DROPS any row with a NULL in any
+    column, which both inflates is_key and diverges from the tuple
+    count the SQL oracle computes); SQL UNIQUE-constraint semantics
+    (NULLs never conflict) would instead need a NULL-row filter on
+    both sides.
+
     Scale shape: one combiner-friendly distinct-count aggregate per
     candidate in a constant-size UNION; integer ppm readout.
     """
@@ -1733,7 +1744,8 @@ def profile_unique_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         tb = load_table(spark, sf_dir, t)
         agg = tb.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(*[F.col(c) for c in cols]).alias("n_distinct"),
+            F.countDistinct(F.struct(*[F.col(c) for c in cols]))
+            .alias("n_distinct"),
         )
         outs.append(agg.select(
             F.lit(f"{t}({', '.join(cols)})").alias("candidate"),
@@ -1756,10 +1768,10 @@ def _ucc_oracle() -> str:
         legs.append(f"""
 SELECT '{t}({tup})' AS candidate,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT ({tup})) AS BIGINT) AS n_distinct,
-       count(DISTINCT ({tup})) = count(*) AS is_key,
+       CAST(count(DISTINCT ROW({tup})) AS BIGINT) AS n_distinct,
+       count(DISTINCT ROW({tup})) = count(*) AS is_key,
        (1000000 * (CAST(count(*) AS BIGINT)
-                   - CAST(count(DISTINCT ({tup})) AS BIGINT)))
+                   - CAST(count(DISTINCT ROW({tup})) AS BIGINT)))
          // CAST(count(*) AS BIGINT) AS duplication_ppm
 FROM {t}""")
     return " UNION ALL ".join(legs)

@@ -449,6 +449,14 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the corpus is never shuffled for it) and the LSH+CC
     chain (collision-bounded, shared verbatim with
     ``dedup_connected_components``).
+
+    Scale caveat (r7 verdict #4): the fixture's eval slice is a ~1%
+    MODULUS of the corpus, so the decontamination broadcast grows
+    linearly with the corpus — it holds only while the eval shingle
+    set fits the broadcast threshold.  A real benchmark suite is
+    fixed-size (broadcast stays right); if the eval side scales with
+    the corpus, drop the ``F.broadcast`` hint and let AQE pick a
+    shuffle semi-join on ``shingle`` (keys move, documents never do).
     """
     from ..functions.hashing import hash64
     from ..functions.text import fingerprint

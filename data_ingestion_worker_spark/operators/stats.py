@@ -2674,12 +2674,20 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 ⇒ averaging them is meaningless).
 
     Exactness: α = k/(k−1) · (1 − Σᵢ(n·Σxᵢ² − (Σxᵢ)²)/(n·ΣT² − (ΣT)²))
-    — the n² variance denominators cancel, so every term is an exact
-    DECIMAL power sum and the whole statistic is ONE double division at
-    readout, rounded to 6 decimals.
+    — the n² variance denominators cancel.  Each per-order item (and
+    the row total T) is floor-quantized to WHOLE currency units before
+    squaring — the jarque-bera convention — so every power sum is an
+    exact DECIMAL(38,0) integer in BOTH engines (squaring the scale-4/
+    scale-6 decimals directly would hit Spark's precision-loss rounding
+    at scale 6 while DuckDB keeps the exact scale-8 product: a per-row
+    double-rounding divergence, r7 ADVICE).  Item values are ~1e5, so
+    the whole-unit grain costs ~1e-5 relative — invisible at the
+    6-decimal readout, and bit-identical across engines by
+    construction.  The statistic is ONE double expression at readout.
 
     Scale: one map-side-combinable per-order aggregate (items derive
-    from lineitem columns row-wise), one constant-size reduction.
+    from lineitem columns row-wise), one constant-size reduction;
+    Σx² ≈ 1e11 per row × 1.5e11 rows (sf100) ≈ 1e22 ≪ 38 digits.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ep = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -2691,20 +2699,21 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((ep * (F.lit(1) - dc) * (F.lit(1) + tx))
               .cast("decimal(38,6)")).cast("decimal(38,6)").alias("x3"),
     )
-    t = (F.col("x1").cast("decimal(38,6)") + F.col("x2") + F.col("x3"))
+    u1 = F.floor("x1").cast("decimal(38,0)")
+    u2 = F.floor("x2").cast("decimal(38,0)")
+    u3 = F.floor("x3").cast("decimal(38,0)")
+    ut = F.floor(F.col("x1").cast("decimal(38,6)") + F.col("x2")
+                 + F.col("x3")).cast("decimal(38,0)")
     red = per_order.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x1").cast("decimal(38,4)").alias("s1"),
-        F.sum((F.col("x1") * F.col("x1")).cast("decimal(38,4)"))
-        .alias("q1"),
-        F.sum("x2").cast("decimal(38,4)").alias("s2"),
-        F.sum((F.col("x2") * F.col("x2")).cast("decimal(38,4)"))
-        .alias("q2"),
-        F.sum("x3").cast("decimal(38,6)").alias("s3"),
-        F.sum((F.col("x3") * F.col("x3")).cast("decimal(38,6)"))
-        .alias("q3"),
-        F.sum(t.cast("decimal(38,6)")).alias("st"),
-        F.sum((t * t).cast("decimal(38,6)")).alias("qt"),
+        F.sum(u1).alias("s1"),
+        F.sum((u1 * u1).cast("decimal(38,0)")).alias("q1"),
+        F.sum(u2).alias("s2"),
+        F.sum((u2 * u2).cast("decimal(38,0)")).alias("q2"),
+        F.sum(u3).alias("s3"),
+        F.sum((u3 * u3).cast("decimal(38,0)")).alias("q3"),
+        F.sum(ut).alias("st"),
+        F.sum((ut * ut).cast("decimal(38,0)")).alias("qt"),
     )
     nd = F.col("n").cast("double")
 
@@ -2737,20 +2746,21 @@ WITH per_order AS (
                        AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS x3
   FROM lineitem GROUP BY 1
 ),
+units AS (
+  SELECT CAST(floor(x1) AS DECIMAL(38,0)) AS u1,
+         CAST(floor(x2) AS DECIMAL(38,0)) AS u2,
+         CAST(floor(x3) AS DECIMAL(38,0)) AS u3,
+         CAST(floor(CAST(x1 AS DECIMAL(38,6)) + x2 + x3)
+              AS DECIMAL(38,0)) AS ut
+  FROM per_order
+),
 red AS (
   SELECT count(*) AS n,
-         CAST(sum(x1) AS DECIMAL(38,4)) AS s1,
-         sum(CAST(x1 * x1 AS DECIMAL(38,4))) AS q1,
-         CAST(sum(x2) AS DECIMAL(38,4)) AS s2,
-         sum(CAST(x2 * x2 AS DECIMAL(38,4))) AS q2,
-         CAST(sum(x3) AS DECIMAL(38,6)) AS s3,
-         sum(CAST(x3 * x3 AS DECIMAL(38,6))) AS q3,
-         sum(CAST(CAST(x1 AS DECIMAL(38,6)) + x2 + x3
-                  AS DECIMAL(38,6))) AS st,
-         sum(CAST((CAST(x1 AS DECIMAL(38,6)) + x2 + x3)
-                  * (CAST(x1 AS DECIMAL(38,6)) + x2 + x3)
-                  AS DECIMAL(38,6))) AS qt
-  FROM per_order
+         sum(u1) AS s1, sum(CAST(u1 * u1 AS DECIMAL(38,0))) AS q1,
+         sum(u2) AS s2, sum(CAST(u2 * u2 AS DECIMAL(38,0))) AS q2,
+         sum(u3) AS s3, sum(CAST(u3 * u3 AS DECIMAL(38,0))) AS q3,
+         sum(ut) AS st, sum(CAST(ut * ut AS DECIMAL(38,0))) AS qt
+  FROM units
 )
 SELECT CAST(n AS BIGINT) AS n_orders, CAST(3 AS INT) AS k_items,
        round(1.5 * (1.0 -

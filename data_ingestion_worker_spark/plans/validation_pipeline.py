@@ -92,7 +92,8 @@ def derive_existing_contacts(customer: DataFrame) -> DataFrame:
 
 def annotate_contacts(batch: DataFrame, existing: DataFrame,
                       job_id: int = 1,
-                      row_col: str = "row_num") -> DataFrame:
+                      row_col: str = "row_num",
+                      job_col: str | None = None) -> DataFrame:
     """Annotate a contacts batch with the full validation verdict.
 
     Input columns: ``row_col``, email, first_name, last_name, company
@@ -103,6 +104,14 @@ def annotate_contacts(batch: DataFrame, existing: DataFrame,
     flagship query AND the control-flow processor (control/processor.py)
     both run through it, so a rule change lands everywhere at once and
     stays pinned by the flagship's DuckDB oracle.
+
+    ``job_col``: when the batch holds rows from SEVERAL jobs (the
+    consumer's one-annotate-per-microbatch path), name the long column
+    carrying each row's job id.  Duplicate detection then partitions by
+    (job, email) — A1 is per-file in the reference
+    (src/processor.py:239-258) — and the F5 row hash uses the per-row
+    job id.  ``job_col=None`` (every existing caller) is byte-identical
+    to the previous single-job behavior with ``lit(job_id)``.
     """
     norm = normalize_email(F.col("email"))
     df = batch.withColumn("email_norm", norm)
@@ -110,7 +119,8 @@ def annotate_contacts(batch: DataFrame, existing: DataFrame,
     # A1: duplicate detection at row grain — window count per normalized
     # email (empty emails never count as duplicates; they fail rule 1
     # anyway). One hash-shuffle on the email key.
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("email_norm"))
+    dup_keys = ([job_col] if job_col else []) + ["email_norm"]
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*dup_keys))
     df = df.withColumn(
         "is_duplicate", (F.length("email_norm") > 0) & (cnt > 1)
     )
@@ -138,7 +148,8 @@ def annotate_contacts(batch: DataFrame, existing: DataFrame,
     df = df.withColumn("issue_key", issue_key(F.col("email"), F.col(row_col)))
     df = df.withColumn(
         "row_hash",
-        row_hash(F.lit(job_id), F.col(row_col), F.col("email"),
+        row_hash(F.col(job_col) if job_col else F.lit(job_id),
+                 F.col(row_col), F.col("email"),
                  F.col("first_name"), F.col("last_name"), F.col("company")),
     )
     return df.withColumn("is_importable", F.col("issue_type").isNull())

@@ -102,6 +102,18 @@ from .spec import QuerySpec
 #: keeps the two strongest ANN members (the exact baseline and the
 #: compressed-index search); IVF stays verified in the local sweep and
 #: inside ``ann_ivf_recall``'s recall contract.
+#: Round-8 swap (r7 verdict ask #3), displacement-with-reason:
+#: ``scd2_incremental_merge`` → ``dedup_substring_spans``.  The
+#: ExactSubstr span detector is the published strongest dedup evidence
+#: (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+#: Better") expressed relationally — per-position anchor hashes, a
+#: collision-bounded equality join, and gaps-and-islands per alignment
+#: diagonal recovering the EXACT longest shared span — and it held no
+#: graded row.  SCD2 was the verdict's own first-named redundancy
+#: candidate: its incremental-equals-full-rebuild contract is pinned by
+#: construction (the oracle IS the rebuild) in the local 3-SF sweep and
+#: the pytest suite, and the MERGE machinery it exercises stays graded
+#: through the insert-only/upsert paths inside the control-flow rows.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -117,7 +129,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "cluster_kmeans_embeddings",
     "stats_psi_drift",
     "sketch_kmv_jaccard",
-    "scd2_incremental_merge",
+    "dedup_substring_spans",
     "doc_lm_xent_proxy",
     "pipeline_curation_v3",
     "ev_cusum_changepoint",

@@ -140,24 +140,51 @@ class JobStreamConsumer:
         fresh_keys = dict(fresh)
         # Retries run first; a fresh message for a retrying job supplies
         # the (possibly corrected) s3_key but is not processed twice.
-        todo = [(j, fresh_keys.get(j, k)) for j, k in retries]
-        todo += [(j, k) for j, k in fresh if j not in retry_ids]
-        for job_id, s3_key in todo:
-            is_retry = job_id in retry_ids
+        # Retries go one-at-a-time (rare; isolates a repeat offender);
+        # fresh jobs go through ONE shared batch of plans — one annotate
+        # + one MERGE per table per microbatch (processor.process_jobs),
+        # which is what keeps jobs/min flat as message volume grows.
+        for job_id, s3_key in [(j, fresh_keys.get(j, k))
+                               for j, k in retries]:
             try:
                 action = self.processor.process_job(job_id, s3_key)
-                if is_retry:
-                    self._clear_failure(job_id)
+                self._clear_failure(job_id)
             except Exception as e:  # noqa: BLE001
+                self._record_failure(job_id, s3_key,
+                                     f"{type(e).__name__}: {e}")
+                action = f"error:{type(e).__name__}"
+            self.results.append((job_id, action))
+
+        fresh_todo = [(j, k) for j, k in fresh if j not in retry_ids]
+        try:
+            actions, errors = self.processor.process_jobs(fresh_todo)
+        except Exception:  # noqa: BLE001
+            # The shared batch plan itself failed (not a per-job ingest
+            # error — those are isolated inside process_jobs).  Fall back
+            # to the per-job path so one poisonous job cannot wedge the
+            # whole microbatch; every table write is idempotent
+            # (ADR-001), so the partial batch replays convergently.
+            actions, errors = {}, {}
+            for job_id, s3_key in fresh_todo:
+                try:
+                    actions[job_id] = self.processor.process_job(
+                        job_id, s3_key)
+                except Exception as e:  # noqa: BLE001
+                    errors[job_id] = e
+        for job_id, s3_key in fresh_todo:
+            if job_id in errors:
                 # Per-message error isolation (reference S3/T10): a job
                 # whose CSV is missing/unreadable must not wedge the
                 # stream — raising here would fail the microbatch and the
                 # checkpoint would replay it forever (head-of-line
                 # blocking for every later job).  The failure lands in
                 # the dead_letters ledger with a bounded retry budget.
-                self._record_failure(job_id, s3_key, f"{type(e).__name__}: {e}")
-                action = f"error:{type(e).__name__}"
-            self.results.append((job_id, action))
+                e = errors[job_id]
+                self._record_failure(job_id, s3_key,
+                                     f"{type(e).__name__}: {e}")
+                self.results.append((job_id, f"error:{type(e).__name__}"))
+            else:
+                self.results.append((job_id, actions[job_id]))
 
     def start(self, available_now: bool = True,
               processing_interval: str = "20 seconds") -> StreamingQuery:

@@ -2290,3 +2290,127 @@ def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
         n_chars = sum(len(w) for w in toks)
         saved = (1000000 * (n_chars - n_bpe)) // n_chars
         assert enc[i] == (n_words, n_bpe, n_chars, saved), f"doc {i}"
+
+
+def test_bpe_select_batch_guards():
+    """Adversarial cases for the batched-merge independence proof
+    (_bpe_select_batch): every guard exists because skipping it lets a
+    batch diverge from the sequential chain on a constructible corpus."""
+    from data_ingestion_worker_spark.operators.text import _bpe_select_batch
+
+    def rows(*triples):
+        return [{"l": a, "r": b, "cnt": c} for a, b, c in triples]
+
+    # Plain disjoint prefix: all three selected.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 6)),
+        k=8, exhausted=True, known_symbols={"a", "b", "c", "d", "e", "f"})
+    assert got == [("a", "b", 10), ("c", "d", 8), ("e", "f", 6)]
+
+    # Shared symbol STOPS selection (never skips): (b,c) shares b.
+    # (e,f) below it must NOT be selected even though it is disjoint —
+    # sequential might reach a different pair after merging (a,b).
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("b", "c", 8), ("e", "f", 6)),
+        k=8, exhausted=True, known_symbols=set("abcef"))
+    assert got == [("a", "b", 10)]
+
+    # Boundary-tie trim: (c,d) ties the first conflicting pair (x,a) at
+    # cnt 5 — a new pair created by merging (a,b) can also reach 5 and
+    # win the (l, r) tie-break sequentially, so (c,d) must be dropped.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 5), ("x", "a", 5)),
+        k=8, exhausted=True, known_symbols=set("abcdx"))
+    assert got == [("a", "b", 10)]
+
+    # ...but a strictly dominating second pick survives the same layout.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 6), ("x", "a", 5)),
+        k=8, exhausted=True, known_symbols=set("abcdx"))
+    assert got == [("a", "b", 10), ("c", "d", 6)]
+
+    # Self-pair first: always taken, but caps the batch at one —
+    # merging (a,a) can create (aa,aa) out of itself at a count no
+    # conflict-rank bound covers.
+    got = _bpe_select_batch(
+        rows(("a", "a", 10), ("c", "d", 8)),
+        k=8, exhausted=True, known_symbols=set("acd"))
+    assert got == [("a", "a", 10)]
+
+    # Self-pair later: stops the batch before it.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "c", 8), ("e", "f", 6)),
+        k=8, exhausted=True, known_symbols=set("abcef"))
+    assert got == [("a", "b", 10)]
+
+    # Merged-name collision with an EXISTING symbol: "ab" is already in
+    # the vocabulary, so (a,b)'s pattern would pool counts with it —
+    # batch of one.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 8)),
+        k=8, exhausted=True, known_symbols={"a", "b", "ab", "c", "d"})
+    assert got == [("a", "b", 10)]
+
+    # Merged-name collision between candidates: (a,bc) and (ab,c) both
+    # make "abc" — counts of new pairs would pool; stop at the second.
+    got = _bpe_select_batch(
+        rows(("a", "bc", 10), ("ab", "c", 8), ("x", "y", 6)),
+        k=8, exhausted=True, known_symbols={"a", "bc", "ab", "c", "x", "y"})
+    assert got == [("a", "bc", 10)]
+
+    # Unscanned tail (exhausted=False): the last ranked cnt bounds the
+    # tail, so a selection tying it is trimmed.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 6)),
+        k=8, exhausted=False, known_symbols=set("abcd"))
+    assert got == [("a", "b", 10)]
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 6)),
+        k=8, exhausted=True, known_symbols=set("abcd"))
+    assert got == [("a", "b", 10), ("c", "d", 6)]
+
+    # k cap.
+    got = _bpe_select_batch(
+        rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 6)),
+        k=2, exhausted=True, known_symbols=set("abcdef"))
+    assert got == [("a", "b", 10), ("c", "d", 8)]
+
+
+def test_bpe_batched_chain_equals_sequential(spark):
+    """The batched merge chain must produce the SAME merge table and
+    the SAME final word encodings as the one-merge-per-round chain —
+    on corpora engineered to stress tie-breaks, self-pairs and repeated
+    substrings (the cases _bpe_select_batch's guards exist for)."""
+    import random
+
+    from data_ingestion_worker_spark.operators.text import (
+        _bpe_merge_chain,
+        _bpe_merge_chain_sequential,
+        _bpe_word_symbols,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    corpora = [
+        # Repetition-heavy (self-pairs dominate).
+        ["aaaa", "aaab", "abab", "aabb", "bbbb", "baaa"] * 3,
+        # Tie-heavy small alphabet.
+        [rng.choice(["ab", "ba", "abc", "cab", "bca", "aabc", "cba"])
+         for _ in range(40)],
+        # English-ish.
+        ("low lower lowest newer new wide wider widest "
+         "bananas banana band bandana").split() * 2,
+    ]
+    for words_list in corpora:
+        from collections import Counter
+
+        freqs = Counter(words_list)
+        wdf = spark.createDataFrame(
+            [(w, c) for w, c in freqs.items()], "w string, freq long")
+        base = _bpe_word_symbols(wdf)
+        f1, m1 = _bpe_merge_chain(base, n_merges=24)
+        f2, m2 = _bpe_merge_chain_sequential(base, n_merges=24)
+        assert m1 == m2, f"merge tables diverge on {words_list[:6]}..."
+        e1 = {r["w"]: r["s"] for r in f1.collect()}
+        e2 = {r["w"]: r["s"] for r in f2.collect()}
+        assert e1 == e2

@@ -97,11 +97,33 @@ def run_pytest() -> dict:
     return counts
 
 
+#: What counts as SOURCE for the attestation: a change anywhere else
+#: (markdown, committed artifacts, this very GATE.json) cannot alter
+#: what the gate measured.
+SOURCE_PATHS = ["data_ingestion_worker_spark", "tests", "tools",
+                "bench.py", "__spark_entry__.py"]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                           cwd=REPO, capture_output=True,
                           text=True).stdout.strip()
+    # r7 verdict "What's wrong #3": GATE.json inevitably lands in a
+    # LATER (docs-only) commit than the head it ran at, so the head
+    # alone is ambiguous.  source_head pins the last commit that touched
+    # any source path — it is invariant under docs-only commits, so the
+    # attestation identifies its exact code state: a GATE.json is valid
+    # for any commit whose own source_head matches.  dirty_source lists
+    # uncommitted source changes at gate time (must be empty for a
+    # clean attestation).
+    source_head = subprocess.run(
+        ["git", "log", "-1", "--format=%h", "--", *SOURCE_PATHS],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", *SOURCE_PATHS],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
+    dirty_source = [line[3:] for line in dirty.splitlines() if line]
     t0 = time.time()
     sweep = run_sweep(sf_dir)
     t_sweep = round(time.time() - t0, 1)
@@ -111,6 +133,8 @@ def main() -> int:
     green = not sweep["failed"] and pytest_res["returncode"] == 0
     gate = {
         "git_head": head,
+        "source_head": source_head,
+        "dirty_source": dirty_source,
         "sf_dir": sf_dir,
         "sweep": sweep,
         "sweep_sec": t_sweep,
