@@ -2384,11 +2384,11 @@ def test_bpe_batched_chain_equals_sequential(spark):
     import random
 
     from data_ingestion_worker_spark.operators.text import (
-        _bpe_merge_chain,
+        _bpe_merge_chain_batched,
+        _bpe_merge_chain_driver,
         _bpe_merge_chain_sequential,
         _bpe_word_symbols,
     )
-    from pyspark.sql import functions as F
 
     rng = random.Random(8)
     corpora = [
@@ -2408,9 +2408,11 @@ def test_bpe_batched_chain_equals_sequential(spark):
         wdf = spark.createDataFrame(
             [(w, c) for w, c in freqs.items()], "w string, freq long")
         base = _bpe_word_symbols(wdf)
-        f1, m1 = _bpe_merge_chain(base, n_merges=24)
         f2, m2 = _bpe_merge_chain_sequential(base, n_merges=24)
-        assert m1 == m2, f"merge tables diverge on {words_list[:6]}..."
-        e1 = {r["w"]: r["s"] for r in f1.collect()}
         e2 = {r["w"]: r["s"] for r in f2.collect()}
-        assert e1 == e2
+        for chain in (_bpe_merge_chain_batched, _bpe_merge_chain_driver):
+            f1, m1 = chain(base, 24)
+            assert m1 == m2, \
+                f"{chain.__name__} diverges on {words_list[:6]}..."
+            e1 = {r["w"]: r["s"] for r in f1.collect()}
+            assert e1 == e2, chain.__name__
