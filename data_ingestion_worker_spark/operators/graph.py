@@ -1929,7 +1929,98 @@ FROM ({sel})
 RANDOM_WALK_ORACLE = _walk_oracle()
 
 
+def graph_link_prediction_jaccard(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by neighborhood Jaccard —
+    ``J(s1,s2) = |Γ(s1)∩Γ(s2)| / |Γ(s1)∪Γ(s2)|`` — the NORMALIZED
+    member of the local link-prediction family (CN counts raw overlap,
+    RA/AA discount by neighbor degree; Jaccard divides by the union, so
+    a hub pair sharing 5 of 500 customers scores far below a niche pair
+    sharing 5 of 6).  All-integer: score is the exact ppm ratio
+    ``1e6·common div (deg1 + deg2 − common)``.
+
+    Same sub-quadratic posting-list shape as the other indices:
+    customers are buckets (hubs cut at ``CN_HUB_CUTOFF``), pairs expand
+    only inside buckets, and supplier degrees over the SAME kept graph
+    (documented: degrees count non-hub customers, consistent with the
+    pair generation) attach via two tiny joins to the |suppliers|-row
+    degree table.  Top-k is TakeOrderedAndProject with full tie-breaks.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    kept = (
+        cs.withColumn(
+            "cdeg", F.count(F.lit(1)).over(Window.partitionBy("c"))
+        )
+        .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
+        .select("c", "s")
+        .localCheckpoint(eager=False)   # buckets AND the degree table
+    )
+    deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    buckets = (
+        kept.groupBy("c")
+        .agg(F.sort_array(F.collect_list("s")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    from .dedup import _TRIANGLE
+
+    pairs = buckets.select(
+        F.explode(F.expr(_TRIANGLE.format(ids="ids"))).alias("p"),
+    )
+    common = pairs.groupBy(
+        F.col("p.d1").alias("s1"), F.col("p.d2").alias("s2")
+    ).agg(F.count(F.lit(1)).alias("n_common"))
+    d1 = deg.select(F.col("s").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("deg").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "s1").join(F.broadcast(d2), "s2")
+        .select(
+            "s1", "s2", "n_common", "deg1", "deg2",
+            F.expr("(1000000 * n_common) div (deg1 + deg2 - n_common)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "s1", "s2")
+        .limit(CN_TOP_K)
+    )
+
+
+LINK_PREDICTION_JACCARD_ORACLE = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+kept AS (
+  SELECT c, s FROM (
+    SELECT c, s, count(*) OVER (PARTITION BY c) AS cdeg FROM cs
+  ) WHERE cdeg <= {CN_HUB_CUTOFF}
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM kept GROUP BY 1),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, n_common, d1.deg AS deg1, d2.deg AS deg2,
+       (1000000 * n_common) // (d1.deg + d2.deg - n_common)
+         AS jaccard_ppm
+FROM common JOIN deg d1 ON d1.s = common.s1
+            JOIN deg d2 ON d2.s = common.s2
+ORDER BY jaccard_ppm DESC, s1, s2
+LIMIT {CN_TOP_K}
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "graph_link_prediction_jaccard": QuerySpec(
+        graph_link_prediction_jaccard, LINK_PREDICTION_JACCARD_ORACLE),
     "graph_random_walk_sample": QuerySpec(graph_random_walk_sample,
                                           RANDOM_WALK_ORACLE),
     "graph_sssp_weighted": QuerySpec(graph_sssp_weighted, SSSP_ORACLE),

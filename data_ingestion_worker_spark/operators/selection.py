@@ -515,7 +515,109 @@ FROM tot
 """
 
 
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value of
+    ``o_orderpriority`` against the binary target "order contains a
+    returned line" — the credit-scoring-standard categorical encoder
+    and its feature-screening companion (IV rule-of-thumb: <0.02
+    useless, 0.1–0.3 medium, >0.5 suspicious).  Complements
+    :func:`feat_target_encode_oof`: target-encoding ships a mean, WOE
+    ships a log-odds SHIFT, which is what logistic-family models
+    consume, and IV says whether the feature is worth a slot at all.
+
+    Exactness: bin counts are exact integers from one aggregate;
+    ``WOE_b = ln g_b − ln G − ln b_b + ln B`` is ln of exact BIGINTs
+    (the MI/Theil transcendental convention, floored at 6 per row);
+    each bin's IV term ``(g_b/G − b_b/B)·WOE_b`` is floored to micro
+    units on its own row so the IV total is an order-free BIGINT sum.
+    Bins with a zero class count would need Laplace smoothing (WOE is
+    undefined there) — such bins are excluded and would surface via
+    ``n_bins``; the 5-priority domain never triggers it.
+
+    Scale: one semi-join flag (returned lines → orders, shuffle on the
+    FK), one 5-row aggregate; everything after is constant-size.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    )
+    flagged = o.join(
+        returned.withColumn("bad", F.lit(1)), "o_orderkey", "left"
+    ).select("o_orderpriority", F.coalesce("bad", F.lit(0)).alias("bad"))
+    bins = flagged.groupBy("o_orderpriority").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    ).filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+    tot = bins.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("b"),
+                   F.count(F.lit(1)).cast("int").alias("n_bins"))
+    j = bins.crossJoin(F.broadcast(tot))
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    woe = (ln(F.col("n_good")) - ln(F.col("g"))
+           - ln(F.col("n_bad")) + ln(F.col("b")))
+    share = (F.col("n_good").cast("double") / F.col("g").cast("double")
+             - F.col("n_bad").cast("double") / F.col("b").cast("double"))
+    iv_micro = F.floor(share * woe * 1000000.0).cast("long")
+    f6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    terms = j.select(
+        "o_orderpriority", "n_good", "n_bad", "n_bins",
+        f6(woe).alias("woe"), iv_micro.alias("iv_micro"),
+    ).localCheckpoint(eager=False)    # feeds rows AND the total
+    iv_tot = terms.agg(F.sum("iv_micro").alias("iv_sum"))
+    return terms.crossJoin(F.broadcast(iv_tot)).select(
+        "o_orderpriority", "n_good", "n_bad", "n_bins",
+        "woe",
+        (F.col("iv_micro").cast("double") / 1000000.0).alias("iv_term"),
+        (F.col("iv_sum").cast("double") / 1000000.0).alias("iv_total"),
+    )
+
+
+WOE_IV_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+flagged AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN r.o_orderkey IS NULL THEN 0 ELSE 1 END AS bad
+  FROM orders o LEFT JOIN returned r USING (o_orderkey)
+),
+bins AS (
+  SELECT o_orderpriority,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM flagged GROUP BY 1
+  HAVING sum(1 - bad) > 0 AND sum(bad) > 0
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS g,
+         CAST(sum(n_bad) AS BIGINT) AS b,
+         CAST(count(*) AS INT) AS n_bins
+  FROM bins
+),
+terms AS (
+  SELECT o_orderpriority, n_good, n_bad, n_bins,
+         floor((ln(CAST(n_good AS DOUBLE)) - ln(CAST(g AS DOUBLE))
+                - ln(CAST(n_bad AS DOUBLE)) + ln(CAST(b AS DOUBLE)))
+               * 1000000.0) / 1000000.0 AS woe,
+         floor((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE)
+                - CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))
+               * (ln(CAST(n_good AS DOUBLE)) - ln(CAST(g AS DOUBLE))
+                  - ln(CAST(n_bad AS DOUBLE)) + ln(CAST(b AS DOUBLE)))
+               * 1000000.0)::BIGINT AS iv_micro
+  FROM bins CROSS JOIN tot
+)
+SELECT o_orderpriority, n_good, n_bad, n_bins, woe,
+       CAST(iv_micro AS DOUBLE) / 1000000.0 AS iv_term,
+       CAST(sum(iv_micro) OVER () AS DOUBLE) / 1000000.0 AS iv_total
+FROM terms
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "feat_woe_iv": QuerySpec(feat_woe_iv, WOE_IV_ORACLE),
     "feat_target_encode_oof": QuerySpec(feat_target_encode_oof,
                                         TARGET_ENCODE_ORACLE),
     "doc_quality_classifier": QuerySpec(doc_quality_classifier,

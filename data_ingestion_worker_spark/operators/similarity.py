@@ -18,6 +18,8 @@ of the operator spec, not an approximation of it.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1792,6 +1794,130 @@ FROM ranked
 """
 
 
+#: nDCG evaluation depth and the per-position discount 1/log2(i+1) in
+#: micro units — Python-precomputed literals shared VERBATIM by both
+#: engines (the Benford convention), so DCG is an exact integer sum.
+NDCG_K = 10
+_NDCG_DISC_MICRO = [round(1_000_000 / _math.log2(i + 1))
+                    for i in range(1, NDCG_K + 1)]
+
+
+def rank_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the three retrieval rankings the engine produces —
+    lexical BM25, semantic cosine re-rank, and RRF fusion
+    (:func:`hybrid_search_rrf`) — against a deterministic graded
+    relevance label: rel(doc) = number of distinct query terms the
+    document contains (0..3), gain 2^rel − 1.  The eval harness a
+    search team runs on every ranker change; fused rankings are only
+    worth shipping if this number says so.
+
+    Exactness: gains are integers, the position discounts are shared
+    micro literals, so DCG and the ideal DCG (same candidate pool
+    sorted by rel DESC, doc_id ASC) are order-free integer sums and
+    nDCG is an integer ppm division — no floating point anywhere.
+
+    Scale: the candidate pool is ≤ BM25_TOPK rows (the scatter/gather
+    top-k did the heavy lifting); relevance labels join k doc_ids
+    against the documents scan (semi-join pruned).
+    """
+    from .text import BM25_QUERY, tokens
+
+    ranked = hybrid_search_rrf(spark, sf_dir)
+    wr = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    ranked = ranked.withColumn(
+        "rrf_rank", F.row_number().over(wr).cast("int"))
+    d = load_table(spark, sf_dir, "documents")
+    rel_expr = sum(
+        F.when(F.array_contains(tokens(F.col("text")), t), 1)
+        .otherwise(0)
+        for t in BM25_QUERY
+    ).cast("int")
+    cand = ranked.join(
+        d.select("doc_id", rel_expr.alias("rel")), "doc_id")
+    gain = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rel) - 1 "
+                  "AS BIGINT)")
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id"))
+    cand = cand.withColumn("gain", gain).withColumn(
+        "ideal_rank", F.row_number().over(wi).cast("int"))
+    disc_arr = F.array(*[F.lit(x).cast("long")
+                         for x in _NDCG_DISC_MICRO])
+
+    def dcg(rank_col: str) -> F.Column:
+        return F.sum(
+            F.when(F.col(rank_col) <= NDCG_K,
+                   F.col("gain") * F.element_at(disc_arr,
+                                                F.col(rank_col)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    agg = cand.agg(
+        dcg("bm25_rank").alias("dcg_bm25"),
+        dcg("cos_rank").alias("dcg_cosine"),
+        dcg("rrf_rank").alias("dcg_rrf"),
+        dcg("ideal_rank").alias("idcg"),
+    )
+    rows = agg.select(
+        F.expr("stack(3, 'bm25', dcg_bm25, 'cosine', dcg_cosine, "
+               "'rrf', dcg_rrf) AS (ranker, dcg_micro)"),
+        F.col("idcg").alias("idcg_micro"),
+    )
+    return rows.select(
+        "ranker", F.lit(NDCG_K).cast("int").alias("k"),
+        F.col("dcg_micro").cast("long").alias("dcg_micro"),
+        F.col("idcg_micro").cast("long").alias("idcg_micro"),
+        F.expr("(1000000 * dcg_micro) div idcg_micro").cast("long")
+        .alias("ndcg_ppm"),
+    )
+
+
+def _ndcg_oracle() -> str:
+    from .text import _TOKENS_SQL, BM25_QUERY
+
+    rel_sql = " + ".join(
+        f"(CASE WHEN list_contains({_TOKENS_SQL}, '{t}') "
+        f"THEN 1 ELSE 0 END)" for t in BM25_QUERY)
+    disc_csv = ", ".join(str(x) for x in _NDCG_DISC_MICRO)
+
+    def dcg_sql(col: str) -> str:
+        return (f"CAST(sum(CASE WHEN {col} <= {NDCG_K} THEN gain * "
+                f"list_extract([{disc_csv}], {col}) ELSE 0 END) "
+                f"AS BIGINT)")
+
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS ranker, CAST({NDCG_K} AS INT) AS k, "
+        f"d_{name} AS dcg_micro, idcg AS idcg_micro, "
+        f"(1000000 * d_{name}) // idcg AS ndcg_ppm FROM agg"
+        for name in ["bm25", "cosine", "rrf"]
+    )
+    return f"""
+WITH r AS ({_hybrid_rrf_oracle()}),
+rr AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+           AS rrf_rank
+  FROM r
+),
+rel AS (
+  SELECT doc_id, CAST({rel_sql} AS INT) AS rel FROM documents
+),
+cand AS (
+  SELECT rr.*, rel.rel,
+         CAST((1 << rel.rel) - 1 AS BIGINT) AS gain,
+         CAST(row_number() OVER (ORDER BY rel.rel DESC, rr.doc_id)
+              AS INT) AS ideal_rank
+  FROM rr JOIN rel USING (doc_id)
+),
+agg AS (
+  SELECT {dcg_sql("bm25_rank")} AS d_bm25,
+         {dcg_sql("cos_rank")} AS d_cosine,
+         {dcg_sql("rrf_rank")} AS d_rrf,
+         {dcg_sql("ideal_rank")} AS idcg
+  FROM cand
+)
+{legs}
+"""
+
+
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label norm² distribution — the embedding-quality diagnostic
     run before any ANN/index build: a collapsed encoder shows up as
@@ -2694,6 +2820,7 @@ SPECS: dict[str, QuerySpec] = {
                                       _hybrid_oracle()),
     "hybrid_search_rrf": QuerySpec(hybrid_search_rrf,
                                    _hybrid_rrf_oracle()),
+    "rank_ndcg_eval": QuerySpec(rank_ndcg_eval, _ndcg_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_ORACLE),

@@ -3105,7 +3105,339 @@ FROM red
 """
 
 
+#: Ljung–Box portmanteau test: lags evaluated and the chi-square 95%
+#: quantile at df = LB_MAX_LAG (scipy.stats.chi2.ppf(0.95, 6)).
+LB_MAX_LAG = 6
+LB_CHI2_95_DF6 = 12.591587243743977
+
+
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on hourly event volume per
+    event type — "is there ANY autocorrelation in the first 6 lags?",
+    the omnibus gate a forecaster runs before trusting residuals where
+    :func:`ev_acf_lags` reads individual lags.
+
+    Construction: the textbook statistic assumes a REGULAR series, so
+    the hourly counts are zero-filled onto the contiguous hour spine
+    (min..max per type) — complementary to ``ev_acf_lags``'s
+    gap-dropping calendar semantics.  Exactness: with S = Σx, Q = Σx²
+    and per-lag pair sums A_k = Σ x·y, B_k = Σx, C_k = Σy over the
+    (n−k) pairs, the centered ACF is the exact integer ratio
+
+        ρ_k = (n²·A_k − n·S·(B_k + C_k) + (n−k)·S²) / (n²·Q − n·S²)
+
+    (multiply the textbook fixed-denominator estimator through by n²).
+    Every term is a DECIMAL(38,0) power sum (n²·A ≈ 1e22 at sf100);
+    each lag's contribution ρ_k²/(n−k) is floored to pico units on its
+    own row, so the cross-lag reduction is an order-free BIGINT sum,
+    and Q_LB = n(n+2)·Σ is one double readout.
+
+    Scale: one partial-aggregated shuffle into hourly buckets; the
+    spine, lag fan-out (|hours|×6) and power sums are calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c")).select(
+        "event_type",
+        F.expr("cast(cast(hour as timestamp) as long) div 3600")
+        .alias("eh"),
+        "c",
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("eh").alias("h0"), F.max("eh").alias("h1"))
+    spine = span.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("eh"))
+    x = spine.join(hourly, ["event_type", "eh"], "left").select(
+        "event_type", "eh",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)    # spine feeds base AND both join sides
+    base = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("q"),
+    )
+    fan = x.select(
+        "event_type", "eh", F.col("c").alias("xv"),
+        F.explode(F.array(*[F.lit(k) for k in
+                            range(1, LB_MAX_LAG + 1)])).alias("lag"),
+    )
+    b = x.select("event_type", F.col("eh").alias("ehb"),
+                 F.col("c").alias("yv"))
+    pairs = fan.join(
+        b,
+        (fan["event_type"] == b["event_type"])
+        & (F.col("ehb") == F.col("eh") + F.col("lag")),
+    ).select(fan["event_type"], "lag", "xv", "yv")
+    per = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("xv") * F.col("yv")).cast("decimal(38,0)").alias("a"),
+        F.sum("xv").cast("decimal(38,0)").alias("bx"),
+        F.sum("yv").cast("decimal(38,0)").alias("by"),
+    )
+    j = per.join(base, "event_type")
+    nd = F.col("n").cast("decimal(38,0)")
+    md = F.col("m").cast("decimal(38,0)")
+    num = (nd * nd * F.col("a")
+           - nd * F.col("s") * (F.col("bx") + F.col("by"))
+           + md * F.col("s") * F.col("s")).cast("decimal(38,0)")
+    den = (nd * nd * F.col("q")
+           - nd * F.col("s") * F.col("s")).cast("decimal(38,0)")
+    rho = num.cast("double") / den.cast("double")
+    contrib = F.floor(
+        rho * rho / (F.col("n") - F.col("lag")).cast("double")
+        * F.lit(1000000000000.0)
+    ).cast("long")
+    terms = j.filter(den > 0).select(
+        "event_type", "n", contrib.alias("pico"))
+    out = terms.groupBy("event_type").agg(
+        F.max("n").alias("n_hours"),
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum("pico").alias("cp"),
+    )
+    qlb = (F.col("n_hours").cast("double")
+           * (F.col("n_hours") + 2).cast("double")
+           * (F.col("cp").cast("double") / F.lit(1000000000000.0)))
+    return out.select(
+        "event_type", "n_hours", "df",
+        (F.floor(qlb * 10000.0) / 10000.0).alias("lb_stat"),
+        F.when(F.col("df") == LB_MAX_LAG,
+               qlb > F.lit(LB_CHI2_95_DF6))
+        .otherwise(F.lit(None).cast("boolean")).alias("reject_95"),
+    )
+
+
+LJUNG_BOX_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT // 3600 AS eh,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(eh) AS h0, max(eh) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(range(h0, h1 + 1)) AS eh FROM span
+),
+x AS (
+  SELECT s.event_type, s.eh, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.eh = s.eh
+),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS DECIMAL(38,0)) AS s,
+         CAST(sum(c * c) AS DECIMAL(38,0)) AS q
+  FROM x GROUP BY 1
+),
+fan AS (
+  SELECT event_type, eh, c AS xv, l.lag
+  FROM x CROSS JOIN (SELECT unnest(range(1, {LB_MAX_LAG + 1})) AS lag) l
+),
+per AS (
+  SELECT f.event_type, f.lag,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(f.xv * h.c) AS DECIMAL(38,0)) AS a,
+         CAST(sum(f.xv) AS DECIMAL(38,0)) AS bx,
+         CAST(sum(h.c) AS DECIMAL(38,0)) AS by
+  FROM fan f JOIN x h ON h.event_type = f.event_type
+                      AND h.eh = f.eh + f.lag
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT p.event_type, b.n,
+         floor(
+           (CAST(CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * p.a
+                      - CAST(b.n AS DECIMAL(38,0)) * b.s * (p.bx + p.by)
+                      + CAST(p.m AS DECIMAL(38,0)) * b.s * b.s
+                      AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * b.q
+                        - CAST(b.n AS DECIMAL(38,0)) * b.s * b.s
+                        AS DECIMAL(38,0)) AS DOUBLE))
+           * (CAST(CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * p.a
+                        - CAST(b.n AS DECIMAL(38,0)) * b.s * (p.bx + p.by)
+                        + CAST(p.m AS DECIMAL(38,0)) * b.s * b.s
+                        AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * b.q
+                          - CAST(b.n AS DECIMAL(38,0)) * b.s * b.s
+                          AS DECIMAL(38,0)) AS DOUBLE))
+           / CAST(b.n - p.lag AS DOUBLE) * 1000000000000.0
+         )::BIGINT AS pico
+  FROM per p JOIN base b USING (event_type)
+  WHERE CAST(CAST(b.n AS DECIMAL(38,0)) * b.n * b.q
+             - CAST(b.n AS DECIMAL(38,0)) * b.s * b.s
+             AS DECIMAL(38,0)) > 0
+),
+agg AS (
+  SELECT event_type, max(n) AS n_hours,
+         CAST(count(*) AS INT) AS df,
+         CAST(sum(pico) AS BIGINT) AS cp
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_hours, df,
+       floor(CAST(n_hours AS DOUBLE) * (n_hours + 2)
+             * (CAST(cp AS DOUBLE) / 1000000000000.0) * 10000.0)
+         / 10000.0 AS lb_stat,
+       CASE WHEN df = {LB_MAX_LAG}
+            THEN CAST(n_hours AS DOUBLE) * (n_hours + 2)
+                 * (CAST(cp AS DOUBLE) / 1000000000000.0)
+                 > {LB_CHI2_95_DF6!r}
+            ELSE NULL END AS reject_95
+FROM agg
+"""
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0, 1] effect size behind
+    :func:`stats_chi2_independence`'s raw χ²: V = √(χ² / (n·min(r−1,
+    c−1))).  A petabyte-scale χ² is ALWAYS "significant"; V is the
+    number that says whether the association is worth acting on
+    (rule-of-thumb 0.1/0.3/0.5 = weak/moderate/strong), which is what a
+    drift monitor should alert on instead of the p-value.
+
+    Reuses the chi-square plan verbatim (single codification) plus one
+    two-scalar margin aggregate; the readout is one double expression
+    over exact-integer-derived operands in both engines.
+    """
+    chi = stats_chi2_independence(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"))
+    m = e.agg(F.count_distinct("event_type").alias("r"),
+              F.count_distinct("h").alias("cc"))
+    k = F.least(F.col("r") - 1, F.col("cc") - 1).cast("double")
+    v = F.sqrt(F.col("chi2") / (F.col("n").cast("double") * k))
+    return chi.crossJoin(F.broadcast(m)).select(
+        "n",
+        F.col("r").cast("long").alias("n_types"),
+        F.col("cc").cast("long").alias("n_hours"),
+        "df",
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+CRAMERS_V_ORACLE = f"""
+WITH chi AS ({CHI2_ORACLE}),
+m AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT hour(ts)) AS BIGINT) AS cc
+  FROM events
+)
+SELECT n, r AS n_types, cc AS n_hours, df,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, cc - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM chi CROSS JOIN m
+"""
+
+
+def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of document length (n_chars) with its
+    exact between/within-source DECOMPOSITION — the property Gini
+    (:func:`ev_gini_user_activity`) famously lacks, and the reason a
+    corpus team reaches for Theil: "is token-mass inequality driven by
+    a few huge sources, or by huge documents inside each source?" — here over character mass (n_chars), the storage-cost axis.
+
+    Identity (μ = S/n):  T = (1/S)·Σ xᵢ·ln(xᵢ) + ln(n/S)
+        = T_between + Σ_g (S_g/S)·T_within_g, where
+        T_between  = (1/S)·Σ_g S_g·(ln S_g − ln n_g) + ln(n) − ln(S)
+        T_within_g = (1/S_g)·Σ_{i∈g} xᵢ·ln(xᵢ) + ln(n_g) − ln(S_g)
+
+    Exactness: the only data-dependent transcendentals are ln of exact
+    BIGINTs (the MI/entropy convention); each row's xᵢ·ln(xᵢ) is
+    floored to micro units on its own row so every Σ is an order-free
+    BIGINT, and the readouts are fixed double expressions over those
+    integers (documented ulp-at-floor risk, same as the other
+    transcendental sites).  Zero-token docs contribute 0·ln 0 = 0.
+
+    Output: one row per source (n_docs, token share, within-source
+    Theil) plus the corpus-constant readouts (t_total, t_between,
+    t_within_weighted) repeated per row — the entropy-identity output
+    convention.  Scale: one corpus scan into per-source power sums.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0)
+    u = F.floor(F.col("n_chars").cast("double")
+                * F.log(F.col("n_chars").cast("double"))
+                * 1000000.0).cast("long")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("n_chars").alias("sg"),
+        F.sum(u).alias("ug"),
+    )
+    tot = g.agg(F.sum("ng").alias("n"), F.sum("sg").alias("s"),
+                F.sum("ug").alias("ut"),
+                F.sum(F.floor(F.col("sg").cast("double")
+                              * (F.log(F.col("sg").cast("double"))
+                                 - F.log(F.col("ng").cast("double")))
+                              * 1000000.0).cast("long")).alias("bt"))
+    j = g.crossJoin(F.broadcast(tot))
+    f6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    sgd, ngd = F.col("sg").cast("double"), F.col("ng").cast("double")
+    t_total = (F.col("ut").cast("double") / 1000000.0 / sd
+               + F.log(nd) - F.log(sd))
+    t_between = (F.col("bt").cast("double") / 1000000.0 / sd
+                 + F.log(nd) - F.log(sd))
+    t_within_g = (F.col("ug").cast("double") / 1000000.0 / sgd
+                  + F.log(ngd) - F.log(sgd))
+    return j.select(
+        "source",
+        F.col("ng").cast("long").alias("n_docs"),
+        F.expr("(1000000 * sg) div s").cast("long")
+        .alias("token_share_ppm"),
+        f6(t_within_g).alias("t_within"),
+        f6(t_total).alias("t_total"),
+        f6(t_between).alias("t_between"),
+        f6(t_total - t_between).alias("t_within_weighted"),
+    )
+
+
+THEIL_ORACLE = """
+WITH d AS (SELECT source, n_chars FROM documents WHERE n_chars > 0),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(n_chars) AS BIGINT) AS sg,
+         CAST(sum(floor(CAST(n_chars AS DOUBLE)
+                        * ln(CAST(n_chars AS DOUBLE))
+                        * 1000000.0)::BIGINT) AS BIGINT) AS ug
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(ug) AS BIGINT) AS ut,
+         CAST(sum(floor(CAST(sg AS DOUBLE)
+                        * (ln(CAST(sg AS DOUBLE))
+                           - ln(CAST(ng AS DOUBLE)))
+                        * 1000000.0)::BIGINT) AS BIGINT) AS bt
+  FROM g
+)
+SELECT source, ng AS n_docs,
+       (1000000 * sg) // s AS token_share_ppm,
+       floor((CAST(ug AS DOUBLE) / 1000000.0 / CAST(sg AS DOUBLE)
+              + ln(CAST(ng AS DOUBLE)) - ln(CAST(sg AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS t_within,
+       floor((CAST(ut AS DOUBLE) / 1000000.0 / CAST(s AS DOUBLE)
+              + ln(CAST(n AS DOUBLE)) - ln(CAST(s AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS t_total,
+       floor((CAST(bt AS DOUBLE) / 1000000.0 / CAST(s AS DOUBLE)
+              + ln(CAST(n AS DOUBLE)) - ln(CAST(s AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS t_between,
+       floor(((CAST(ut AS DOUBLE) / 1000000.0 / CAST(s AS DOUBLE)
+               + ln(CAST(n AS DOUBLE)) - ln(CAST(s AS DOUBLE)))
+              - (CAST(bt AS DOUBLE) / 1000000.0 / CAST(s AS DOUBLE)
+                 + ln(CAST(n AS DOUBLE)) - ln(CAST(s AS DOUBLE))))
+             * 1000000.0) / 1000000.0 AS t_within_weighted
+FROM g CROSS JOIN tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "stats_ljung_box": QuerySpec(stats_ljung_box, LJUNG_BOX_ORACLE),
+    "stats_cramers_v": QuerySpec(stats_cramers_v, CRAMERS_V_ORACLE),
+    "stats_theil_inequality": QuerySpec(stats_theil_inequality,
+                                        THEIL_ORACLE),
     "stats_anova_f": QuerySpec(stats_anova_f, ANOVA_ORACLE),
     "stats_kruskal_wallis": QuerySpec(stats_kruskal_wallis, KRUSKAL_ORACLE),
     "stats_levene_bf": QuerySpec(stats_levene_bf, LEVENE_BF_ORACLE),

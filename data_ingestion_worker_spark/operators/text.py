@@ -2472,7 +2472,61 @@ FROM per_source
 """
 
 
+def corpus_tokenizer_fertility(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY of the trained BPE vocabulary —
+    tokens-per-word and chars-per-token by corpus source, the standard
+    tokenizer-evaluation readout (a vocabulary trained on one language
+    mix shows inflated fertility on under-represented sources, which
+    silently multiplies their training cost and truncation rate).  The
+    number a tokenizer team checks per language/source BEFORE shipping
+    the vocab :func:`corpus_bpe_train` learns.
+
+    Construction: the per-document pricing frame of
+    :func:`corpus_bpe_encode` (single codification of train + encode)
+    joined to the documents' source and re-aggregated — all integer
+    sums, ppm readouts.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    enc = corpus_bpe_encode(spark, sf_dir)
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").cast("long").alias("n_words"),
+             F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+             F.sum("n_chars").cast("long").alias("n_chars"))
+        .select(
+            "source", "n_docs", "n_words", "n_bpe_tokens",
+            F.expr("(1000000 * n_bpe_tokens) div n_words").cast("long")
+            .alias("fertility_ppm"),
+            F.expr("(1000000 * n_chars) div n_bpe_tokens").cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+    )
+
+
+def _fertility_oracle() -> str:
+    return f"""
+WITH enc AS ({BPE_ENCODE_ORACLE}),
+j AS (
+  SELECT d.source, enc.n_words, enc.n_bpe_tokens, enc.n_chars
+  FROM enc JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       (1000000 * CAST(sum(n_bpe_tokens) AS BIGINT))
+         // CAST(sum(n_words) AS BIGINT) AS fertility_ppm,
+       (1000000 * CAST(sum(n_chars) AS BIGINT))
+         // CAST(sum(n_bpe_tokens) AS BIGINT) AS chars_per_token_ppm
+FROM j GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "corpus_tokenizer_fertility": QuerySpec(corpus_tokenizer_fertility,
+                                            _fertility_oracle()),
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_ORACLE),
     "stats_cohens_kappa": QuerySpec(stats_cohens_kappa,
                                     COHENS_KAPPA_ORACLE),

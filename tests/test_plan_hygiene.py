@@ -106,6 +106,10 @@ BNLJ_ALLOWED = {
     "pipeline_curation_v2",  # LM vocab scalar + one-row p90-cut cross
     "pipeline_curation_v3",  # inherits v2's scalar crosses (LM vocab,
                              # p90 cut) + the CC chain's checkpoints
+    "stats_cramers_v",     # inherits chi2's margins + one 2-scalar cross
+    "stats_theil_inequality",  # one-row corpus-totals broadcast cross
+    "feat_woe_iv",         # one-row (G, B) + one-row IV-total scalars
+    "rank_ndcg_eval",      # inherits rrf's query-vector/scalar crosses
 }
 
 
@@ -280,6 +284,10 @@ SP_ALLOWED = {
     "ev_rolling_median_7d",     # one-row (min,max)-day span scalar
     "ev_forecast_backtest",     # same one-row span scalar via the spine
     "ev_lead_lag_corr",         # same span scalar via the shared spine
+    "stats_cramers_v",          # chi2's grand-total + margin scalars
+    "stats_theil_inequality",   # one-row corpus-totals reduction
+    "feat_woe_iv",              # one-row totals + IV-sum reductions
+    "rank_ndcg_eval",           # rrf's scalars + one-row DCG reduction
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -315,6 +323,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "corpus_quality_calibration",  # n_parts-row offset agg (constant)
     "stats_bh_fdr",         # C(|types|,2)-row test family
     "stats_holm_bonferroni",  # same C(|types|,2)-row test family
+    "rank_ndcg_eval",       # <= BM25_TOPK candidate rows (constant k)
 }
 
 
