@@ -1627,6 +1627,112 @@ FROM c GROUP BY 1
 """
 
 
+def ev_attribution_position(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the other standard credit rule next to
+    :func:`ev_attribution_linear`: the FIRST touch (discovery) and the
+    LAST touch (conversion) each get 40% of the purchase value, the
+    middles split the remaining 20%; one touch gets 100%, two touches
+    50/50; touchless purchases credit ``direct`` in full.  Same
+    24-hour lookback and channel rollup as the linear rule, so the two
+    outputs are directly comparable — which is exactly how marketing
+    uses them (a channel whose credit collapses under U-shape was
+    harvesting mid-funnel noise).
+
+    Money determinism: integer cents; every positional share is an
+    independent floor division (``cents*40 div 100``, middles
+    ``cents*20 div (100·(n−2))``) — the linear rule's documented lossy
+    floor, never redistributed.  Touch order within a purchase is
+    pinned by (ts, touch event_id).
+
+    Scale shape: identical to the linear rule (user-keyed equi join,
+    24 h band filter, per-purchase windows bounded by a user's daily
+    activity, 3-row rollup).
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (_val() * 100).cast("bigint").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    wo = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    ranked = j.select(
+        "p_id", "cents", "channel",
+        F.count("channel").over(wp).alias("n"),
+        F.row_number().over(wo).alias("rk"),
+    )
+    credit = (
+        F.when(F.col("channel").isNull(), F.col("cents"))
+        .when(F.col("n") == 1, F.col("cents"))
+        .when(F.col("n") == 2, F.expr("(cents * 50) div 100"))
+        .when(F.col("rk") == 1, F.expr("(cents * 40) div 100"))
+        .when(F.col("rk") == F.col("n"), F.expr("(cents * 40) div 100"))
+        .otherwise(F.expr("(cents * 20) div (100 * (n - 2))"))
+    )
+    return ranked.select(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        credit.alias("credit_cents"),
+    ).groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_cents").alias("attributed_cents"),
+    )
+
+
+ATTRIBUTION_POSITION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id
+  FROM p LEFT JOIN t
+    ON t.t_user = p.p_user
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS
+),
+c AS (
+  SELECT p_id, cents, channel,
+         count(channel) OVER (PARTITION BY p_id) AS n,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts, t_id) AS rk
+  FROM j
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(CASE
+                WHEN channel IS NULL THEN cents
+                WHEN n = 1 THEN cents
+                WHEN n = 2 THEN (cents * 50) // 100
+                WHEN rk = 1 THEN (cents * 40) // 100
+                WHEN rk = n THEN (cents * 40) // 100
+                ELSE (cents * 20) // (100 * (n - 2)) END)
+            AS BIGINT) AS attributed_cents
+FROM c GROUP BY 1
+"""
+
+
 #: Entropy terms are floor-quantized to integer micro-nats-of-log2 BEFORE
 #: summation (summation order can never matter); the Gini–Simpson column
 #: is exact integer arithmetic end to end.
@@ -1734,6 +1840,128 @@ dense AS (
   LEFT JOIN daily ON daily.day = days.day
                  AND daily.event_type = t.event_type
 )"""
+
+
+#: MacKinnon (2010) 5% response-surface coefficients for the
+#: constant-only Dickey–Fuller tau: crit = β∞ + β1/m + β2/m² + β3/m³.
+DF_MACKINNON_5PCT = (-2.86154, -2.8903, -4.234, -40.04)
+
+
+def ev_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (constant, no lag terms) on the
+    zero-filled daily volume per event type — the STATIONARITY gate of
+    the time-series battery: Mann–Kendall asks "is there a trend?",
+    Ljung–Box "is there autocorrelation?", DF asks "does the series
+    mean-revert at all?" — the precondition for every ARMA-ish model
+    and for CUSUM's fixed-baseline assumption.
+
+    Regression Δx_t = α + ρ·x_{t−1}: with the m-scaled exact integer
+    moments A = m·Σz² − (Σz)², B = m·Σzy − Σz·Σy, C = m·Σy² − (Σy)²
+    (z = lag, y = diff), the t statistic collapses to
+
+        τ = B·√(m−2) / √(A·C − B²)
+
+    — A, B, C are exact DECIMAL(38,0); the final expression is shared
+    doubles (A·C would pass 38 digits, so the product is double by
+    construction — identical in both engines).  The 5% critical value
+    uses MacKinnon's published response surface in m, a shared literal
+    polynomial; ``stationary_95`` = τ < crit (reject unit root).
+
+    Scale: the spine is the :func:`_dense_daily` single codification
+    (calendar × type bounded); one keyed lag window + one power-sum
+    aggregate.
+    """
+    dense = _dense_daily(load_table(spark, sf_dir, "events"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    p = dense.select(
+        "event_type",
+        F.lag("n").over(wo).alias("z"),
+        F.col("n").alias("x"),
+    ).filter(F.col("z").isNotNull())
+    zd = F.col("z").cast("decimal(38,0)")
+    yd = (F.col("x") - F.col("z")).cast("decimal(38,0)")
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(zd).alias("sz"), F.sum(yd).alias("sy"),
+        F.sum((zd * zd).cast("decimal(38,0)")).alias("szz"),
+        F.sum((zd * yd).cast("decimal(38,0)")).alias("szy"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    a = (md * F.col("szz") - F.col("sz") * F.col("sz")) \
+        .cast("decimal(38,0)").cast("double")
+    bb = (md * F.col("szy") - F.col("sz") * F.col("sy")) \
+        .cast("decimal(38,0)").cast("double")
+    c = (md * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("decimal(38,0)").cast("double")
+    t = (bb * F.sqrt((F.col("m") - 2).cast("double"))
+         / F.sqrt(a * c - bb * bb))
+    b0, b1, b2, b3 = DF_MACKINNON_5PCT
+    mdd = F.col("m").cast("double")
+    crit = (F.lit(b0) + F.lit(b1) / mdd + F.lit(b2) / (mdd * mdd)
+            + F.lit(b3) / (mdd * mdd * mdd))
+    f4 = lambda col: F.floor(col * 10000.0) / 10000.0  # noqa: E731
+    return agg.filter((a > 0) & (a * c - bb * bb > 0)).select(
+        "event_type", F.col("m").cast("long").alias("n_pairs"),
+        f4(t).alias("df_tau"),
+        f4(crit).alias("crit_5pct"),
+        (t < crit).alias("stationary_95"),
+    )
+
+
+DICKEY_FULLER_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+p AS (
+  SELECT event_type,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS z,
+         n AS x
+  FROM dense
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+         CAST(sum(CAST(x - z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(CAST(z AS DECIMAL(38,0)) * z AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS szz,
+         CAST(sum(CAST(CAST(z AS DECIMAL(38,0)) * (x - z)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szy,
+         CAST(sum(CAST(CAST(x - z AS DECIMAL(38,0)) * (x - z)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+  FROM p WHERE z IS NOT NULL GROUP BY 1
+),
+mom AS (
+  SELECT event_type, m,
+         CAST(CAST(CAST(m AS DECIMAL(38,0)) * szz - sz * sz
+                   AS DECIMAL(38,0)) AS DOUBLE) AS a,
+         CAST(CAST(CAST(m AS DECIMAL(38,0)) * szy - sz * sy
+                   AS DECIMAL(38,0)) AS DOUBLE) AS b,
+         CAST(CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy
+                   AS DECIMAL(38,0)) AS DOUBLE) AS c
+  FROM agg
+)
+SELECT event_type, m AS n_pairs,
+       floor(b * sqrt(CAST(m - 2 AS DOUBLE)) / sqrt(a * c - b * b)
+             * 10000.0) / 10000.0 AS df_tau,
+       floor(({DF_MACKINNON_5PCT[0]!r} + {DF_MACKINNON_5PCT[1]!r}
+              / CAST(m AS DOUBLE)
+              + {DF_MACKINNON_5PCT[2]!r}
+                / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+              + {DF_MACKINNON_5PCT[3]!r}
+                / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   * CAST(m AS DOUBLE))) * 10000.0) / 10000.0
+         AS crit_5pct,
+       b * sqrt(CAST(m - 2 AS DOUBLE)) / sqrt(a * c - b * b)
+         < ({DF_MACKINNON_5PCT[0]!r} + {DF_MACKINNON_5PCT[1]!r}
+            / CAST(m AS DOUBLE)
+            + {DF_MACKINNON_5PCT[2]!r}
+              / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+            + {DF_MACKINNON_5PCT[3]!r}
+              / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                 * CAST(m AS DOUBLE))) AS stationary_95
+FROM mom
+WHERE a > 0 AND a * c - b * b > 0
+"""
+
 
 
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3399,7 +3627,124 @@ WHERE rn = least(((n_cal + 1) * {CONF_ALPHA_NUM} + {CONF_ALPHA_DEN - 1})
 """
 
 
+def ev_decomposition_strength(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (Hyndman's F_T / F_S, the fpp3
+    feature-based readout) per event type, computed from
+    :func:`ev_seasonal_decompose`'s components:
+
+        F_T = max(0, 1 − Var(R)/Var(T+R))
+        F_S = max(0, 1 − Var(R)/Var(S+R))
+
+    One number per series answering "is there a trend/seasonality worth
+    modeling?" — the triage a forecasting platform runs over thousands
+    of series before picking per-series models, where eyeballing the
+    decomposition (or the raw ACF) doesn't scale.
+
+    Exactness: built on the decompose output's RAW INTEGER columns
+    (single codification — n, trend7, seas_sum, seas_cnt), with each
+    component floored to micro units by INTEGER division on its own row
+    (``div`` truncates toward zero in BOTH engines, verified for the
+    negative seasonal sums); the variance ratio is the n²-scaled
+    integer identity (m·Σx² − (Σx)²) in DECIMAL(38,0), so F is one
+    double division at readout, floored at 6.
+
+    Scale: interior spine rows only — calendar-bounded; one
+    combiner-friendly power-sum aggregate.
+    """
+    dec = ev_seasonal_decompose(spark, sf_dir).filter(
+        F.col("trend7").isNotNull() & F.col("seas_sum").isNotNull())
+    x = F.col("n") * F.lit(1000000).cast("long")
+    t = F.expr("(1000000 * trend7) div 7")
+    s = F.expr("(1000000 * seas_sum) div (7 * seas_cnt)")
+    comp = dec.select(
+        "event_type",
+        (x - t - s).alias("r"),
+        (x - s).alias("tr"),
+        (x - t).alias("sr"),
+    )
+
+    def sums(c: str) -> list:
+        cd = F.col(c).cast("decimal(38,0)")
+        return [F.sum(cd).alias(f"s_{c}"),
+                F.sum((cd * cd).cast("decimal(38,0)")).alias(f"q_{c}")]
+
+    agg = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        *sums("r"), *sums("tr"), *sums("sr"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+
+    def var_scaled(c: str) -> F.Column:
+        return (md * F.col(f"q_{c}")
+                - F.col(f"s_{c}") * F.col(f"s_{c}")) \
+            .cast("decimal(38,0)").cast("double")
+
+    f6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    ft = F.greatest(F.lit(0.0),
+                    F.lit(1.0) - var_scaled("r") / var_scaled("tr"))
+    fs = F.greatest(F.lit(0.0),
+                    F.lit(1.0) - var_scaled("r") / var_scaled("sr"))
+    return agg.filter((var_scaled("tr") > 0) & (var_scaled("sr") > 0)) \
+        .select(
+            "event_type", F.col("m").cast("long").alias("n_days"),
+            f6(ft).alias("trend_strength"),
+            f6(fs).alias("seasonal_strength"),
+        )
+
+
+DECOMPOSITION_STRENGTH_ORACLE = f"""
+WITH dec AS ({SEASONAL_DECOMPOSE_ORACLE}),
+comp AS (
+  SELECT event_type,
+         (1000000 * n) - ((1000000 * trend7) // 7)
+           - ((1000000 * seas_sum) // (7 * seas_cnt)) AS r,
+         (1000000 * n)
+           - ((1000000 * seas_sum) // (7 * seas_cnt)) AS tr,
+         (1000000 * n) - ((1000000 * trend7) // 7) AS sr
+  FROM dec WHERE trend7 IS NOT NULL AND seas_sum IS NOT NULL
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_r,
+         CAST(sum(CAST(CAST(r AS DECIMAL(38,0)) * r AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q_r,
+         CAST(sum(CAST(tr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_tr,
+         CAST(sum(CAST(CAST(tr AS DECIMAL(38,0)) * tr AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q_tr,
+         CAST(sum(CAST(sr AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_sr,
+         CAST(sum(CAST(CAST(sr AS DECIMAL(38,0)) * sr AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS q_sr
+  FROM comp GROUP BY 1
+)
+SELECT event_type, m AS n_days,
+       floor(greatest(0.0, 1.0
+             - CAST(CAST(CAST(m AS DECIMAL(38,0)) * q_r - s_r * s_r
+                         AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(CAST(m AS DECIMAL(38,0)) * q_tr - s_tr * s_tr
+                           AS DECIMAL(38,0)) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS trend_strength,
+       floor(greatest(0.0, 1.0
+             - CAST(CAST(CAST(m AS DECIMAL(38,0)) * q_r - s_r * s_r
+                         AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(CAST(m AS DECIMAL(38,0)) * q_sr - s_sr * s_sr
+                           AS DECIMAL(38,0)) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS seasonal_strength
+FROM agg
+WHERE CAST(CAST(m AS DECIMAL(38,0)) * q_tr - s_tr * s_tr
+           AS DECIMAL(38,0)) > 0
+  AND CAST(CAST(m AS DECIMAL(38,0)) * q_sr - s_sr * s_sr
+           AS DECIMAL(38,0)) > 0
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_decomposition_strength": QuerySpec(ev_decomposition_strength,
+                                           DECOMPOSITION_STRENGTH_ORACLE),
+    "ev_attribution_position": QuerySpec(ev_attribution_position,
+                                         ATTRIBUTION_POSITION_ORACLE),
+    "ev_dickey_fuller": QuerySpec(ev_dickey_fuller,
+                                  DICKEY_FULLER_ORACLE),
     "stats_conformal_interval": QuerySpec(stats_conformal_interval,
                                           CONFORMAL_ORACLE),
     "ev_fft_periodogram": QuerySpec(ev_fft_periodogram,

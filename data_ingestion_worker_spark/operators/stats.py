@@ -594,6 +594,106 @@ FROM pairs
 """
 
 
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g effect sizes for every event-type pair —
+    the magnitude companion the Welch/TOST family needs at scale: with
+    millions of rows every t is "significant", and d (difference in
+    pooled-SD units) plus the rule-of-thumb label is what decides
+    whether anyone should care.  g is d times the small-sample
+    correction J = 1 − 3/(4(n_a+n_b) − 9) (Hedges 1981) — negligible
+    here, shipped because reviewers ask.
+
+    Same construction as :func:`stats_welch_ttest` (milli-quantized
+    values, exact DECIMAL power sums, |types|-row self pair join);
+    pooled variance uses the classical (n_a−1)s_a² + (n_b−1)s_b² over
+    n_a+n_b−2.  Readout doubles are identical expression trees,
+    floored at 6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1000.0))
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)"))
+        .alias("ss"),
+    )
+    a, b = st.alias("a"), st.alias("b")
+
+    def _d(side: str, col: str) -> F.Column:
+        return F.col(f"{side}.{col}").cast("double")
+
+    def _ssq(side: str) -> F.Column:
+        """(n−1)·s² numerator: Σ(x−x̄)² = (n·Σx² − S²)/n, exact-int."""
+        s_dec = F.col(f"{side}.s").cast("decimal(38,0)")
+        return (F.col(f"{side}.n") * F.col(f"{side}.ss")
+                - s_dec * s_dec).cast("double") / _d(side, "n")
+
+    dm = _d("a", "s") / _d("a", "n") - _d("b", "s") / _d("b", "n")
+    pooled = F.sqrt((_ssq("a") + _ssq("b"))
+                    / (_d("a", "n") + _d("b", "n") - F.lit(2.0)))
+    d = dm / pooled
+    jj = (F.lit(1.0)
+          - F.lit(3.0) / (F.lit(4.0) * (_d("a", "n") + _d("b", "n"))
+                          - F.lit(9.0)))
+    _floor6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    label = (F.when(F.abs(d) < 0.2, "negligible")
+             .when(F.abs(d) < 0.5, "small")
+             .when(F.abs(d) < 0.8, "medium")
+             .otherwise("large"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+            _floor6(d).alias("cohens_d"),
+            _floor6(d * jj).alias("hedges_g"),
+            label.alias("magnitude"),
+        )
+    )
+
+
+COHENS_D_ORACLE = """
+WITH st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)) AS s,
+         sum(CAST(floor(value * 1000.0) AS BIGINT)
+             * CAST(floor(value * 1000.0) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS dm,
+         CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+           / CAST(a.n AS DOUBLE) AS ssq_a,
+         CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+           / CAST(b.n AS DOUBLE) AS ssq_b
+  FROM st a CROSS JOIN st b
+  WHERE a.event_type < b.event_type
+),
+eff AS (
+  SELECT type_a, type_b, n_a, n_b,
+         dm / sqrt((ssq_a + ssq_b)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+           AS d,
+         1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      - 9.0) AS j
+  FROM pairs
+)
+SELECT type_a, type_b, n_a, n_b,
+       floor(d * 1000000.0) / 1000000.0 AS cohens_d,
+       floor(d * j * 1000000.0) / 1000000.0 AS hedges_g,
+       CASE WHEN abs(d) < 0.2 THEN 'negligible'
+            WHEN abs(d) < 0.5 THEN 'small'
+            WHEN abs(d) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM eff
+"""
+
+
 #: TOST equivalence margin as a fraction of the first group's mean, and
 #: the one-sided z critical value at alpha = 0.05 (normal approximation
 #: — a shared literal, so no incomplete-beta/libm t-quantile is ever in
@@ -3473,6 +3573,7 @@ SPECS: dict[str, QuerySpec] = {
     "stats_mannwhitney_u": QuerySpec(stats_mannwhitney_u,
                                      MANNWHITNEY_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
+    "stats_cohens_d": QuerySpec(stats_cohens_d, COHENS_D_ORACLE),
     "stats_tost_equivalence": QuerySpec(stats_tost_equivalence,
                                         TOST_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),

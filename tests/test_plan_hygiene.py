@@ -110,6 +110,9 @@ BNLJ_ALLOWED = {
     "stats_theil_inequality",  # one-row corpus-totals broadcast cross
     "feat_woe_iv",         # one-row (G, B) + one-row IV-total scalars
     "rank_ndcg_eval",      # inherits rrf's query-vector/scalar crosses
+    "ev_dickey_fuller",    # _dense_daily's span-scalar + type-domain cross
+    "stats_cohens_d",      # |types|-row stats table × itself (pair enum)
+    "ev_decomposition_strength",  # inherits decompose's spine crosses
 }
 
 
@@ -284,6 +287,7 @@ SP_ALLOWED = {
     "ev_rolling_median_7d",     # one-row (min,max)-day span scalar
     "ev_forecast_backtest",     # same one-row span scalar via the spine
     "ev_lead_lag_corr",         # same span scalar via the shared spine
+    "ev_dickey_fuller",         # same one-row day-span scalar (spine)
     "stats_cramers_v",          # chi2's grand-total + margin scalars
     "stats_theil_inequality",   # one-row corpus-totals reduction
     "feat_woe_iv",              # one-row totals + IV-sum reductions
