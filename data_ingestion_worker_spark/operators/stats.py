@@ -594,6 +594,117 @@ FROM pairs
 """
 
 
+def stats_cochran_armitage(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the returned-order RATE move
+    monotonically with order priority (scores w = 1..5)?  The right
+    test when the grouping is ORDERED — a plain chi-square ignores the
+    ordering and wastes power, which is why dose-response and
+    funnel-stage analyses use CA instead.
+
+    Exactness: with per-bin trials n_i and events x_i (exact integer
+    counts), scores w_i = priority rank, N = Σn, X = Σx:
+
+        A = Σ w_i·(x_i·N − n_i·X)                (T scaled by N)
+        V = N·Σw²n − (Σwn)²                      (score variance term)
+        z = A / √( (X·(N−X)/N... )·V /N )  ≡  A·√N / √(X·(N−X)·V)
+
+    A and V are exact DECIMAL(38,0) (A ≈ 1e23 at sf100); the final z
+    multiplies exact-integer-derived doubles (X·(N−X)·V would pass 38
+    digits, so the product is double by construction — the same
+    expression both engines).  Two-sided rejection at the shared
+    z = 1.96 literal.
+
+    Scale: one 5-row bin aggregate (semi-join returned flag shared
+    with :func:`feat_woe_iv`'s construction), constant-size reduction.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    )
+    flagged = o.join(
+        returned.withColumn("bad", F.lit(1)), "o_orderkey", "left"
+    ).select(
+        # '1-URGENT'..'5-LOW': the leading digit IS the ordinal score.
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        F.coalesce("bad", F.lit(0)).alias("x"),
+    )
+    bins = flagged.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("x"))
+    dec = "decimal(38,0)"
+    agg = bins.agg(
+        F.count(F.lit(1)).cast("int").alias("k_bins"),
+        F.sum("n").cast(dec).alias("nn"),
+        F.sum("x").cast(dec).alias("xx"),
+        F.sum(F.col("w").cast(dec) * F.col("n")).alias("swn"),
+        F.sum((F.col("w") * F.col("w")).cast(dec) * F.col("n"))
+        .alias("swwn"),
+        F.sum(F.col("w").cast(dec) * F.col("x")).alias("swx"),
+    )
+    # A = Σw·x·N − Σw·n·X ; V = N·Σw²n − (Σwn)²  — exact decimals.
+    a = (F.col("swx") * F.col("nn")
+         - F.col("swn") * F.col("xx")).cast(dec).cast("double")
+    v = (F.col("nn") * F.col("swwn")
+         - F.col("swn") * F.col("swn")).cast(dec).cast("double")
+    nd = F.col("nn").cast("double")
+    xd = F.col("xx").cast("double")
+    z = a * F.sqrt(nd) / F.sqrt(xd * (nd - xd) * v)
+    _floor6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    return agg.filter(xd * (nd - xd) * v > 0).select(
+        "k_bins",
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("xx").cast("long").alias("n_returned"),
+        _floor6(z).alias("ca_z"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("reject_95"),
+    )
+
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+flagged AS (
+  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CASE WHEN r.o_orderkey IS NULL THEN 0 ELSE 1 END AS x
+  FROM orders o LEFT JOIN returned r USING (o_orderkey)
+),
+bins AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS x
+  FROM flagged GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS k_bins,
+         CAST(sum(n) AS DECIMAL(38,0)) AS nn,
+         CAST(sum(x) AS DECIMAL(38,0)) AS xx,
+         CAST(sum(CAST(w AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS swn,
+         CAST(sum(CAST(w * w AS DECIMAL(38,0)) * n)
+              AS DECIMAL(38,0)) AS swwn,
+         CAST(sum(CAST(w AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS swx
+  FROM bins
+),
+mom AS (
+  SELECT k_bins, nn, xx,
+         CAST(CAST(swx * nn - swn * xx AS DECIMAL(38,0)) AS DOUBLE) AS a,
+         CAST(CAST(nn * swwn - swn * swn AS DECIMAL(38,0)) AS DOUBLE)
+           AS v,
+         CAST(nn AS DOUBLE) AS nd, CAST(xx AS DOUBLE) AS xd
+  FROM agg
+)
+SELECT k_bins, CAST(nn AS BIGINT) AS n_orders,
+       CAST(xx AS BIGINT) AS n_returned,
+       floor(a * sqrt(nd) / sqrt(xd * (nd - xd) * v) * 1000000.0)
+         / 1000000.0 AS ca_z,
+       abs(a * sqrt(nd) / sqrt(xd * (nd - xd) * v))
+         > 1.959963984540054 AS reject_95
+FROM mom
+WHERE xd * (nd - xd) * v > 0
+"""
+
+
 def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d and Hedges' g effect sizes for every event-type pair —
     the magnitude companion the Welch/TOST family needs at scale: with
@@ -3574,6 +3685,8 @@ SPECS: dict[str, QuerySpec] = {
                                      MANNWHITNEY_ORACLE),
     "stats_welch_ttest": QuerySpec(stats_welch_ttest, WELCH_ORACLE),
     "stats_cohens_d": QuerySpec(stats_cohens_d, COHENS_D_ORACLE),
+    "stats_cochran_armitage": QuerySpec(stats_cochran_armitage,
+                                        COCHRAN_ARMITAGE_ORACLE),
     "stats_tost_equivalence": QuerySpec(stats_tost_equivalence,
                                         TOST_ORACLE),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_ORACLE),

@@ -246,3 +246,42 @@ def test_consumer_falls_back_per_job_when_batch_plan_dies(
     jrows = {r["job_id"]: r["job_status"]
              for r in store.read("jobs").collect()}
     assert jrows == {1: "COMPLETED", 2: "COMPLETED"}
+
+
+def test_batch_resume_after_partial_crash(spark, tmp_path, monkeypatch):
+    """Crash mid-BATCH: the issues MERGE dies after the staging MERGE
+    landed for BOTH jobs of a microbatch.  Redelivering the whole batch
+    must re-derive issues from the same inputs and converge — ADR-001
+    resume safety, lifted to the one-MERGE-per-table-per-batch path."""
+    from data_ingestion_worker_spark.control.store import ControlStore as CS
+
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    proc = JobProcessor(spark, store)
+    jobs = [(1, _csv(tmp_path, "j1.csv", DIRTY.format(p="a"))),
+            (2, _csv(tmp_path, "j2.csv", DIRTY.format(p="b")))]
+
+    real_upsert = CS.upsert
+
+    def crashing_upsert(self, table, updates, insert_only=False):
+        if table == "issues":
+            raise RuntimeError("crash before issues merge")
+        return real_upsert(self, table, updates, insert_only=insert_only)
+
+    monkeypatch.setattr(CS, "upsert", crashing_upsert)
+    try:
+        proc.initial_batch(jobs)
+        raise AssertionError("crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(CS, "upsert", real_upsert)
+    # Staging landed, issues did not, no terminal status reached.
+    assert store.read("staging").count() == 8
+    assert store.read("issues").count() == 0
+
+    actions, errors = proc.process_jobs(jobs)    # redelivery resume
+    assert errors == {}
+    jrows = {r["job_id"]: r for r in store.read("jobs").collect()}
+    # NOT silently COMPLETED: the re-derived issues hold both jobs.
+    assert all(r["job_status"] == "NEEDS_REVIEW" for r in jrows.values())
+    assert all(r["job_issue_count"] == 2 for r in jrows.values())
+    assert store.read("issues").count() == 4

@@ -288,6 +288,7 @@ SP_ALLOWED = {
     "ev_forecast_backtest",     # same one-row span scalar via the spine
     "ev_lead_lag_corr",         # same span scalar via the shared spine
     "ev_dickey_fuller",         # same one-row day-span scalar (spine)
+    "stats_cochran_armitage",   # one-row 5-bin power-sum reduction
     "stats_cramers_v",          # chi2's grand-total + margin scalars
     "stats_theil_inequality",   # one-row corpus-totals reduction
     "feat_woe_iv",              # one-row totals + IV-sum reductions
