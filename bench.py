@@ -149,6 +149,10 @@ HEADLINE = [
     # decompress per payload is the measured cost).
     "corpus_bpe_encode",
     "mm_roundtrip_gif",
+    # Round 8: the newly-graded ExactSubstr detector + the integer
+    # nDCG ranking eval (HEADLINE 55 -> 57).
+    "dedup_substring_spans",
+    "rank_ndcg_eval",
 ]
 
 
