@@ -12,6 +12,17 @@ Emission contract (round-6 fix): the driver captures only the last
 queries.  The FULL per-query timings + [min,max] spreads for all
 headline queries are written to ``BENCH_DETAIL.json`` (committed).
 
+Contention awareness (round-9, after r8's committed number landed at
+the 2x contract line from a disclosed host-noise window while the same
+HEAD measured 1.18x quiet): a fixed single-core calibration probe runs
+before and after the suite and ``host_noise_index`` =
+max(probe)/PROBE_REF_SEC is emitted into BOTH the compact line and
+BENCH_DETAIL (~1.0 quiet, >1.3 contended), alongside os.getloadavg();
+and if the marker query ``q1_pricing_summary`` (code-unchanged since
+r1) lands above its recorded historical band the legacy-19 subset is
+re-measured once and the better pass kept, with both totals recorded
+(``legacy19_first`` / ``legacy19_rerun``).
+
 Each query is forced through the noop sink (full execution, no
 driver-side collect overhead).  The mix covers every engine subsystem:
 scan-agg (q1/q6), multiway joins (q3/q5/q10), the flagship validation
@@ -48,6 +59,37 @@ from data_ingestion_worker_spark.tables import TABLE_NAMES, load_table  # noqa: 
 #: the compact stdout line so the driver's record stays comparable
 #: across rounds.
 LEGACY_19 = 19
+
+#: Quiet-host seconds for :func:`_calibration_probe` on THIS container
+#: (best-of-3 measured at round-9 open; CPython 3.x, pinned 20M-iter
+#: integer loop).  ``host_noise_index`` = measured/reference — ~1.0 on
+#: a quiet host, >1.3 flags external contention (the r8 close window
+#: published legacy-19 at the 2x contract line while the same HEAD
+#: measured 1.18x quiet; the committed artifact must carry its own
+#: weather report).
+PROBE_REF_SEC = 0.78
+
+#: Historical band for the marker query ``q1_pricing_summary``
+#: (code-unchanged since r1): committed min-of-3 across rounds 1-7 was
+#: 0.899-1.345 s; the r8 contention window pushed it to 2.266 s.  A
+#: marker above the band triggers ONE legacy-19 re-measure pass and the
+#: better pass is kept (both totals recorded) — the rerun-on-outlier
+#: policy from the r8 verdict.
+Q1_BAND_MAX_SEC = 1.6
+
+
+def _calibration_probe(iters: int = 20_000_000) -> float:
+    """Fixed single-core pure-Python workload (pinned iteration count):
+    wall seconds move only with host CPU contention / frequency, never
+    with engine code, so probe/PROBE_REF_SEC is a per-run noise index."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(iters):
+            x += i
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -153,6 +195,14 @@ HEADLINE = [
     # nDCG ranking eval (HEADLINE 55 -> 57).
     "dedup_substring_spans",
     "rank_ndcg_eval",
+    # Round 9: the exact detector's production volume knob — TRUE
+    # Schleimer winnowing (~2/(W+1) anchors vs stride-1) — benched next
+    # to the exact twin so its cost ratio is on the record (the DOULION
+    # precedent).  Detection-contract delta: winnowed pairs are a subset
+    # of exact pairs, and every exact pair whose shared span covers a
+    # full winnowing window is still detected (two-sided guarantee,
+    # pinned by tests/test_curation.py::test_winnowing_detection_contract).
+    "dedup_substring_winnowed",
 ]
 
 
@@ -257,21 +307,44 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     specs["q6_forecast_revenue"].fn(spark, sf_dir).count()
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+
+    def measure(names: list[str]) -> dict[str, list[float]]:
         # Best of three executions: the first run of a query pays its own
         # codegen/JIT; the min reflects steady-state throughput.  The
         # recorded [min, max] spread makes machine/JVM noise attributable
         # — a real regression moves the min, noise only widens the band.
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            df = specs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-    total = round(sum(timings.values()), 3)
+        out: dict[str, list[float]] = {}
+        for name in names:
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                df = specs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            out[name] = [round(min(runs), 3), round(max(runs), 3)]
+        return out
+
+    probe_pre = round(_calibration_probe(), 3)
+    for name, (lo, hi) in measure(HEADLINE).items():
+        timings[name] = lo
+        spread[name] = [lo, hi]
     legacy = HEADLINE[:LEGACY_19]
+    legacy_first = round(sum(timings[n] for n in legacy), 3)
+    legacy_rerun = None
+    if timings["q1_pricing_summary"] > Q1_BAND_MAX_SEC:
+        # Marker outside its historical band: this window is contended.
+        # Re-measure the baseline-of-record subset once and keep the
+        # better pass, recording both totals (r8 verdict ask #1 — a
+        # contract-line number must never again be ambiguous).
+        second = measure(legacy)
+        legacy_rerun = round(sum(v[0] for v in second.values()), 3)
+        if legacy_rerun < legacy_first:
+            for name, (lo, hi) in second.items():
+                timings[name] = lo
+                spread[name] = [lo, hi]
+    probe_post = round(_calibration_probe(), 3)
+    noise_index = round(max(probe_pre, probe_post) / PROBE_REF_SEC, 2)
+    total = round(sum(timings.values()), 3)
     legacy_total = round(sum(timings[n] for n in legacy), 3)
 
     # Streaming end-to-end lifecycle (jobs/min) — isolated from the batch
@@ -281,6 +354,10 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         streaming = {"error": str(exc)[:200]}
 
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        loadavg = None
     detail = {
         "metric": "headline_suite_total",
         "value": total,
@@ -289,6 +366,12 @@ def main() -> None:
         "runs_per_query": 3,
         "n_queries": len(HEADLINE),
         "legacy19_total": legacy_total,
+        "legacy19_first": legacy_first,
+        "legacy19_rerun": legacy_rerun,
+        "host_noise_index": noise_index,
+        "probe_sec": [probe_pre, probe_post],
+        "probe_ref_sec": PROBE_REF_SEC,
+        "loadavg": loadavg,
         "queries": timings,
         "spread": spread,
         "streaming_e2e": streaming,
@@ -308,6 +391,8 @@ def main() -> None:
         "runs_per_query": 3,
         "n_queries": len(HEADLINE),
         "legacy19_total": legacy_total,
+        "legacy19_rerun": legacy_rerun,
+        "host_noise_index": noise_index,
         "top5": top5,
         "stream_jobs_per_min": streaming.get("jobs_per_min"),
         "stream_review_jpm": streaming.get("review_phase", {})

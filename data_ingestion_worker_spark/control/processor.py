@@ -131,11 +131,14 @@ class JobProcessor:
         if not jobs:
             return {}, {}
         # Duplicate message for the same job inside one trigger: keep
-        # the first occurrence (the per-job loop got the same effect
-        # from idempotent replay; inside one shared plan a literal
-        # duplicate would double the pre-MERGE frames).
+        # ONE entry (a literal duplicate inside one shared plan would
+        # double the pre-MERGE frames) carrying the LAST key seen — a
+        # later same-trigger message with a corrected s3_key must win,
+        # mirroring the retry path's fresh_keys override (a first-key
+        # policy silently dropped the correction).
+        last_key = {j: k for j, k in jobs}
         seen: set[int] = set()
-        jobs = [(j, k) for j, k in jobs
+        jobs = [(j, last_key[j]) for j, _ in jobs
                 if not (j in seen or seen.add(j))]
         ids = [j for j, _ in jobs]
         status = {

@@ -1918,6 +1918,289 @@ agg AS (
 """
 
 
+#: Binary-relevance threshold for MRR/MAP: a doc is "relevant" when it
+#: contains at least REL_MIN of the query's distinct terms (the graded
+#: 0..3 label rank_ndcg_eval uses, binarized the way TREC qrels
+#: binarize graded judgments for MAP/MRR).
+REL_MIN = 2
+
+
+def _ranked_with_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pool with all three retrieval ranks + the graded
+    relevance label — the shared scaffold of the ranking-eval suite
+    (:func:`rank_ndcg_eval` builds the same frame inline; kept separate
+    so the graded row's plan stays byte-identical)."""
+    from .text import BM25_QUERY, tokens
+
+    ranked = hybrid_search_rrf(spark, sf_dir)
+    wr = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    ranked = ranked.withColumn(
+        "rrf_rank", F.row_number().over(wr).cast("int"))
+    d = load_table(spark, sf_dir, "documents")
+    rel_expr = sum(
+        F.when(F.array_contains(tokens(F.col("text")), t), 1)
+        .otherwise(0)
+        for t in BM25_QUERY
+    ).cast("int")
+    return ranked.join(d.select("doc_id", rel_expr.alias("rel")),
+                       "doc_id")
+
+
+def _ranked_rel_oracle_ctes() -> str:
+    """The rr/rel/cand CTE prefix shared by the MRR and MAP oracles
+    (mirrors the scaffold inside :func:`_ndcg_oracle`)."""
+    from .text import _TOKENS_SQL, BM25_QUERY
+
+    rel_sql = " + ".join(
+        f"(CASE WHEN list_contains({_TOKENS_SQL}, '{t}') "
+        f"THEN 1 ELSE 0 END)" for t in BM25_QUERY)
+    return f"""
+WITH r AS ({_hybrid_rrf_oracle()}),
+rr AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+           AS rrf_rank
+  FROM r
+),
+rel AS (
+  SELECT doc_id, CAST({rel_sql} AS INT) AS rel FROM documents
+),
+cand AS (
+  SELECT rr.*, rel.rel FROM rr JOIN rel USING (doc_id)
+)"""
+
+
+def rank_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the three retrieval rankings (BM25 / cosine re-rank /
+    RRF fusion) against the binarized relevance label — the
+    first-right-answer metric QA/agentic retrieval teams track next to
+    nDCG (nDCG rewards the whole top-k; MRR only the first hit, which
+    is what matters when the consumer reads one document).
+
+    Exactness: the first relevant rank is an integer MIN; the
+    reciprocal is one integer ppm division (0 when no relevant doc
+    lands in the top k).  Scale: one aggregate over the ≤ BM25_TOPK
+    candidate pool — the scatter/gather top-k upstream did the heavy
+    lifting.
+
+    Reference for parity scope: the reference engine has no retrieval
+    eval; this extends the Spark engine's eval suite
+    (rank_ndcg_eval's category).
+    """
+    cand = _ranked_with_rel(spark, sf_dir)
+
+    def first_rel(rank_col: str) -> F.Column:
+        return F.coalesce(
+            F.min(F.when((F.col("rel") >= REL_MIN)
+                         & (F.col(rank_col) <= NDCG_K),
+                         F.col(rank_col))),
+            F.lit(0),
+        ).cast("long")
+
+    agg = cand.agg(
+        first_rel("bm25_rank").alias("f_bm25"),
+        first_rel("cos_rank").alias("f_cosine"),
+        first_rel("rrf_rank").alias("f_rrf"),
+    )
+    rows = agg.select(F.expr(
+        "stack(3, 'bm25', f_bm25, 'cosine', f_cosine, 'rrf', f_rrf) "
+        "AS (ranker, first_rel_rank)"))
+    return rows.select(
+        "ranker", F.lit(NDCG_K).cast("int").alias("k"),
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank") > 0,
+               F.expr("1000000 div first_rel_rank"))
+        .otherwise(F.lit(0)).cast("long").alias("rr_ppm"),
+    )
+
+
+def _mrr_oracle() -> str:
+    def first_rel(col: str) -> str:
+        return (f"CAST(coalesce(min(CASE WHEN rel >= {REL_MIN} AND "
+                f"{col} <= {NDCG_K} THEN {col} END), 0) AS BIGINT)")
+
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS ranker, CAST({NDCG_K} AS INT) AS k, "
+        f"f_{name} AS first_rel_rank, "
+        f"CASE WHEN f_{name} > 0 THEN 1000000 // f_{name} "
+        f"ELSE 0 END AS rr_ppm FROM agg"
+        for name in ["bm25", "cosine", "rrf"]
+    )
+    return f"""{_ranked_rel_oracle_ctes()},
+agg AS (
+  SELECT {first_rel("bm25_rank")} AS f_bm25,
+         {first_rel("cos_rank")} AS f_cosine,
+         {first_rel("rrf_rank")} AS f_rrf
+  FROM cand
+)
+{legs}
+"""
+
+
+def rank_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 (here AP@10 of the single benchmark query) for the three
+    rankings — the area-under-precision metric that, unlike MRR,
+    rewards EVERY relevant doc's position: AP = (1/R)·Σ_{hit k}
+    precision@k with R = min(#relevant in pool, k).
+
+    Exactness: precision@k = hits_k/k is quantized per hit position as
+    ``(1e6·hits_k) div k`` (integer), the sum of those terms is an
+    order-free BIGINT, and the final /R is one more integer division —
+    the whole metric is integer arithmetic (house ppm convention).
+
+    Scale: three cumulative-hit windows over the ≤ BM25_TOPK candidate
+    rows (constant k — the gather stage), one aggregate.
+    """
+    cand = _ranked_with_rel(spark, sf_dir).withColumn(
+        "is_rel", (F.col("rel") >= REL_MIN).cast("long"))
+    for name, rank_col in [("bm25", "bm25_rank"), ("cosine", "cos_rank"),
+                           ("rrf", "rrf_rank")]:
+        w = Window.orderBy(F.col(rank_col))
+        cand = cand.withColumn(f"cum_{name}", F.sum("is_rel").over(w))
+        cand = cand.withColumn(
+            f"t_{name}",
+            F.when((F.col("is_rel") == 1) & (F.col(rank_col) <= NDCG_K),
+                   F.expr(f"(1000000 * cum_{name}) div {rank_col}"))
+            .otherwise(F.lit(0)).cast("long"))
+    agg = cand.agg(
+        F.sum("t_bm25").alias("s_bm25"),
+        F.sum("t_cosine").alias("s_cosine"),
+        F.sum("t_rrf").alias("s_rrf"),
+        F.least(F.sum("is_rel"), F.lit(NDCG_K).cast("long"))
+        .cast("long").alias("n_rel"),
+    )
+    rows = agg.select(
+        F.expr("stack(3, 'bm25', s_bm25, 'cosine', s_cosine, "
+               "'rrf', s_rrf) AS (ranker, sum_prec_micro)"),
+        "n_rel",
+    )
+    return rows.select(
+        "ranker", F.lit(NDCG_K).cast("int").alias("k"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.expr("sum_prec_micro div greatest(n_rel, 1)").cast("long")
+        .alias("ap_ppm"),
+    )
+
+
+def _map_oracle() -> str:
+    terms = []
+    for name, col in [("bm25", "bm25_rank"), ("cosine", "cos_rank"),
+                      ("rrf", "rrf_rank")]:
+        terms.append(
+            f"CAST(sum(CASE WHEN is_rel = 1 AND {col} <= {NDCG_K} "
+            f"THEN (1000000 * cum_{name}) // {col} ELSE 0 END) "
+            f"AS BIGINT) AS s_{name}")
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS ranker, CAST({NDCG_K} AS INT) AS k, "
+        f"n_rel, s_{name} // greatest(n_rel, 1) AS ap_ppm FROM agg"
+        for name in ["bm25", "cosine", "rrf"]
+    )
+    cums = ", ".join(
+        f"CAST(sum(CASE WHEN rel >= {REL_MIN} THEN 1 ELSE 0 END) "
+        f"OVER (ORDER BY {col}) AS BIGINT) AS cum_{name}"
+        for name, col in [("bm25", "bm25_rank"), ("cosine", "cos_rank"),
+                          ("rrf", "rrf_rank")])
+    return f"""{_ranked_rel_oracle_ctes()},
+cumu AS (
+  SELECT cand.*,
+         CASE WHEN rel >= {REL_MIN} THEN 1 ELSE 0 END AS is_rel,
+         {cums}
+  FROM cand
+),
+agg AS (
+  SELECT {", ".join(terms)},
+         CAST(least(sum(is_rel), {NDCG_K}) AS BIGINT) AS n_rel
+  FROM cumu
+)
+{legs}
+"""
+
+
+#: Rank-biased-overlap persistence parameter (Webber et al., TOIS
+#: 2010 — p=0.9 weights the top ~10 ranks, the published default) and
+#: the eval depth.
+RBO_P = 0.9
+RBO_K = 10
+#: w_d = (1−p)·p^(d−1)/d in nano units, then SUFFIX-SUMMED so each
+#: doc contributes one array lookup at max(rank_a, rank_b): a doc in
+#: both prefixes from depth m on adds Σ_{d=m..K} w_d.  Python-
+#: precomputed literals shared verbatim by both engines (the Benford
+#: convention), so the whole metric is one integer sum.
+_RBO_W_NANO = [round(1e9 * (1 - RBO_P) * RBO_P ** (d - 1) / d)
+               for d in range(1, RBO_K + 1)]
+_RBO_SUFFIX_NANO = [sum(_RBO_W_NANO[m - 1:]) for m in range(1, RBO_K + 1)]
+
+
+def rank_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (truncated prefix RBO@10, the RBO_MIN lower
+    bound without the extrapolation tail) between each pair of the
+    three retrieval rankings — the ranker-agreement diagnostic run
+    before swapping retrievers: a high-nDCG candidate ranker that
+    DISAGREES with production everywhere is a riskier ship than the
+    same nDCG with high overlap.
+
+    Identity: RBO@K = Σ_{d=1..K} (1−p)·p^(d−1)·|A_d ∩ B_d|/d.  A doc
+    with ranks (r_a, r_b) is in both depth-d prefixes iff
+    max(r_a, r_b) ≤ d, so its total contribution is the SUFFIX sum of
+    the weight series from max(r_a, r_b) — one precomputed-literal
+    array lookup per doc, one integer SUM per pair, no per-depth
+    explode.  Identical top-10s score 1−p^10 ≈ 0.651 by construction
+    (the truncated form's ceiling; documented, not normalized away).
+
+    Scale: one aggregate over the ≤ BM25_TOPK candidate pool.
+    """
+    cand = _ranked_with_rel(spark, sf_dir)
+    suffix = F.array(*[F.lit(x).cast("long") for x in _RBO_SUFFIX_NANO])
+
+    def contrib(ra: str, rb: str) -> F.Column:
+        m = F.greatest(F.col(ra), F.col(rb)).cast("int")
+        return F.sum(
+            F.when(m <= RBO_K, F.element_at(suffix, m))
+            .otherwise(F.lit(0).cast("long")))
+
+    agg = cand.agg(
+        contrib("bm25_rank", "cos_rank").alias("n_bm25_cosine"),
+        contrib("bm25_rank", "rrf_rank").alias("n_bm25_rrf"),
+        contrib("cos_rank", "rrf_rank").alias("n_cosine_rrf"),
+    )
+    rows = agg.select(F.expr(
+        "stack(3, 'bm25_cosine', n_bm25_cosine, "
+        "'bm25_rrf', n_bm25_rrf, 'cosine_rrf', n_cosine_rrf) "
+        "AS (pair, rbo_nano)"))
+    return rows.select(
+        "pair", F.lit(RBO_K).cast("int").alias("k"),
+        F.lit(int(RBO_P * 1000)).cast("int").alias("p_milli"),
+        F.col("rbo_nano").cast("long").alias("rbo_nano"),
+        F.expr("rbo_nano div 1000").cast("long").alias("rbo_ppm"),
+    )
+
+
+def _rbo_oracle() -> str:
+    suffix_csv = ", ".join(str(x) for x in _RBO_SUFFIX_NANO)
+
+    def contrib(ra: str, rb: str, name: str) -> str:
+        return (f"CAST(sum(CASE WHEN greatest({ra}, {rb}) <= {RBO_K} "
+                f"THEN list_extract([{suffix_csv}], "
+                f"greatest({ra}, {rb})) ELSE 0 END) AS BIGINT) "
+                f"AS n_{name}")
+
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS pair, CAST({RBO_K} AS INT) AS k, "
+        f"CAST({int(RBO_P * 1000)} AS INT) AS p_milli, "
+        f"n_{name} AS rbo_nano, n_{name} // 1000 AS rbo_ppm FROM agg"
+        for name in ["bm25_cosine", "bm25_rrf", "cosine_rrf"]
+    )
+    return f"""{_ranked_rel_oracle_ctes()},
+agg AS (
+  SELECT {contrib("bm25_rank", "cos_rank", "bm25_cosine")},
+         {contrib("bm25_rank", "rrf_rank", "bm25_rrf")},
+         {contrib("cos_rank", "rrf_rank", "cosine_rrf")}
+  FROM cand
+)
+{legs}
+"""
+
+
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label norm² distribution — the embedding-quality diagnostic
     run before any ANN/index build: a collapsed encoder shows up as
@@ -2821,6 +3104,9 @@ SPECS: dict[str, QuerySpec] = {
     "hybrid_search_rrf": QuerySpec(hybrid_search_rrf,
                                    _hybrid_rrf_oracle()),
     "rank_ndcg_eval": QuerySpec(rank_ndcg_eval, _ndcg_oracle()),
+    "rank_mrr_eval": QuerySpec(rank_mrr_eval, _mrr_oracle()),
+    "rank_map_eval": QuerySpec(rank_map_eval, _map_oracle()),
+    "rank_rbo_eval": QuerySpec(rank_rbo_eval, _rbo_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_ORACLE),

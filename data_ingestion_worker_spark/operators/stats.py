@@ -3548,7 +3548,9 @@ def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact between/within-source DECOMPOSITION — the property Gini
     (:func:`ev_gini_user_activity`) famously lacks, and the reason a
     corpus team reaches for Theil: "is token-mass inequality driven by
-    a few huge sources, or by huge documents inside each source?" — here over character mass (n_chars), the storage-cost axis.
+    a few huge sources, or by huge documents inside each source?" —
+    here over character mass (n_chars), the storage-cost axis, which is
+    why the share column is named ``char_share_ppm``.
 
     Identity (μ = S/n):  T = (1/S)·Σ xᵢ·ln(xᵢ) + ln(n/S)
         = T_between + Σ_g (S_g/S)·T_within_g, where
@@ -3597,7 +3599,7 @@ def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("ng").cast("long").alias("n_docs"),
         F.expr("(1000000 * sg) div s").cast("long")
-        .alias("token_share_ppm"),
+        .alias("char_share_ppm"),
         f6(t_within_g).alias("t_within"),
         f6(t_total).alias("t_total"),
         f6(t_between).alias("t_between"),
@@ -3625,7 +3627,7 @@ tot AS (
   FROM g
 )
 SELECT source, ng AS n_docs,
-       (1000000 * sg) // s AS token_share_ppm,
+       (1000000 * sg) // s AS char_share_ppm,
        floor((CAST(ug AS DOUBLE) / 1000000.0 / CAST(sg AS DOUBLE)
               + ln(CAST(ng AS DOUBLE)) - ln(CAST(sg AS DOUBLE)))
              * 1000000.0) / 1000000.0 AS t_within,

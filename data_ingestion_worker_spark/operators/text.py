@@ -2030,6 +2030,14 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
+    """Unrolled sequential CTE chain (one p/b/w triple per merge).
+
+    Exhaustion-safe: when the corpus runs out of mergeable pairs before
+    step ``BPE_MERGES``, ``b{k}`` is empty — ``w{k}`` LEFT JOINs it ON
+    TRUE and coalesces back to the previous symbol string, so the chain
+    carries the final frame forward exactly as the Spark side's early
+    ``break`` does (a CROSS JOIN here would empty every later step and
+    return zero rows on degenerate corpora)."""
     steps = []
     prev = "w0"
     for k in range(1, BPE_MERGES + 1):
@@ -2044,9 +2052,9 @@ b{k} AS MATERIALIZED (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{k} AS MATERIALIZED (
-  SELECT w, replace(s, '|' || b.l || '||' || b.r || '|',
-                    '|' || b.l || b.r || '|') AS s, freq
-  FROM {prev} CROSS JOIN b{k} b
+  SELECT w, coalesce(replace(s, '|' || b.l || '||' || b.r || '|',
+                             '|' || b.l || b.r || '|'), s) AS s, freq
+  FROM {prev} LEFT JOIN b{k} b ON TRUE
 )""")
         prev = f"w{k}"
     step_sql = ",\n".join(steps)
@@ -2090,6 +2098,10 @@ BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
 def _bpe_oracle() -> str:
+    """Unrolled train oracle; same exhaustion-safe ``w{k}`` fallback as
+    :func:`_bpe_encode_oracle` (empty ``b{k}`` carries the frame, and
+    its step contributes zero merge rows — matching Spark's early
+    ``break``)."""
     steps = []
     prev = "w0"
     finals = []
@@ -2105,9 +2117,9 @@ b{k} AS MATERIALIZED (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{k} AS MATERIALIZED (
-  SELECT replace(s, '|' || b.l || '||' || b.r || '|',
-                 '|' || b.l || b.r || '|') AS s, freq
-  FROM {prev} CROSS JOIN b{k} b
+  SELECT coalesce(replace(s, '|' || b.l || '||' || b.r || '|',
+                          '|' || b.l || b.r || '|'), s) AS s, freq
+  FROM {prev} LEFT JOIN b{k} b ON TRUE
 )""")
         finals.append(
             f"SELECT {k} AS step, l AS lft, r AS rgt, l || r AS merged, "

@@ -114,12 +114,24 @@ from .spec import QuerySpec
 #: construction (the oracle IS the rebuild) in the local 3-SF sweep and
 #: the pytest suite, and the MERGE machinery it exercises stays graded
 #: through the insert-only/upsert paths inside the control-flow rows.
+#: Round-9 swap (r8 verdict ask #4), displacement-with-reason:
+#: ``dedup_cluster_representative`` → ``rank_ndcg_eval``.  Ranking/eval
+#: is a capability class with ZERO driver-graded rows (the integer
+#: nDCG@10 of the bm25/cosine/RRF retrieval triple is its strongest
+#: member — pure integer identity, shared precomputed log-discount
+#: literals) while dedup held SIX (minhash-LSH, cluster-representative,
+#: incremental, decontaminate, image-ahash, substring-spans).  The
+#: displaced row's machinery stays graded: the iterative CC label
+#: propagation runs INSIDE ``pipeline_curation_v3`` (graded) and
+#: cluster-keyed grouping inside ``split_by_cluster`` (graded); the
+#: keep-longest representative rule stays pinned by the local 3-SF
+#: sweep and the pytest suite, and the op stays in the bench HEADLINE.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
     "corpus_bpe_encode",
     "dedup_minhash_lsh",
-    "dedup_cluster_representative",
+    "rank_ndcg_eval",
     "rec_als_rank1",
     "dedup_incremental",
     "doc_decontaminate",

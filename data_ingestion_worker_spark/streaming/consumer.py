@@ -60,7 +60,18 @@ def parse_job_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
 
 class JobStreamConsumer:
-    """readStream(inbox) -> foreachBatch(route + process) with checkpoint."""
+    """readStream(inbox) -> foreachBatch(route + process) with checkpoint.
+
+    Batch-snapshot asymmetry (documented, test-pinned): fresh jobs in a
+    microbatch share ONE set of plans, so the J2 existing-email check
+    reads contacts as of batch START — job B does not see contacts job A
+    consolidates in the same trigger (the same race the reference has
+    whenever two workers poll SQS concurrently).  The per-job FALLBACK
+    below (taken only when the shared batch plan itself dies) processes
+    jobs sequentially and therefore DOES see same-trigger contacts — the
+    two paths can legitimately annotate the same inbox differently.
+    Strictly sequential semantics are available by construction via
+    ``max_files_per_trigger=1`` (one job per microbatch)."""
 
     def __init__(self, spark: SparkSession, store: ControlStore,
                  inbox_dir: str, checkpoint_dir: str,

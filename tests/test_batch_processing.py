@@ -285,3 +285,19 @@ def test_batch_resume_after_partial_crash(spark, tmp_path, monkeypatch):
     assert all(r["job_status"] == "NEEDS_REVIEW" for r in jrows.values())
     assert all(r["job_issue_count"] == 2 for r in jrows.values())
     assert store.read("issues").count() == 4
+
+
+def test_batch_duplicate_message_last_key_wins(spark, tmp_path):
+    """ADVICE r8: two messages for the SAME job inside one trigger —
+    the later one carrying a corrected s3_key — must process the
+    corrected key, mirroring the retry path's fresh_keys override (the
+    old first-wins dedup silently dropped the correction)."""
+    store = ControlStore(spark, str(tmp_path / "ctl"))
+    proc = JobProcessor(spark, store)
+    bad = str(tmp_path / "missing.csv")           # never written
+    good = _csv(tmp_path, "good.csv", VALID.format(p="v"))
+    actions, errors = proc.process_jobs([(1, bad), (1, good)])
+    assert errors == {}, errors
+    assert actions == {1: "initial"}
+    staged = store.read("staging").count()
+    assert staged == 2  # the corrected CSV's two rows, not an ingest error

@@ -110,6 +110,9 @@ BNLJ_ALLOWED = {
     "stats_theil_inequality",  # one-row corpus-totals broadcast cross
     "feat_woe_iv",         # one-row (G, B) + one-row IV-total scalars
     "rank_ndcg_eval",      # inherits rrf's query-vector/scalar crosses
+    "rank_mrr_eval",       # same rrf scaffold (query-vector/scalar crosses)
+    "rank_map_eval",       # same rrf scaffold
+    "rank_rbo_eval",       # same rrf scaffold
     "ev_dickey_fuller",    # _dense_daily's span-scalar + type-domain cross
     "stats_cohens_d",      # |types|-row stats table × itself (pair enum)
     "ev_decomposition_strength",  # inherits decompose's spine crosses
@@ -293,6 +296,9 @@ SP_ALLOWED = {
     "stats_theil_inequality",   # one-row corpus-totals reduction
     "feat_woe_iv",              # one-row totals + IV-sum reductions
     "rank_ndcg_eval",           # rrf's scalars + one-row DCG reduction
+    "rank_mrr_eval",            # rrf's scalars + one-row first-hit MIN
+    "rank_map_eval",            # rrf's scalars + one-row AP reduction
+    "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -329,6 +335,9 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_bh_fdr",         # C(|types|,2)-row test family
     "stats_holm_bonferroni",  # same C(|types|,2)-row test family
     "rank_ndcg_eval",       # <= BM25_TOPK candidate rows (constant k)
+    "rank_mrr_eval",        # same <= BM25_TOPK pool (rrf-rank window)
+    "rank_map_eval",        # same pool (3 cumulative-hit windows)
+    "rank_rbo_eval",        # same pool (rrf-rank window)
 }
 
 

@@ -2416,3 +2416,50 @@ def test_bpe_batched_chain_equals_sequential(spark):
                 f"{chain.__name__} diverges on {words_list[:6]}..."
             e1 = {r["w"]: r["s"] for r in f1.collect()}
             assert e1 == e2, chain.__name__
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
+    """ADVICE r8: the unrolled BPE oracles run exactly BPE_MERGES CTE
+    steps; on a corpus that exhausts its mergeable pairs early, b{k}
+    goes empty and a CROSS JOIN would empty w{k} and every later step
+    (encode oracle returns zero rows while Spark keeps its final
+    frame).  The w{k} fallback (LEFT JOIN ON TRUE + coalesce) must
+    carry the frame, so Spark and DuckDB agree on degenerate corpora
+    too — pinned here because the registry corpus never exhausts at 64
+    merges."""
+    import duckdb
+
+    from data_ingestion_worker_spark.operators.text import (
+        BPE_ENCODE_ORACLE,
+        BPE_TRAIN_ORACLE,
+        corpus_bpe_encode,
+        corpus_bpe_train,
+    )
+
+    # Two tiny docs: every word fully merges after a handful of steps,
+    # far short of BPE_MERGES=64.
+    texts = ["aa aa ab", "ab aa b c"]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "s", len(t), len(t.split())) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string, n_chars long, "
+        "n_tokens long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+
+    for fn, oracle in ((corpus_bpe_train, BPE_TRAIN_ORACLE),
+                       (corpus_bpe_encode, BPE_ENCODE_ORACLE)):
+        sdf = fn(spark, sf)
+        cols = sorted(sdf.columns)
+        spark_rows = sorted(
+            tuple(str(r[c]) for c in cols) for r in sdf.collect())
+        res = con.execute(oracle)
+        names = [d[0] for d in res.description]
+        duck_rows = sorted(
+            tuple(str(row[names.index(c)]) for c in cols)
+            for row in res.fetchall())
+        assert spark_rows, f"{fn.__name__}: Spark side empty"
+        assert spark_rows == duck_rows, fn.__name__

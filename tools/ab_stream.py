@@ -66,11 +66,19 @@ def main() -> None:
         "runs": runs,
         "phase1_jpm": stats(p1),
         "phase2_jpm": stats(p2),
-        # Median per-stage split (phase 1) so the spread is attributable.
+        # Median per-stage splits (BOTH phases) so a spread is
+        # attributable — r8's committed detail showed review-phase route
+        # at 12.6 s of 31.2 s with no phase-2 medians on record to
+        # adjudicate it (r8 verdict ask #2).
         "phase1_stage_median": {
             k: round(statistics.median(d["stage1"].get(k, 0.0)
                                        for d in details), 2)
             for k in sorted({k for d in details for k in d["stage1"]})
+        },
+        "phase2_stage_median": {
+            k: round(statistics.median(d["stage2"].get(k, 0.0)
+                                       for d in details), 2)
+            for k in sorted({k for d in details for k in d["stage2"]})
         },
     }
     print(json.dumps(summary), flush=True)
