@@ -3738,11 +3738,264 @@ WHERE CAST(CAST(m AS DECIMAL(38,0)) * q_tr - s_tr * s_tr
 """
 
 
+def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test comparing the churn-survival curves
+    of two user cohorts — users who ever emitted an ``error`` event vs
+    users who never did: "does a bad experience shorten lifetime?"
+    The two-sample companion of :func:`ev_survival_curve` (same
+    lifetime/censoring conventions — lifetime = last−first day, death
+    = inactive for the final :data:`SURVIVAL_CENSOR_DAYS`), and the
+    categorical-exposure sibling of the cohort-LTV readout.
+
+    Identity: at each lifetime day t with d_t total deaths, n_t at
+    risk and (d1_t, n1_t) the error cohort's share, the expected
+    cohort-1 deaths are E_t = d_t·n1_t/n_t and the hypergeometric
+    variance V_t = d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1);
+    z = Σ(d1_t−E_t)/√ΣV_t, χ² = z².
+
+    Exactness: E_t is a pure integer division
+    ``(1e6·d_t·n1_t) div n_t`` (micro units, truncation == floor on
+    non-negatives); V_t is one fixed double product chain floored to
+    micro units per row, so both Σ are order-free BIGINT sums; z and
+    χ² are single shared double readouts floored at 6 decimals
+    (documented ulp-at-floor risk, the transcendental-site
+    convention).  V_t = 0 when n_t ≤ 1 by the CASE guard both engines
+    share.  100 TB note: the integer E_t numerator is
+    1e6·d_t·n1_t — promote to DECIMAL(38,0) before multiplying if
+    cohort sizes approach 1e6 users per lifetime-day row.
+
+    Scale: one per-user aggregate, a ≤31-row lifetime-day table
+    (observation-window-bounded), cumulative windows over that
+    bounded table only (the survival-curve precedent), one-row
+    readout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.max((F.col("event_type") == "error").cast("long")).alias("grp"),
+    )
+    horizon = e.agg(F.max(F.to_date("ts")).alias("_h"))
+    marked = pu.crossJoin(F.broadcast(horizon)).select(
+        "grp",
+        F.datediff("last_day", "first_day").alias("day"),
+        (F.datediff(F.col("_h"), F.col("last_day"))
+         >= SURVIVAL_CENSOR_DAYS).cast("long").alias("died"),
+    )
+    tbl = marked.groupBy("day").agg(
+        F.sum("died").alias("d"),
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("died") * F.col("grp")).alias("d1"),
+        F.sum("grp").alias("x1"),
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_before = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1)
+    n = (F.sum("x").over(w_all)
+         - F.coalesce(F.sum("x").over(w_before), F.lit(0)))
+    n1 = (F.sum("x1").over(w_all)
+          - F.coalesce(F.sum("x1").over(w_before), F.lit(0)))
+    t = tbl.select("day", "d", "d1", n.alias("n"), n1.alias("n1"))
+    e1 = F.expr("(1000000 * d * n1) div n").cast("long")
+    v = F.when(
+        F.col("n") > 1,
+        F.floor(F.col("d").cast("double") * F.col("n1")
+                * (F.col("n") - F.col("n1")) * (F.col("n") - F.col("d"))
+                / (F.col("n").cast("double") * F.col("n")
+                   * (F.col("n") - 1)) * 1000000.0),
+    ).otherwise(F.lit(0)).cast("long")
+    agg = t.agg(
+        F.sum("d1").cast("long").alias("deaths_err"),
+        F.sum("d").cast("long").alias("deaths_all"),
+        F.sum(e1).cast("long").alias("e1_micro"),
+        F.sum(v).cast("long").alias("v_micro"),
+    )
+    users = marked.agg(
+        F.sum("grp").cast("long").alias("n_err_users"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    j = agg.crossJoin(F.broadcast(users))
+    z_raw = ((F.lit(1000000.0) * F.col("deaths_err") - F.col("e1_micro"))
+             / (F.lit(1000.0) * F.sqrt(F.col("v_micro").cast("double"))))
+    z = F.when(F.col("v_micro") > 0,
+               F.floor(z_raw * 1000000.0) / 1000000.0).otherwise(F.lit(0.0))
+    chi2 = F.when(F.col("v_micro") > 0,
+                  F.floor(z_raw * z_raw * 1000000.0) / 1000000.0) \
+        .otherwise(F.lit(0.0))
+    return j.select(
+        "n_users", "n_err_users", "deaths_all", "deaths_err",
+        "e1_micro", "v_micro", z.alias("z"), chi2.alias("chi2"),
+    )
+
+
+LOGRANK_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld,
+         CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS grp
+  FROM events GROUP BY 1
+),
+h AS (SELECT max(CAST(ts AS DATE)) AS hd FROM events),
+marked AS (
+  SELECT grp, CAST(date_diff('day', fd, ld) AS INTEGER) AS day,
+         CASE WHEN date_diff('day', ld, hd) >= {SURVIVAL_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS died
+  FROM pu, h
+),
+tbl AS (
+  SELECT day, CAST(sum(died) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(died * grp) AS BIGINT) AS d1,
+         CAST(sum(grp) AS BIGINT) AS x1
+  FROM marked GROUP BY 1
+),
+t AS (
+  SELECT day, d, d1,
+         CAST(sum(x) OVER ()
+              - coalesce(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n,
+         CAST(sum(x1) OVER ()
+              - coalesce(sum(x1) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+  FROM tbl
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS deaths_err,
+         CAST(sum(d) AS BIGINT) AS deaths_all,
+         CAST(sum((1000000 * d * n1) // n) AS BIGINT) AS e1_micro,
+         CAST(sum(CASE WHEN n > 1 THEN
+           CAST(floor(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                      / (CAST(n AS DOUBLE) * n * (n - 1)) * 1000000.0)
+                AS BIGINT) ELSE 0 END) AS BIGINT) AS v_micro
+  FROM t
+),
+users AS (
+  SELECT CAST(sum(grp) AS BIGINT) AS n_err_users,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM marked
+)
+SELECT n_users, n_err_users, deaths_all, deaths_err, e1_micro, v_micro,
+       CASE WHEN v_micro > 0 THEN
+         floor((1000000.0 * deaths_err - e1_micro)
+               / (1000.0 * sqrt(CAST(v_micro AS DOUBLE)))
+               * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS z,
+       CASE WHEN v_micro > 0 THEN
+         floor(((1000000.0 * deaths_err - e1_micro)
+                / (1000.0 * sqrt(CAST(v_micro AS DOUBLE))))
+               * ((1000000.0 * deaths_err - e1_micro)
+                  / (1000.0 * sqrt(CAST(v_micro AS DOUBLE))))
+               * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS chi2
+FROM agg CROSS JOIN users
+"""
+
+
+def ev_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across event types, blocked by calendar day —
+    the nonparametric repeated-measures ANOVA: "do the event types
+    carry systematically different daily volume, judged only by their
+    WITHIN-day ordering?"  Blocking by day removes the day-to-day
+    global swing that an unblocked Kruskal–Wallis (which this suite
+    also ships) would count as noise; the pair is the standard
+    paired-vs-unpaired duo.
+
+    Exactness: within-day AVERAGE ranks over the zero-filled
+    :func:`_dense_daily` spine, kept integer as DOUBLED ranks —
+    2R = rank_asc + (k − rank_desc + 1), which equals twice the
+    mid-rank on ties with no fractions.  With S_j = Σ_days 2R_j and
+    the uncorrected statistic (no tie-correction term; documented),
+    χ² = (3·ΣS_j² − 3·n²·k·(k+1)²) / (n·k·(k+1)) — every term an
+    exact DECIMAL(38,0) product, one double division floored at 6
+    decimals.  Sanity identity: Σ_j S_j = n·k·(k+1) by construction.
+
+    Scale: the day×type rank windows partition by day (calendar-
+    bounded rows per partition); per-type sums are a |types|-row
+    aggregate; the corpus-constant readout is a one-row broadcast
+    cross, the entropy-identity output convention.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dense = _dense_daily(e)
+    wup = Window.partitionBy("day").orderBy("n")
+    wdn = Window.partitionBy("day").orderBy(F.desc("n"))
+    wd = Window.partitionBy("day")
+    r = dense.select(
+        "day", "event_type",
+        (F.rank().over(wup)
+         + F.count(F.lit(1)).over(wd) - F.rank().over(wdn) + 1)
+        .cast("long").alias("r2"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r2").alias("s2r"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_days").alias("n"),
+        F.sum(F.col("s2r").cast("decimal(38,0)") * F.col("s2r"))
+        .alias("ss"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("decimal(38,0)")
+    kd = F.col("k").cast("decimal(38,0)")
+    num = (F.lit(3).cast("decimal(38,0)") * F.col("ss")
+           - F.lit(3).cast("decimal(38,0)") * nd * nd * kd
+           * (kd + 1) * (kd + 1))
+    den = nd * kd * (kd + 1)
+    chi2 = F.floor(num.cast("double") / den.cast("double")
+                   * 1000000.0) / 1000000.0
+    return j.select(
+        "event_type", "n_days",
+        F.col("k").cast("long").alias("k_types"),
+        F.col("s2r").cast("long").alias("s2r"),
+        F.expr("(1000 * s2r) div (2 * n_days)").cast("long")
+        .alias("mean_rank_milli"),
+        chi2.alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+FRIEDMAN_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+r AS (
+  SELECT day, event_type,
+         CAST(rank() OVER (PARTITION BY day ORDER BY n)
+              + count(*) OVER (PARTITION BY day)
+              - rank() OVER (PARTITION BY day ORDER BY n DESC) + 1
+              AS BIGINT) AS r2
+  FROM dense
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(r2) AS BIGINT) AS s2r
+  FROM r GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n_days) AS BIGINT) AS n,
+         CAST(sum(CAST(s2r AS DECIMAL(38,0)) * s2r) AS DECIMAL(38,0))
+           AS ss
+  FROM g
+)
+SELECT event_type, n_days, k AS k_types, s2r,
+       (1000 * s2r) // (2 * n_days) AS mean_rank_milli,
+       floor(CAST(CAST(3 AS DECIMAL(38,0)) * ss
+                  - CAST(3 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                    * n * k * (k + 1) * (k + 1) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * k * (k + 1) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS chi2,
+       k - 1 AS df
+FROM g CROSS JOIN tot
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_decomposition_strength": QuerySpec(ev_decomposition_strength,
                                            DECOMPOSITION_STRENGTH_ORACLE),
     "ev_attribution_position": QuerySpec(ev_attribution_position,
                                          ATTRIBUTION_POSITION_ORACLE),
+    "ev_friedman_test": QuerySpec(ev_friedman_test, FRIEDMAN_ORACLE),
+    "ev_logrank_test": QuerySpec(ev_logrank_test, LOGRANK_ORACLE),
     "ev_dickey_fuller": QuerySpec(ev_dickey_fuller,
                                   DICKEY_FULLER_ORACLE),
     "stats_conformal_interval": QuerySpec(stats_conformal_interval,

@@ -352,6 +352,131 @@ FROM per_dim GROUP BY label
 """
 
 
+def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Simplified (centroid-based) silhouette of the gold labels in
+    embedding space — a(i) = distance to the OWN label's centroid,
+    b(i) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b)
+    — the cluster-separation audit next to ARI/margin: ARI grades a
+    clustering against the labels, the silhouette grades whether the
+    labels are even geometrically coherent (the full silhouette's
+    O(n²) pairwise distances replaced by the standard centroid
+    approximation — the 100 TB-viable form).
+
+    Exactness: with S_c the integer SUM vector of cluster c (never the
+    fractional mean), ‖x − S_c/n_c‖²·n_c² = n_c²‖x‖² − 2n_c(x·S_c) +
+    ‖S_c‖² is an exact BIGINT per (row, cluster); dist² = that/(n_c²)
+    is one double division shared verbatim by both engines, sqrt is
+    IEEE-correctly-rounded, and each row's s is floor-quantized to
+    micro units BEFORE the per-label mean (order-free integer sum; the
+    mean is one integer division, truncation identical across engines
+    on negatives).  100 TB note: promote the n_c² products to
+    DECIMAL(38,0) when clusters approach 1e6 rows.
+
+    Scale: one exploded-dims scan builds centroids (|labels|×dim
+    rows); the per-(row, cluster) dot is a dim-key join whose volume
+    is rows × |labels| × dim — |labels| is the bounded domain, so the
+    shape is linear in the corpus; the centroid stats broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_QVEC).alias("qv")
+    ).localCheckpoint(eager=True)
+    dims = e.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
+    cent = dims.groupBy(F.col("label").alias("c"), "d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("nc"))
+    cstat = cent.groupBy("c").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+        F.max("nc").alias("nc"))
+    xnorm = dims.groupBy("vec_id", "label").agg(
+        F.sum(F.col("v") * F.col("v")).alias("x2"))
+    dots = dims.join(cent.select("c", "d", "s"), "d").groupBy(
+        "vec_id", "c").agg(F.sum(F.col("v") * F.col("s")).alias("dot"))
+    dist = (
+        dots.join(F.broadcast(cstat), "c").join(xnorm, "vec_id")
+        .select(
+            "vec_id", "label", "c",
+            ((F.col("nc") * F.col("nc") * F.col("x2")
+              - F.lit(2) * F.col("nc") * F.col("dot") + F.col("ss2"))
+             .cast("double")
+             / (F.col("nc") * F.col("nc")).cast("double")).alias("d2"),
+        )
+    )
+    per = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c") == F.col("label"), F.col("d2")))
+        .alias("a2"),
+        F.min(F.when(F.col("c") != F.col("label"), F.col("d2")))
+        .alias("b2"),
+    )
+    s_raw = ((F.sqrt("b2") - F.sqrt("a2"))
+             / F.greatest(F.sqrt("a2"), F.sqrt("b2")))
+    s_micro = F.when(F.greatest(F.col("a2"), F.col("b2")) > 0,
+                     F.floor(s_raw * 1000000.0)) \
+        .otherwise(F.lit(0)).cast("long")
+    out = per.select("label", s_micro.alias("sm")).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("sm").cast("long").alias("sil_sum_micro"),
+    )
+    return out.select(
+        "label", "n_vecs", "sil_sum_micro",
+        F.expr("sil_sum_micro div n_vecs").cast("long")
+        .alias("sil_mean_micro"),
+    )
+
+
+SILHOUETTE_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {QUANT}) AS BIGINT)
+           AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS c, d, CAST(sum(v) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM dims GROUP BY 1, 2
+),
+cstat AS (
+  SELECT c, CAST(sum(s * s) AS BIGINT) AS ss2,
+         CAST(max(nc) AS BIGINT) AS nc
+  FROM cent GROUP BY 1
+),
+xnorm AS (
+  SELECT vec_id, label, CAST(sum(v * v) AS BIGINT) AS x2
+  FROM dims GROUP BY 1, 2
+),
+dots AS (
+  SELECT dims.vec_id, cent.c, CAST(sum(dims.v * cent.s) AS BIGINT) AS dot
+  FROM dims JOIN cent USING (d) GROUP BY 1, 2
+),
+dist AS (
+  SELECT dots.vec_id, xnorm.label, dots.c,
+         CAST(cstat.nc * cstat.nc * xnorm.x2
+              - 2 * cstat.nc * dots.dot + cstat.ss2 AS DOUBLE)
+           / CAST(cstat.nc * cstat.nc AS DOUBLE) AS d2
+  FROM dots JOIN cstat USING (c) JOIN xnorm USING (vec_id)
+),
+per AS (
+  SELECT vec_id, label,
+         min(CASE WHEN c = label THEN d2 END) AS a2,
+         min(CASE WHEN c <> label THEN d2 END) AS b2
+  FROM dist GROUP BY 1, 2
+),
+sm AS (
+  SELECT label,
+         CASE WHEN greatest(a2, b2) > 0 THEN
+           CAST(floor((sqrt(b2) - sqrt(a2))
+                      / greatest(sqrt(a2), sqrt(b2)) * 1000000.0)
+                AS BIGINT)
+         ELSE 0 END AS s_micro
+  FROM per
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_micro) AS BIGINT) AS sil_sum_micro,
+       CAST(sum(s_micro) AS BIGINT) // count(*) AS sil_mean_micro
+FROM sm GROUP BY 1
+"""
+
+
 def _ivf_cells(spark: SparkSession, sf_dir: str, nprobe: int):
     """Coarse-quantizer cell selection shared by the plain IVF search
     and the composed IVF-PQ index: returns ``(e, cells)`` where ``e``
@@ -3105,6 +3230,8 @@ SPECS: dict[str, QuerySpec] = {
                                    _hybrid_rrf_oracle()),
     "rank_ndcg_eval": QuerySpec(rank_ndcg_eval, _ndcg_oracle()),
     "rank_mrr_eval": QuerySpec(rank_mrr_eval, _mrr_oracle()),
+    "emb_silhouette_simplified": QuerySpec(emb_silhouette_simplified,
+                                           SILHOUETTE_ORACLE),
     "rank_map_eval": QuerySpec(rank_map_eval, _map_oracle()),
     "rank_rbo_eval": QuerySpec(rank_rbo_eval, _rbo_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),

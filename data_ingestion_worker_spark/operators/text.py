@@ -2263,6 +2263,96 @@ FROM diag CROSS JOIN rc
 """
 
 
+def stats_mcc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the binary "is English?"
+    decision (the :func:`doc_lang_id` / Cohen's-kappa marker heuristic
+    predicting 'en') against the gold label — the single-number
+    binary-classifier grade that, unlike accuracy or F1, stays honest
+    under class imbalance (a skewed corpus is exactly where a
+    language gate gets deployed).  Kappa (multi-class, above) and MCC
+    (binary) are the two chance-robust views a labeling pipeline
+    reports together.
+
+    Exactness: the confusion counts are one scan's integer sums;
+    MCC = (TP·TN − FP·FN) / (√((TP+FP)(TP+FN)) · √((TN+FP)(TN+FN)))
+    with every product promoted to DECIMAL(38,0) BEFORE multiplying
+    (house wrap rule).  IEEE sqrt is correctly rounded in both libms,
+    so the denominator is the same double on both engines given the
+    same factor grouping (kept identical: two sqrt factors, never
+    sqrt of the 4-way product — which could overflow and rounds
+    differently); readout floored at 6 decimals.  A zero marginal
+    (degenerate corpus) yields MCC = 0 by convention, guarded in both
+    engines.
+
+    Scale: one corpus scan into a 4-integer reduction — nothing else.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = {code: marker_count(F.col("text"), m)
+         for code, m in LANG_MARKERS.items()}
+    pred = ((s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] > 0))
+    lab = F.col("lang") == "en"
+
+    def c(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    cells = d.agg(
+        c(pred & lab).alias("tp"), c(pred & ~lab).alias("fp"),
+        c(~pred & lab).alias("fn"), c(~pred & ~lab).alias("tn"),
+    )
+    num = (F.col("tp").cast("decimal(38,0)") * F.col("tn")
+           - F.col("fp").cast("decimal(38,0)") * F.col("fn"))
+    d1 = ((F.col("tp") + F.col("fp")).cast("decimal(38,0)")
+          * (F.col("tp") + F.col("fn")))
+    d2 = ((F.col("tn") + F.col("fp")).cast("decimal(38,0)")
+          * (F.col("tn") + F.col("fn")))
+    mcc = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.floor(num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+                * 1000000.0) / 1000000.0,
+    ).otherwise(F.lit(0.0))
+    return cells.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+MCC_LANGID_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         {_S['en']} AS s_en, {_S['de']} AS s_de,
+         {_S['es']} AS s_es, {_S['fr']} AS s_fr
+  FROM documents
+),
+cm AS (
+  SELECT CAST(sum(CASE WHEN pred AND lab THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(sum(CASE WHEN pred AND NOT lab THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(sum(CASE WHEN NOT pred AND lab THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn,
+         CAST(sum(CASE WHEN NOT pred AND NOT lab THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM (
+    SELECT (s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0)
+             AS pred,
+           lang = 'en' AS lab
+    FROM s
+  )
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn) > 0
+             AND CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn) > 0
+       THEN floor(CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                       - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+                  / (sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(tn + fp AS DECIMAL(38,0)) * (tn + fn)
+                                 AS DOUBLE)))
+                  * 1000000.0) / 1000000.0
+       ELSE 0.0 END AS mcc
+FROM cm
+"""
+
+
 def stats_mutual_information(spark: SparkSession, sf_dir: str) \
         -> DataFrame:
     """Mutual information (and normalized MI) between a document's
@@ -2542,6 +2632,7 @@ SPECS: dict[str, QuerySpec] = {
     "doc_char_entropy": QuerySpec(doc_char_entropy, CHAR_ENTROPY_ORACLE),
     "stats_cohens_kappa": QuerySpec(stats_cohens_kappa,
                                     COHENS_KAPPA_ORACLE),
+    "stats_mcc_langid": QuerySpec(stats_mcc_langid, MCC_LANGID_ORACLE),
     "corpus_js_divergence": QuerySpec(corpus_js_divergence,
                                       JS_DIVERGENCE_ORACLE),
     "stats_mutual_information": QuerySpec(stats_mutual_information,

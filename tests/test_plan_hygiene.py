@@ -113,6 +113,9 @@ BNLJ_ALLOWED = {
     "rank_mrr_eval",       # same rrf scaffold (query-vector/scalar crosses)
     "rank_map_eval",       # same rrf scaffold
     "rank_rbo_eval",       # same rrf scaffold
+    "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
+    "ev_logrank_test",     # one-row O/E/V reduction × one-row user totals
+                           # + the survival horizon scalar
     "ev_dickey_fuller",    # _dense_daily's span-scalar + type-domain cross
     "stats_cohens_d",      # |types|-row stats table × itself (pair enum)
     "ev_decomposition_strength",  # inherits decompose's spine crosses
@@ -299,6 +302,9 @@ SP_ALLOWED = {
     "rank_mrr_eval",            # rrf's scalars + one-row first-hit MIN
     "rank_map_eval",            # rrf's scalars + one-row AP reduction
     "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
+    "stats_mcc_langid",         # one-row 4-count confusion reduction
+    "ev_friedman_test",         # one-row (n, k, ΣS²) scalar reduction
+    "ev_logrank_test",          # one-row O/E/V + user-totals reductions
 }
 
 #: Subset whose SinglePartition exchange feeds a *Window* operator.  Only
@@ -319,6 +325,8 @@ WINDOW_OVER_SP_ALLOWED = {
     "stats_benford",        # <=9 first-digit rows (fixed digit domain)
     "corpus_growth_curve",  # <=10 decile rows (fixed bucket count)
     "ev_survival_curve",    # <=31 lifetime-day rows (observation window)
+    "ev_logrank_test",      # same <=31-row lifetime-day table (at-risk
+                            # cumulative windows, survival-curve twin)
     "abc_revenue_classes",  # ABC_PARTITIONS-row offset agg (constant)
     "ev_peak_concurrency",  # CONC_PARTITIONS-row offset agg (constant)
     "profile_drift_daily",  # <=|observation-window| daily rows
