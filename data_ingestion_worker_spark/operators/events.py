@@ -3738,6 +3738,160 @@ WHERE CAST(CAST(m AS DECIMAL(38,0)) * q_tr - s_tr * s_tr
 """
 
 
+def ev_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) readout per
+    event type: split the zero-filled daily series at the midpoint day
+    t0 (a deterministic stand-in for a deploy/policy date), fit exact
+    OLS separately pre and post, and report the LEVEL jump at t0 and
+    the SLOPE change — the workhorse quasi-experimental design when an
+    A/B was impossible and all you have is before/after (completes the
+    causal family next to diff-in-diff and CUPED, which both need a
+    control group; ITS's control is the pre-period trend itself).
+
+    Exactness: with integer day index t and integer daily counts y,
+    each segment's OLS is pure power sums — D = mΣt²−(Σt)²,
+    slope = (mΣty−ΣtΣy)/D, fitted value at t0 =
+    (ΣyΣt²−ΣtΣty + t0·(mΣty−ΣtΣy))/D — every numerator an exact
+    DECIMAL(38,0) product (the stats_linreg_exact convention), one
+    double division per readout, floored at 6 decimals.  Segments with
+    D ≤ 0 (under two distinct days) are excluded in both engines.
+
+    Scale: one dense-spine aggregate into TWO power-sum rows per event
+    type (conditional aggregation, no second scan); the day-span
+    scalar is a one-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dense = _dense_daily(e)
+    span = e.agg(F.min(F.to_date("ts")).alias("d0"),
+                 F.max(F.to_date("ts")).alias("d1"))
+    with_t = dense.crossJoin(F.broadcast(span)).select(
+        "event_type", "n",
+        F.datediff("day", "d0").cast("long").alias("t"),
+        F.expr("datediff(d1, d0) div 2").cast("long").alias("t0"),
+    )
+    seg = with_t.withColumn("post", (F.col("t") >= F.col("t0"))
+                            .cast("int"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    def sums(flag: int, suffix: str) -> list:
+        p = F.col("post") == flag
+        z = F.lit(0).cast("long")
+        return [
+            F.sum(F.when(p, 1).otherwise(0)).cast("long")
+            .alias(f"m{suffix}"),
+            F.sum(F.when(p, F.col("t")).otherwise(z)).cast("long")
+            .alias(f"st{suffix}"),
+            F.sum(F.when(p, F.col("n")).otherwise(z)).cast("long")
+            .alias(f"sy{suffix}"),
+            F.sum(F.when(p, F.col("t") * F.col("n")).otherwise(z))
+            .cast("long").alias(f"sty{suffix}"),
+            F.sum(F.when(p, F.col("t") * F.col("t")).otherwise(z))
+            .cast("long").alias(f"stt{suffix}"),
+        ]
+
+    g = seg.groupBy("event_type").agg(
+        *sums(0, "_pre"), *sums(1, "_post"), F.max("t0").alias("t0"))
+    d_pre = dec("m_pre") * dec("stt_pre") - dec("st_pre") * dec("st_pre")
+    d_post = (dec("m_post") * dec("stt_post")
+              - dec("st_post") * dec("st_post"))
+    slope_num_pre = (dec("m_pre") * dec("sty_pre")
+                     - dec("st_pre") * dec("sy_pre"))
+    slope_num_post = (dec("m_post") * dec("sty_post")
+                      - dec("st_post") * dec("sy_post"))
+    fit_num_pre = (dec("sy_pre") * dec("stt_pre")
+                   - dec("st_pre") * dec("sty_pre")
+                   + dec("t0") * slope_num_pre)
+    fit_num_post = (dec("sy_post") * dec("stt_post")
+                    - dec("st_post") * dec("sty_post")
+                    + dec("t0") * slope_num_post)
+    f6 = lambda c: F.floor(c * 1000000.0) / 1000000.0  # noqa: E731
+    pre_slope = f6(slope_num_pre.cast("double") / d_pre.cast("double"))
+    post_slope = f6(slope_num_post.cast("double") / d_post.cast("double"))
+    level_change = f6(fit_num_post.cast("double") / d_post.cast("double")
+                      - fit_num_pre.cast("double") / d_pre.cast("double"))
+    slope_change = f6(slope_num_post.cast("double") / d_post.cast("double")
+                      - slope_num_pre.cast("double") / d_pre.cast("double"))
+    return g.filter((d_pre > 0) & (d_post > 0)).select(
+        "event_type",
+        F.col("m_pre").alias("n_pre"), F.col("m_post").alias("n_post"),
+        "t0",
+        pre_slope.alias("pre_slope"), post_slope.alias("post_slope"),
+        slope_change.alias("slope_change"),
+        level_change.alias("level_change"),
+    )
+
+
+INTERRUPTED_TS_ORACLE = f"""
+WITH {_DENSE_DAILY_SQL},
+sp AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+wt AS (
+  SELECT event_type, n,
+         CAST(date_diff('day', d0, day) AS BIGINT) AS t,
+         CAST(date_diff('day', d0, d1) // 2 AS BIGINT) AS t0
+  FROM dense CROSS JOIN sp
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN t < t0 THEN 1 ELSE 0 END) AS BIGINT) AS m_pre,
+         CAST(sum(CASE WHEN t < t0 THEN t ELSE 0 END) AS BIGINT) AS st_pre,
+         CAST(sum(CASE WHEN t < t0 THEN n ELSE 0 END) AS BIGINT) AS sy_pre,
+         CAST(sum(CASE WHEN t < t0 THEN t * n ELSE 0 END) AS BIGINT)
+           AS sty_pre,
+         CAST(sum(CASE WHEN t < t0 THEN t * t ELSE 0 END) AS BIGINT)
+           AS stt_pre,
+         CAST(sum(CASE WHEN t >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_post,
+         CAST(sum(CASE WHEN t >= t0 THEN t ELSE 0 END) AS BIGINT)
+           AS st_post,
+         CAST(sum(CASE WHEN t >= t0 THEN n ELSE 0 END) AS BIGINT)
+           AS sy_post,
+         CAST(sum(CASE WHEN t >= t0 THEN t * n ELSE 0 END) AS BIGINT)
+           AS sty_post,
+         CAST(sum(CASE WHEN t >= t0 THEN t * t ELSE 0 END) AS BIGINT)
+           AS stt_post,
+         CAST(max(t0) AS BIGINT) AS t0
+  FROM wt GROUP BY 1
+),
+r AS (
+  SELECT event_type, m_pre, m_post, t0,
+         CAST(m_pre AS DECIMAL(38,0)) * stt_pre
+           - CAST(st_pre AS DECIMAL(38,0)) * st_pre AS d_pre,
+         CAST(m_post AS DECIMAL(38,0)) * stt_post
+           - CAST(st_post AS DECIMAL(38,0)) * st_post AS d_post,
+         CAST(m_pre AS DECIMAL(38,0)) * sty_pre
+           - CAST(st_pre AS DECIMAL(38,0)) * sy_pre AS sn_pre,
+         CAST(m_post AS DECIMAL(38,0)) * sty_post
+           - CAST(st_post AS DECIMAL(38,0)) * sy_post AS sn_post,
+         CAST(sy_pre AS DECIMAL(38,0)) * stt_pre
+           - CAST(st_pre AS DECIMAL(38,0)) * sty_pre
+           + CAST(t0 AS DECIMAL(38,0))
+             * (CAST(m_pre AS DECIMAL(38,0)) * sty_pre
+                - CAST(st_pre AS DECIMAL(38,0)) * sy_pre) AS fn_pre,
+         CAST(sy_post AS DECIMAL(38,0)) * stt_post
+           - CAST(st_post AS DECIMAL(38,0)) * sty_post
+           + CAST(t0 AS DECIMAL(38,0))
+             * (CAST(m_post AS DECIMAL(38,0)) * sty_post
+                - CAST(st_post AS DECIMAL(38,0)) * sy_post) AS fn_post
+  FROM g
+)
+SELECT event_type, m_pre AS n_pre, m_post AS n_post, t0,
+       floor(CAST(sn_pre AS DOUBLE) / CAST(d_pre AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS pre_slope,
+       floor(CAST(sn_post AS DOUBLE) / CAST(d_post AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS post_slope,
+       floor((CAST(sn_post AS DOUBLE) / CAST(d_post AS DOUBLE)
+              - CAST(sn_pre AS DOUBLE) / CAST(d_pre AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS slope_change,
+       floor((CAST(fn_post AS DOUBLE) / CAST(d_post AS DOUBLE)
+              - CAST(fn_pre AS DOUBLE) / CAST(d_pre AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS level_change
+FROM r WHERE d_pre > 0 AND d_post > 0
+"""
+
+
 def ev_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank (Mantel–Cox) test comparing the churn-survival curves
     of two user cohorts — users who ever emitted an ``error`` event vs
@@ -3996,6 +4150,8 @@ SPECS: dict[str, QuerySpec] = {
                                          ATTRIBUTION_POSITION_ORACLE),
     "ev_friedman_test": QuerySpec(ev_friedman_test, FRIEDMAN_ORACLE),
     "ev_logrank_test": QuerySpec(ev_logrank_test, LOGRANK_ORACLE),
+    "ev_interrupted_ts": QuerySpec(ev_interrupted_ts,
+                                   INTERRUPTED_TS_ORACLE),
     "ev_dickey_fuller": QuerySpec(ev_dickey_fuller,
                                   DICKEY_FULLER_ORACLE),
     "stats_conformal_interval": QuerySpec(stats_conformal_interval,

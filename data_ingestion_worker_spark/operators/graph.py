@@ -1346,6 +1346,166 @@ FROM {prev_d}
 
 KCORE_ORACLE = _kcore_oracle()
 
+
+#: k-truss parameters: keep edges supported by >= KTRUSS_K - 2
+#: triangles, for KTRUSS_ROUNDS bounded peel rounds (the k-core /
+#: PageRank fixed-unroll pattern — the oracle mirrors each round
+#: exactly; full convergence would need data-dependent iteration).
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (u < v) edge list —
+    the degree-ordered oriented-wedge enumeration of
+    :func:`graph_triangle_count` (same O(m^1.5) bound, cited there),
+    with each triangle exploded back to its three canonical edges."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    e = (
+        und.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+    )
+    u_first = (
+        F.struct(F.col("du.deg"), F.col("u"))
+        < F.struct(F.col("dv.deg"), F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
+        .alias("ddeg"),
+    ).localCheckpoint(eager=False)
+    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
+        oriented.alias("cl")
+    tri = (
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
+                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
+        .join(cl, (F.col("cl.src") == F.col("o1.dst"))
+              & (F.col("cl.dst") == F.col("o2.dst")))
+        .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"),
+                F.col("o2.dst").alias("c"))
+    )
+    edges3 = tri.select(F.explode(F.array(
+        F.struct(F.least("a", "b").alias("u"),
+                 F.greatest("a", "b").alias("v")),
+        F.struct(F.least("a", "c").alias("u"),
+                 F.greatest("a", "c").alias("v")),
+        F.struct(F.least("b", "c").alias("u"),
+                 F.greatest("b", "c").alias("v")),
+    )).alias("e")).select("e.u", "e.v")
+    return edges3.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("sup"))
+
+
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-truss peeling on the part co-order graph: iteratively
+    drop edges supported by fewer than k−2 triangles — the EDGE-grade
+    density filter one notch stronger than k-core (a k-core keeps a
+    sparse star's hub; a k-truss keeps only edges embedded in
+    triangle-dense neighborhoods — cohesive "bought-together" motifs,
+    not mere popularity).  Cohen (2008)'s trusses, as bounded rounds.
+
+    Each round recomputes per-edge support INSIDE the surviving
+    subgraph via the same degree-ordered oriented wedge enumeration as
+    :func:`graph_triangle_count` (O(m^1.5) wedges, no hub blowup) and
+    keeps edges with support ≥ KTRUSS_K−2; edges in no triangle have
+    no support row and fall out of the inner join.  KTRUSS_ROUNDS
+    fixed rounds (the k-core unroll pattern — the oracle mirrors each
+    round); output = the surviving edges with their support as
+    measured in the LAST round's subgraph (the value the final filter
+    judged — documented, so no third enumeration is spent on
+    reporting).
+
+    Exactness: everything is joins and integer counts.  Scale: wedge
+    volume shrinks monotonically per round; each round is the
+    triangle-count plan plus one edge-key aggregate.
+    """
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    ).distinct()
+    a, b = lo.alias("a"), lo.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KTRUSS_ROUNDS):
+        # Support keys are edges of `und` in >= 1 triangle (a subset of
+        # und), so the filtered support table IS the surviving edge
+        # list — triangle-free edges fall out with it.
+        sup = _edge_support(und.select("u", "v"))
+        und = (
+            sup.filter(F.col("sup") >= KTRUSS_K - 2)
+            .localCheckpoint(eager=False)
+        )
+    return und.select(
+        F.col("u").alias("part_u"), F.col("v").alias("part_v"),
+        F.col("sup").alias("support"),
+    )
+
+
+def _ktruss_oracle(rounds: int = KTRUSS_ROUNDS) -> str:
+    parts = []
+    prev = "und0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+deg{i} AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev}
+  ) GROUP BY 1
+),
+o{i} AS (
+  SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS src,
+         CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS dst,
+         CASE WHEN (du.deg, u) < (dv.deg, v) THEN dv.deg ELSE du.deg END
+           AS ddeg
+  FROM {prev}
+  JOIN deg{i} du ON du.node = {prev}.u
+  JOIN deg{i} dv ON dv.node = {prev}.v
+),
+tri{i} AS (
+  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+  FROM o{i} o1
+  JOIN o{i} o2 ON o1.src = o2.src
+              AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)
+  JOIN o{i} cl ON cl.src = o1.dst AND cl.dst = o2.dst
+),
+sup{i} AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri{i}
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri{i}
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri{i}
+  ) GROUP BY 1, 2
+),
+und{i} AS MATERIALIZED (
+  SELECT e.u, e.v, s.sup FROM {prev} e
+  JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+  WHERE s.sup >= {KTRUSS_K - 2}
+)""")
+        prev = f"und{i}"
+    return f"""
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+),
+und0 AS MATERIALIZED (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.s < b.s
+),{",".join(parts)}
+SELECT u AS part_u, v AS part_v, sup AS support FROM {prev}
+"""
+
+
+KTRUSS_ORACLE = _ktruss_oracle()
+
 #: BFS hop bound (and the unrolled-oracle depth).
 BFS_MAX_HOPS = 3
 
@@ -2051,6 +2211,7 @@ SPECS: dict[str, QuerySpec] = {
     "graph_degree_assortativity": QuerySpec(graph_degree_assortativity,
                                             ASSORTATIVITY_ORACLE),
     "graph_k_core": QuerySpec(graph_k_core, KCORE_ORACLE),
+    "graph_k_truss": QuerySpec(graph_k_truss, KTRUSS_ORACLE),
     "graph_bfs_distance": QuerySpec(graph_bfs_distance, BFS_ORACLE),
     "graph_pagerank_weighted": QuerySpec(graph_pagerank_weighted,
                                          PAGERANK_WEIGHTED_ORACLE),

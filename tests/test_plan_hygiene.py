@@ -114,6 +114,8 @@ BNLJ_ALLOWED = {
     "rank_map_eval",       # same rrf scaffold
     "rank_rbo_eval",       # same rrf scaffold
     "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
+    "ev_interrupted_ts",   # _dense_daily's spine scalars + the one-row
+                           # (d0, d1) day-span cross
     "ev_logrank_test",     # one-row O/E/V reduction × one-row user totals
                            # + the survival horizon scalar
     "ev_dickey_fuller",    # _dense_daily's span-scalar + type-domain cross
@@ -304,6 +306,7 @@ SP_ALLOWED = {
     "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
     "stats_mcc_langid",         # one-row 4-count confusion reduction
     "ev_friedman_test",         # one-row (n, k, ΣS²) scalar reduction
+    "ev_interrupted_ts",        # one-row (d0, d1) day-span reduction
     "ev_logrank_test",          # one-row O/E/V + user-totals reductions
 }
 
