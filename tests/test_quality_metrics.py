@@ -69,3 +69,46 @@ def test_curation_v2_is_a_strict_subset_of_e2e(spark, sf_dir):
     total1 = sum(n for n, _ in v1.values())
     total2 = sum(n for n, _ in v2.values())
     assert 0 < total2 < total1   # the new gates actually drop something
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    """emb_silhouette_simplified must equal a from-scratch numpy
+    centroid-silhouette over the same quantized vectors (sum-vector
+    identity, per-row micro floor, truncating integer mean) — pinning
+    the n²-scaled distance algebra against the textbook formula."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_worker_spark.operators.similarity import (
+        QUANT,
+        emb_silhouette_simplified,
+    )
+    from data_ingestion_worker_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([[round(float(x) * QUANT) for x in r["embedding"]]
+                  for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows])
+    sums = {c: X[labels == c].sum(axis=0) for c in set(labels)}
+    ns = {c: int((labels == c).sum()) for c in set(labels)}
+    per_label_sum = {c: 0 for c in set(labels)}
+    for x, own in zip(X, labels):
+        d2 = {}
+        for c in sums:
+            num = (ns[c] ** 2 * int(x @ x) - 2 * ns[c] * int(x @ sums[c])
+                   + int(sums[c] @ sums[c]))
+            d2[c] = num / (ns[c] * ns[c])
+        a = math.sqrt(d2[own])
+        b = math.sqrt(min(v for c, v in d2.items() if c != own))
+        m = max(a, b)
+        per_label_sum[own] += math.floor((b - a) / m * 1e6) if m > 0 else 0
+    got = {r["label"]: r for r in emb_silhouette_simplified(spark, sf_dir)
+           .collect()}
+    for c in sums:
+        assert got[c]["n_vecs"] == ns[c]
+        assert got[c]["sil_sum_micro"] == per_label_sum[c], c
+        # div truncates toward zero on both engines:
+        q = abs(per_label_sum[c]) // ns[c]
+        expect_mean = q if per_label_sum[c] >= 0 else -q
+        assert got[c]["sil_mean_micro"] == expect_mean, c

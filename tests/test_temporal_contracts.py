@@ -297,3 +297,101 @@ def _math_floor4(x: float) -> float:
     import math
 
     return math.floor(x * 10000.0) / 10000.0
+
+
+def _write_events(spark, tmp_path, rows):
+    """(ts_day_offset, user_id, event_type) rows -> a tmp events table."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + _dt.timedelta(days=d, minutes=i % 60), u, et, 1.0, "{}")
+        for i, (d, u, et) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_interrupted_ts_recovers_known_jump(spark, tmp_path):
+    """On an exactly piecewise-linear daily series (pre: 10+2t, post:
+    50+5t, 14 days, t0=6) ev_interrupted_ts must read back the exact
+    slopes and the exact level jump at t0 — segmented OLS on noiseless
+    data is an identity, so any deviation is a formula bug."""
+    from data_ingestion_worker_spark.operators.events import (
+        ev_interrupted_ts,
+    )
+
+    rows = []
+    u = 0
+    for t in range(14):
+        y = 10 + 2 * t if t < 6 else 50 + 5 * t
+        for _ in range(y):
+            rows.append((t, u % 7, "a"))
+            u += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in ev_interrupted_ts(spark, sf)
+           .collect()}
+    r = got["a"]
+    assert (r["n_pre"], r["n_post"], r["t0"]) == (6, 8, 6)
+    assert r["pre_slope"] == 2.0
+    assert r["post_slope"] == 5.0
+    assert r["slope_change"] == 3.0
+    # fit at t0: pre 10+2*6=22, post 50+5*6=80 -> jump 58.
+    assert r["level_change"] == 58.0
+
+
+def test_logrank_matches_python_reference(spark, tmp_path):
+    """ev_logrank_test must equal a from-scratch textbook Mantel-Cox
+    computation (same lifetime/censoring conventions and the same
+    micro quantization) on a fixture with controlled lifetimes: error
+    cohort churns early, clean cohort lives long."""
+    import math
+
+    from data_ingestion_worker_spark.operators.events import (
+        SURVIVAL_CENSOR_DAYS,
+        ev_logrank_test,
+    )
+
+    # (user, lifetime_days, in_error_cohort); horizon pinned by the
+    # longest-lived user (20), so lifetime <= 17 means death.
+    spec = [(1, 2, True), (2, 4, True), (3, 6, True), (4, 20, True),
+            (5, 8, False), (6, 10, False), (7, 12, False),
+            (8, 20, False)]
+    rows = []
+    for u, life, err in spec:
+        rows.append((0, u, "error" if err else "view"))
+        rows.append((life, u, "view"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = ev_logrank_test(spark, sf).collect()[0]
+
+    horizon = max(life for _, life, _ in spec)
+    marked = [(1 if err else 0, life,
+               1 if horizon - life >= SURVIVAL_CENSOR_DAYS else 0)
+              for _, life, err in spec]
+    days = sorted({d for _, d, _ in marked})
+    e1_micro = v_micro = deaths_err = deaths_all = 0
+    for t in days:
+        n = sum(1 for _, d, _ in marked if d >= t)
+        n1 = sum(1 for g, d, _ in marked if d >= t and g)
+        d_t = sum(1 for _, d, died in marked if d == t and died)
+        d1_t = sum(1 for g, d, died in marked if d == t and died and g)
+        deaths_all += d_t
+        deaths_err += d1_t
+        e1_micro += (1000000 * d_t * n1) // n
+        if n > 1:
+            v_micro += math.floor(
+                float(d_t) * n1 * (n - n1) * (n - d_t)
+                / (float(n) * n * (n - 1)) * 1000000.0)
+    z = math.floor((1000000.0 * deaths_err - e1_micro)
+                   / (1000.0 * math.sqrt(v_micro)) * 1000000.0) / 1e6
+    assert (got["n_users"], got["n_err_users"]) == (8, 4)
+    assert (got["deaths_all"], got["deaths_err"]) == (deaths_all,
+                                                      deaths_err)
+    assert (got["e1_micro"], got["v_micro"]) == (e1_micro, v_micro)
+    assert got["z"] == z
+    # Error cohort dies earlier than expected under H0 -> positive z.
+    assert z > 0
