@@ -74,8 +74,11 @@ PROBE_REF_SEC = 0.78
 #: 0.899-1.345 s; the r8 contention window pushed it to 2.266 s.  A
 #: marker above the band triggers ONE legacy-19 re-measure pass and the
 #: better pass is kept (both totals recorded) — the rerun-on-outlier
-#: policy from the r8 verdict.
-Q1_BAND_MAX_SEC = 1.6
+#: policy from the r8 verdict.  1.5 = band max + ~12% headroom (the
+#: first round-9 close run measured q1 = 1.527 in a warm post-gate
+#: window and slipped under the initial 1.6 — tightened so a
+#: band-breaching marker always triggers the re-measure).
+Q1_BAND_MAX_SEC = 1.5
 
 
 def _calibration_probe(iters: int = 20_000_000) -> float:
