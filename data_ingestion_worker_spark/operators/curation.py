@@ -482,6 +482,88 @@ def _pack_oracle() -> str:
         budget=PACK_BUDGET)
 
 
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What PACK_SHARDS costs in tail waste — the efficiency audit of
+    :func:`pack_sequences`'s concat-and-split layout.  Within a stream
+    (one (source, shard) concatenation) there is no padding by
+    construction; waste exists ONLY at each stream's tail (the last
+    pack is part-filled).  More shards = more parallel sort streams =
+    more tails: this report prices that dial per source —
+    ``packs_used = Σ_streams ⌈stream_tokens/budget⌉`` vs the
+    single-stream ideal ``⌈total_tokens/budget⌉``, and
+    ``waste_ppm = 1e6·(packs_used·budget − total)/(packs_used·budget)``
+    — the fraction of trained-token slots that would be padding.
+
+    Exactness: ceilings are ``(x + budget − 1) div budget`` integer
+    divisions; everything else is integer sums.  Scale: reuses the
+    packer's per-(source, shard) aggregate — one extra reduction, no
+    new sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(hash64(F.concat(F.lit("pack:"),
+                                   F.col("doc_id").cast("string"))),
+                   F.lit(PACK_SHARDS))
+    n_tok = bpe_token_count(F.col("text"))
+    streams = (
+        d.select("source", shard.cast("int").alias("shard"),
+                 n_tok.cast("long").alias("n_tok"))
+        .groupBy("source", "shard")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("n_tok").alias("tok"))
+    )
+    per_src = streams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streams"),
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        # Σ⌈tok/b⌉: sum of per-stream integer ceilings.
+        F.sum(F.expr(f"(tok + {PACK_BUDGET} - 1) div {PACK_BUDGET}"))
+        .cast("long").alias("packs_used"),
+    )
+    ideal = F.expr(
+        f"(total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET}")
+    waste = (F.col("packs_used") * PACK_BUDGET - F.col("total_tokens"))
+    return per_src.select(
+        "source", "n_docs", "n_streams", "total_tokens", "packs_used",
+        ideal.cast("long").alias("packs_ideal"),
+        waste.cast("long").alias("tail_waste_tokens"),
+        F.expr(f"(1000000 * (packs_used * {PACK_BUDGET} - total_tokens))"
+               f" div (packs_used * {PACK_BUDGET})").cast("long")
+        .alias("waste_ppm"),
+    )
+
+
+def _pack_efficiency_oracle() -> str:
+    bucket = hash64_sql("'pack:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST({bucket} % {PACK_SHARDS} AS INT) AS shard,
+         {_bpe_sql()} AS n_tok
+  FROM documents
+),
+streams AS (
+  SELECT source, shard, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_tok) AS BIGINT) AS tok
+  FROM base GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_streams,
+         CAST(sum(docs) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(sum((tok + {PACK_BUDGET} - 1) // {PACK_BUDGET}) AS BIGINT)
+           AS packs_used
+  FROM streams GROUP BY 1
+)
+SELECT source, n_docs, n_streams, total_tokens, packs_used,
+       (total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS packs_ideal,
+       packs_used * {PACK_BUDGET} - total_tokens AS tail_waste_tokens,
+       (1000000 * (packs_used * {PACK_BUDGET} - total_tokens))
+         // (packs_used * {PACK_BUDGET}) AS waste_ppm
+FROM per_src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic training order (shuffle-shards)
 # ---------------------------------------------------------------------------
@@ -799,6 +881,8 @@ SPECS: dict[str, QuerySpec] = {
                                       LENGTH_HIST_ORACLE),
     "split_balance": QuerySpec(split_balance, SPLIT_BALANCE_ORACLE),
     "pack_sequences": QuerySpec(pack_sequences, _pack_oracle()),
+    "pack_efficiency_report": QuerySpec(pack_efficiency_report,
+                                        _pack_efficiency_oracle()),
     "dedup_keep_best": QuerySpec(dedup_keep_best, KEEP_BEST_ORACLE),
     "token_bigram_pmi": QuerySpec(token_bigram_pmi, PMI_ORACLE),
     "corpus_token_budget_plan": QuerySpec(corpus_token_budget_plan,

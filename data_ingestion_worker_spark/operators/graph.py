@@ -1506,6 +1506,116 @@ SELECT u AS part_u, v AS part_v, sup AS support FROM {prev}
 
 KTRUSS_ORACLE = _ktruss_oracle()
 
+
+#: Rich-club degree thresholds — a fixed geometric ladder (literal in
+#: both engines) so the curve is comparable across corpus scales.
+RICH_CLUB_KS = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the part co-order graph
+    (Colizza et al., Nature Physics 2006): for each degree threshold
+    k, the edge density among nodes of degree > k —
+    φ(k) = 2·E_k / (N_k·(N_k−1)).  A rising φ(k) says the hubs form
+    their own densely-wired club (popular parts co-ordered with each
+    other, not just with the long tail) — the structural signal behind
+    hub-first partitioning and cache-the-club serving layouts, and the
+    natural companion of :func:`graph_degree_assortativity` (one
+    number) — this is the full curve.
+
+    Exactness: N_k and E_k are integer counts (an edge is in the club
+    iff the SMALLER endpoint degree exceeds k); φ is one integer ppm
+    division per threshold.  Scale: one degree aggregate, one
+    edges⋈deg join to tag each edge with min(deg_u, deg_v), then a
+    |K|-fan-out conditional count — the threshold ladder is a
+    broadcast literal, never a data-dependent domain.
+    """
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    ).distinct()
+    a, b = lo.alias("a"), lo.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    emin = (
+        edges.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(F.least("du.deg", "dv.deg").alias("mind"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k).cast("long")
+                            for k in RICH_CLUB_KS])).alias("k"))
+    e_k = (
+        ks.join(emin, F.col("mind") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    n_k = (
+        ks.join(deg, F.col("deg") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    out = (
+        n_k.join(e_k, "k", "left")
+        .select("k", "n_nodes",
+                F.coalesce("n_edges", F.lit(0)).alias("n_edges"))
+        .filter(F.col("n_nodes") >= 2)
+    )
+    return out.select(
+        "k", "n_nodes", "n_edges",
+        F.expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
+        .cast("long").alias("phi_ppm"),
+    )
+
+
+def _rich_club_oracle() -> str:
+    ks_csv = ", ".join(str(k) for k in RICH_CLUB_KS)
+    return f"""
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM lo a JOIN lo b ON a.ok = b.ok AND a.s < b.s
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+),
+emin AS (
+  SELECT least(du.deg, dv.deg) AS mind
+  FROM und JOIN deg du ON du.node = und.u
+           JOIN deg dv ON dv.node = und.v
+),
+ks AS (SELECT CAST(unnest([{ks_csv}]) AS BIGINT) AS k),
+e_k AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM ks JOIN emin ON mind > k GROUP BY 1
+),
+n_k AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM ks JOIN deg ON deg > k GROUP BY 1
+)
+SELECT n_k.k, n_nodes, coalesce(n_edges, 0) AS n_edges,
+       (2000000 * coalesce(n_edges, 0)) // (n_nodes * (n_nodes - 1))
+         AS phi_ppm
+FROM n_k LEFT JOIN e_k ON n_k.k = e_k.k
+WHERE n_nodes >= 2
+"""
+
+
+RICH_CLUB_ORACLE = _rich_club_oracle()
+
 #: BFS hop bound (and the unrolled-oracle depth).
 BFS_MAX_HOPS = 3
 
@@ -2212,6 +2322,7 @@ SPECS: dict[str, QuerySpec] = {
                                             ASSORTATIVITY_ORACLE),
     "graph_k_core": QuerySpec(graph_k_core, KCORE_ORACLE),
     "graph_k_truss": QuerySpec(graph_k_truss, KTRUSS_ORACLE),
+    "graph_rich_club": QuerySpec(graph_rich_club, RICH_CLUB_ORACLE),
     "graph_bfs_distance": QuerySpec(graph_bfs_distance, BFS_ORACLE),
     "graph_pagerank_weighted": QuerySpec(graph_pagerank_weighted,
                                          PAGERANK_WEIGHTED_ORACLE),

@@ -114,6 +114,8 @@ BNLJ_ALLOWED = {
     "rank_map_eval",       # same rrf scaffold
     "rank_rbo_eval",       # same rrf scaffold
     "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
+    "graph_rich_club",     # 8-literal threshold ladder × deg/edge tables
+                           # (range predicate deg>k — bounded fan-out 8)
     "ev_interrupted_ts",   # _dense_daily's spine scalars + the one-row
                            # (d0, d1) day-span cross
     "ev_logrank_test",     # one-row O/E/V reduction × one-row user totals
