@@ -1719,6 +1719,164 @@ FROM weighted GROUP BY b
 """
 
 
+#: Permutation-test replicates (same md5-draw machinery as the
+#: bootstrap: _DRAWS_PER_MD5 four-hex-digit draws per digest).
+PERM_RESAMPLES = 64
+_PERM_BLOCKS = PERM_RESAMPLES // _DRAWS_PER_MD5
+#: The two event-type groups the test compares.
+PERM_GROUPS = ("click", "view")
+
+
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation (randomization) test for the mean-value
+    difference between two event types — the distribution-free
+    companion of :func:`stats_welch_ttest`: instead of trusting the
+    t reference distribution, relabel the pooled sample B times and
+    ask how often a relabeling beats the observed difference.  The
+    relabeling is the scalable independent-Bernoulli form (each pooled
+    row joins group 1 with probability n1/n via a deterministic
+    md5-threshold draw; replicate group sizes are Binomial, not fixed
+    — documented, standard for one-pass engines), and the p-value uses
+    the add-one convention p = (1 + #extreme)/(B + 1).
+
+    Exactness: the p-value is EXACTLY integer — "replicate b is at
+    least as extreme" is decided by the cross-multiplied comparison
+    |S1_b·n0_b − S0_b·n1_b|·(n1·n0) ≥ |S1·n0 − S0·n1|·(n1_b·n0_b)
+    over DECIMAL(38,0) products of integer milli-quantized sums, so no
+    division ever happens inside the decision; the reported observed
+    difference is an integer-micro readout.  Draws are pure functions
+    of md5(block, event_id) hex substrings (the bootstrap idiom), so
+    every replicate is bit-stable under any shuffle order.
+
+    Scale: one scan fans out ×B via explode, map-side combine
+    collapses each partition to ≤B rows before the B-key shuffle; the
+    observed row and the group-size threshold are one-row broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*PERM_GROUPS))
+    q = F.floor(F.col("value") * F.lit(1000.0)).cast("long")
+    base = ev.select(
+        (F.col("event_type") == PERM_GROUPS[0]).alias("g_obs"),
+        q.alias("q"),
+        *[F.expr(f"md5(concat('perm:', '{blk}', ':', "
+                 "cast(event_id as string)))").alias(f"h{blk}")
+          for blk in range(_PERM_BLOCKS)],
+    ).localCheckpoint(eager=False)
+    obs = base.agg(
+        F.sum(F.when(F.col("g_obs"), 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("g_obs"), 1).otherwise(0)).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("g_obs"), F.col("q")).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(~F.col("g_obs"), F.col("q")).otherwise(0))
+        .cast("long").alias("s0"),
+    ).withColumn("thr", F.expr("(65536 * n1) div (n1 + n0)"))
+    r = base.select(
+        "q", *[f"h{blk}" for blk in range(_PERM_BLOCKS)],
+        F.explode(F.sequence(F.lit(1), F.lit(PERM_RESAMPLES))).alias("b"),
+    ).crossJoin(F.broadcast(obs.select("thr")))
+    digest = "".join(
+        f"WHEN {blk} THEN h{blk} " for blk in range(_PERM_BLOCKS))
+    h = (f"conv(substring(CASE (b - 1) div {_DRAWS_PER_MD5} {digest}END, "
+         f"1 + 4 * ((b - 1) % {_DRAWS_PER_MD5}), 4), 16, 10)")
+    tagged = r.withColumn("g", F.expr(f"cast({h} as bigint)")
+              < F.col("thr"))
+    reps = tagged.groupBy("b").agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).cast("long")
+        .alias("n1b"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0)).cast("long")
+        .alias("n0b"),
+        F.sum(F.when(F.col("g"), F.col("q")).otherwise(0)).cast("long")
+        .alias("s1b"),
+        F.sum(F.when(~F.col("g"), F.col("q")).otherwise(0)).cast("long")
+        .alias("s0b"),
+    )
+    j = reps.crossJoin(F.broadcast(obs))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = (F.abs(dec("s1b") * dec("n0b") - dec("s0b") * dec("n1b"))
+           * (dec("n1") * dec("n0")))
+    rhs = (F.abs(dec("s1") * dec("n0") - dec("s0") * dec("n1"))
+           * (dec("n1b") * dec("n0b")))
+    extreme = j.filter((F.col("n1b") > 0) & (F.col("n0b") > 0)) \
+        .agg(F.sum(F.when(lhs >= rhs, 1).otherwise(0)).cast("long")
+             .alias("n_extreme"))
+    out = obs.crossJoin(F.broadcast(extreme))
+    return out.select(
+        "n1", "n0",
+        F.expr("(1000000 * s1) div n1 - (1000000 * s0) div n0")
+        .cast("long").alias("diff_obs_micro"),
+        F.lit(PERM_RESAMPLES).cast("long").alias("b_resamples"),
+        "n_extreme",
+        F.expr(f"(1000000 * (1 + n_extreme)) div ({PERM_RESAMPLES} + 1)")
+        .cast("long").alias("p_ppm"),
+    )
+
+
+_PERM_DIGEST_SQL = "".join(
+    f"WHEN {blk} THEN h{blk} " for blk in range(_PERM_BLOCKS))
+_PERM_H_SQL = (
+    f"(('0x' || substr(CASE (b - 1) // {_DRAWS_PER_MD5} "
+    f"{_PERM_DIGEST_SQL}END, "
+    f"1 + 4 * ((b - 1) % {_DRAWS_PER_MD5}), 4))::BIGINT)"
+)
+
+PERMUTATION_ORACLE = f"""
+WITH base AS (
+  SELECT event_type = '{PERM_GROUPS[0]}' AS g_obs,
+         CAST(floor(value * 1000.0) AS BIGINT) AS q,
+         {", ".join(
+             f"md5('perm:' || '{blk}' || ':' || CAST(event_id AS VARCHAR))"
+             f" AS h{blk}" for blk in range(_PERM_BLOCKS))}
+  FROM events WHERE event_type IN ('{PERM_GROUPS[0]}', '{PERM_GROUPS[1]}')
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN g_obs THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g_obs THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g_obs THEN q ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN g_obs THEN 0 ELSE q END) AS BIGINT) AS s0
+  FROM base
+),
+obs_t AS (SELECT *, (65536 * n1) // (n1 + n0) AS thr FROM obs),
+r AS (
+  SELECT q, {", ".join(f"h{blk}" for blk in range(_PERM_BLOCKS))},
+         CAST(unnest(range(1, {PERM_RESAMPLES} + 1)) AS INT) AS b,
+         thr
+  FROM base CROSS JOIN obs_t
+),
+reps AS (
+  SELECT b,
+         CAST(sum(CASE WHEN {_PERM_H_SQL} < thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1b,
+         CAST(sum(CASE WHEN {_PERM_H_SQL} < thr THEN 0 ELSE 1 END)
+              AS BIGINT) AS n0b,
+         CAST(sum(CASE WHEN {_PERM_H_SQL} < thr THEN q ELSE 0 END)
+              AS BIGINT) AS s1b,
+         CAST(sum(CASE WHEN {_PERM_H_SQL} < thr THEN 0 ELSE q END)
+              AS BIGINT) AS s0b
+  FROM r GROUP BY 1
+),
+ext AS (
+  SELECT CAST(sum(CASE WHEN
+           abs(CAST(s1b AS DECIMAL(38,0)) * n0b
+               - CAST(s0b AS DECIMAL(38,0)) * n1b)
+             * (CAST(n1 AS DECIMAL(38,0)) * n0)
+           >= abs(CAST(s1 AS DECIMAL(38,0)) * n0
+                  - CAST(s0 AS DECIMAL(38,0)) * n1)
+             * (CAST(n1b AS DECIMAL(38,0)) * n0b)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM reps CROSS JOIN obs
+  WHERE n1b > 0 AND n0b > 0
+)
+SELECT n1, n0,
+       (1000000 * s1) // n1 - (1000000 * s0) // n0 AS diff_obs_micro,
+       CAST({PERM_RESAMPLES} AS BIGINT) AS b_resamples,
+       n_extreme,
+       (1000000 * (1 + n_extreme)) // ({PERM_RESAMPLES} + 1) AS p_ppm
+FROM obs CROSS JOIN ext
+"""
+
+
 #: Power analysis constants: two-sided α = 0.05, power = 0.80, and the
 #: minimum detectable effect as a fraction of the metric mean.  The z
 #: quantiles are Python-computed once and embedded as identical
@@ -3675,6 +3833,8 @@ SPECS: dict[str, QuerySpec] = {
                                     DIFF_IN_DIFF_ORACLE),
     "stats_bootstrap_means": QuerySpec(stats_bootstrap_means,
                                        BOOTSTRAP_MEANS_ORACLE),
+    "stats_permutation_test": QuerySpec(stats_permutation_test,
+                                        PERMUTATION_ORACLE),
     "stats_psi_drift": QuerySpec(stats_psi_drift, PSI_DRIFT_ORACLE),
     "stats_power_analysis": QuerySpec(stats_power_analysis,
                                       POWER_ANALYSIS_ORACLE),

@@ -116,6 +116,8 @@ BNLJ_ALLOWED = {
     "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
     "graph_rich_club",     # 8-literal threshold ladder × deg/edge tables
                            # (range predicate deg>k — bounded fan-out 8)
+    "stats_permutation_test",  # one-row threshold scalar × fact fan-out
+                               # + B-row × one-row observed cross
     "ev_interrupted_ts",   # _dense_daily's spine scalars + the one-row
                            # (d0, d1) day-span cross
     "ev_logrank_test",     # one-row O/E/V reduction × one-row user totals
@@ -307,6 +309,8 @@ SP_ALLOWED = {
     "rank_map_eval",            # rrf's scalars + one-row AP reduction
     "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
     "stats_mcc_langid",         # one-row 4-count confusion reduction
+    "stats_permutation_test",   # one-row observed sums + B-row replicate
+                                # table + one-row extreme-count reductions
     "ev_friedman_test",         # one-row (n, k, ΣS²) scalar reduction
     "ev_interrupted_ts",        # one-row (d0, d1) day-span reduction
     "ev_logrank_test",          # one-row O/E/V + user-totals reductions
