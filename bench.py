@@ -80,6 +80,34 @@ PROBE_REF_SEC = 0.78
 #: band-breaching marker always triggers the re-measure).
 Q1_BAND_MAX_SEC = 1.5
 
+#: Backstop trigger on the legacy-19 TOTAL itself (round-10, r9 verdict
+#: ask #1): the driver's BENCH_r09 ran in a window where the q1 marker
+#: read 1.482 s — 0.018 s UNDER the 1.5 s trigger — and published
+#: legacy-19 = 21.77 s = 1.55x while the same code measures 15.11 s =
+#: 1.08x quiet.  One 3-run-min marker is a single noisy witness for a
+#: 19-query total, so the total is now its own second witness:
+#: 18.9 s = 1.25 x the best committed quiet legacy-19 on record
+#: (15.112 s, BENCH_DETAIL r9).  The marker stays primary; either
+#: breach re-measures the legacy-19 once and keeps the better pass.
+LEGACY19_TRIGGER_SEC = 18.9
+
+
+def _rerun_reason(q1_sec: float, legacy19_first_sec: float) -> str | None:
+    """Decide whether the contended-window re-measure fires, and why.
+
+    Pure decision function (forced-branch smoke-testable without a
+    SparkSession — tests/test_bench_policy.py): returns ``None`` when
+    both witnesses are in band, else a ``+``-joined reason string.  The
+    sub-threshold-q1 / high-total window that evaded the r9 policy
+    (q1 1.482 < 1.5, total 21.77 > 18.9) returns ``"legacy19_total"``.
+    """
+    reasons = []
+    if q1_sec > Q1_BAND_MAX_SEC:
+        reasons.append("q1_marker")
+    if legacy19_first_sec > LEGACY19_TRIGGER_SEC:
+        reasons.append("legacy19_total")
+    return "+".join(reasons) or None
+
 
 def _calibration_probe(iters: int = 20_000_000) -> float:
     """Fixed single-core pure-Python workload (pinned iteration count):
@@ -334,17 +362,27 @@ def main() -> None:
     legacy = HEADLINE[:LEGACY_19]
     legacy_first = round(sum(timings[n] for n in legacy), 3)
     legacy_rerun = None
-    if timings["q1_pricing_summary"] > Q1_BAND_MAX_SEC:
-        # Marker outside its historical band: this window is contended.
-        # Re-measure the baseline-of-record subset once and keep the
-        # better pass, recording both totals (r8 verdict ask #1 — a
-        # contract-line number must never again be ambiguous).
+    rerun_reason = _rerun_reason(timings["q1_pricing_summary"],
+                                 legacy_first)
+    mixed_window = False
+    if rerun_reason is not None:
+        # Marker outside its historical band OR the legacy-19 total
+        # itself above 1.25x the best committed quiet run: this window
+        # is contended.  Re-measure the baseline-of-record subset once
+        # and keep the better pass, recording both totals (r8 verdict
+        # ask #1; the total backstop is r9 ask #1 — the driver's r9
+        # window evaded the marker by 0.018 s).
         second = measure(legacy)
         legacy_rerun = round(sum(v[0] for v in second.values()), 3)
         if legacy_rerun < legacy_first:
             for name, (lo, hi) in second.items():
                 timings[name] = lo
                 spread[name] = [lo, hi]
+            # The legacy-19 now comes from the rerun window while the
+            # other ~39 headline queries keep first-window timings, so
+            # headline_suite_total mixes two measurement windows — flag
+            # it so the total is attributable (r9 ADVICE low #1).
+            mixed_window = True
     probe_post = round(_calibration_probe(), 3)
     noise_index = round(max(probe_pre, probe_post) / PROBE_REF_SEC, 2)
     total = round(sum(timings.values()), 3)
@@ -371,6 +409,8 @@ def main() -> None:
         "legacy19_total": legacy_total,
         "legacy19_first": legacy_first,
         "legacy19_rerun": legacy_rerun,
+        "rerun_reason": rerun_reason,
+        "mixed_window": mixed_window,
         "host_noise_index": noise_index,
         "probe_sec": [probe_pre, probe_post],
         "probe_ref_sec": PROBE_REF_SEC,
@@ -394,7 +434,10 @@ def main() -> None:
         "runs_per_query": 3,
         "n_queries": len(HEADLINE),
         "legacy19_total": legacy_total,
+        "legacy19_first": legacy_first,
         "legacy19_rerun": legacy_rerun,
+        "rerun_reason": rerun_reason,
+        "mixed_window": mixed_window,
         "host_noise_index": noise_index,
         "top5": top5,
         "stream_jobs_per_min": streaming.get("jobs_per_min"),

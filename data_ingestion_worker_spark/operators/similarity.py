@@ -377,6 +377,17 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) \
     rows); the per-(row, cluster) dot is a dim-key join whose volume
     is rows × |labels| × dim — |labels| is the bounded domain, so the
     shape is linear in the corpus; the centroid stats broadcast.
+
+    Degenerate single-cluster convention (r9 ADVICE): when the corpus
+    holds exactly one label there is no OTHER centroid, so b2 is NULL,
+    the per-row s is NULL, and SUM skips it — ``sil_sum_micro`` (and
+    hence ``sil_mean_micro``) reads 0-ish over rows that contributed
+    nothing while ``n_vecs`` still counts every row.  Identical in
+    both engines (SQL SUM ignores NULLs), and consistent with the
+    standard convention that the silhouette of a single-cluster
+    labelling is undefined/0 (sklearn raises; we emit the degenerate
+    aggregate rather than failing the job).  Callers needing a hard
+    signal should test ``count(distinct label) > 1`` upstream.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_QVEC).alias("qv")

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..control.processor import NOW as PROC_NOW
 from ..control.processor import JobProcessor
 from ..control.store import SCHEMAS, ControlStore
 
@@ -128,9 +129,9 @@ class JobStreamConsumer:
             self.processor._ensure_job(job_id, s3_key)
             self.processor._set_job(
                 job_id,
-                job_status=F.lit("FAILED"),
-                job_error=F.lit(error),
-                job_process_end=F.current_timestamp(),
+                job_status="FAILED",
+                job_error=error,
+                job_process_end=PROC_NOW,
             )
 
     def _clear_failure(self, job_id: int) -> None:

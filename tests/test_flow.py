@@ -211,7 +211,7 @@ def test_resume_after_partial_crash_recreates_issues(env, spark):
     # job never reached a terminal status.
     store.overwrite("issues", store.read("issues").limit(0))
     store.overwrite("issue_items", store.read("issue_items").limit(0))
-    proc._set_job(1, job_status=F.lit("PROCESSING"))
+    proc._set_job(1, job_status="PROCESSING")
     proc.initial(1, csv_path)                    # SQS redelivery resume
     job = _job(store, 1)
     assert job["job_status"] == "NEEDS_REVIEW"   # NOT silently COMPLETED
