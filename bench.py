@@ -234,6 +234,12 @@ HEADLINE = [
     # full winnowing window is still detected (two-sided guarantee,
     # pinned by tests/test_curation.py::test_winnowing_detection_contract).
     "dedup_substring_winnowed",
+    # Round 10: the unigram-LM (SentencePiece-family) tokenizer's
+    # ENCODE half — full train chain (seed -> 2 hard-EM rounds ->
+    # prune) + final-model encode + the per-doc pricing join — benched
+    # next to its BPE sibling so the two tokenizer families' costs
+    # read off adjacent lines (the DOULION/winnowing precedent).
+    "corpus_unigram_encode",
 ]
 
 

@@ -2337,6 +2337,107 @@ agg AS (
 """
 
 
+def rank_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (τ) between each pair of the three
+    retrieval rankings — the rank-eval suite's correlation member next
+    to the overlap member (``rank_rbo_eval``): RBO asks "how much do
+    the PREFIXES agree", τ asks "how consistently do the FULL
+    orderings agree", and a candidate ranker with high nDCG but
+    near-zero τ against production reorders everything it touches.
+    (``ev_kendall_tau_daily`` is the time-series trend twin over daily
+    aggregates; this one compares rankers over a shared candidate
+    pool.)
+
+    Exactness: the three rankings are tie-free row_number permutations
+    of the same pool, so τ-b degenerates to τ-a = (C − D)/(k(k−1)/2)
+    with C, D exact integer pair counts and C + D = k(k−1)/2;
+    ``tau_ppm`` is one integer division (``div`` and ``//`` both
+    truncate toward zero, verified on negatives — the house rule).
+
+    Scale: the pair enumeration is pool × pool over the CONSTANT
+    ≤ BM25_TOPK candidate set (≤ k(k−1)/2 = 190 unordered pairs) —
+    the same bounded-pool argument as the whole rank-eval suite; the
+    corpus-sized work happened in the candidate generators.
+    """
+    ranked = hybrid_search_rrf(spark, sf_dir)
+    wr = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    pool = ranked.withColumn(
+        "rrf_rank", F.row_number().over(wr).cast("int")).select(
+        "doc_id", "bm25_rank", "cos_rank", "rrf_rank")
+    a = pool.select(F.col("doc_id").alias("id_a"),
+                    F.col("bm25_rank").alias("b_a"),
+                    F.col("cos_rank").alias("c_a"),
+                    F.col("rrf_rank").alias("r_a"))
+    b = pool.select(F.col("doc_id").alias("id_b"),
+                    F.col("bm25_rank").alias("b_b"),
+                    F.col("cos_rank").alias("c_b"),
+                    F.col("rrf_rank").alias("r_b"))
+    # Broadcast the right side: the pure range condition would
+    # otherwise materialize as a CartesianProduct (banned outright by
+    # the hygiene suite); as a broadcast nested-loop over the constant
+    # pool it is the reviewed BNLJ shape the allowlist documents.
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+
+    def conc(x: str, y: str) -> F.Column:
+        return F.sum(((F.col(f"{x}_a") < F.col(f"{x}_b"))
+                      == (F.col(f"{y}_a") < F.col(f"{y}_b")))
+                     .cast("long"))
+
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        conc("b", "c").alias("c_bc"),
+        conc("b", "r").alias("c_br"),
+        conc("c", "r").alias("c_cr"),
+    )
+    rows = agg.select(
+        F.expr("stack(3, 'bm25_cosine', c_bc, 'bm25_rrf', c_br, "
+               "'cosine_rrf', c_cr) AS (pair, concordant)"),
+        "n_pairs",
+    )
+    return rows.select(
+        "pair", "n_pairs",
+        F.col("concordant").cast("long").alias("concordant"),
+        (F.col("n_pairs") - F.col("concordant")).cast("long")
+        .alias("discordant"),
+        F.expr("(1000000 * (2 * concordant - n_pairs)) div n_pairs")
+        .cast("long").alias("tau_ppm"),
+    )
+
+
+def _kendall_oracle() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS pair, n_pairs, {col} AS concordant, "
+        f"n_pairs - {col} AS discordant, "
+        f"(1000000 * (2 * {col} - n_pairs)) // n_pairs AS tau_ppm "
+        f"FROM agg"
+        for name, col in [("bm25_cosine", "c_bc"), ("bm25_rrf", "c_br"),
+                          ("cosine_rrf", "c_cr")]
+    )
+    return f"""
+WITH r AS ({_hybrid_rrf_oracle()}),
+rr AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+           AS rrf_rank
+  FROM r
+),
+pairs AS (
+  SELECT CAST(a.bm25_rank < b.bm25_rank AS INT) AS pb,
+         CAST(a.cos_rank < b.cos_rank AS INT) AS pc,
+         CAST(a.rrf_rank < b.rrf_rank AS INT) AS pr
+  FROM rr a JOIN rr b ON a.doc_id < b.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN pb = pc THEN 1 ELSE 0 END) AS BIGINT) AS c_bc,
+         CAST(sum(CASE WHEN pb = pr THEN 1 ELSE 0 END) AS BIGINT) AS c_br,
+         CAST(sum(CASE WHEN pc = pr THEN 1 ELSE 0 END) AS BIGINT) AS c_cr
+  FROM pairs
+)
+{legs}
+"""
+
+
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label norm² distribution — the embedding-quality diagnostic
     run before any ANN/index build: a collapsed encoder shows up as
@@ -3245,6 +3346,7 @@ SPECS: dict[str, QuerySpec] = {
                                            SILHOUETTE_ORACLE),
     "rank_map_eval": QuerySpec(rank_map_eval, _map_oracle()),
     "rank_rbo_eval": QuerySpec(rank_rbo_eval, _rbo_oracle()),
+    "rank_kendall_tau": QuerySpec(rank_kendall_tau, _kendall_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_ORACLE),

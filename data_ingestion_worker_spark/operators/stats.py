@@ -496,6 +496,78 @@ FROM terms
 """
 
 
+def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence for event_type ×
+    hour-of-day — Pearson chi-square's likelihood-based twin
+    (``stats_chi2_independence``), the form additive across partitions
+    of the table and preferred when any expected count is small.
+
+    G = 2 Σ O·ln(O·N / (R·C)) over OBSERVED cells only: a zero cell
+    contributes exactly 0 (x·ln x → 0), so unlike chi2 the full
+    type×hour domain never needs to be generated — the margins join
+    back by key and only the grand total is a scalar cross.
+
+    Exactness: per-cell term = O × (lnq(O·N) − lnq(R·C)) with lnq(x)
+    = floor(ln(x)·1e6) over EXACT BIGINT products (O·N and R·C fit
+    well under 2^53, so the double passed to ln is exact) — the house
+    ln-of-exact-BIGINT convention; the reduction is an order-free
+    BIGINT sum, map-side combinable, and ``g_micro`` = 2·Σ term is
+    exact given the quantized logs.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"))
+    obs = e.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("o"))
+    rows_t = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    cols_h = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    lnq = (lambda col: F.floor(F.log(col.cast("double"))
+                               * F.lit(1000000.0)).cast("long"))
+    cells = (
+        obs.join(rows_t, "event_type").join(cols_h, "h")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.col("o") * (lnq(F.col("o") * F.col("n"))
+                         - lnq(F.col("r") * F.col("c")))
+    return (
+        cells.agg(
+            F.max("n").cast("long").alias("n"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count_distinct("h").alias("n_hours"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            "n",
+            ((F.col("n_types") - 1) * (F.col("n_hours") - 1))
+            .cast("int").alias("df"),
+            (F.lit(2) * F.col("s")).cast("long").alias("g_micro"),
+        )
+    )
+
+
+G_TEST_ORACLE = """
+WITH e AS (SELECT event_type, hour(ts) AS h FROM events),
+obs AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS o
+        FROM e GROUP BY 1, 2),
+rows_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r
+           FROM e GROUP BY 1),
+cols_h AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+terms AS (
+  SELECT n, obs.event_type, obs.h,
+         o * (CAST(floor(ln(o * n) * 1000000) AS BIGINT)
+              - CAST(floor(ln(r * c) * 1000000) AS BIGINT)) AS term
+  FROM obs JOIN rows_t ON rows_t.event_type = obs.event_type
+  JOIN cols_h ON cols_h.h = obs.h
+  CROSS JOIN tot
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT h) - 1)
+            AS INT) AS df,
+       CAST(2 * sum(term) AS BIGINT) AS g_micro
+FROM terms
+"""
+
+
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t statistic (+ Satterthwaite df) for every pair of event
     types, from integer power sums.
@@ -3862,4 +3934,5 @@ SPECS: dict[str, QuerySpec] = {
                                        HIST_QUANTILES_ORACLE),
     "stats_chi2_independence": QuerySpec(stats_chi2_independence,
                                          CHI2_ORACLE),
+    "stats_g_test": QuerySpec(stats_g_test, G_TEST_ORACLE),
 }

@@ -81,6 +81,13 @@ BUDGETS = {
     "doc_char_entropy": 4,             # measured 2 ((doc,ch) + doc aggs)
     "emb_rp_distance_preserve": 5,     # measured 3 (dims + proj + pair join)
     "feat_target_encode_oof": 4,       # measured 2 (cells agg + cat window)
+    # round-10 additions — current count + slack
+    "corpus_unigram_train": 2,         # measured 0 (driver-mode EM)
+    "corpus_unigram_encode": 4,        # measured 2 (per-doc agg + join)
+    "corpus_oov_rate": 4,              # measured 2 (vocab cut + holdout agg)
+    "layout_clustering_depth": 5,      # measured 3 (manifest self-join)
+    "stats_g_test": 8,                 # measured 6 (margins + scalar cross)
+    "rank_kendall_tau": 17,            # measured 14 (rrf scaffold + pairs)
 }
 
 

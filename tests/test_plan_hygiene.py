@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     "doc_salient_terms",   # one-row N aggregate broadcast cross join
     "doc_unigram_logprob",  # one-row corpus-total broadcast cross join
     "stats_chi2_independence",  # tiny-margin cross to generate the domain
+    "stats_g_test",        # one-row grand-total scalar cross (chi2's
+                           # scaffold; margins join back BY KEY — the
+                           # G-test needs no domain fan-out at all)
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "doc_lm_xent_kn",      # one-row bigram-type-count scalar cross
@@ -113,6 +116,9 @@ BNLJ_ALLOWED = {
     "rank_mrr_eval",       # same rrf scaffold (query-vector/scalar crosses)
     "rank_map_eval",       # same rrf scaffold
     "rank_rbo_eval",       # same rrf scaffold
+    "rank_kendall_tau",    # rrf's scalars + pool × pool pair enum over
+                           # the constant <= BM25_TOPK candidate set
+                           # (<= 190 unordered pairs; cohens_d precedent)
     "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
     "graph_rich_club",     # 8-literal threshold ladder × deg/edge tables
                            # (range predicate deg>k — bounded fan-out 8)
@@ -203,6 +209,7 @@ SP_ALLOWED = {
     "hybrid_search_rerank",     # BM25 stage's (N, Σdl) scalar + qvec row
     "hybrid_search_rrf",        # same, + rank windows over <=k candidates
     "stats_chi2_independence",  # one-row grand-total scalar
+    "stats_g_test",             # one-row grand-total scalar (chi2 twin)
     "stats_ks_test",            # one-row per-sample-N scalars + CDF window
     "stats_mannwhitney_u",      # same distributed-ECDF bucket offsets
     "stats_wilcoxon_signed_rank",  # same ECDF offsets + split scalar
@@ -308,6 +315,7 @@ SP_ALLOWED = {
     "rank_mrr_eval",            # rrf's scalars + one-row first-hit MIN
     "rank_map_eval",            # rrf's scalars + one-row AP reduction
     "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
+    "rank_kendall_tau",         # rrf's scalars + one-row C/D reduction
     "stats_mcc_langid",         # one-row 4-count confusion reduction
     "stats_permutation_test",   # one-row observed sums + B-row replicate
                                 # table + one-row extreme-count reductions
@@ -355,6 +363,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "rank_mrr_eval",        # same <= BM25_TOPK pool (rrf-rank window)
     "rank_map_eval",        # same pool (3 cumulative-hit windows)
     "rank_rbo_eval",        # same pool (rrf-rank window)
+    "rank_kendall_tau",     # same <= BM25_TOPK pool (rrf-rank window)
 }
 
 

@@ -2463,3 +2463,181 @@ def test_bpe_oracle_survives_merge_exhaustion(spark, tmp_path):
             for row in res.fetchall())
         assert spark_rows, f"{fn.__name__}: Spark side empty"
         assert spark_rows == duck_rows, fn.__name__
+
+
+# ----------------------------------------------- unigram-LM tokenizer
+
+
+def _ref_unigram_train(freqs):
+    """From-scratch unigram-LM reference (hard-EM, written independently
+    of operators/text.py: memo-dict Viterbi with tuple paths instead of
+    back-pointer arrays, length-major seed loop).  Returns (final piece
+    counts, final costs, per-word (n_pieces, cost))."""
+    import math as _m
+
+    Q = 1_000_000
+
+    def lnq(x):
+        return _m.floor(_m.log(x) * Q)
+
+    def costs(cnts):
+        t = sum(cnts.values())
+        return {p: lnq(t) - lnq(c) for p, c in cnts.items()}
+
+    def em(cost):
+        use, enc = {}, {}
+        for w, f0 in freqs.items():
+            best = {0: (0, ())}
+            for k in range(1, len(w) + 1):
+                opts = []
+                for piece_len in range(1, min(4, k) + 1):
+                    p = w[k - piece_len:k]
+                    if p in cost and (k - piece_len) in best:
+                        prev_cost, prev_path = best[k - piece_len]
+                        opts.append((prev_cost + cost[p], -piece_len,
+                                     prev_path + (p,)))
+                if opts:
+                    c, _, path = min(opts)
+                    best[k] = (c, path)
+            c, path = best[len(w)]
+            enc[w] = (len(path), c)
+            for p in path:
+                use[p] = use.get(p, 0) + f0
+        return use, enc
+
+    seed = {}
+    for piece_len in range(1, 5):
+        for w, f0 in freqs.items():
+            for i in range(len(w) - piece_len + 1):
+                p = w[i:i + piece_len]
+                seed[p] = seed.get(p, 0) + f0
+    if not seed:
+        return {}, {}, {}
+    alphabet = sorted(p for p in seed if len(p) == 1)
+    v0 = {p: seed[p] for p in alphabet}
+    for p, c in sorted(((p, c) for p, c in seed.items() if len(p) > 1),
+                       key=lambda kv: (-kv[1], kv[0]))[:96]:
+        v0[p] = c
+    u1, _ = em(costs(v0))
+    v1 = {p: max(u1.get(p, 0), 1) for p in alphabet}
+    for p, c in sorted(((p, c) for p, c in u1.items() if len(p) > 1),
+                       key=lambda kv: (-kv[1], kv[0]))[:48]:
+        v1[p] = c
+    u2, _ = em(costs(v1))
+    v2 = {p: max(u2.get(p, 0), 1) for p in alphabet}
+    for p, c in u2.items():
+        if len(p) > 1:
+            v2[p] = c
+    c2 = costs(v2)
+    _, enc = em(c2)
+    return v2, c2, enc
+
+
+def test_unigram_viterbi_tiebreak():
+    """At equal path cost the LONGEST piece ending at the position must
+    win (the (cost ASC, plen DESC) total order all three
+    implementations share)."""
+    from data_ingestion_worker_spark.operators.text import (
+        _unigram_viterbi_word,
+    )
+
+    # 'ab' as one piece costs exactly 'a' + 'b' -> the 2-char piece wins.
+    cost = {"a": 5, "b": 7, "ab": 12}
+    pieces, total = _unigram_viterbi_word("ab", cost)
+    assert pieces == ["ab"] and total == 12
+    # Cheaper split beats the longer piece when costs differ.
+    cost = {"a": 5, "b": 7, "ab": 13}
+    pieces, total = _unigram_viterbi_word("ab", cost)
+    assert pieces == ["a", "b"] and total == 12
+    # Greedy-longest is NOT optimal: Viterbi must pick a|bc over ab|c.
+    cost = {"a": 1, "b": 9, "c": 9, "ab": 2, "bc": 3}
+    pieces, total = _unigram_viterbi_word("abc", cost)
+    assert pieces == ["a", "bc"] and total == 4
+
+
+def test_unigram_modes_agree(spark):
+    """driver == batched == from-scratch reference on corpora chosen to
+    stress ties, repeats and prune boundaries (the r9 verdict ask #3
+    parity pin)."""
+    import random
+    from collections import Counter
+
+    from data_ingestion_worker_spark.operators.text import (
+        _unigram_train_batched,
+        _unigram_train_local,
+    )
+
+    rng = random.Random(10)
+    corpora = [
+        ["abab", "baba", "aabb", "abba", "bbaa"] * 3,
+        ["aaaa", "aa", "a", "aaa"] * 5,
+        [rng.choice(["ab", "ba", "abc", "cab", "bca", "aabc", "cba"])
+         for _ in range(40)],
+        ("low lower lowest newer new wide wider widest "
+         "bananas banana band bandana").split() * 2,
+    ]
+    for words_list in corpora:
+        freqs = Counter(words_list)
+        ref_vocab, ref_cost, ref_enc = _ref_unigram_train(dict(freqs))
+        loc_vocab, loc_cost, loc_enc = _unigram_train_local(
+            sorted(freqs.items()))
+        assert loc_vocab == ref_vocab, words_list[:4]
+        assert loc_cost == ref_cost, words_list[:4]
+        assert loc_enc == ref_enc, words_list[:4]
+        wdf = spark.createDataFrame(
+            sorted(freqs.items()), "w string, freq long")
+        bat_vocab, bat_cost, bat_enc_df = _unigram_train_batched(wdf)
+        assert bat_vocab == ref_vocab, words_list[:4]
+        assert bat_cost == ref_cost, words_list[:4]
+        bat_enc = {r["w"]: (int(r["n_pieces"]), int(r["wcost"]))
+                   for r in bat_enc_df.collect()}
+        assert bat_enc == ref_enc, words_list[:4]
+
+
+def test_unigram_oracle_degenerate(spark, tmp_path):
+    """Spark == DuckDB on degenerate corpora: single-char words, a
+    word LONGER than UNIGRAM_MAX_WLEN (must be excluded by the shared
+    cap convention on both engines), and repeated-substring words."""
+    import duckdb
+
+    from data_ingestion_worker_spark.operators.text import (
+        UNIGRAM_ENCODE_ORACLE,
+        UNIGRAM_TRAIN_ORACLE,
+        corpus_unigram_encode,
+        corpus_unigram_train,
+    )
+
+    texts = [
+        "a b a b aaab",
+        "abcdefghijklmnopqrstuvwxyz ab ab b",   # 26-char word: excluded
+        "",                                      # empty doc: no tokens
+        "aaaaaaaa aaaa aa",
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "s", len(t), len(t.split())) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string, n_chars long, "
+        "n_tokens long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    for fn, oracle in ((corpus_unigram_train, UNIGRAM_TRAIN_ORACLE),
+                       (corpus_unigram_encode, UNIGRAM_ENCODE_ORACLE)):
+        sdf = fn(spark, sf)
+        cols = sorted(sdf.columns)
+        spark_rows = sorted(
+            tuple(str(r[c]) for c in cols) for r in sdf.collect())
+        res = con.execute(oracle)
+        names = [d[0] for d in res.description]
+        duck_rows = sorted(
+            tuple(str(row[names.index(c)]) for c in cols)
+            for row in res.fetchall())
+        assert spark_rows, f"{fn.__name__}: Spark side empty"
+        assert spark_rows == duck_rows, fn.__name__
+    # The 26-char word must not appear in the trained vocabulary's
+    # coverage: every piece is <= 4 chars drawn from the CAPPED word
+    # table, so 'z' (present only in the excluded word) is absent.
+    pieces = {r["piece"] for r in corpus_unigram_train(spark, sf).collect()}
+    assert "z" not in pieces and "a" in pieces
