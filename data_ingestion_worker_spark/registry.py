@@ -126,6 +126,29 @@ from .spec import QuerySpec
 #: cluster-keyed grouping inside ``split_by_cluster`` (graded); the
 #: keep-longest representative rule stays pinned by the local 3-SF
 #: sweep and the pytest suite, and the op stays in the bench HEADLINE.
+#: Round-10 swap (r9 verdict ask #5), displacement-with-reason:
+#: ``doc_decontaminate`` → ``layout_zonemap_prune``.  Storage layout —
+#: Z-order clustering, zone-map pruning, compaction planning, the
+#: partition advisor — was the one first-class capability family with
+#: ZERO driver-graded rows, and zone-map data-skipping correctness is
+#: its strongest member (the thing a 100 TB scan lives on: the row
+#: answers "does pruning by min/max zone maps return exactly the rows a
+#: full scan would").  Dedup/decontamination was the most-represented
+#: class (five graded rows), and the displaced row's machinery stays
+#: graded: the eval-set shingle-overlap decontamination stage runs
+#: INSIDE ``pipeline_curation_v3`` (graded AND benched in the
+#: HEADLINE), and ``doc_decontaminate`` itself stays in the local
+#: 3-SF sweep.
+#: Round-10 NO-swap decision (r9 verdict ask #3 asked for the call to
+#: be documented either way): the new unigram-LM tokenizer pair
+#: (``corpus_unigram_train``/``corpus_unigram_encode``) does NOT enter
+#: the graded 50 — tokenization already holds a graded row
+#: (``corpus_bpe_encode``) that exercises the same word-table
+#: machinery, and no class currently holds zero graded rows after the
+#: layout swap above.  The unigram pair is oracle-verified at all
+#: three SFs in the local sweep, mode-parity-pinned (driver == batched
+#: == from-scratch reference, tests/test_stats_text_ops.py), and
+#: benched next to its BPE sibling in the HEADLINE.
 #: Everything else (TPC-H, events, stats, ...) follows and stays covered
 #: by the local full-registry oracle sweep (tools/check_oracle.py).
 PRIORITY_AFTER_RELATIONAL = [
@@ -134,7 +157,7 @@ PRIORITY_AFTER_RELATIONAL = [
     "rank_ndcg_eval",
     "rec_als_rank1",
     "dedup_incremental",
-    "doc_decontaminate",
+    "layout_zonemap_prune",
     "mm_image_ahash_dedup",
     "ann_cosine_topk",
     "corpus_dsir_resample",
