@@ -4143,7 +4143,131 @@ FROM g CROSS JOIN tot
 """
 
 
+#: χ²(1) 5% critical value in micro units — Python-precomputed literal
+#: shared verbatim by both engines (3.8414588206941245, the Benford
+#: convention; df is 1 by construction for the pooled 2×2 test).
+CMH_CRIT_MICRO = 3841458
+
+
+def ev_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test: does the CLICK
+    share differ between morning (hour < 12) and afternoon traffic,
+    CONTROLLING for calendar day — the confounder-adjusted version of
+    the marginal chi-square: day-of-launch effects shift both traffic
+    mix and click rate, and the marginal table can show an association
+    the within-day tables don't have (Simpson's pattern).  CMH is the
+    stratified A/B readout an experimentation platform runs when
+    randomization is by time-of-day.
+
+    Per stratum k (day): a_k = morning clicks, E_k = n1_k·m1_k/N_k,
+    V_k = n1_k·n0_k·m1_k·m0_k / (N_k²(N_k−1)); the statistic is the
+    continuity-corrected (|Σa − ΣE| − ½)² / ΣV on 1 df.
+
+    Exactness: strata counts are exact integers; E_k and V_k are
+    floor-quantized to micro units PER STRATUM (the chi2 per-cell
+    convention — one shared double expression, identical association
+    order in both engines) before the order-free integer sums; the
+    final statistic is one shared double readout floored to milli, and
+    the decision compares against the precomputed χ²(1) literal.
+    Degenerate strata (N_k < 2: V undefined) are excluded by the
+    shared filter.  Scale: one (day, exposure, outcome) count
+    aggregate — |days| stratum rows — then a one-row reduction.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        (F.hour("ts") < 12).cast("int").alias("exp"),
+        (F.col("event_type") == "click").cast("int").alias("out"),
+    )
+    s = e.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("exp").alias("n1"),
+        F.sum(F.col("exp") * F.col("out")).alias("a"),
+        F.sum("out").alias("m1"),
+    ).filter(F.col("n") >= 2)
+    e_micro = F.floor(
+        (F.col("n1") * F.col("m1")).cast("double")
+        / F.col("n").cast("double") * F.lit(1000000.0)).cast("long")
+    v_micro = F.floor(
+        (F.col("n1") * (F.col("n") - F.col("n1"))).cast("double")
+        * (F.col("m1") * (F.col("n") - F.col("m1"))).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double")
+           * (F.col("n") - 1).cast("double"))
+        * F.lit(1000000.0)).cast("long")
+    agg = s.select(
+        (F.col("a") * 1000000 - e_micro).alias("d_micro"),
+        v_micro.alias("v_micro"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("d_micro").cast("long").alias("sum_d_micro"),
+        F.sum("v_micro").cast("long").alias("sum_v_micro"),
+    )
+    cmh = (F.greatest(F.abs(F.col("sum_d_micro")) - F.lit(500000),
+                      F.lit(0)).cast("double")
+           * F.greatest(F.abs(F.col("sum_d_micro")) - F.lit(500000),
+                        F.lit(0)).cast("double")
+           / (F.lit(1000000.0) * F.col("sum_v_micro").cast("double")))
+    return agg.select(
+        "n_strata", "sum_d_micro", "sum_v_micro",
+        F.when(F.col("sum_v_micro") > 0, F.floor(cmh * F.lit(1000.0)))
+        .otherwise(F.lit(0)).cast("long").alias("cmh_milli"),
+        F.lit(CMH_CRIT_MICRO).cast("long").alias("crit_micro"),
+        (F.when(F.col("sum_v_micro") > 0,
+                F.floor(cmh * F.lit(1000.0))).otherwise(F.lit(0))
+         * 1000 > F.lit(CMH_CRIT_MICRO)).cast("int").alias("reject"),
+    )
+
+
+CMH_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(hour(ts) < 12 AS INT) AS exp,
+         CAST(event_type = 'click' AS INT) AS outc
+  FROM events
+),
+s AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(exp) AS BIGINT) AS n1,
+         CAST(sum(exp * outc) AS BIGINT) AS a,
+         CAST(sum(outc) AS BIGINT) AS m1
+  FROM e GROUP BY 1 HAVING count(*) >= 2
+),
+q AS (
+  SELECT a * 1000000
+         - CAST(floor(CAST(n1 * m1 AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS d_micro,
+         CAST(floor(CAST(n1 * (n - n1) AS DOUBLE)
+                    * CAST(m1 * (n - m1) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS v_micro
+  FROM s
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(d_micro) AS BIGINT) AS sum_d_micro,
+         CAST(sum(v_micro) AS BIGINT) AS sum_v_micro
+  FROM q
+)
+SELECT n_strata, sum_d_micro, sum_v_micro,
+       CASE WHEN sum_v_micro > 0 THEN
+         CAST(floor(CAST(greatest(abs(sum_d_micro) - 500000, 0) AS DOUBLE)
+                    * CAST(greatest(abs(sum_d_micro) - 500000, 0) AS DOUBLE)
+                    / (1000000.0 * CAST(sum_v_micro AS DOUBLE))
+                    * 1000.0) AS BIGINT)
+       ELSE 0 END AS cmh_milli,
+       CAST({CMH_CRIT_MICRO} AS BIGINT) AS crit_micro,
+       CAST((CASE WHEN sum_v_micro > 0 THEN
+         CAST(floor(CAST(greatest(abs(sum_d_micro) - 500000, 0) AS DOUBLE)
+                    * CAST(greatest(abs(sum_d_micro) - 500000, 0) AS DOUBLE)
+                    / (1000000.0 * CAST(sum_v_micro AS DOUBLE))
+                    * 1000.0) AS BIGINT)
+       ELSE 0 END) * 1000 > {CMH_CRIT_MICRO} AS INT) AS reject
+FROM agg
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "ev_cmh_test": QuerySpec(ev_cmh_test, CMH_ORACLE),
     "ev_decomposition_strength": QuerySpec(ev_decomposition_strength,
                                            DECOMPOSITION_STRENGTH_ORACLE),
     "ev_attribution_position": QuerySpec(ev_attribution_position,

@@ -2404,6 +2404,83 @@ def rank_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k / Recall@k / F1@k of the three retrieval rankings
+    against the binarized relevance label (rel ≥ REL_MIN, the MRR/MAP
+    convention) — the set-based members that complete the eval suite:
+    nDCG grades positions, MRR the first hit, MAP the averaged sweep;
+    P/R@k is the number a filtering consumer (rerank budget, context
+    window packing) actually acts on.
+
+    Recall's denominator is the relevant docs in the CANDIDATE POOL
+    (the union the generators retrieved), documented — pool recall,
+    not corpus recall; the corpus-recall question is what the
+    ann_*_recall harnesses answer.
+
+    Exactness: hits and the relevant count are integers;
+    P = hits/k and R = hits/n_rel make F1 = 2·hits/(k + n_rel)
+    EXACTLY, so all three readouts are single integer ppm divisions —
+    no floating point anywhere.  Scale: one aggregate over the
+    constant ≤ BM25_TOPK pool.
+    """
+    cand = _ranked_with_rel(spark, sf_dir)
+
+    def hits(rank_col: str) -> F.Column:
+        return F.sum(((F.col("rel") >= REL_MIN)
+                      & (F.col(rank_col) <= NDCG_K)).cast("long"))
+
+    agg = cand.agg(
+        F.sum((F.col("rel") >= REL_MIN).cast("long")).alias("n_rel"),
+        hits("bm25_rank").alias("h_bm25"),
+        hits("cos_rank").alias("h_cosine"),
+        hits("rrf_rank").alias("h_rrf"),
+    )
+    rows = agg.select(
+        F.expr("stack(3, 'bm25', h_bm25, 'cosine', h_cosine, "
+               "'rrf', h_rrf) AS (ranker, hits)"),
+        "n_rel",
+    )
+    return rows.select(
+        "ranker", F.lit(NDCG_K).cast("int").alias("k"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("hits").cast("long").alias("hits"),
+        F.expr(f"(1000000 * hits) div {NDCG_K}").cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("n_rel") > 0,
+               F.expr("(1000000 * hits) div n_rel"))
+        .otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
+        F.expr(f"(2000000 * hits) div ({NDCG_K} + n_rel)").cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+def _pr_at_k_oracle() -> str:
+    def hits(col: str) -> str:
+        return (f"CAST(sum(CASE WHEN rel >= {REL_MIN} AND "
+                f"{col} <= {NDCG_K} THEN 1 ELSE 0 END) AS BIGINT)")
+
+    legs = " UNION ALL ".join(
+        f"SELECT '{name}' AS ranker, CAST({NDCG_K} AS INT) AS k, "
+        f"n_rel, h_{name} AS hits, "
+        f"(1000000 * h_{name}) // {NDCG_K} AS precision_ppm, "
+        f"CASE WHEN n_rel > 0 THEN (1000000 * h_{name}) // n_rel "
+        f"ELSE 0 END AS recall_ppm, "
+        f"(2000000 * h_{name}) // ({NDCG_K} + n_rel) AS f1_ppm FROM agg"
+        for name in ["bm25", "cosine", "rrf"]
+    )
+    return f"""{_ranked_rel_oracle_ctes()},
+agg AS (
+  SELECT CAST(sum(CASE WHEN rel >= {REL_MIN} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel,
+         {hits('bm25_rank')} AS h_bm25,
+         {hits('cos_rank')} AS h_cosine,
+         {hits('rrf_rank')} AS h_rrf
+  FROM cand
+)
+{legs}
+"""
+
+
 def _kendall_oracle() -> str:
     legs = " UNION ALL ".join(
         f"SELECT '{name}' AS pair, n_pairs, {col} AS concordant, "
@@ -3347,6 +3424,7 @@ SPECS: dict[str, QuerySpec] = {
     "rank_map_eval": QuerySpec(rank_map_eval, _map_oracle()),
     "rank_rbo_eval": QuerySpec(rank_rbo_eval, _rbo_oracle()),
     "rank_kendall_tau": QuerySpec(rank_kendall_tau, _kendall_oracle()),
+    "rank_pr_at_k": QuerySpec(rank_pr_at_k, _pr_at_k_oracle()),
     "emb_pq_codes": QuerySpec(emb_pq_codes, EMB_PQ_CODES_ORACLE),
     "ann_pq_adc_topk": QuerySpec(ann_pq_adc_topk, ANN_PQ_ADC_ORACLE),
     "ann_ivfpq_topk": QuerySpec(ann_ivfpq_topk, ANN_IVFPQ_ORACLE),

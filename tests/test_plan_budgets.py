@@ -88,6 +88,8 @@ BUDGETS = {
     "layout_clustering_depth": 5,      # measured 3 (manifest self-join)
     "stats_g_test": 8,                 # measured 6 (margins + scalar cross)
     "rank_kendall_tau": 17,            # measured 14 (rrf scaffold + pairs)
+    "rank_pr_at_k": 17,                # same rrf scaffold
+    "ev_cmh_test": 4,                  # measured 2 (strata agg + 1-row)
 }
 
 

@@ -119,6 +119,8 @@ BNLJ_ALLOWED = {
     "rank_kendall_tau",    # rrf's scalars + pool × pool pair enum over
                            # the constant <= BM25_TOPK candidate set
                            # (<= 190 unordered pairs; cohens_d precedent)
+    "rank_pr_at_k",        # rrf's query-vector/scalar crosses (same
+                           # scaffold as the other rank evals)
     "ev_friedman_test",    # |types|-row table × one-row (n,k,ΣS²) scalar
     "graph_rich_club",     # 8-literal threshold ladder × deg/edge tables
                            # (range predicate deg>k — bounded fan-out 8)
@@ -316,6 +318,8 @@ SP_ALLOWED = {
     "rank_map_eval",            # rrf's scalars + one-row AP reduction
     "rank_rbo_eval",            # rrf's scalars + one-row overlap SUM
     "rank_kendall_tau",         # rrf's scalars + one-row C/D reduction
+    "rank_pr_at_k",             # rrf's scalars + one-row hits reduction
+    "ev_cmh_test",              # one-row stratified-sums reduction
     "stats_mcc_langid",         # one-row 4-count confusion reduction
     "stats_permutation_test",   # one-row observed sums + B-row replicate
                                 # table + one-row extreme-count reductions
@@ -364,6 +368,7 @@ WINDOW_OVER_SP_ALLOWED = {
     "rank_map_eval",        # same pool (3 cumulative-hit windows)
     "rank_rbo_eval",        # same pool (rrf-rank window)
     "rank_kendall_tau",     # same <= BM25_TOPK pool (rrf-rank window)
+    "rank_pr_at_k",         # same <= BM25_TOPK pool (rrf-rank window)
 }
 
 
