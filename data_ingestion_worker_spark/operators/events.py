@@ -4266,8 +4266,141 @@ FROM agg
 """
 
 
+def ev_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Haenszel common odds-ratio ESTIMATE over the same
+    day-stratified morning/afternoon × click 2×2 tables as
+    :func:`ev_cmh_test` — the test says WHETHER the association
+    survives confounder adjustment, this says HOW BIG it is:
+    OR_MH = Σ_k(a_k·d_k/N_k) / Σ_k(b_k·c_k/N_k).
+
+    Exactness: each stratum's a·d/N and b·c/N quotients are
+    floor-quantized to micro units on their own rows (exact integer
+    products ≤ N², then one integer division by N after the ×1e6
+    scale — no floating point at all), the sums are order-free BIGINT
+    reductions, and ``or_mh_ppm`` is one final integer division.
+    Scale: the |days|-row strata table again; one-row reduction.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        (F.hour("ts") < 12).cast("int").alias("exp"),
+        (F.col("event_type") == "click").cast("int").alias("out"),
+    )
+    s = e.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("exp").alias("n1"),
+        F.sum(F.col("exp") * F.col("out")).alias("a"),
+        F.sum("out").alias("m1"),
+    ).filter(F.col("n") >= 2)
+    # a=morning clicks, b=morning non-clicks, c=afternoon clicks,
+    # d=afternoon non-clicks (standard 2x2 letters).
+    q = s.select(
+        F.expr("(1000000 * (a * ((n - n1) - (m1 - a)))) div n")
+        .alias("ad_micro"),
+        F.expr("(1000000 * ((n1 - a) * (m1 - a))) div n")
+        .alias("bc_micro"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("ad_micro").cast("long").alias("num_micro"),
+        F.sum("bc_micro").cast("long").alias("den_micro"),
+    ).select(
+        "n_strata", "num_micro", "den_micro",
+        F.when(F.col("den_micro") > 0,
+               F.expr("(1000000 * num_micro) div den_micro"))
+        .otherwise(F.lit(0)).cast("long").alias("or_mh_ppm"),
+    )
+
+
+OR_MH_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(hour(ts) < 12 AS INT) AS exp,
+         CAST(event_type = 'click' AS INT) AS outc
+  FROM events
+),
+s AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(exp) AS BIGINT) AS n1,
+         CAST(sum(exp * outc) AS BIGINT) AS a,
+         CAST(sum(outc) AS BIGINT) AS m1
+  FROM e GROUP BY 1 HAVING count(*) >= 2
+),
+q AS (
+  SELECT (1000000 * (a * ((n - n1) - (m1 - a)))) // n AS ad_micro,
+         (1000000 * ((n1 - a) * (m1 - a))) // n AS bc_micro
+  FROM s
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(ad_micro) AS BIGINT) AS num_micro,
+         CAST(sum(bc_micro) AS BIGINT) AS den_micro
+  FROM q
+)
+SELECT n_strata, num_micro, den_micro,
+       CASE WHEN den_micro > 0
+            THEN (1000000 * num_micro) // den_micro
+            ELSE 0 END AS or_mh_ppm
+FROM agg
+"""
+
+
+def ev_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion (variance-to-mean ratio) of the daily
+    event counts per type — the burstiness gate run before modelling
+    arrivals as Poisson: D ≈ 1 is Poisson-like, D ≫ 1 means bursty
+    days (retries, campaigns), D < 1 means throttled/regular traffic.
+
+    Identity: with x the daily counts over the n-day GLOBAL calendar
+    span, D = s²/x̄ = (n·Σx² − (Σx)²) / ((n−1)·Σx) — EXACTLY integer
+    arithmetic end-to-end, because days where a type has zero events
+    contribute 0 to both Σx and Σx², so only the global day count n
+    (one broadcast scalar) is needed to zero-fill; ``d_milli`` is one
+    integer division.  100 TB note: promote n·Σx² and (Σx)² to
+    DECIMAL(38,0) once per-type daily totals pass ~2^31.
+    Scale: one (type, day) partial-agg shuffle of |types|×|days|
+    rows, one |types|-row reduction, one one-row day-count scalar.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("x"))
+    per = daily.groupBy("event_type").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    ndays = e.agg(F.count_distinct("d").alias("n"))
+    return per.crossJoin(F.broadcast(ndays)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.expr("(1000 * (n * sxx - sx * sx)) div ((n - 1) * sx)")
+        .cast("long").alias("d_milli"),
+    )
+
+
+POISSON_DISPERSION_ORACLE = """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+daily AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+),
+nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n FROM e)
+SELECT event_type, n AS n_days, sx AS n_events,
+       (1000 * (n * sxx - sx * sx)) // ((n - 1) * sx) AS d_milli
+FROM per CROSS JOIN nd
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_cmh_test": QuerySpec(ev_cmh_test, CMH_ORACLE),
+    "ev_odds_ratio_mh": QuerySpec(ev_odds_ratio_mh, OR_MH_ORACLE),
+    "ev_poisson_dispersion": QuerySpec(ev_poisson_dispersion,
+                                       POISSON_DISPERSION_ORACLE),
     "ev_decomposition_strength": QuerySpec(ev_decomposition_strength,
                                            DECOMPOSITION_STRENGTH_ORACLE),
     "ev_attribution_position": QuerySpec(ev_attribution_position,

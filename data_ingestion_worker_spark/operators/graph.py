@@ -2288,7 +2288,73 @@ LIMIT {CN_TOP_K}
 """
 
 
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity (Squartini & Garlaschelli 2013) of the
+    DIRECTED behavioural transition graph — the edge weights of
+    ``ev_markov_transitions`` (adjacent event-type pairs per user's
+    (ts, event_id)-ordered stream), self-loops excluded:
+    r = Σ_{i≠j} min(w_ij, w_ji) / Σ_{i≠j} w_ij.  How symmetric the
+    behaviour flows are: r = 1 means every i→j transition volume is
+    matched by j→i; r near 0 means a strongly ordered funnel.  The
+    graph-level scalar next to the matrix the Markov twin emits.
+
+    Exactness: pure integer LEAST/sums over the |types|²-bounded
+    weight matrix; ``reciprocity_ppm`` is one integer division.
+    Scale: one user-partitioned lead() window over the fact (the
+    Markov scan), a |types|²-row partial-agg shuffle, then a
+    matrix-sized self-join — nothing corpus-sized past the window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("ft"),
+            F.lead("event_type").over(w).alias("tt"),
+        )
+        .filter(F.col("tt").isNotNull() & (F.col("ft") != F.col("tt")))
+        .groupBy("ft", "tt").agg(F.count(F.lit(1)).alias("n"))
+    )
+    rev = pairs.select(F.col("ft").alias("rt"), F.col("tt").alias("rf"),
+                       F.col("n").alias("rn"))
+    j = pairs.join(rev, (F.col("ft") == F.col("rf"))
+                   & (F.col("tt") == F.col("rt")), "left")
+    return j.agg(
+        F.sum("n").cast("long").alias("total_w"),
+        F.sum(F.least(F.col("n"), F.coalesce(F.col("rn"), F.lit(0))))
+        .cast("long").alias("reciprocal_w"),
+    ).select(
+        "total_w", "reciprocal_w",
+        F.expr("(1000000 * reciprocal_w) div total_w").cast("long")
+        .alias("reciprocity_ppm"),
+    )
+
+
+RECIPROCITY_ORACLE = """
+WITH pairs AS (
+  SELECT ft, tt, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS ft,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tt
+    FROM events
+  )
+  WHERE tt IS NOT NULL AND ft <> tt
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.n, least(a.n, coalesce(b.n, 0)) AS rw
+  FROM pairs a LEFT JOIN pairs b ON b.ft = a.tt AND b.tt = a.ft
+)
+SELECT CAST(sum(n) AS BIGINT) AS total_w,
+       CAST(sum(rw) AS BIGINT) AS reciprocal_w,
+       (1000000 * sum(rw)) // sum(n) AS reciprocity_ppm
+FROM j
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
+    "graph_reciprocity": QuerySpec(graph_reciprocity,
+                                   RECIPROCITY_ORACLE),
     "graph_link_prediction_jaccard": QuerySpec(
         graph_link_prediction_jaccard, LINK_PREDICTION_JACCARD_ORACLE),
     "graph_random_walk_sample": QuerySpec(graph_random_walk_sample,

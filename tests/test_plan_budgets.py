@@ -90,6 +90,9 @@ BUDGETS = {
     "rank_kendall_tau": 17,            # measured 14 (rrf scaffold + pairs)
     "rank_pr_at_k": 17,                # same rrf scaffold
     "ev_cmh_test": 4,                  # measured 2 (strata agg + 1-row)
+    "ev_odds_ratio_mh": 4,             # measured 2 (strata agg + 1-row)
+    "ev_poisson_dispersion": 6,        # measured 4 (daily agg + scalar)
+    "graph_reciprocity": 7,            # measured 5 (window + matrix join)
 }
 
 

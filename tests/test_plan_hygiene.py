@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     "stats_g_test",        # one-row grand-total scalar cross (chi2's
                            # scaffold; margins join back BY KEY — the
                            # G-test needs no domain fan-out at all)
+    "ev_poisson_dispersion",  # one-row global day-count scalar cross
+                              # (zero days add 0 to Σx/Σx², so only n
+                              # needs the broadcast)
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "doc_lm_xent_kn",      # one-row bigram-type-count scalar cross
@@ -320,6 +323,9 @@ SP_ALLOWED = {
     "rank_kendall_tau",         # rrf's scalars + one-row C/D reduction
     "rank_pr_at_k",             # rrf's scalars + one-row hits reduction
     "ev_cmh_test",              # one-row stratified-sums reduction
+    "ev_odds_ratio_mh",         # one-row stratified-sums reduction
+    "ev_poisson_dispersion",    # one-row global day-count scalar
+    "graph_reciprocity",        # one-row matrix-total reduction
     "stats_mcc_langid",         # one-row 4-count confusion reduction
     "stats_permutation_test",   # one-row observed sums + B-row replicate
                                 # table + one-row extreme-count reductions
