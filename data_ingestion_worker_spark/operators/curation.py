@@ -418,6 +418,125 @@ WHERE r <= {PMI_TOP_K}
 """
 
 
+#: Co-occurrence context width for the windowed PMI (ordered pairs
+#: (t_i, t_j) with 0 < j − i <= W — the skip-gram context shape).
+PMI_WINDOW = 3
+
+
+def token_window_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 windowed co-occurrence collocations by PMI — the
+    skip-gram-context statistic behind word2vec/GloVe co-occurrence
+    matrices, next to :func:`token_bigram_pmi`'s adjacent-only twin:
+    pairs are ORDERED (first token before second) within a
+    ``PMI_WINDOW``-token context, so "data ... pipeline" counts at
+    gaps 1..3 and long-range collocations surface that the bigram
+    misses.
+
+    Exactness: integer pair/unigram counts; the per-document pair
+    total has the closed form Σ_{k=1..L−1} min(W, k) (no second scan
+    of the exploded pairs); the PMI double tree is written with the
+    SAME association order in both engines and floored to 4 decimals
+    before the rank (the bigram twin's convention).
+
+    Scale shape: one explode of tokens × ≤W gaps (bounded fan-out),
+    two shrinking hash aggregations, one-row totals as broadcast
+    scalars, rank window over the min-support survivors only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(
+            "CASE WHEN length(trim(lower(text))) = 0 "
+            "THEN cast(array() as array<string>) "
+            "ELSE split(trim(lower(text)), '\\\\s+') END"
+        ).alias("t"))
+    uni = (toks.select(F.explode("t").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni")))
+    pair_expr = (
+        "flatten(transform(slice(t, 1, size(t) - 1), (x, i) -> "
+        f"transform(sequence(1, least({PMI_WINDOW}, size(t) - i - 1)), "
+        "g -> concat(x, ' ', t[i + g]))))"
+    )
+    pairs = (toks.select(F.explode(F.expr(pair_expr)).alias("pair"))
+             .groupBy("pair").agg(F.count(F.lit(1)).alias("c_p"))
+             .filter(F.col("c_p") >= PMI_MIN_COUNT))
+    n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
+    w = PMI_WINDOW
+    per_doc = (
+        f"CASE WHEN size(t) - 1 <= {w} "
+        f"THEN (size(t) - 1) * size(t) div 2 "
+        f"ELSE {w * (w + 1) // 2} + (size(t) - 1 - {w}) * {w} END"
+    )
+    n_pairs = toks.select(
+        F.greatest(F.expr(per_doc), F.lit(0)).alias("np")
+    ).agg(F.sum("np").alias("n_p"))
+    parts = F.split("pair", " ")
+    scored = (
+        pairs.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c_uni", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c_uni", "c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    pmi = _floor4(F.log(
+        ((F.col("c_p").cast("double") * F.col("n_uni")) / F.col("n_p"))
+        * ((F.col("n_uni").cast("double") / F.col("c1")) / F.col("c2"))
+    ))
+    ranked = scored.select(
+        "pair", "c_p", pmi.alias("pmi"),
+    ).withColumn(
+        "r", F.row_number().over(
+            Window.orderBy(F.desc("pmi"), F.asc("pair"))))
+    return ranked.filter(F.col("r") <= PMI_TOP_K).select(
+        "pair", "c_p", "pmi", F.col("r").cast("int").alias("r"))
+
+
+WINDOW_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT {_TOKENS_SQL} AS t FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+),
+pr AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS c_p
+  FROM (SELECT unnest(flatten(list_transform(range(1, len(t)),
+                i -> list_transform(range(1, least({PMI_WINDOW},
+                                                   len(t) - i) + 1),
+                                    g -> t[i] || ' ' || t[i + g]))))
+               AS pair
+        FROM toks)
+  GROUP BY 1 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT sum(c_uni) FROM uni) AS n_uni,
+         (SELECT sum(greatest(CASE WHEN len(t) - 1 <= {PMI_WINDOW}
+                  THEN (len(t) - 1) * len(t) // 2
+                  ELSE {PMI_WINDOW * (PMI_WINDOW + 1) // 2}
+                       + (len(t) - 1 - {PMI_WINDOW}) * {PMI_WINDOW} END,
+                  0))
+          FROM toks) AS n_p
+),
+scored AS (
+  SELECT p.pair, p.c_p,
+         floor(ln(((CAST(p.c_p AS DOUBLE) * t.n_uni) / t.n_p)
+                  * ((CAST(t.n_uni AS DOUBLE) / u1.c_uni) / u2.c_uni))
+               * 10000.0) / 10000.0 AS pmi
+  FROM pr p
+  JOIN uni u1 ON u1.tok = string_split(p.pair, ' ')[1]
+  JOIN uni u2 ON u2.tok = string_split(p.pair, ' ')[2]
+  CROSS JOIN tot t
+)
+SELECT pair, c_p, pmi, CAST(r AS INT) AS r
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, pair ASC) AS r
+      FROM scored)
+WHERE r <= {PMI_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding int8 quantization
 # ---------------------------------------------------------------------------
@@ -885,6 +1004,7 @@ SPECS: dict[str, QuerySpec] = {
                                         _pack_efficiency_oracle()),
     "dedup_keep_best": QuerySpec(dedup_keep_best, KEEP_BEST_ORACLE),
     "token_bigram_pmi": QuerySpec(token_bigram_pmi, PMI_ORACLE),
+    "token_window_pmi": QuerySpec(token_window_pmi, WINDOW_PMI_ORACLE),
     "corpus_token_budget_plan": QuerySpec(corpus_token_budget_plan,
                                           TOKEN_BUDGET_ORACLE),
     "emb_int8_quantize": QuerySpec(emb_int8_quantize, QUANTIZE_ORACLE),

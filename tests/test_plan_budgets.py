@@ -93,6 +93,7 @@ BUDGETS = {
     "ev_odds_ratio_mh": 4,             # measured 2 (strata agg + 1-row)
     "ev_poisson_dispersion": 6,        # measured 4 (daily agg + scalar)
     "graph_reciprocity": 7,            # measured 5 (window + matrix join)
+    "token_window_pmi": 8,             # measured 6 (pair/uni aggs + scalars)
 }
 
 

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
                               # (zero days add 0 to Σx/Σx², so only n
                               # needs the broadcast)
     "token_bigram_pmi",    # one-row corpus-total broadcast cross joins
+    "token_window_pmi",    # same one-row totals (windowed twin)
     "doc_bm25_rank",       # one-row (N, Σdl) corpus-stats broadcast cross
     "doc_lm_xent_kn",      # one-row bigram-type-count scalar cross
     "stats_kruskal_wallis",  # one-row (n, tcorr) tie-scalar cross
@@ -249,6 +250,7 @@ SP_ALLOWED = {
     "stats_bh_fdr",             # rank/step-up windows over the
                                 # C(|types|,2)-row pair family
     "token_bigram_pmi",         # one-row corpus-total scalars
+    "token_window_pmi",         # same scalars (windowed twin)
     "skyline_pareto",           # running-max window over the bucket agg
     "corpus_mix_weights",       # mix-weight window over the k-source agg
     "corpus_mix_sample",        # one-row min over the k-language agg
