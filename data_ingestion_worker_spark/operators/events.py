@@ -4396,11 +4396,108 @@ FROM per CROSS JOIN nd
 """
 
 
+#: Page–Hinkley alarm threshold λ in micro-units (50 events of
+#: accumulated above-running-mean mass) — a config knob, emitted next
+#: to the statistic so the readout is self-describing.
+PH_LAMBDA_MICRO = 50_000_000
+
+
+def ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley upward mean-shift detector over daily volume per
+    event type — the running-mean sibling of ``ev_cusum_changepoint``:
+    CUSUM scores deviations from a FIXED baseline mean (someone must
+    choose the baseline period); PH scores deviations from the
+    RUNNING prefix mean, so it needs no baseline at all.  m_t =
+    Σ_{i≤t}(x_i − x̄_i) with x̄_i the mean of the first i days; the
+    alarm statistic is g_t = m_t − min_{i≤t} m_i (an upward shift
+    makes m climb away from its historical minimum), reported as its
+    maximum over the window with the alarm decision against the
+    ``PH_LAMBDA_MICRO`` literal.
+
+    Exactness: the prefix mean enters ONLY as ``(1e6·S_i) div i`` —
+    one integer division on its own row BEFORE the prefix sum — so
+    m, the running min, and ``ph_max_micro`` are exact BIGINTs
+    end-to-end; no floating point anywhere.  Days with zero events
+    for a type are skipped (both engines derive the same observed-day
+    sequence).  Scale: |types|×|days| window rows, partitioned by
+    type — never a single-partition funnel.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "event_type", "d", "x",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")).alias("i"),
+        F.sum("x").over(w).alias("s"),
+    ).select(
+        "event_type", "d",
+        (F.col("x") * 1000000
+         - F.expr("(1000000 * s) div i")).alias("term"),
+    )
+    m = pre.select(
+        "event_type", "d",
+        F.sum("term").over(w).alias("m"),
+    ).select(
+        "event_type", "d", "m",
+        (F.col("m") - F.min("m").over(w)).alias("g"),
+    )
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("g").cast("long").alias("ph_max_micro"),
+    ).select(
+        "event_type", "n_days", "ph_max_micro",
+        F.lit(PH_LAMBDA_MICRO).cast("long").alias("lambda_micro"),
+        (F.col("ph_max_micro") > PH_LAMBDA_MICRO).cast("int")
+        .alias("alarm"),
+    )
+
+
+PAGE_HINKLEY_ORACLE = f"""
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+daily AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, d,
+         x * 1000000
+         - (1000000 * sum(x) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING))
+           // (row_number() OVER (PARTITION BY event_type ORDER BY d))
+           AS term
+  FROM daily
+),
+m AS (
+  SELECT event_type, d,
+         sum(term) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS UNBOUNDED PRECEDING) AS m
+  FROM pre
+),
+g AS (
+  SELECT event_type, d, m,
+         m - min(m) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS g
+  FROM m
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(g) AS BIGINT) AS ph_max_micro,
+       CAST({PH_LAMBDA_MICRO} AS BIGINT) AS lambda_micro,
+       CAST(max(g) > {PH_LAMBDA_MICRO} AS INT) AS alarm
+FROM g
+GROUP BY 1
+"""
+
+
 SPECS: dict[str, QuerySpec] = {
     "ev_cmh_test": QuerySpec(ev_cmh_test, CMH_ORACLE),
     "ev_odds_ratio_mh": QuerySpec(ev_odds_ratio_mh, OR_MH_ORACLE),
     "ev_poisson_dispersion": QuerySpec(ev_poisson_dispersion,
                                        POISSON_DISPERSION_ORACLE),
+    "ev_page_hinkley": QuerySpec(ev_page_hinkley, PAGE_HINKLEY_ORACLE),
     "ev_decomposition_strength": QuerySpec(ev_decomposition_strength,
                                            DECOMPOSITION_STRENGTH_ORACLE),
     "ev_attribution_position": QuerySpec(ev_attribution_position,

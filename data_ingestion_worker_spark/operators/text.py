@@ -2760,6 +2760,113 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Add-one bigram term with MISSING-count safety (the held-out eval
+#: scores bigrams the training split never saw): coalesce(c, 0) keeps
+#: the smoothed ratio exact — p = 1/v for a fully-unseen context.
+_LM_TERM_HELDOUT = (
+    "CAST(floor(-CAST(10000 AS DOUBLE) * log2("
+    "CAST(coalesce(c12, 0) + 1 AS DOUBLE)"
+    " / CAST(coalesce(c1, 0) + v AS DOUBLE))) AS BIGINT)"
+)
+
+
+def corpus_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT cross-entropy of the add-one bigram LM — the honest
+    LM eval next to :func:`doc_lm_xent_proxy` (which scores in-sample,
+    flattering the model): counts and vocabulary come from the TRAIN
+    hash split only (``split_train_holdout``'s leakage-free bucket
+    convention, the same split ``corpus_oov_rate`` uses), and every
+    HOLDOUT bigram is scored under that frozen model — unseen bigrams
+    and unseen contexts get their exact add-one mass via coalesced
+    counts.  Per-source held-out mean cross-entropy is the
+    perplexity-style readout a data-mixture decision reads.
+
+    Determinism: the proxy's convention — each bigram's −log₂p is a
+    floor-quantized (1e-4 bits) function of exact integer counts on
+    its own row; sums are order-free BIGINTs, the mean one integer
+    division.  Scale: two train-side hash aggregates joined back by
+    key, the vocabulary scalar broadcast, one holdout scan.
+    """
+    from .curation import _TRAIN_CUT, _split_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", _split_bucket(F.col("doc_id")).alias("bucket"),
+        tokens(F.col("text")).alias("t"))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        return df.filter(F.size("t") >= 2).select(
+            "source",
+            F.explode(F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2))"
+            )).alias("p"),
+        ).select("source", F.col("p.w1").alias("w1"),
+                 F.col("p.w2").alias("w2"))
+
+    train = base.filter(F.col("bucket") < _TRAIN_CUT)
+    held = base.filter(F.col("bucket") >= _TRAIN_CUT)
+    btrain = bigrams(train).localCheckpoint(eager=False)
+    c12 = btrain.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = btrain.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = train.select(F.explode("t").alias("tok")) \
+        .agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        bigrams(held)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("source", F.expr(_LM_TERM_HELDOUT).alias("term"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("term").cast("long").alias("xent_q"),
+        F.expr("sum(term) div count(1)").cast("long")
+        .alias("mean_xent_q"),
+    )
+
+
+def _heldout_xent_oracle() -> str:
+    from .curation import _BUCKET_SQL, _TRAIN_CUT
+
+    return f"""
+WITH base AS (
+  SELECT source, {_BUCKET_SQL} AS bucket, {_TOKENS_SQL} AS t
+  FROM documents
+),
+btrain AS MATERIALIZED (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(range(1, len(t))) AS gs(i)
+  WHERE len(t) >= 2 AND bucket < {_TRAIN_CUT}
+),
+bheld AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(range(1, len(t))) AS gs(i)
+  WHERE len(t) >= 2 AND bucket >= {_TRAIN_CUT}
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM btrain GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       FROM btrain GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM base WHERE bucket < {_TRAIN_CUT})
+),
+scored AS (
+  SELECT b.source, {_LM_TERM_HELDOUT} AS term
+  FROM bheld b
+  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  LEFT JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS xent_q,
+       CAST(sum(term) // count(*) AS BIGINT) AS mean_xent_q
+FROM scored GROUP BY 1
+"""
+
+
 def _oov_oracle() -> str:
     from .curation import _BUCKET_SQL, _TRAIN_CUT
 
@@ -3288,6 +3395,8 @@ SPECS: dict[str, QuerySpec] = {
     "corpus_unigram_encode": QuerySpec(corpus_unigram_encode,
                                        UNIGRAM_ENCODE_ORACLE),
     "corpus_oov_rate": QuerySpec(corpus_oov_rate, _oov_oracle()),
+    "corpus_heldout_xent": QuerySpec(corpus_heldout_xent,
+                                     _heldout_xent_oracle()),
     "doc_bm25_rank": QuerySpec(doc_bm25_rank, BM25_ORACLE),
     "doc_inverted_index": QuerySpec(doc_inverted_index,
                                     INVERTED_INDEX_ORACLE),

@@ -94,6 +94,8 @@ BUDGETS = {
     "ev_poisson_dispersion": 6,        # measured 4 (daily agg + scalar)
     "graph_reciprocity": 7,            # measured 5 (window + matrix join)
     "token_window_pmi": 8,             # measured 6 (pair/uni aggs + scalars)
+    "corpus_heldout_xent": 7,          # measured 5 (model aggs + scoring)
+    "ev_page_hinkley": 4,              # measured 2 (daily agg + windows)
 }
 
 

@@ -109,6 +109,8 @@ BNLJ_ALLOWED = {
     "ev_forecast_backtest",  # same dense-spine |days| × |types| cross
     "ev_lead_lag_corr",    # bounded spine × 7-row lag-domain cross
     "doc_lm_xent_proxy",   # one-row vocabulary-size broadcast cross
+    "corpus_heldout_xent",  # same one-row vocab scalar (train-split
+                            # model, held-out scoring)
     "corpus_quality_xent_corr",  # inherits the LM vocab scalar cross
     "pipeline_curation_v2",  # LM vocab scalar + one-row p90-cut cross
     "pipeline_curation_v3",  # inherits v2's scalar crosses (LM vocab,
@@ -327,6 +329,7 @@ SP_ALLOWED = {
     "ev_cmh_test",              # one-row stratified-sums reduction
     "ev_odds_ratio_mh",         # one-row stratified-sums reduction
     "ev_poisson_dispersion",    # one-row global day-count scalar
+    "corpus_heldout_xent",      # one-row train-vocab scalar
     "graph_reciprocity",        # one-row matrix-total reduction
     "stats_mcc_langid",         # one-row 4-count confusion reduction
     "stats_permutation_test",   # one-row observed sums + B-row replicate
