@@ -33,7 +33,7 @@ BUDGETS = {
     "graph_triangle_count": 8,
     "graph_common_neighbors_topk": 8,
     "ann_ivf_topk": 9,
-    "ann_ivf_recall": 24,
+    "ann_ivf_recall": 27,   # +3 r10: spread_scan exchanges (guide 2.5)
     "ann_pq_adc_topk": 18,
     "ann_pq_recall": 24,
     "emb_pq_codes": 9,
@@ -86,14 +86,14 @@ BUDGETS = {
     "corpus_unigram_encode": 4,        # measured 2 (per-doc agg + join)
     "corpus_oov_rate": 4,              # measured 2 (vocab cut + holdout agg)
     "layout_clustering_depth": 5,      # measured 3 (manifest self-join)
-    "stats_g_test": 8,                 # measured 6 (margins + scalar cross)
-    "rank_kendall_tau": 17,            # measured 14 (rrf scaffold + pairs)
+    "stats_g_test": 10,                # measured 6 + r10 spread_scan slack
+    "rank_kendall_tau": 19,            # measured 14 + r10 spread_scan slack
     "rank_pr_at_k": 17,                # same rrf scaffold
     "ev_cmh_test": 4,                  # measured 2 (strata agg + 1-row)
     "ev_odds_ratio_mh": 4,             # measured 2 (strata agg + 1-row)
     "ev_poisson_dispersion": 6,        # measured 4 (daily agg + scalar)
     "graph_reciprocity": 7,            # measured 5 (window + matrix join)
-    "token_window_pmi": 8,             # measured 6 (pair/uni aggs + scalars)
+    "token_window_pmi": 12,            # measured 11 after r10 spread_scan (3 toks refs)
     "corpus_heldout_xent": 7,          # measured 5 (model aggs + scoring)
     "ev_page_hinkley": 4,              # measured 2 (daily agg + windows)
 }
