@@ -354,12 +354,16 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+def _jaccard_pairs(sh: DataFrame, *, shared: bool = False) -> DataFrame:
     # The shingle table feeds both the size aggregate and the posting
     # buckets; materialize the tokenize+explode once (the multi-consumer
     # localCheckpoint rule — benefits every caller, including the
-    # curation funnel's near-dup leg).
-    sh = sh.localCheckpoint(eager=False)
+    # curation funnel's near-dup leg).  ``shared=True`` means the caller
+    # already checkpointed the frame (and shares it with other legs of a
+    # bigger plan, e.g. pipeline_curation_v3) — re-checkpointing would
+    # copy the materialized rows a second time for nothing.
+    if not shared:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Bucket aggregation, not a self-join: one shuffle groups the posting
     # list per shingle and the candidate pairs expand *locally* inside
@@ -768,7 +772,8 @@ PERM_B = [7, 101, 1009, 10007, 100003, 1000003, 4999999, 9999991]
 MERSENNE = 2147483647
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh0..mh{N_PERM-1}) — min over shingles of the p-th
     universal-hash permutation of the shingle's base hash.
 
@@ -776,8 +781,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass of the shingle set — not an exploded (shingle x perm) row blowup.
     At 100 TB that is the difference between shuffling |shingles| rows and
     shuffling |shingles| x N_PERM rows for the same result.
+
+    ``sh``: pass an already-built (doc_id, shingle) frame to share the
+    tokenize+explode leaf with other legs of a composed plan.
     """
-    sh = _shingles(spark, sf_dir)
+    if sh is None:
+        sh = _shingles(spark, sf_dir)
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10) \
         .cast("bigint")
     withh = sh.select("doc_id", base.alias("h"))
@@ -857,8 +866,9 @@ def _band_pairs(bands: DataFrame, salts: int = 1) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
+def _minhash_bands(spark: SparkSession, sf_dir: str,
+                   sh: DataFrame | None = None) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir, sh=sh)
     band_structs = F.array(*[
         F.struct(
             F.lit(b * BAND_ROWS).alias("band"),
@@ -876,7 +886,8 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
-                      salts: int = 1) -> DataFrame:
+                      salts: int = 1,
+                      sh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
 
     Bands of BAND_ROWS rows; with r=2 the band signature is simply the
@@ -886,7 +897,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     ``salts`` spreads hot band keys across triangle cells (see
     :func:`_band_pairs`) without changing the pair set.
     """
-    return _band_pairs(_minhash_bands(spark, sf_dir), salts=salts)
+    return _band_pairs(_minhash_bands(spark, sf_dir, sh=sh), salts=salts)
 
 
 def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,7 +1110,8 @@ SELECT v1, v2, cosine FROM scored WHERE cosine >= {EMB_COS_MIN}
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str,
-                               max_iter: int = 25) -> DataFrame:
+                               max_iter: int = 25,
+                               sh: DataFrame | None = None) -> DataFrame:
     """Cluster near-dup candidate pairs into components; canonical doc =
     min doc_id of the component (isolated docs are their own cluster).
 
@@ -1126,7 +1138,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     Spark path scales to graphs that would explode an all-pairs closure.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir, sh=sh)
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .unionByName(

@@ -115,7 +115,8 @@ def _quality_score() -> F.Column:
     )
 
 
-def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str,
+                             sh: DataFrame | None = None) -> DataFrame:
     """The composed pretrain admission decision, first-failure-wins:
 
     too_short (< MIN_TOKENS) -> non_english (marker-word lang-ID) ->
@@ -129,7 +130,8 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     dups = (
-        _jaccard_pairs(_shingles(spark, sf_dir))
+        _jaccard_pairs(_shingles(spark, sf_dir) if sh is None else sh,
+                       shared=sh is not None)
         .select(F.col("d2").alias("doc_id")).distinct()
         .withColumn("is_dup", F.lit(1))
     )
@@ -464,8 +466,16 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_connected_components
     from .text import doc_lm_xent_proxy, doc_policy_flags
 
+    from .dedup import EVAL_MOD
+
     d = load_table(spark, sf_dir, "documents")
-    decided = pipeline_pretrain_filter(spark, sf_dir) \
+    # ONE tokenize+explode leaf for the funnel's three shingle
+    # consumers (near-dup leg, decontamination leg, MinHash/CC chain):
+    # the lazy checkpoint materializes it once; without it each leg
+    # re-runs the regex tokenization — the CPU-heaviest leaf — from
+    # scratch (measured ~0.56 s per build at sf0.1).
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    decided = pipeline_pretrain_filter(spark, sf_dir, sh=sh) \
         .filter(F.col("keep")).select("doc_id", "n_tokens")
     unflagged = doc_policy_flags(spark, sf_dir) \
         .filter(F.col("flagged") == 0).select("doc_id")
@@ -482,9 +492,6 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is never shuffled for it): keep training docs sharing fewer than
     # DECON_MIN_SHARED distinct shingles with the eval slice, and drop
     # the eval slice itself.
-    from .dedup import EVAL_MOD, _shingles
-
-    sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = sh.filter(is_eval).select("shingle").distinct()
     contaminated = (
@@ -503,7 +510,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = kept.withColumn("first_id", first) \
         .filter(F.col("doc_id") == F.col("first_id")) \
         .select("doc_id", "source", "n_tokens")
-    cc = dedup_connected_components(spark, sf_dir)
+    cc = dedup_connected_components(spark, sf_dir, sh=sh)
     bucket = F.pmod(
         hash64(F.concat(F.lit(_SPLIT_SALT_CLUSTER),
                         F.col("cluster_id").cast("string"))),

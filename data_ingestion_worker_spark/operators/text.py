@@ -1117,8 +1117,13 @@ def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("t")) \
-        .filter(F.size("t") >= 2)
+    # One tokenization pass for BOTH the bigram explode and the
+    # vocabulary count: the regex split is the CPU-heaviest leaf, and
+    # the lazy checkpoint stops the ``v`` aggregate from re-running it
+    # over the whole corpus a second time.
+    tok_arrays = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+        .localCheckpoint(eager=False)
+    toks = tok_arrays.filter(F.size("t") >= 2)
     bigs = toks.select(
         "doc_id",
         F.explode(F.expr(
@@ -1131,7 +1136,7 @@ def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)   # feeds model counts AND scoring
     c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = d.select(F.explode(tokens(F.col("text"))).alias("tok")) \
+    v = tok_arrays.select(F.explode("t").alias("tok")) \
         .agg(F.countDistinct("tok").alias("v"))
     scored = (
         bigs.join(c12, ["w1", "w2"])

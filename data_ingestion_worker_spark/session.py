@@ -44,6 +44,17 @@ ENGINE_CONF: dict[str, str] = {
     # Broadcast threshold: dims like region/nation/supplier are tiny even
     # at large SF; 64 MiB keeps dimension joins shuffle-free.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+    # when a side's per-partition build fits memory — skips two sorts on
+    # every equi-join of the wedge/posting/ADC family (measured at
+    # sf0.1/local[32]: graph_hits 4.1→3.0 s, graph_triangle_count
+    # 9.5→8.1 s, ann_pq_adc_topk 4.9→4.4 s; nothing regressed outside
+    # noise).  Scale-safe: the planner only picks SHJ under its
+    # canBuildLocalHashMap size conditions, and the AQE threshold below
+    # bounds the runtime rewrite to ≤128 MiB per-partition maps.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        str(128 * 1024 * 1024),
 }
 
 
