@@ -270,6 +270,67 @@ FROM deg GROUP BY 1, 2
 """
 
 
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected part co-order edges (u < v): parts appearing
+    as lines of the same order.
+
+    Bucket aggregation, not a self-join (the dedup_minhash_lsh band
+    pattern): ONE exchange groups each order's distinct part set
+    (map-side partial collect_set), and the pairs expand locally inside
+    each bucket as an array expression — the self-join formulation
+    shuffles the (order, part) table twice more and materializes the
+    same pairs through a join.  Per-bucket fan-out is bounded by order
+    width (≤ 7 lines ⇒ ≤ 21 pairs), so the expansion can never skew.
+    """
+    from .dedup import _TRIANGLE
+
+    lo = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
+    )
+    buckets = lo.groupBy("ok").agg(
+        F.sort_array(F.collect_set("s")).alias("ids"))
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(_TRIANGLE.format(ids="ids"))).alias("p"))
+        .select(F.col("p.d1").alias("u"), F.col("p.d2").alias("v"))
+        .distinct()
+    )
+
+
+#: Arc-count ceiling for broadcasting the closing-arc table of the
+#: wedge join (~50 B/arc built ⇒ ≤ a few hundred MB at the cap).  Past
+#: it the closing join falls back to a shuffle join — the right shape
+#: once the arc table itself is cluster-scale.
+_CLOSE_BROADCAST_MAX_ARCS = 4_000_000
+
+
+def _closed_triangles(oriented: DataFrame) -> DataFrame:
+    """Wedge-enumerate a degree-ordered arc table and close each wedge:
+    returns one (a, b, c) row per triangle.
+
+    The closing join's probe side is the WEDGE stream — O(m^{3/2}) rows
+    (41 M at sf0.1 vs 1.2 M arcs on the part co-order graph); left to
+    the planner the wedges are shuffled by their (b, c) key.
+    Broadcasting the arc table instead keeps the whole wedge-enumerate →
+    close → downstream-aggregate pipeline map-side (guide §2.3: move
+    keys, never the heavy stream).  Guarded by an arc count read from
+    the checkpointed arc frame (a ~ms job once materialized).
+    """
+    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
+        oriented.alias("cl")
+    cl_build = (F.broadcast(cl)
+                if oriented.count() <= _CLOSE_BROADCAST_MAX_ARCS else cl)
+    return (
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
+                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
+        .join(cl_build, (F.col("cl.src") == F.col("o1.dst"))
+              & (F.col("cl.dst") == F.col("o2.dst")))
+        .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"),
+                F.col("o2.dst").alias("c"))
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the part co-order graph, via
     degree-ordered edge orientation.
@@ -294,24 +355,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     arc direction is forced by the same (deg, id) order.  Everything is
     joins + integer counts — deterministic under any shuffle schedule.
     """
-    lo = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
-    ).distinct()
-    a, b = lo.alias("a"), lo.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        # und is referenced by both deg and the orientation join; deg by
-        # the orientation join and the final left join; oriented three
-        # times (o1/o2/cl).  Without the lazy checkpoints Catalyst
-        # re-executes the lineitem self-join subtree per reference (no
-        # ReusedExchange across differently-aliased joins — same finding
-        # as the pagerank degree table) — measured 20.4 s -> materialize
-        # each tier once and the wedge join dominates as it should.
-        .localCheckpoint(eager=False)
-    )
+    # und is referenced by both deg and the orientation join; deg by
+    # the orientation join and the final left join; oriented three
+    # times (o1/o2/cl).  Without the lazy checkpoints Catalyst
+    # re-executes the edge-building subtree per reference (no
+    # ReusedExchange across differently-aliased joins — same finding
+    # as the pagerank degree table) — measured 20.4 s -> materialize
+    # each tier once and the wedge join dominates as it should.
+    und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -333,17 +384,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
     ).localCheckpoint(eager=False)
-    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
-        oriented.alias("cl")
-    tri = (
-        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
-                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
-                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
-        .join(cl, (F.col("cl.src") == F.col("o1.dst"))
-              & (F.col("cl.dst") == F.col("o2.dst")))
-        .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"),
-                F.col("o2.dst").alias("c"))
-    )
+    tri = _closed_triangles(oriented)
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -428,17 +469,8 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.hashing import hash64
 
-    lo = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
-    ).distinct()
-    a, b = lo.alias("a"), lo.alias("b")
-    und_all = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+    und_all = _co_order_edges(spark, sf_dir) \
         .localCheckpoint(eager=False)   # feeds total count + the gate
-    )
     coin = F.pmod(
         hash64(F.concat(F.lit("tri:"), F.col("u").cast("string"),
                         F.lit(":"), F.col("v").cast("string"))),
@@ -467,16 +499,8 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
     ).localCheckpoint(eager=False)
-    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
-        oriented.alias("cl")
-    tri_s = (
-        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
-                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
-                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
-        .join(cl, (F.col("cl.src") == F.col("o1.dst"))
-              & (F.col("cl.dst") == F.col("o2.dst")))
+    tri_s = _closed_triangles(oriented) \
         .agg(F.count(F.lit(1)).alias("tri_sampled"))
-    )
     totals = und_all.agg(F.count(F.lit(1)).alias("n_edges"))
     kept = und.agg(F.count(F.lit(1)).alias("n_edges_kept"))
     return (
@@ -1381,17 +1405,7 @@ def _edge_support(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
     ).localCheckpoint(eager=False)
-    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
-        oriented.alias("cl")
-    tri = (
-        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
-                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
-                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
-        .join(cl, (F.col("cl.src") == F.col("o1.dst"))
-              & (F.col("cl.dst") == F.col("o2.dst")))
-        .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"),
-                F.col("o2.dst").alias("c"))
-    )
+    tri = _closed_triangles(oriented)
     edges3 = tri.select(F.explode(F.array(
         F.struct(F.least("a", "b").alias("u"),
                  F.greatest("a", "b").alias("v")),
@@ -1427,17 +1441,7 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume shrinks monotonically per round; each round is the
     triangle-count plan plus one edge-key aggregate.
     """
-    lo = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
-    ).distinct()
-    a, b = lo.alias("a"), lo.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     for _ in range(KTRUSS_ROUNDS):
         # Support keys are edges of `und` in >= 1 triangle (a subset of
         # und), so the filtered support table IS the surviving edge
@@ -1530,17 +1534,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     |K|-fan-out conditional count — the threshold ladder is a
     broadcast literal, never a data-dependent domain.
     """
-    lo = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s")
-    ).distinct()
-    a, b = lo.alias("a"), lo.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
