@@ -148,6 +148,13 @@ def dedup_jaccard_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles(spark, sf_dir, max_df=DF_CUTOFF))
 
 
+#: Documents ceiling for broadcasting the per-doc ranked-shingle-array
+#: frame in the ssjoin verification step (~1 KB/doc built ⇒ ≤ a couple
+#: hundred MB at the cap); beyond it the verification joins fall back
+#: to shuffles keyed by doc id.
+_ARR_BROADCAST_MAX_DOCS = 200_000
+
+
 def dedup_jaccard_prefix_filter(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.2 via *prefix filtering* (the
@@ -170,27 +177,40 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
 
     The oracle is the naive all-postings self-join — parity proves the
     filter drops no qualifying pair.
+
+    Round-10 shape (before/after plans in plans/r10/): ONE per-doc
+    ranked-array frame replaces the window-ranked posting table — the
+    DF join rides the shingle exchange, the (df, shingle) order is a
+    local ``sort_array`` inside each doc's bucket, the prefix is a
+    ``slice``, and the same frame serves both verification legs.
+    Verification is a per-pair ``array_intersect`` against that frame
+    (broadcast under a corpus-size guard) instead of re-joining every
+    candidate pair against the full posting table — at sf0.1 that join
+    streamed ~41 M (pair × shingle) rows to verify 788 k candidates;
+    the array form is 8.8 → 6.0 s and two exchanges fewer.  Past the
+    guard the verification joins shuffle by doc id — still |cand| rows,
+    never pair × posting.
     """
-    # sh feeds four consumers (sizes, DF table, the ranked join, and
-    # both verification legs); without the lazy checkpoint each one
-    # re-tokenizes and re-explodes the documents scan — the regex
-    # splitting is the CPU-heaviest leaf in the plan.
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    d_count = load_table(spark, sf_dir, "documents").count()
+    sh = _shingles(spark, sf_dir)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(df_tab, "shingle")
-        .select("doc_id", "shingle", F.row_number().over(w).alias("rn"))
-    )
     # prefix length n - ceil(n/5) + 1; ceil(n/5) = (n+4) div 5
-    prefix = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1)
-        .select("doc_id", "shingle")
+    arrs = (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle")))
+             .alias("rk"))
+        .select("doc_id",
+                F.expr("transform(rk, x -> x.shingle)").alias("arr"),
+                F.size("rk").alias("n"))
+        .select("doc_id", "arr", "n",
+                F.expr("slice(arr, 1, n - (n + 4) div 5 + 1)")
+                .alias("pref"))
+        .localCheckpoint(eager=False)   # postings + both verify legs
     )
+    postings = arrs.select("doc_id", F.explode("pref").alias("shingle"))
     buckets = (
-        prefix.groupBy("shingle")
+        postings.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
@@ -201,23 +221,24 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    a1 = arrs.select(F.col("doc_id").alias("d1"),
+                     F.col("arr").alias("arr1"), F.col("n").alias("n1"))
+    a2 = arrs.select(F.col("doc_id").alias("d2"),
+                     F.col("arr").alias("arr2"), F.col("n").alias("n2"))
+    if d_count <= _ARR_BROADCAST_MAX_DOCS:
+        a1, a2 = F.broadcast(a1), F.broadcast(a2)
     inter = (
-        cand.join(a, F.col("d1") == F.col("a.doc_id"))
-        .join(b, (F.col("d2") == F.col("b.doc_id"))
-              & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(a1, "d1").join(a2, "d2")
+        .select("d1", "d2",
+                F.size(F.array_intersect("arr1", "arr2")).alias("inter"),
+                "n1", "n2")
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+        F.col("n1") + F.col("n2") - F.col("inter")
     )
     return (
-        inter.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .select("d1", "d2",
-                (F.floor(jac * 10000.0) / 10000.0).alias("jaccard"))
+        inter.select("d1", "d2",
+                     (F.floor(jac * 10000.0) / 10000.0).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
