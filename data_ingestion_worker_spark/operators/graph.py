@@ -128,8 +128,9 @@ def graph_pagerank_adaptive(spark: SparkSession, sf_dir: str,
     100× scale the iteration budget becomes adaptive instead of a fixed
     unroll.  The convergence flag rides the rank frame (|Δr| computed in
     the same pass, materialized by the eager checkpoint), so the check
-    is a ``filter().limit(1).count()`` over checkpointed rows — no extra
-    shuffle, the same pattern as ``dedup_connected_components``.
+    is a ``filter().count()`` whose single job also materializes the
+    lazy checkpoint — no extra shuffle, the same pattern as
+    ``dedup_connected_components``.
 
     The registry entry uses ``epsilon_scaled=0``: with pure-integer
     arithmetic, Δ=0 means an exact fixpoint, so early exit is
@@ -171,11 +172,13 @@ def graph_pagerank_adaptive(spark: SparkSession, sf_dir: str,
                 "r_prev",
             )
             .withColumn("delta", F.abs(F.col("r") - F.col("r_prev")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        moving = new_ranks.filter(
-            F.col("delta") > epsilon_scaled
-        ).limit(1).count()
+        # Full count over the lazily-checkpointed frame: one job both
+        # materializes the checkpoint and answers convergence (the
+        # eager-checkpoint-then-limit-count shape paid two scheduler
+        # round-trips per superstep for the same answer).
+        moving = new_ranks.filter(F.col("delta") > epsilon_scaled).count()
         ranks = new_ranks.drop("r_prev", "delta")
         if moving == 0:
             break  # fixpoint (within epsilon): further supersteps no-op
