@@ -61,7 +61,8 @@ shingles AS (
 
 
 def _shingles(spark: SparkSession, sf_dir: str,
-              max_df: int | None = None) -> DataFrame:
+              max_df: int | None = None,
+              toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram pairs — Spark side.
 
     Built with array higher-order functions (no UDF); the explode is the
@@ -72,21 +73,30 @@ def _shingles(spark: SparkSession, sf_dir: str,
     (boilerplate cutoff).  The DF window partitions by the same key the
     downstream inverted-index join shuffles on, so it rides the exchange
     that join already needs instead of adding one.
+
+    ``toks``: an existing (doc_id, t: array<string>) token frame to
+    build from (the ``functions.text.tokens`` convention) — lets a
+    composed plan tokenize the corpus once for both its shingle and its
+    LM legs.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.expr(
-        "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
-        "ELSE split(trim(lower(text)), '\\\\s+') END"
-    )
     sh = F.expr(
         "transform(sequence(0, size(toks) - 3), "
         "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
     )
+    if toks is None:
+        d = load_table(spark, sf_dir, "documents")
+        tok_col = F.expr(
+            "CASE WHEN length(trim(lower(text))) = 0 THEN array() "
+            "ELSE split(trim(lower(text)), '\\\\s+') END"
+        )
+        base = d.select("doc_id", tok_col.alias("toks"))
+    else:
+        base = toks.select("doc_id", F.col("t").alias("toks"))
     # array_distinct dedups within the doc BEFORE the explode, and doc_id
     # disambiguates across docs — (doc_id, shingle) pairs are already
     # distinct, so no post-explode .distinct() shuffle is needed.
     out = (
-        d.select("doc_id", toks.alias("toks"))
+        base
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )

@@ -336,13 +336,21 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import doc_lm_xent_proxy, doc_policy_flags
 
     d = load_table(spark, sf_dir, "documents")
-    decided = pipeline_pretrain_filter(spark, sf_dir) \
+    # ONE tokenization pass for the funnel's shingle (near-dup) and
+    # bigram-LM legs: the regex split is the CPU-heaviest leaf and both
+    # legs derive from the same (doc_id, t) arrays.
+    tok_arrays = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+        .localCheckpoint(eager=False)
+    sh = _shingles(spark, sf_dir, toks=tok_arrays) \
+        .localCheckpoint(eager=False)
+    decided = pipeline_pretrain_filter(spark, sf_dir, sh=sh) \
         .filter(F.col("keep")).select("doc_id", "n_tokens")
     unflagged = doc_policy_flags(spark, sf_dir) \
         .filter(F.col("flagged") == 0).select("doc_id")
     # Checkpoint: x feeds both the p90 cut and the gate join below —
     # without it the whole bigram-LM subtree would execute twice.
-    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q") \
+    x = doc_lm_xent_proxy(spark, sf_dir, toks=tok_arrays) \
+        .select("doc_id", "mean_xent_q") \
         .localCheckpoint(eager=False)
     # p90 via the distributed order-statistic helper: bit-identical to
     # the percentile aggregate, but the cut no longer buffers every
@@ -469,17 +477,22 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import EVAL_MOD
 
     d = load_table(spark, sf_dir, "documents")
-    # ONE tokenize+explode leaf for the funnel's three shingle
-    # consumers (near-dup leg, decontamination leg, MinHash/CC chain):
-    # the lazy checkpoint materializes it once; without it each leg
-    # re-runs the regex tokenization — the CPU-heaviest leaf — from
-    # scratch (measured ~0.56 s per build at sf0.1).
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    # ONE tokenization pass for every token-derived leg, and ONE
+    # tokenize+explode shingle frame for the three shingle consumers
+    # (near-dup leg, decontamination leg, MinHash/CC chain): the lazy
+    # checkpoints materialize each once; without them every leg re-runs
+    # the regex tokenization — the CPU-heaviest leaf — from scratch
+    # (measured ~0.56 s per shingle build at sf0.1).
+    tok_arrays = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+        .localCheckpoint(eager=False)
+    sh = _shingles(spark, sf_dir, toks=tok_arrays) \
+        .localCheckpoint(eager=False)
     decided = pipeline_pretrain_filter(spark, sf_dir, sh=sh) \
         .filter(F.col("keep")).select("doc_id", "n_tokens")
     unflagged = doc_policy_flags(spark, sf_dir) \
         .filter(F.col("flagged") == 0).select("doc_id")
-    x = doc_lm_xent_proxy(spark, sf_dir).select("doc_id", "mean_xent_q") \
+    x = doc_lm_xent_proxy(spark, sf_dir, toks=tok_arrays) \
+        .select("doc_id", "mean_xent_q") \
         .localCheckpoint(eager=False)
     from ..functions.quantiles import distributed_exact_quantiles
     cut = distributed_exact_quantiles(x, "mean_xent_q", [("p90", 0.9)])

@@ -1097,7 +1097,8 @@ FROM scored GROUP BY 1
 """
 
 
-def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str,
+                      toks: DataFrame | None = None) -> DataFrame:
     """Per-document cross-entropy under a corpus bigram language model
     (add-one smoothing) — the KenLM-style perplexity-filter proxy used
     to rank pretraining documents by "LM-likeness" without a neural
@@ -1116,13 +1117,17 @@ def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     only large intermediate and it partitions by bigram — never a
     funnel.
     """
-    d = load_table(spark, sf_dir, "documents")
     # One tokenization pass for BOTH the bigram explode and the
     # vocabulary count: the regex split is the CPU-heaviest leaf, and
     # the lazy checkpoint stops the ``v`` aggregate from re-running it
-    # over the whole corpus a second time.
-    tok_arrays = d.select("doc_id", tokens(F.col("text")).alias("t")) \
-        .localCheckpoint(eager=False)
+    # over the whole corpus a second time.  ``toks`` lets a composed
+    # plan (the curation funnels) hand in an already-checkpointed
+    # (doc_id, t) frame shared with its shingle leg.
+    if toks is None:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", tokens(F.col("text")).alias("t")) \
+            .localCheckpoint(eager=False)
+    tok_arrays = toks
     toks = tok_arrays.filter(F.size("t") >= 2)
     bigs = toks.select(
         "doc_id",
