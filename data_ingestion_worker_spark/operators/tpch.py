@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
-from ..tables import load_table
+from ..tables import load_table as _load_table
+
+
+def load_table(spark, sf_dir, name):
+    """TPC-H-local loader: scan-spread disabled (measured at sf0.1 —
+    these queries are scan→join→aggregate with light per-row map work,
+    so the spread exchange is pure overhead (interleaved min-of-4 at
+    sf0.1: q5 0.90→0.77 s, q10 0.98→0.79 s, others wash); the heavy-map
+    operators keep the default-on spread in tables.load_table)."""
+    return _load_table(spark, sf_dir, name, spread=False)
 
 
 def _dec(col: str, scale: str = "12,2") -> F.Column:
@@ -34,7 +43,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side partial aggregation reduces 100 TB to KBs before the shuffle
     (only 6 groups exist).
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # q1 is the one classic query that IS map-heavy (eight DECIMAL
+    # aggregates per row), so it keeps the spread (0.63 vs 0.75 s in
+    # the same interleaved A/B).
+    li = _load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02 00:00:00"
     )
     qty, price = _dec("l_quantity"), _dec("l_extendedprice")
