@@ -13,8 +13,8 @@ import bench
 
 
 def test_quiet_window_no_rerun():
-    # The committed r9 quiet artifact: q1 = 1.008 s, legacy-19 = 15.112 s.
-    assert bench._rerun_reason(1.008, 15.112) is None
+    # The committed r10 quiet artifact: q1 = 0.73 s, legacy-19 = 12.111 s.
+    assert bench._rerun_reason(0.73, 12.111) is None
 
 
 def test_q1_marker_breach_fires():
@@ -25,9 +25,14 @@ def test_q1_marker_breach_fires():
 
 def test_evasion_window_now_fires_on_total():
     # THE r9 evasion window (driver's BENCH_r09): q1 = 1.482 s sat
-    # 0.018 s under the 1.5 s marker trigger while legacy-19 published
-    # 21.768 s = 1.55x baseline.  The total backstop must fire here.
-    assert bench._rerun_reason(1.482, 21.768) == "legacy19_total"
+    # 0.018 s under r9's 1.5 s marker trigger while legacy-19 published
+    # 21.768 s.  After the r10 recalibration the MARKER alone catches
+    # it too, so both witnesses fire.
+    assert bench._rerun_reason(1.482, 21.768) == "q1_marker+legacy19_total"
+    # The r10-shaped evasion twin: q1 just under the new 1.1 s trigger
+    # while the total reads far above the quiet record — the total
+    # backstop must still fire alone.
+    assert bench._rerun_reason(1.09, 16.4) == "legacy19_total"
 
 
 def test_boundaries_are_strict():
@@ -43,6 +48,7 @@ def test_boundaries_are_strict():
 
 def test_trigger_calibration_vs_committed_record():
     # The backstop is 1.25x the best committed quiet legacy-19 on
-    # record (15.112 s, r9); if a future round re-baselines, this pin
-    # forces the constant to be revisited alongside it.
-    assert abs(bench.LEGACY19_TRIGGER_SEC - 1.25 * 15.112) < 0.02
+    # record (12.111 s, round-10 close BENCH_DETAIL); if a future round
+    # re-baselines, this pin forces the constant to be revisited
+    # alongside it.
+    assert abs(bench.LEGACY19_TRIGGER_SEC - 1.25 * 12.111) < 0.02
