@@ -229,12 +229,22 @@ def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by value per customer (rank window + filter)."""
+    """Top-3 orders by value per customer (rank window + filter).
+
+    The scan spread is keyed on the WINDOW key (o_custkey), not the
+    table's default join key: hashpartitioning(o_custkey, N) satisfies
+    the window's required distribution, so the spread exchange IS the
+    window exchange — one shuffle total (r10 shipped the default
+    o_orderkey spread here, which sat as pure overhead ahead of the
+    window's own exchange: 0.59 → 0.70 s and the suite's worst 8→32
+    core ratio; guide §2.4 "two operations keyed the same way share
+    one exchange").
+    """
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        _t(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders", spread="o_custkey")
         .select("o_custkey", "o_orderkey", "o_totalprice",
                 F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)

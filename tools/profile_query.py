@@ -3,8 +3,9 @@
 Times registry queries through the noop sink (guide §1.4: full
 execution of every column, no driver collect) best-of-N, labels each
 job (guide §1.5), and optionally dumps ``explain("formatted")`` to
-``plans/r10/<query>_<tag>.txt`` so plan claims in OPTIMIZATION_r10.md
-are checkable without running Spark.
+``plans/<round>/<query>_<tag>.txt`` (``--plans-dir``, default the
+current optimization round) so plan claims in OPTIMIZATION_*.md are
+checkable without running Spark.
 
 Usage:
     python tools/profile_query.py q1_pricing_summary dedup_minhash_lsh
@@ -34,7 +35,9 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plan-tag", default=None,
                     help="dump explain('formatted') to "
-                         "plans/r10/<query>_<tag>.txt")
+                         "plans/<plans-dir>/<query>_<tag>.txt")
+    ap.add_argument("--plans-dir", default="r11",
+                    help="subdirectory of plans/ for --plan-tag dumps")
     ap.add_argument("--top", action="store_true",
                     help="profile the full bench HEADLINE list")
     args = ap.parse_args()
@@ -50,7 +53,8 @@ def main() -> int:
         return 2
 
     spark = get_spark("profile-query")
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" \
+        / args.plans_dir
     out: dict[str, float] = {}
     for name in names:
         if args.plan_tag:
