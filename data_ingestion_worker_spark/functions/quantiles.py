@@ -54,6 +54,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.checkpoint import cut_lineage
 
 
 def distributed_exact_quantiles(
@@ -94,7 +95,7 @@ def distributed_exact_quantiles(
     v0 = (
         df.select(*g, F.col(value_col).cast("double").alias("_v"), *w_cols)
         .filter(F.col("_v").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     # Checkpoint again after the shuffle: the ranged rows feed both the
     # offset table and the rank window (Catalyst does not reuse
@@ -103,7 +104,7 @@ def distributed_exact_quantiles(
     v = (
         v0.repartitionByRange(n_parts, F.col("_v"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     if not g:
         return _ungrouped_quantiles(v, probs, count_alias,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.quantiles import distributed_exact_quantiles
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 def _val() -> F.Column:
     return F.col("value").cast("decimal(14,2)")
@@ -518,7 +519,7 @@ def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type")
         .agg(F.max("n_i").alias("n_from"),
              F.sum("t").alias("h_cond_micro"))
-        .localCheckpoint(eager=False)   # rows AND the rate scalar
+        .transform(cut_lineage)   # rows AND the rate scalar
     )
     rate = per_state.agg(
         F.sum("n_from").alias("n_total"),
@@ -629,12 +630,12 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     states = raw.select(F.col("from_type").alias("t")).distinct() \
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     c = raw.join(
         states.withColumnRenamed("t", "to_type"), "to_type", "left_semi"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     r = c.groupBy("from_type").agg(F.sum("n").alias("r")) \
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     k = states.agg(F.count(F.lit(1)).alias("k"))
     pi = states.crossJoin(F.broadcast(k)).select(
         "t", F.expr(f"{MS_SCALE} div k").alias("mass")
@@ -940,7 +941,7 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(_epoch_s(F.col("ts"))).alias("last_s"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_val()).alias("mon"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     ref = per_user.agg(F.max("last_s").alias("ref_s"))
     with_rec = per_user.crossJoin(F.broadcast(ref)).select(
         "user_id",
@@ -1252,7 +1253,7 @@ def ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         "user_id", F.to_date("ts").alias("day")
-    ).distinct().localCheckpoint(eager=False)  # feeds DAU, WAU, day set
+    ).distinct().transform(cut_lineage)  # feeds DAU, WAU, day set
     dau = pairs.groupBy("day").agg(
         F.count(F.lit(1)).alias("dau")
     )
@@ -1418,7 +1419,7 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("delta").desc())
         .sortWithinPartitions("t", F.col("delta").desc())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)   # offsets + the running pass
+        .transform(cut_lineage)   # offsets + the running pass
     )
     psums = srt.groupBy("_pid").agg(F.sum("delta").alias("_ps"))
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -2088,7 +2089,7 @@ def ev_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided by zero.
     """
     dense = _dense_daily(load_table(spark, sf_dir, "events")) \
-        .localCheckpoint(eager=False)   # both sides of the lag join
+        .transform(cut_lineage)   # both sides of the lag join
     a = dense.select(F.col("event_type").alias("type_a"),
                      F.col("day").alias("day"),
                      F.col("n").alias("x"))
@@ -2422,7 +2423,7 @@ def ev_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches table-sized data.
     """
     e = load_table(spark, sf_dir, "events")
-    dense = _dense_daily(e).localCheckpoint(eager=False)
+    dense = _dense_daily(e).transform(cut_lineage)
     fanned = dense.select(
         "event_type", "n",
         F.explode(F.expr(
@@ -2737,7 +2738,7 @@ def ev_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregate of that spine.
     """
     dense = _dense_daily(load_table(spark, sf_dir, "events")) \
-        .localCheckpoint(eager=False)  # feeds the pair join twice + ties
+        .transform(cut_lineage)  # feeds the pair join twice + ties
     a, b = dense.alias("a"), dense.alias("b")
     s = (
         a.join(
@@ -2837,7 +2838,7 @@ def ev_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.datediff("day", F.min("day").over(w)).alias("i"),
         "n",
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     a, b = di.alias("a"), di.alias("b")
     pairs = a.join(
         b,
@@ -2933,7 +2934,7 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day",
         (F.datediff("day", F.min("day").over(w)) % 7).alias("i7"),
         "n",
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     fan = di.select(
         "event_type", "n",
         F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"), "day",
@@ -3116,7 +3117,7 @@ def ev_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(
             "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"
         )).alias("y"),
-    ).localCheckpoint(eager=False)   # both sides of the pair self-join
+    ).transform(cut_lineage)   # both sides of the pair self-join
     a = daily.select("event_type", F.col("day").alias("d1"),
                      F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = daily.select(F.col("event_type").alias("et2"),
@@ -3213,7 +3214,7 @@ def ev_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("value").cast("decimal(14,2)") * 100)
         .cast("bigint").alias("cents"),
-    ).localCheckpoint(eager=False)   # feeds the cut rows AND the clamp
+    ).transform(cut_lineage)   # feeds the cut rows AND the clamp
     cuts = distributed_exact_quantiles(
         e, "cents", [("lo", 0.05), ("hi", 0.95)],
         group_cols=["event_type"],
@@ -3509,7 +3510,7 @@ def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "x_split",
         F.expr(f"(mx * {CONF_TRAIN_NUM}) div {CONF_TRAIN_DEN}"),
-    ).localCheckpoint(eager=False)  # consumed by train agg AND cal scan
+    ).transform(cut_lineage)  # consumed by train agg AND cal scan
     train = idx.where(F.col("x") <= F.col("x_split")).groupBy(
         "event_type").agg(
         F.count(F.lit(1)).alias("n_train"),

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 #: Bits per dimension in the Morton code (8 ⇒ 256 buckets/dimension).
 ZORDER_BITS = 8
@@ -320,7 +321,7 @@ def layout_clustering_depth(spark: SparkSession, sf_dir: str) \
         " AS (layout, file_id)"
     ), "db").groupBy("layout", "file_id").agg(
         F.min("db").alias("min_db"), F.max("db").alias("max_db"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     other = per_file.select(
         F.col("layout").alias("lb"), F.col("file_id").alias("fb"),
         F.col("min_db").alias("bmin"), F.col("max_db").alias("bmax"))

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 #: True when Pillow is importable — the seam between the deterministic
 #: stub decoder (oracle-verified) and the real codec path.
@@ -1571,7 +1572,7 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     per = with_payload(docs).mapInPandas(image_ahash, AHASH_SCHEMA) \
-        .localCheckpoint(eager=False)   # decode once: feeds agg + join
+        .transform(cut_lineage)   # decode once: feeds agg + join
     buckets = per.groupBy("width", "height", "ahash").agg(
         F.count(F.lit(1)).alias("n_bucket"),
         F.min("doc_id").alias("keeper"),

@@ -23,6 +23,7 @@ from ..functions.hashing import hash64, hash64_sql
 from ..functions.text import ws_token_count
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 #: Numeric lineitem measures profiled by ``profile_columns``.
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -594,7 +595,7 @@ def ev_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(cast(hour as timestamp) as long) div 3600")
         .alias("eh"),
         "c",
-    ).localCheckpoint(eager=False)   # both sides of the lag join
+    ).transform(cut_lineage)   # both sides of the lag join
     fan = hourly.select(
         "event_type", "eh", F.col("c").alias("x"),
         F.explode(F.array(*[F.lit(k) for k in
@@ -715,7 +716,7 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the explode+groupBy runs once for both consumers.
     counts = pairs.groupBy("col", "key").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     total = counts.filter(F.col("col") == SKEW_COLS[0]).agg(
         F.sum("cnt").alias("n")
     )
@@ -1605,7 +1606,7 @@ def profile_column_kmv_overlap(spark: SparkSession, sf_dir: str) \
     for p in parts[1:]:
         vals = vals.unionByName(p)
     hashed = vals.select("col", hash64(F.col("v")).alias("h")) \
-        .localCheckpoint(eager=False)   # sketch build + per-column counts
+        .transform(cut_lineage)   # sketch build + per-column counts
     mins = (
         hashed.groupBy("col", F.spark_partition_id().alias("salt"))
         .agg(
@@ -1621,7 +1622,7 @@ def profile_column_kmv_overlap(spark: SparkSession, sf_dir: str) \
             F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
                     1, KMV_COL_K).alias("arr"),
         )
-        .localCheckpoint(eager=False)   # consumed as both pair sides
+        .transform(cut_lineage)   # consumed as both pair sides
     )
     a = sk.select(F.col("col").alias("c1"),
                   F.col("arr").alias("arr1"), F.col("n").alias("n1"))

@@ -37,6 +37,7 @@ from ..functions.text import tokens
 from ..spec import QuerySpec
 from ..tables import load_table
 from .text import _TOKENS_SQL
+from ..functions.checkpoint import cut_lineage
 
 #: Curated "reference corpus" source for the NB quality classifier
 #: (config in a real deployment — GPT-3 used WebText as this class).
@@ -70,7 +71,7 @@ def nb_token_model(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             (F.col("source") == NB_REF_SOURCE).alias("is_ref"),
             F.explode(tokens(F.col("text"))).alias("token"),
         )
-        .localCheckpoint(eager=False)   # feeds model counts AND scoring
+        .transform(cut_lineage)   # feeds model counts AND scoring
     )
     model = toks.groupBy("token").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cpos"),
@@ -206,7 +207,7 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "is_t",
             (hash64(F.col("bg")) % DSIR_BUCKETS).alias("b"),
         )
-        .localCheckpoint(eager=False)   # feeds the model AND scoring
+        .transform(cut_lineage)   # feeds the model AND scoring
     )
     model = bigs.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
@@ -310,7 +311,7 @@ def sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("doc_id").cast("string"))).alias("h"),
         )
         .select("doc_id", "n_chars", F.expr(_PPSWOR_LPRI).alias("lpri"))
-        .localCheckpoint(eager=False)   # feeds the k and k+1 heads
+        .transform(cut_lineage)   # feeds the k and k+1 heads
     )
     ordered = base.orderBy(F.col("lpri").desc(), F.col("doc_id").asc())
     tau = ordered.limit(PPSWOR_K + 1).agg(F.min("lpri").alias("tau_l"))
@@ -382,7 +383,7 @@ def corpus_quality_calibration(spark: SparkSession,
         "doc_id", (F.col("source") == NB_REF_SOURCE).alias("is_ref")
     )
     j = scored.join(labels, "doc_id") \
-        .localCheckpoint(eager=False)   # feeds the cut row + assignment
+        .transform(cut_lineage)   # feeds the cut row + assignment
     cuts = distributed_exact_quantiles(
         j, "llr_q",
         [(f"c{k}", k / (CAL_CUTS + 1)) for k in range(1, CAL_CUTS + 1)],
@@ -463,7 +464,7 @@ def feat_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category", "fold")
         .agg(F.count(F.lit(1)).alias("n_infold"),
              F.sum("v").alias("s_infold"))
-        .localCheckpoint(eager=False)  # consumed twice (cells + prior)
+        .transform(cut_lineage)  # consumed twice (cells + prior)
     )
     w_cat = Window.partitionBy("category")
     glob = cells.agg(F.sum("n_infold").alias("gn"),
@@ -564,7 +565,7 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = j.select(
         "o_orderpriority", "n_good", "n_bad", "n_bins",
         f6(woe).alias("woe"), iv_micro.alias("iv_micro"),
-    ).localCheckpoint(eager=False)    # feeds rows AND the total
+    ).transform(cut_lineage)    # feeds rows AND the total
     iv_tot = terms.agg(F.sum("iv_micro").alias("iv_sum"))
     return terms.crossJoin(F.broadcast(iv_tot)).select(
         "o_orderpriority", "n_good", "n_bad", "n_bins",

@@ -27,6 +27,7 @@ from ..functions.hashing import hash64_sql
 from ..spec import QuerySpec
 from ..tables import load_table
 from .text import doc_bm25_rank
+from ..functions.checkpoint import cut_lineage
 
 N_QUERIES = 5       # vec_id < N_QUERIES act as query vectors
 TOP_K = 5
@@ -391,7 +392,7 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) \
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_QVEC).alias("qv")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
     dims = e.select("vec_id", "label", F.posexplode("qv").alias("d", "v"))
     cent = dims.groupBy(F.col("label").alias("c"), "d").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("nc"))
@@ -511,7 +512,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str, nprobe: int):
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_QVEC).alias("qv0")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
     dims = e.select(
         "vec_id", "label", F.posexplode("qv0").alias("d", "v")
     )
@@ -747,7 +748,7 @@ def _kmeans_pipeline(spark: SparkSession, sf_dir: str):
     (final-round scores, final assignment)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QVEC).alias("qv0")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
     dims = e.select("vec_id", F.posexplode("qv0").alias("d", "v"))
     vnorm = dims.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("nv")
@@ -820,7 +821,7 @@ def _kmeans_scores_and_assign(dims, vnorm, cent):
                 dims.join(assign.select("vec_id", "cluster"), "vec_id")
                 .groupBy("cluster", "d")
                 .agg(F.sum("v").alias("s"))
-                .localCheckpoint(eager=False)
+                .transform(cut_lineage)
             )
     return scores, assign
 
@@ -908,7 +909,7 @@ def emb_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order never matters.
     """
     scores, assign = _kmeans_pipeline(spark, sf_dir)
-    scores = scores.localCheckpoint(eager=False)   # argmax + runner-up
+    scores = scores.transform(cut_lineage)   # argmax + runner-up
     a = assign.select("vec_id", F.col("cluster").alias("_ac"),
                       F.col("cosd").alias("_a"))
     b = (
@@ -983,7 +984,7 @@ def emb_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.select("vec_id", "cluster").join(lab, "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).alias("nij"))
-        .localCheckpoint(eager=False)   # feeds three aggregates
+        .transform(cut_lineage)   # feeds three aggregates
     )
 
     s = ct.agg(
@@ -1084,11 +1085,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole two-round training per consumer (measured: 45 exchanges in
     # the executed plan vs 13 after — the PERF.md §8 rule).
     assign = cluster_kmeans_embeddings(spark, sf_dir) \
-        .select("vec_id", "cluster").localCheckpoint(eager=False)
+        .select("vec_id", "cluster").transform(cut_lineage)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QVEC).alias("qv")
     )
-    member = e.join(assign, "vec_id").localCheckpoint(eager=False)
+    member = e.join(assign, "vec_id").transform(cut_lineage)
     a = member.select("cluster", F.col("vec_id").alias("v1"),
                       F.col("qv").alias("qa"))
     b = member.select("cluster", F.col("vec_id").alias("v2"),
@@ -1197,7 +1198,7 @@ def _pq_state(spark: SparkSession, sf_dir: str):
         "vec_id", F.posexplode("qv0").alias("d", "v")
     ).select(
         "vec_id", (F.col("d") / PQ_SUB).cast("int").alias("m"), "d", "v"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage, eager=True)
     vnorm = dims.groupBy("vec_id", "m").agg(
         F.sum(F.col("v") * F.col("v")).alias("nv")
     )
@@ -1256,7 +1257,7 @@ def _pq_state(spark: SparkSession, sf_dir: str):
                     F.col("b.cnt").alias("cnt"))
         )
         if it == 0:
-            assign = assign.localCheckpoint(eager=False)
+            assign = assign.transform(cut_lineage)
             # cent1 carries the member count per (m, code, d) row (each
             # member contributes exactly one row per dim), so msize1
             # derives from cent1's tiny frame — no second shuffle over
@@ -1267,7 +1268,7 @@ def _pq_state(spark: SparkSession, sf_dir: str):
                 .groupBy("m", "code", "d")
                 .agg(F.sum("v").alias("s"),
                      F.count(F.lit(1)).alias("cnt_d"))
-                .localCheckpoint(eager=False)
+                .transform(cut_lineage)
             )
             msize = cent.groupBy("m", "code").agg(
                 F.max("cnt_d").cast("bigint").alias("cnt")
@@ -1475,7 +1476,7 @@ def emb_coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = F.expr("aggregate(transform(qv, x -> x * x), "
                 "cast(0 as bigint), (acc, v) -> acc + v)")
     base = e.select("vec_id", "qv", nv.alias("nv")) \
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     seed_h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("coreset:"),
@@ -1505,7 +1506,7 @@ def emb_coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "qv", "nv",
                     (F.least(F.col("dm"), d2) if i > 1 else d2)
                     .alias("dm"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         far = upd.agg(
             F.max(F.struct(F.col("dm"), (-F.col("vec_id")).alias("nid")))
@@ -3158,7 +3159,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qvec))
         .select("vec_id", "qv", dot_rel.alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL)
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage, eager=True)
     )
     dot_sim = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), "
                      "cast(0 as bigint), (acc, v) -> acc + v)")
@@ -3186,7 +3187,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "qv", "rel",
                     (F.greatest(F.col("ms"), dot_sim) if i > 1
                      else dot_sim).alias("ms"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         pick = rem.select(
             "vec_id", "rel", "ms",

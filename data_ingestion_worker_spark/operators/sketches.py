@@ -35,6 +35,7 @@ from ..functions.hashing import hash64, hash64_sql
 from ..functions.text import tokens
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 KMV_K = 64          # KMV sketch size
 CMS_D, CMS_W = 4, 256   # Count-Min depth x width
@@ -568,7 +569,7 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _src_shingles(spark, sf_dir)
     hashed = sh.select("source", hash64(F.col("shingle")).alias("h")) \
-        .localCheckpoint(eager=False)   # sketch build + both exact sides
+        .transform(cut_lineage)   # sketch build + both exact sides
     mins = (
         hashed.groupBy("source", F.spark_partition_id().alias("salt"))
         .agg(
@@ -584,7 +585,7 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.flatten(F.collect_list("mins"))),
                     1, KMV_K).alias("arr"),
         )
-        .localCheckpoint(eager=False)   # consumed as both pair sides
+        .transform(cut_lineage)   # consumed as both pair sides
     )
     a = sk.select(F.col("source").alias("s1"),
                   F.col("arr").alias("arr1"), F.col("n").alias("n1"))
@@ -725,8 +726,8 @@ def ev_sliding_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _hll_rho_buckets(e, "hour_id")
     regs = buckets.groupBy("hour_id", "bucket").agg(
         F.max("rho").alias("r")
-    ).localCheckpoint(eager=False)  # reused: fan-out + anchor set
-    hours = regs.select("hour_id").distinct().localCheckpoint(eager=False)
+    ).transform(cut_lineage)  # reused: fan-out + anchor set
+    hours = regs.select("hour_id").distinct().transform(cut_lineage)
     offs = spark.range(HLL_WIN_HOURS).select(F.col("id").alias("off"))
 
     def _fan(df: DataFrame, *cols: str) -> DataFrame:

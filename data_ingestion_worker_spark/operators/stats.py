@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.checkpoint import cut_lineage
 from ..functions.quantiles import distributed_exact_quantiles
 from ..spec import QuerySpec
 from ..tables import load_table
@@ -1031,7 +1032,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", F.expr(f"q div {KS_BUCKET}"))
         # counts feeds the per-bucket window, the bucket totals, and the
         # sample-size scalar; materialize the events groupBy once.
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     win = (
         Window.partitionBy("bucket").orderBy("q")
@@ -1132,7 +1133,7 @@ def with_cumulative_tv(counts: DataFrame,
     both the window and the bucket-totals aggregate."""
     c = counts.withColumn(
         "bucket", F.expr(f"q div {bucket_width}")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     win = (
         Window.partitionBy("bucket").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1173,7 +1174,7 @@ def rank_sum_stats(counts: DataFrame,
     cum = with_cumulative_tv(
         counts.withColumn("tv", F.col("cp") + F.col("cn")),
         bucket_width,
-    ).localCheckpoint(eager=False)  # feeds per-value sums + class sizes
+    ).transform(cut_lineage)  # feeds per-value sums + class sizes
     n = cum.agg(F.sum("cp").alias("np"), F.sum("cn").alias("nn"))
     two_avg = (
         F.lit(2) * F.col("cum") - F.col("tv") + F.lit(1)
@@ -1346,7 +1347,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("qx"),
     )
     per = o.join(li, o.o_orderkey == li.l_orderkey).select("qx", "qy") \
-        .localCheckpoint(eager=False)  # feeds both rank tables + join
+        .transform(cut_lineage)  # feeds both rank tables + join
     rx = _avg_rank2_table(per, "qx", KS_BUCKET)
     ry = _avg_rank2_table(per, "qy", 64)
     ranked = (
@@ -1833,7 +1834,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(f"md5(concat('perm:', '{blk}', ':', "
                  "cast(event_id as string)))").alias(f"h{blk}")
           for blk in range(_PERM_BLOCKS)],
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     obs = base.agg(
         F.sum(F.when(F.col("g_obs"), 1).otherwise(0)).cast("long")
         .alias("n1"),
@@ -2094,7 +2095,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.expr("CASE WHEN 2 * s < s0 + s1 THEN 'ref' ELSE 'cur' END")
         .alias("half"),
-    ).localCheckpoint(eager=False)   # feeds the cut row + the assign
+    ).transform(cut_lineage)   # feeds the cut row + the assign
     cuts = psi_cuts(tagged.filter(F.col("half") == "ref"))
     b = tagged.crossJoin(F.broadcast(cuts)).select(
         "half", F.expr(_PSI_BUCKET).alias("bucket")
@@ -3049,7 +3050,7 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("k")) \
-        .localCheckpoint(eager=False)   # feeds the total + the readout
+        .transform(cut_lineage)   # feeds the total + the readout
     tot = per.agg(F.sum("k").cast("long").alias("n"))
     j = per.crossJoin(F.broadcast(tot))
     z2 = F.lit(3.8414588206941254)      # 1.959964² — module convention
@@ -3244,7 +3245,7 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").cast("decimal(18,2)").cast("double")
         .alias("x"),
-    ).localCheckpoint(eager=False)  # feeds the quantile pass + the join
+    ).transform(cut_lineage)  # feeds the quantile pass + the join
     med = distributed_exact_quantiles(
         base, "x", [("med", 0.5)], group_cols=["g"])
     z = base.join(F.broadcast(med), "g").select(
@@ -3349,10 +3350,10 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         ev.groupBy(F.col("event_type").alias("g"), q.alias("q"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # feeds pooled ECDF + the join back
+        .transform(cut_lineage)  # feeds pooled ECDF + the join back
     )
     pooled = counts.groupBy("q").agg(F.sum("c").alias("tv"))
-    cum = with_cumulative_tv(pooled).localCheckpoint(eager=False)
+    cum = with_cumulative_tv(pooled).transform(cut_lineage)
     ties = cum.agg(
         F.sum("tv").cast("long").alias("n"),
         F.sum(
@@ -3465,7 +3466,7 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bounds = ev.groupBy("user_id").agg(
         F.min(us).alias("mn"), F.max(us).alias("mx")
-    ).localCheckpoint(eager=False)  # feeds the join AND the left spine
+    ).transform(cut_lineage)  # feeds the join AND the left spine
     pur = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", us.alias("us"))
     flags = (
@@ -3593,7 +3594,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = spine.join(hourly, ["event_type", "eh"], "left").select(
         "event_type", "eh",
         F.coalesce("c", F.lit(0)).cast("long").alias("c"),
-    ).localCheckpoint(eager=False)    # spine feeds base AND both join sides
+    ).transform(cut_lineage)    # spine feeds base AND both join sides
     base = x.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").cast("decimal(38,0)").alias("s"),

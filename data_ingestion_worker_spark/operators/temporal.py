@@ -33,6 +33,7 @@ from ..spec import QuerySpec
 from ..tables import load_table
 
 from .events import _epoch_s
+from ..functions.checkpoint import cut_lineage
 
 RANGE_BAND_S = 300     # range-join band (seconds)
 
@@ -508,7 +509,7 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
     # first-change aggregate; Catalyst does not reuse differently-
     # parented subtrees (same finding as pagerank/triangle-count — §8 in
     # PERF.md), so each multiply-referenced tier is materialized once.
-    dim = dim.localCheckpoint(eager=False)
+    dim = dim.transform(cut_lineage)
     cur = dim.filter("is_current").select(
         "user_id", "state", "valid_from", "version"
     )
@@ -535,7 +536,7 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
                 & (F.col("_prev").isNull()
                    | (F.col("_prev") != F.col("state"))))
         .select("user_id", "state", "ts", "event_id")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_rows = (

@@ -28,6 +28,7 @@ from ..functions.text import (
 )
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 # DuckDB mirrors of functions/text.py helpers (same names, same semantics).
 _TOKENS_SQL = ("CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
@@ -1045,9 +1046,9 @@ def doc_lm_xent_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"),
              F.col("p.w2").alias("w2")) \
-        .localCheckpoint(eager=False)   # model counts AND scoring
+        .transform(cut_lineage)   # model counts AND scoring
     c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")) \
-        .localCheckpoint(eager=False)   # counts AND both continuation aggs
+        .transform(cut_lineage)   # counts AND both continuation aggs
     c1 = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     n1f = c12.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
     n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
@@ -1126,7 +1127,7 @@ def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str,
     if toks is None:
         d = load_table(spark, sf_dir, "documents")
         toks = d.select("doc_id", tokens(F.col("text")).alias("t")) \
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
     tok_arrays = toks
     toks = tok_arrays.filter(F.size("t") >= 2)
     bigs = toks.select(
@@ -1138,7 +1139,7 @@ def doc_lm_xent_proxy(spark: SparkSession, sf_dir: str,
         )).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"),
              F.col("p.w2").alias("w2")) \
-        .localCheckpoint(eager=False)   # feeds model counts AND scoring
+        .transform(cut_lineage)   # feeds model counts AND scoring
     c12 = bigs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = tok_arrays.select(F.explode("t").alias("tok")) \
@@ -1461,7 +1462,7 @@ def doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, CAST((size(w) - 1) div {RAKE_MAX_PHRASE} "
         f"AS INT)), i -> slice(w, i * {RAKE_MAX_PHRASE} + 1, "
         f"{RAKE_MAX_PHRASE}))"
-    )).alias("p")).localCheckpoint(eager=False)   # feeds scores + re-join
+    )).alias("p")).transform(cut_lineage)   # feeds scores + re-join
     wordstats = (
         chunks.select(F.explode("p").alias("word"),
                       F.size("p").alias("plen"))
@@ -1815,7 +1816,7 @@ def _bpe_word_symbols(words: DataFrame) -> DataFrame:
         F.concat(F.lit("||"),
                  F.array_join(F.split(F.col("w"), ""), "||"),
                  F.lit("||")),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
 
 
 def _bpe_pair_counts(wk: DataFrame) -> DataFrame:
@@ -1971,7 +1972,7 @@ def _bpe_merge_chain_batched(
             known.add(left + right)
             expr = F.replace(expr, F.lit(f"|{left}||{right}|"),
                              F.lit(f"|{left}{right}|"))
-        wk = wk.withColumn("s", expr).localCheckpoint(eager=False)
+        wk = wk.withColumn("s", expr).transform(cut_lineage)
     return wk, merges
 
 
@@ -2000,7 +2001,7 @@ def _bpe_merge_chain_sequential(
             F.replace(F.col("s"),
                       F.lit(f"|{left}||{right}|"),
                       F.lit(f"|{left}{right}|")),
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
     return wk, merges
 
 
@@ -2362,7 +2363,7 @@ def _unigram_seed_batched(
         )).alias("piece"),
     )
     counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(cut_lineage)
     chars = {r["piece"]: int(r["cnt"])
              for r in counts.filter(F.length("piece") == 1).collect()}
     v0 = dict(chars)
@@ -2424,7 +2425,7 @@ def _unigram_viterbi_batched(
                     F.col("piece").alias("piece"),
                     F.col("plen").alias("plen"))
         )
-        dp = dp.unionByName(step).localCheckpoint(eager=False)
+        dp = dp.unionByName(step).transform(cut_lineage)
     # Choice table with RENAMED join keys: the backtrack repeatedly
     # joins descendants of the same frames, so plain-name equi-joins on
     # disjoint column names sidestep Spark's ambiguous-self-join
@@ -2432,7 +2433,7 @@ def _unigram_viterbi_batched(
     choice = dp.filter(F.col("pos") > 0).select(
         F.col("w").alias("cw"), F.col("pos").alias("cpos"),
         F.col("piece").alias("piece"), F.col("plen").alias("plen"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     bt = wbase.select("w", "freq", F.col("wlen").alias("cur"))
     uses: list[DataFrame] = []
     for _ in range(maxw):
@@ -2442,10 +2443,10 @@ def _unigram_viterbi_batched(
         uses.append(step.select("w", "freq", "piece", "plen"))
         bt = step.select(
             "w", "freq", (F.col("cur") - F.col("plen")).alias("cur")) \
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
     if uses:
         steps = reduce(DataFrame.unionByName, uses) \
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
     else:
         steps = spark.createDataFrame(
             [], "w string, freq long, piece string, plen int")
@@ -2471,7 +2472,7 @@ def _unigram_train_batched(
     vocabulary-bounded usage counts come back for the local M-steps
     (identical Python code path to driver mode, so the cost tables —
     the shared literals — are bit-identical across modes)."""
-    words_df = words_df.localCheckpoint(eager=False)
+    words_df = words_df.transform(cut_lineage)
     chars, v0 = _unigram_seed_batched(words_df)
     if not v0:
         return {}, {}, words_df.sparkSession.createDataFrame(
@@ -2817,7 +2818,7 @@ def corpus_heldout_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = base.filter(F.col("bucket") < _TRAIN_CUT)
     held = base.filter(F.col("bucket") >= _TRAIN_CUT)
-    btrain = bigrams(train).localCheckpoint(eager=False)
+    btrain = bigrams(train).transform(cut_lineage)
     c12 = btrain.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = btrain.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = train.select(F.explode("t").alias("tok")) \
@@ -2937,7 +2938,7 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(pred.alias("p"), F.col("lang").alias("l"))
         .groupBy("p", "l")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # feeds both marginals + diagonal
+        .transform(cut_lineage)  # feeds both marginals + diagonal
     )
     rows = cells.groupBy("p").agg(F.sum("c").alias("r"))
     cols = cells.groupBy("l").agg(F.sum("c").alias("cc"))
@@ -3127,7 +3128,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) \
     """
     d = load_table(spark, sf_dir, "documents")
     cells = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("cxy")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("cxy")).transform(cut_lineage)
     mx = cells.groupBy("lang").agg(F.sum("cxy").alias("cx"))
     my = cells.groupBy("source").agg(F.sum("cxy").alias("cy"))
     n = cells.agg(F.sum("cxy").cast("long").alias("n"))
@@ -3238,7 +3239,7 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("tok") > 0)
     counts = (
         toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
-        .localCheckpoint(eager=False)  # feeds corpus rollup + the join
+        .transform(cut_lineage)  # feeds corpus rollup + the join
     )
     corpus = counts.groupBy("tok").agg(F.sum("a").alias("ct"))
     totals = counts.groupBy("source").agg(F.sum("a").alias("ns"))

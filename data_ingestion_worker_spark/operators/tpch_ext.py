@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 
 def _dec(col: str, scale: str = "12,2") -> F.Column:
@@ -658,7 +659,7 @@ def mba_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lo = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(cut_lineage)
     n = lo.select("ok").distinct().agg(F.count(F.lit(1)).alias("n"))
     items = lo.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a, b = lo.alias("a"), lo.alias("b")
@@ -736,7 +737,7 @@ def rec_item_cooccur_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lo = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(cut_lineage)
     items = lo.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a, b = lo.alias("a"), lo.alias("b")
     cooc = (
@@ -818,7 +819,7 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("l_partkey"))
         .sortWithinPartitions(F.col("rev").desc(), "l_partkey")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)   # feeds offsets AND the final pass
+        .transform(cut_lineage)   # feeds offsets AND the final pass
     )
     psums = srt.groupBy("_pid").agg(
         F.sum("rev").cast("decimal(38,4)").alias("_ps"),
@@ -932,7 +933,7 @@ def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     superstep shape as PageRank — and exactly how a full rank-k ALS
     distributes (per-key normal equations instead of scalar division).
     """
-    ratings = _als_ratings(spark, sf_dir).localCheckpoint(eager=False)
+    ratings = _als_ratings(spark, sf_dir).transform(cut_lineage)
     v = ratings.select("i").distinct().select(
         "i", F.lit(ALS_SCALE).cast("long").alias("v"))
     for _ in range(ALS_ROUNDS):
@@ -942,7 +943,7 @@ def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("r") * F.col("v")).alias("num"),
                  F.sum(F.col("v") * F.col("v")).alias("den"))
             .select("u", F.expr(f"({ALS_SCALE} * num) div den").alias("uf"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         vr = (
             ratings.join(u, "u")
@@ -950,14 +951,14 @@ def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("r") * F.col("uf")).alias("num"),
                  F.sum(F.col("uf") * F.col("uf")).alias("den"))
             .select("i", F.expr(f"({ALS_SCALE} * num) div den").alias("vr"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         scal = vr.agg(F.count(F.lit(1)).alias("n_i"),
                       F.sum("vr").alias("s_v"))
         v = vr.crossJoin(F.broadcast(scal)).select(
             "i",
             F.expr(f"(vr * {ALS_SCALE} * n_i) div s_v").alias("v"),
-        ).localCheckpoint(eager=False)
+        ).transform(cut_lineage)
     return v.select(F.col("i").alias("partkey"),
                     F.col("v").cast("long").alias("v_milli"))
 

@@ -15,6 +15,8 @@ identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,9 +36,21 @@ TABLE_NAMES = [
 ]
 
 
-#: (path, defaultParallelism) -> scan partition count, memoized so the
-#: spread_scan probe compiles each table's scan plan once per layout.
-_SCAN_PARTS: dict[tuple[str, int], int] = {}
+def _layout_key(path: str) -> tuple:
+    """Cheap layout fingerprint for per-path memos: a rewritten file
+    (different row-group layout, regenerated fixture) changes mtime/size
+    and invalidates the entry, so the memos never serve stale stats."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path (e.g. object store): no memo
+        return (path, None, None)
+
+
+#: (layout fingerprint, defaultParallelism) -> scan partition count,
+#: memoized so the spread_scan probe compiles each table's scan plan
+#: once per layout.
+_SCAN_PARTS: dict[tuple, int] = {}
 
 
 def spread_scan(df: DataFrame, *keys: str, memo: str | None = None) -> DataFrame:
@@ -61,7 +75,7 @@ def spread_scan(df: DataFrame, *keys: str, memo: str | None = None) -> DataFrame
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    cache_key = (memo, target) if memo is not None else None
+    cache_key = (_layout_key(memo), target) if memo is not None else None
     n = _SCAN_PARTS.get(cache_key) if cache_key else None
     if n is None:
         n = df.rdd.getNumPartitions()
