@@ -26,8 +26,10 @@ fact table per iteration (operator construction itself stays
 side-effect-free, per the engine-wide rule).  Each iteration is then
 one shuffle join (ranks ⋈ edges on src) + one partial-agg shuffle
 (sum by dst) — the classic Pregel superstep expressed relationally.
-Production at real scale would swap ``localCheckpoint`` for reliable
-``checkpoint()`` exactly as dedup_connected_components documents.
+Every lineage cut below goes through ``functions.checkpoint.
+cut_lineage``: localCheckpoint by default, reliable ``checkpoint()``
+as soon as the deployment sets a checkpoint directory — the
+fault-tolerance swap is one session setting, not a code change.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64, hash64_sql
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 #: Rank mass scale: 1.0 of probability mass == 10¹² scaled units.
 PR_SCALE = 1_000_000_000_000
@@ -76,14 +79,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph is undirected, every node has deg ≥ 1 and receives at least
     one contribution, so no dangling-mass term is needed.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     # deg is referenced 4x (V count + every iteration's rank update); a
     # lazy local checkpoint materializes its shuffle once — without it the
     # plan re-executes the groupBy subtree per reference (no
     # ReusedExchange across the iteration joins, verified empirically).
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     v = deg.agg(F.count(F.lit(1)).alias("v"))
     ranks = deg.crossJoin(F.broadcast(v)).select(
         "node", "deg", F.expr(f"{PR_SCALE} div v").alias("r")
@@ -144,10 +147,10 @@ def graph_pagerank_adaptive(spark: SparkSession, sf_dir: str,
     round N re-analyzes rounds 1..N-1 (quadratic planning) and the
     convergence action would re-execute the whole prefix.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     v = deg.agg(F.count(F.lit(1)).alias("v"))
     ranks = deg.crossJoin(F.broadcast(v)).select(
         "node", "deg", F.expr(f"{PR_SCALE} div v").alias("r")
@@ -172,7 +175,7 @@ def graph_pagerank_adaptive(spark: SparkSession, sf_dir: str,
                 "r_prev",
             )
             .withColumn("delta", F.abs(F.col("r") - F.col("r_prev")))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         # Full count over the lazily-checkpointed frame: one job both
         # materializes the checkpoint and answers convergence (the
@@ -300,37 +303,48 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Arc-count ceiling for broadcasting the closing-arc table of the
-#: wedge join (~50 B/arc built ⇒ ≤ a few hundred MB at the cap).  Past
-#: it the closing join falls back to a shuffle join — the right shape
-#: once the arc table itself is cluster-scale.
+#: Arc-count ceiling for broadcasting the per-tail neighbor-array table
+#: of the triangle close (same total entries as the arc table, ~50 B/arc
+#: built ⇒ ≤ a few hundred MB at the cap).  Past it both neighbor
+#: attachments fall back to shuffle joins of the arc table — the right
+#: shape once the arc table itself is cluster-scale.
 _CLOSE_BROADCAST_MAX_ARCS = 4_000_000
 
 
 def _closed_triangles(oriented: DataFrame) -> DataFrame:
-    """Wedge-enumerate a degree-ordered arc table and close each wedge:
-    returns one (a, b, c) row per triangle.
+    """Close triangles on a degree-ordered arc table: one (a, b, c) row
+    per triangle.
 
-    The closing join's probe side is the WEDGE stream — O(m^{3/2}) rows
-    (41 M at sf0.1 vs 1.2 M arcs on the part co-order graph); left to
-    the planner the wedges are shuffled by their (b, c) key.
-    Broadcasting the arc table instead keeps the whole wedge-enumerate →
-    close → downstream-aggregate pipeline map-side (guide §2.3: move
-    keys, never the heavy stream).  Guarded by an arc count read from
-    the checkpointed arc frame (a ~ms job once materialized).
+    Adjacency-intersection form (r11): group the arcs ONCE into per-tail
+    neighbor arrays N⁺(x); the orientation is a DAG under the (deg, id)
+    total order, so each triangle a<b<c appears exactly once as
+    c ∈ N⁺(a) ∩ N⁺(b) at its lowest arc (a, b).  The previous shape
+    enumerated the O(m^{3/2}) wedge stream as join rows (41 M at sf0.1
+    vs 1.2 M arcs on the part co-order graph) and probed the broadcast
+    arc table per wedge; here the same element comparisons happen inside
+    ``array_intersect`` on the arc rows — no wedge row is ever
+    materialized, and only ~1 row per triangle leaves the operator.
+    The inner join on the head's neighbor array doubles as the §3.2
+    semi-join prune: an arc whose head has no out-arcs can close
+    nothing and is dropped before any intersection.
+
+    The neighbor-array build rides one exchange (same bytes as the arc
+    table, regrouped); it broadcasts under the same arc-count guard as
+    before (count read from the checkpointed arc frame — a ~ms job once
+    materialized).  Past the guard both attachments fall back to
+    shuffles of the ARC table (m rows) — still never the wedge stream.
     """
-    o1, o2, cl = oriented.alias("o1"), oriented.alias("o2"), \
-        oriented.alias("cl")
-    cl_build = (F.broadcast(cl)
-                if oriented.count() <= _CLOSE_BROADCAST_MAX_ARCS else cl)
+    nbrs = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    if oriented.count() <= _CLOSE_BROADCAST_MAX_ARCS:
+        nbrs = F.broadcast(nbrs)
+    na = nbrs.select(F.col("src").alias("_ta"), F.col("nb").alias("nb_a"))
+    nb = nbrs.select(F.col("src").alias("_tb"), F.col("nb").alias("nb_b"))
     return (
-        o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
-                & (F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
-                   < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))))
-        .join(cl_build, (F.col("cl.src") == F.col("o1.dst"))
-              & (F.col("cl.dst") == F.col("o2.dst")))
-        .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"),
-                F.col("o2.dst").alias("c"))
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(na, F.col("a") == F.col("_ta"))
+        .join(nb, F.col("b") == F.col("_tb"))
+        .select("a", "b",
+                F.explode(F.array_intersect("nb_a", "nb_b")).alias("c"))
     )
 
 
@@ -365,12 +379,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReusedExchange across differently-aliased joins — same finding
     # as the pagerank degree table) — measured 20.4 s -> materialize
     # each tier once and the wedge join dominates as it should.
-    und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = _co_order_edges(spark, sf_dir).transform(cut_lineage)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     e = (
@@ -386,7 +400,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     tri = _closed_triangles(oriented)
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -473,19 +487,19 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash64
 
     und_all = _co_order_edges(spark, sf_dir) \
-        .localCheckpoint(eager=False)   # feeds total count + the gate
+        .transform(cut_lineage)   # feeds total count + the gate
     coin = F.pmod(
         hash64(F.concat(F.lit("tri:"), F.col("u").cast("string"),
                         F.lit(":"), F.col("v").cast("string"))),
         F.lit(1000),
     )
     und = und_all.filter(coin < DOULION_P_MILLI) \
-        .localCheckpoint(eager=False)   # degrees + orientation join
+        .transform(cut_lineage)   # degrees + orientation join
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     e = (
@@ -501,7 +515,7 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     tri_s = _closed_triangles(oriented) \
         .agg(F.count(F.lit(1)).alias("tri_sampled"))
     totals = und_all.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -584,7 +598,7 @@ def graph_label_propagation(spark: SparkSession,
     distinct neighbor-label count.  Labels are checkpointed per round
     (iterative-lineage rule).
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     labels = _lpa_labels(edges)
     return labels.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -603,7 +617,7 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
     labels = (
         edges.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     for _ in range(LPA_ITERATIONS):
         cnt = (
@@ -616,7 +630,7 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return labels
 
@@ -689,7 +703,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges⋈labels⋈labels join (shuffle on node), a per-community
     aggregate, and a one-row D scalar broadcast.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     labels = _lpa_labels(edges)
     lu, lv = labels.alias("lu"), labels.alias("lv")
     joined = (
@@ -771,7 +785,7 @@ def graph_community_conductance(spark: SparkSession,
     join (shuffle on node) + a per-community aggregate, exactly the
     modularity plan with a different readout.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     labels = _lpa_labels(edges)
     lu, lv = labels.alias("lu"), labels.alias("lv")
     per_c = (
@@ -783,7 +797,7 @@ def graph_community_conductance(spark: SparkSession,
             F.sum((F.col("lu.label") == F.col("lv.label")).cast("long"))
             .alias("intra_dir"),
         )
-        .localCheckpoint(eager=False)   # rows AND the D scalar
+        .transform(cut_lineage)   # rows AND the D scalar
     )
     d = per_c.agg(F.sum("vol").alias("dd"))
     out = per_c.crossJoin(F.broadcast(d)).select(
@@ -853,7 +867,7 @@ def graph_common_neighbors_topk(spark: SparkSession,
         .select(F.col("o_custkey").alias("c"),
                 F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)   # feeds buckets + degrees
+        .transform(cut_lineage)   # feeds buckets + degrees
     )
     kept = (
         cs.withColumn(
@@ -861,7 +875,7 @@ def graph_common_neighbors_topk(spark: SparkSession,
         )
         .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
         .select("c", "s")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     buckets = (
@@ -1112,11 +1126,11 @@ def graph_degree_assortativity(spark: SparkSession,
     shuffled keys; the moments collapse in one partial aggregate to a
     single row.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
@@ -1196,10 +1210,10 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     wdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("wdeg")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     v = wdeg.agg(F.count(F.lit(1)).alias("v"))
     ranks = wdeg.crossJoin(F.broadcast(v)).select(
         "node", "wdeg", F.expr(f"{PR_SCALE} div v").alias("r")
@@ -1300,10 +1314,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     get cheaper.  Edge/keep frames are lazily localCheckpoint-ed because
     each is consumed by multiple joins in the next round.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     deg0 = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     kv = deg0.agg(
         F.expr("sum(deg) div (count(1) * 2)").cast("long").alias("k")
     )
@@ -1314,12 +1328,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.crossJoin(F.broadcast(kv))
             .filter(F.col("deg") >= F.col("k"))
             .select("node")
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         e = (
             e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         deg = e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("deg")
@@ -1391,7 +1405,7 @@ def _edge_support(und: DataFrame) -> DataFrame:
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     e = (
@@ -1407,7 +1421,7 @@ def _edge_support(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv.deg")).otherwise(F.col("du.deg"))
         .alias("ddeg"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     tri = _closed_triangles(oriented)
     edges3 = tri.select(F.explode(F.array(
         F.struct(F.least("a", "b").alias("u"),
@@ -1444,7 +1458,7 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume shrinks monotonically per round; each round is the
     triangle-count plan plus one edge-key aggregate.
     """
-    und = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = _co_order_edges(spark, sf_dir).transform(cut_lineage)
     for _ in range(KTRUSS_ROUNDS):
         # Support keys are edges of `und` in >= 1 triangle (a subset of
         # und), so the filtered support table IS the surviving edge
@@ -1452,7 +1466,7 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup = _edge_support(und.select("u", "v"))
         und = (
             sup.filter(F.col("sup") >= KTRUSS_K - 2)
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return und.select(
         F.col("u").alias("part_u"), F.col("v").alias("part_v"),
@@ -1537,12 +1551,12 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     |K|-fan-out conditional count — the threshold ladder is a
     broadcast literal, never a data-dependent domain.
     """
-    edges = _co_order_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _co_order_edges(spark, sf_dir).transform(cut_lineage)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     emin = (
@@ -1632,13 +1646,13 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, never edge-sized; visited is lazily localCheckpoint-ed since
     hop ``d+1`` consumes it twice (anti-join + union).
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     supplier = load_table(spark, sf_dir, "supplier")
     seeds = supplier.agg(F.min("s_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     )
-    visited = seeds.localCheckpoint(eager=False)
+    visited = seeds.transform(cut_lineage)
     frontier = visited
     for d in range(1, BFS_MAX_HOPS + 1):
         reached = (
@@ -1647,9 +1661,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(d).cast("long"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
-        visited = visited.unionByName(reached).localCheckpoint(eager=False)
+        visited = visited.unionByName(reached).transform(cut_lineage)
         frontier = reached
     return visited.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -1733,7 +1747,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     hubs = pairs.select("c").distinct().select(
         F.col("c").alias("node"), F.lit(HITS_SCALE).alias("h")
@@ -1745,7 +1759,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without it each half-step re-plans every earlier round and
         # the final plan carries O(rounds²) exchanges (audit caught
         # this at 134 exchanges for 4 rounds; 8 after).
-        raw = raw.localCheckpoint(eager=False)
+        raw = raw.transform(cut_lineage)
         tot = raw.agg(F.sum("raw").alias("tot"))
         return raw.crossJoin(F.broadcast(tot)).select(
             "node", F.expr(f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT)")
@@ -1840,7 +1854,7 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is at most |V|·L rows, never edge-sized; the landmark pick is
     a TakeOrdered of the degree table, broadcast into the seed frame.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1849,7 +1863,7 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = landmarks.select(
         "node", F.col("node").alias("lm"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     frontier = visited
     for d in range(1, CLOSENESS_MAX_HOPS + 1):
         reached = (
@@ -1859,9 +1873,9 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node", "lm"), ["node", "lm"],
                   "left_anti")
             .withColumn("dist", F.lit(d).cast("long"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
-        visited = visited.unionByName(reached).localCheckpoint(eager=False)
+        visited = visited.unionByName(reached).transform(cut_lineage)
         frontier = reached
     per_node = visited.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_reached"),
@@ -2014,12 +2028,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rounds as nested CTEs — identical algebra, so values hash-
     match exactly.
     """
-    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _weighted_edges(spark, sf_dir).transform(cut_lineage)
     supplier = load_table(spark, sf_dir, "supplier")
     dist = supplier.agg(F.min("s_suppkey").alias("k")).select(
         (F.col("k") * 2 + 1).cast("long").alias("node"),
         F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     for _ in range(SSSP_ROUNDS):
         relaxed = dist.join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"),
@@ -2029,7 +2043,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return dist.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -2104,7 +2118,7 @@ def graph_random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hash collision (absent in practice) breaks ties the same
     way.  The oracle unrolls the same steps.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _edges(spark, sf_dir).transform(cut_lineage)
     supplier = load_table(spark, sf_dir, "supplier")
     seeds = (
         supplier.where(F.col("s_suppkey") % WALK_SEED_MOD == 0)
@@ -2113,7 +2127,7 @@ def graph_random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk = seeds.select(
         "seed", F.col("seed").alias("node"),
         F.lit(0).cast("int").alias("step"),
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     out = walk
     for s in range(1, WALK_STEPS + 1):
         hop = (
@@ -2140,7 +2154,7 @@ def graph_random_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("node"),
                 F.lit(s).cast("int").alias("step"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         out = out.unionByName(hop)
         walk = hop
@@ -2229,7 +2243,7 @@ def graph_link_prediction_jaccard(spark: SparkSession,
         )
         .filter(F.col("cdeg") <= CN_HUB_CUTOFF)
         .select("c", "s")
-        .localCheckpoint(eager=False)   # buckets AND the degree table
+        .transform(cut_lineage)   # buckets AND the degree table
     )
     deg = kept.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     buckets = (
