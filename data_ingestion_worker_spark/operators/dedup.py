@@ -38,6 +38,7 @@ from ..functions.hashing import hash64, hash64_sql
 from ..functions.text import fingerprint
 from ..spec import QuerySpec
 from ..tables import load_table
+from ..functions.checkpoint import cut_lineage
 
 N_PERM = 8          # minhash permutations
 BAND_ROWS = 2       # rows per LSH band -> 4 bands
@@ -158,13 +159,6 @@ def dedup_jaccard_df_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles(spark, sf_dir, max_df=DF_CUTOFF))
 
 
-#: Documents ceiling for broadcasting the per-doc ranked-shingle-array
-#: frame in the ssjoin verification step (~1 KB/doc built ⇒ ≤ a couple
-#: hundred MB at the cap); beyond it the verification joins fall back
-#: to shuffles keyed by doc id.
-_ARR_BROADCAST_MAX_DOCS = 200_000
-
-
 def dedup_jaccard_prefix_filter(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.2 via *prefix filtering* (the
@@ -194,14 +188,39 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     local ``sort_array`` inside each doc's bucket, the prefix is a
     ``slice``, and the same frame serves both verification legs.
     Verification is a per-pair ``array_intersect`` against that frame
-    (broadcast under a corpus-size guard) instead of re-joining every
-    candidate pair against the full posting table — at sf0.1 that join
-    streamed ~41 M (pair × shingle) rows to verify 788 k candidates;
-    the array form is 8.8 → 6.0 s and two exchanges fewer.  Past the
-    guard the verification joins shuffle by doc id — still |cand| rows,
-    never pair × posting.
+    instead of re-joining every candidate pair against the full posting
+    table — at sf0.1 that join streamed ~41 M (pair × shingle) rows to
+    verify 788 k candidates.
+
+    Round-11 verification joins SHUFFLE by doc id (no broadcast): the
+    r10 broadcast guard shipped the full per-doc shingle arrays twice,
+    and building those two array-of-strings broadcast relations costs
+    more than the joins save — measured 4.3 s broadcast vs 0.9–1.5 s
+    shuffled for the same candidate set at sf0.1.  The shuffle moves
+    |cand| id-pairs plus |docs| array rows, never pair × posting; it is
+    also the only shape that cannot OOM on a long-document corpus
+    (the r10 count-based guard underestimated broadcast bytes — each
+    row carries the doc's whole shingle array).
+
+    Round-11: PPJoin+-style pruning inside candidate generation, both
+    lossless for J >= t:
+
+    - *size filter*: a qualifying pair needs min(n1,n2) >= t·max(n1,n2)
+      (else J <= min/max < t) — with t = 0.2, ``5·min >= max``.
+    - *positional filter*: prefix postings carry each shingle's
+      0-based rank position p; a collision at (p1, p2) bounds the
+      intersection reachable from the FIRST common shingle by
+      ``min(n1−p1, n2−p2)``, and J >= t needs
+      inter >= ceil(t·(n1+n2)/(1+t)) — with t = 0.2,
+      ``6·min(n1−p1, n2−p2) >= n1+n2``.  For any qualifying pair the
+      first common shingle in the global (df, shingle) order lies in
+      BOTH prefixes (the prefix lemma) and no common shingle precedes
+      it, so its collision row always passes — keeping pairs with ANY
+      passing collision drops no qualifying pair.  Verification then
+      touches only the survivors (788 k → measured drop logged in
+      OPTIMIZATION_r11.md); the final exact-Jaccard filter is
+      unchanged, so false survivors cost work, never correctness.
     """
-    d_count = load_table(spark, sf_dir, "documents").count()
     sh = _shingles(spark, sf_dir)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # prefix length n - ceil(n/5) + 1; ceil(n/5) = (n+4) div 5
@@ -216,27 +235,45 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
         .select("doc_id", "arr", "n",
                 F.expr("slice(arr, 1, n - (n + 4) div 5 + 1)")
                 .alias("pref"))
-        .localCheckpoint(eager=False)   # postings + both verify legs
+        .transform(cut_lineage)   # postings + both verify legs
     )
-    postings = arrs.select("doc_id", F.explode("pref").alias("shingle"))
+    postings = arrs.select(
+        "doc_id", "n", F.posexplode("pref").alias("p", "shingle")
+    )
     buckets = (
         postings.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "p", "n")))
+             .alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    collisions = (
+        buckets.select(F.explode(
+            F.expr(_TRIANGLE.format(ids="ds"))
+        ).alias("q"))
+        .select(F.col("q.d1.doc_id").alias("d1"),
+                F.col("q.d1.p").alias("p1"), F.col("q.d1.n").alias("n1"),
+                F.col("q.d2.doc_id").alias("d2"),
+                F.col("q.d2.p").alias("p2"), F.col("q.d2.n").alias("n2"))
     )
     cand = (
-        buckets.select(F.explode(
-            F.expr(_TRIANGLE.format(ids="docs"))
-        ).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        collisions
+        .filter(5 * F.least("n1", "n2") >= F.greatest("n1", "n2"))
+        .filter(6 * F.least(F.col("n1") - F.col("p1"),
+                            F.col("n2") - F.col("p2"))
+                >= F.col("n1") + F.col("n2"))
+        .select("d1", "d2")
         .distinct()
     )
+    # SHUFFLE_HASH pins the verify joins against AQE's
+    # broadcast-conversion: the arrs side reads "small" (tens of MB) so
+    # AQE would otherwise rebuild it as two array-of-strings broadcast
+    # relations — the exact cost the shuffle shape avoids.
     a1 = arrs.select(F.col("doc_id").alias("d1"),
-                     F.col("arr").alias("arr1"), F.col("n").alias("n1"))
+                     F.col("arr").alias("arr1"), F.col("n").alias("n1")) \
+        .hint("shuffle_hash")
     a2 = arrs.select(F.col("doc_id").alias("d2"),
-                     F.col("arr").alias("arr2"), F.col("n").alias("n2"))
-    if d_count <= _ARR_BROADCAST_MAX_DOCS:
-        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+                     F.col("arr").alias("arr2"), F.col("n").alias("n2")) \
+        .hint("shuffle_hash")
     inter = (
         cand.join(a1, "d1").join(a2, "d2")
         .select("d1", "d2",
@@ -394,7 +431,7 @@ def _jaccard_pairs(sh: DataFrame, *, shared: bool = False) -> DataFrame:
     # bigger plan, e.g. pipeline_curation_v3) — re-checkpointing would
     # copy the materialized rows a second time for nothing.
     if not shared:
-        sh = sh.localCheckpoint(eager=False)
+        sh = sh.transform(cut_lineage)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Bucket aggregation, not a self-join: one shuffle groups the posting
     # list per shingle and the candidate pairs expand *locally* inside
@@ -1155,14 +1192,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
     DataFrames: driver-side loop, executor-side set operations, nothing
     per-row on the driver.
 
-    Each round's label frame is ``localCheckpoint``-ed: iterative plans
-    otherwise grow by one join+aggregate of *lineage* per round (round N
-    re-analyzes rounds 1..N-1 — quadratic planning cost, and the printed
-    plan re-derives the LSH pipeline hundreds of times), while
-    checkpointing both materializes the frame and truncates its lineage
-    to a leaf.  On a real cluster prefer reliable ``checkpoint()`` (an
-    executor loss under localCheckpoint forces a full job restart —
-    the standard trade for large-graph CC in production).
+    Each round's label frame is lineage-cut (``cut_lineage``): iterative
+    plans otherwise grow by one join+aggregate of *lineage* per round
+    (round N re-analyzes rounds 1..N-1 — quadratic planning cost, and
+    the printed plan re-derives the LSH pipeline hundreds of times),
+    while checkpointing both materializes the frame and truncates its
+    lineage to a leaf.  Clusters that cannot eat a full job restart on
+    executor loss set a checkpoint directory and every cut switches to
+    reliable ``checkpoint()`` (see ``functions/checkpoint.py``).
 
     The DuckDB oracle computes the same fixpoint as a recursive
     reachability CTE — feasible because test clusters are tiny, while the
@@ -1175,7 +1212,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         .unionByName(
             pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
         )
-        .localCheckpoint(eager=False)  # LSH pipeline runs exactly once
+        .transform(cut_lineage)  # LSH pipeline runs exactly once
     )                                  # (materialized by round 1's job)
     # Only vertices incident to an edge can ever change label, so the
     # propagation loop runs on the edge subgraph alone; isolated docs
@@ -1186,7 +1223,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
         edges.select("src").distinct()
         .select(F.col("src").alias("doc_id"),
                 F.col("src").alias("cluster_id"))
-        .localCheckpoint(eager=False)  # materialized by round 1's job
+        .transform(cut_lineage)  # materialized by round 1's job
     )
     converged = False
     for _ in range(max_iter):
@@ -1210,7 +1247,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str,
                 F.least("cluster_id", "nmin").alias("cluster_id"),
                 (F.col("nmin") < F.col("cluster_id")).alias("chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
@@ -1757,7 +1794,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == "src0")
         .select(fingerprint(F.col("text")).alias("fp"))
         .distinct()
-        .localCheckpoint(eager=False)   # feeds bit build + verify join
+        .transform(cut_lineage)   # feeds bit build + verify join
     )
     icol = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
     bit = hash64(
@@ -2026,7 +2063,7 @@ def corpus_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_sh = sh.filter(is_eval).localCheckpoint(eager=False)
+    eval_sh = sh.filter(is_eval).transform(cut_lineage)
     covered = (
         sh.filter(~is_eval)
         .join(F.broadcast(eval_sh.select("shingle").distinct()),
@@ -2119,7 +2156,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
         F.col("a.gh").alias("gh"),
         F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb"),
-    ).localCheckpoint(eager=False)   # feeds the run windows + the count
+    ).transform(cut_lineage)   # feeds the run windows + the count
     shared = hits.groupBy("d1", "d2").agg(
         F.countDistinct("gh").alias("n_shared_grams"))
     w = Window.partitionBy("d1", "d2", "diag").orderBy("pa")
