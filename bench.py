@@ -18,8 +18,10 @@ HEAD measured 1.18x quiet): a fixed single-core calibration probe runs
 before and after the suite and ``host_noise_index`` =
 max(probe)/PROBE_REF_SEC is emitted into BOTH the compact line and
 BENCH_DETAIL (~1.0 quiet, >1.3 contended), alongside os.getloadavg();
-and if the marker query ``q1_pricing_summary`` (code-unchanged since
-r1) lands above its recorded historical band OR the legacy-19 total
+and if the marker query ``q1_pricing_summary`` (logic-unchanged since
+r1; its SCAN path gained the r10 spread exchange, which is why the
+band was recalibrated at the r10 close rather than carried from r1)
+lands above its recorded historical band OR the legacy-19 total
 itself exceeds ``LEGACY19_TRIGGER_SEC`` (round-10: the r9 driver
 window read q1 = 1.482 s — 0.018 s under the marker trigger — while
 publishing 1.55×, so the total is its own second witness) the
@@ -77,7 +79,9 @@ LEGACY_19 = 19
 PROBE_REF_SEC = 0.61
 
 #: Historical band for the marker query ``q1_pricing_summary``
-#: (code-unchanged since r1): committed min-of-3 across rounds 1-7 was
+#: (logic-unchanged since r1; r10 added the scan-spread exchange to its
+#: read path, so the band below comes from the r10-close recalibration,
+#: not the r1-r7 history): committed min-of-3 across rounds 1-7 was
 #: 0.899-1.345 s; the r8 contention window pushed it to 2.266 s.  A
 #: marker above the band triggers ONE legacy-19 re-measure pass and the
 #: better pass is kept (both totals recorded) — the rerun-on-outlier

@@ -1257,7 +1257,12 @@ def _pq_state(spark: SparkSession, sf_dir: str):
                     F.col("b.cnt").alias("cnt"))
         )
         if it == 0:
-            assign = assign.transform(cut_lineage)
+            # The round-0 assignment feeds ONLY the cent1 rebuild, so it
+            # needs no lineage cut of its own — cent1's cut (below)
+            # already stops round 1 from re-deriving round 0, and one
+            # fewer cut is one fewer eager physical-plan compile on the
+            # driver (the profiled cost of this training chain at bench
+            # scale is plan compilation, not execution).
             # cent1 carries the member count per (m, code, d) row (each
             # member contributes exactly one row per dim), so msize1
             # derives from cent1's tiny frame — no second shuffle over

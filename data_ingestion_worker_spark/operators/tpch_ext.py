@@ -937,13 +937,20 @@ def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ratings.select("i").distinct().select(
         "i", F.lit(ALS_SCALE).cast("long").alias("v"))
     for _ in range(ALS_ROUNDS):
+        # Only vr carries a lineage cut: it has TWO consumers (the
+        # rescale scalar and the rescaled v), so without it the whole
+        # chain up to vr would execute twice.  u and v each feed
+        # exactly one consumer, so their subtrees execute once wherever
+        # they are embedded — a cut there bought nothing at execution
+        # and paid an eager physical-plan compile per half-step (the
+        # r11 structural finding); per-round plan depth stays bounded
+        # because vr's cut resets the tree every round.
         u = (
             ratings.join(v, "i")
             .groupBy("u")
             .agg(F.sum(F.col("r") * F.col("v")).alias("num"),
                  F.sum(F.col("v") * F.col("v")).alias("den"))
             .select("u", F.expr(f"({ALS_SCALE} * num) div den").alias("uf"))
-            .transform(cut_lineage)
         )
         vr = (
             ratings.join(u, "u")
@@ -958,7 +965,7 @@ def rec_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = vr.crossJoin(F.broadcast(scal)).select(
             "i",
             F.expr(f"(vr * {ALS_SCALE} * n_i) div s_v").alias("v"),
-        ).transform(cut_lineage)
+        )
     return v.select(F.col("i").alias("partkey"),
                     F.col("v").cast("long").alias("v_milli"))
 
